@@ -1,38 +1,775 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` is the implemented-operator inventory (SURVEY.md §2 + the [EXT]
+LLM-pipeline operators); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
+for each. Column names/aliases match exactly between the two sides; numeric
+outputs use exact decimal arithmetic or single-division doubles so the
+order-insensitive value-hash is stable across engines (see operator module
+docstrings for the portability rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from client_data_ingester_spark.operators import dedup as D  # noqa: E402
+from client_data_ingester_spark.operators import events as E  # noqa: E402
+from client_data_ingester_spark.operators import multimodal as M  # noqa: E402
+from client_data_ingester_spark.operators import relational as R  # noqa: E402
+from client_data_ingester_spark.operators import similarity as S  # noqa: E402
+from client_data_ingester_spark.operators import text as X  # noqa: E402
+from client_data_ingester_spark.queries.products import rank_and_paginate  # noqa: E402
+
+
+def _pin(spark: SparkSession) -> None:
+    """Runtime confs we rely on, settable on the driver's own session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS); read as long, convert below
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # nanos → micros with integer division (exact; floor matches DuckDB's
+        # ns→us truncation), then a proper timestamp column
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# derived inputs shared by the upsert/search/transformer queries: a
+# "products" view built deterministically from the part table
+
+
+def _part_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("sku"),
+        F.col("p_name").alias("title"),
+        F.col("p_brand").alias("remote_id"),
+        F.col("p_size").alias("qty"),
+    )
+
+
+_PART_PRODUCTS_SQL = """
+    SELECT 'P' || CAST(p_partkey AS VARCHAR) AS sku,
+           p_name AS title, p_brand AS remote_id, p_size AS qty
+    FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return R.pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- relational core (SURVEY §2.2-2.7 surface at analytic scale) --------
+    q["q1_pricing_summary"] = lambda s, d: R.pricing_summary(_t(s, d, "lineitem"))
+    q["q3_top_unshipped"] = lambda s, d: R.top_unshipped_orders(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q4_order_priority"] = lambda s, d: R.order_priority_counts(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q5_regional_revenue"] = lambda s, d: R.regional_revenue(
+        _t(s, d, "region"),
+        _t(s, d, "nation"),
+        _t(s, d, "customer"),
+        _t(s, d, "orders"),
+        _t(s, d, "lineitem"),
+    )
+    q["topk_parts_per_brand"] = lambda s, d: R.topk_parts_per_brand(
+        _t(s, d, "part")
+    )
+    q["returnflag_rollup"] = lambda s, d: R.returnflag_rollup(
+        _t(s, d, "lineitem")
+    )
+    q["status_pivot"] = lambda s, d: R.status_pivot(_t(s, d, "lineitem"))
+    q["setops_customers"] = lambda s, d: R.customer_order_setops(
+        _t(s, d, "customer"), _t(s, d, "orders")
+    )
+    q["supplier_balance_distribution"] = lambda s, d: (
+        R.supplier_balance_distribution(
+            _t(s, d, "supplier"), _t(s, d, "nation")
+        )
+    )
+
+    # -- the reference's own query surface (search/rank/paginate; ingest
+    #    semantics as set-level queries) ------------------------------------
+    q["products_search_rank"] = lambda s, d: rank_and_paginate(
+        _part_products(s, d), q="P12", offset=3, limit=20
+    )
+    q["transformer_projection"] = lambda s, d: _transformer_projection(s, d)
+    q["upsert_snapshot"] = lambda s, d: _upsert_snapshot(s, d)
+    q["full_update_deactivation"] = lambda s, d: _full_update_deactivation(s, d)
+
+    # -- dedup ([EXT]) ------------------------------------------------------
+    q["dedup_exact"] = lambda s, d: D.exact_duplicates(_t(s, d, "documents"))
+    q["dedup_minhash_signatures"] = lambda s, d: D.minhash_signatures(
+        _t(s, d, "documents"), num_perm=4
+    )
+    q["dedup_lsh_candidates"] = lambda s, d: D.lsh_candidate_pairs(
+        _t(s, d, "documents"), num_perm=4, bands=2
+    )
+    q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_dedup(
+        _t(s, d, "documents"), num_perm=4, bands=2, threshold=0.2
+    )
+    q["dedup_simhash"] = lambda s, d: D.simhash_duplicate_groups(
+        _t(s, d, "documents")
+    )
+
+    # -- text analysis ([EXT]) ---------------------------------------------
+    q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
+    q["text_quality"] = lambda s, d: X.quality_scores(_t(s, d, "documents"))
+    q["text_token_counts"] = lambda s, d: X.token_counts(_t(s, d, "documents"))
+    q["doc_fingerprints"] = lambda s, d: X.document_fingerprints(
+        _t(s, d, "documents")
+    )
+
+    # -- similarity search ([EXT]) -----------------------------------------
+    q["embedding_cosine_topk"] = lambda s, d: S.brute_force_topk(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+    )
+    q["embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
+        _t(s, d, "embeddings"), threshold=0.3
+    )
+    # IVF is approximate-by-design; centroid means are float-order-dependent,
+    # so this entry is rows-only checked (no oracle) on purpose.
+    q["similarity_ivf_topk"] = lambda s, d: S.ivf_topk(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+        nprobe=3,
+    )
+
+    # -- events / streaming-shaped ([EXT]) ---------------------------------
+    q["events_window_agg"] = lambda s, d: E.tumbling_window_agg(
+        _t(s, d, "events")
+    )
+    q["events_sessionize"] = lambda s, d: E.sessionize(_t(s, d, "events"))
+    q["events_json_agg"] = lambda s, d: E.json_props_agg(_t(s, d, "events"))
+    q["asof_join_last_event"] = lambda s, d: E.asof_join_orders_events(
+        _t(s, d, "orders"), _t(s, d, "events")
+    )
+    q["range_join_follows"] = lambda s, d: E.range_join_event_pairs(
+        _t(s, d, "events")
+    )
+
+    # -- multimodal plumbing ([EXT]) ---------------------------------------
+    q["multimodal_features"] = lambda s, d: M.extract_features(
+        M.attach_media_columns(_t(s, d, "documents")), decode_stub=True
+    )
+
+    return q
+
+
+def _transformer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config-mapped ingestion projection (P1 + F1-F4) exercised on
+    strings derived from the part table (integer-derived strings only, so
+    both engines see identical text)."""
+    from client_data_ingester_spark.ingestion.transformers import get_transformer
+
+    p = _t(spark, sf_dir, "part")
+    raw = p.select(
+        F.col("p_partkey").alias("k"),
+        F.concat(F.lit("  P"), F.col("p_partkey").cast("string"), F.lit("  ")).alias(
+            "sku_raw"
+        ),
+        F.concat(F.col("p_size").cast("string"), F.lit(".7")).alias("qty_raw"),
+        F.concat(
+            F.lit("$"), F.col("p_partkey").cast("string"), F.lit(".25")
+        ).alias("price_raw"),
+        F.when(F.col("p_size") % 2 == 0, F.lit(" YES "))
+        .otherwise(F.lit("no"))
+        .alias("active_raw"),
+    )
+    t = get_transformer
+    return raw.select(
+        F.col("k"),
+        t("text").expr(F.col("sku_raw")).alias("sku"),
+        t("integer").expr(F.col("qty_raw")).alias("stock_quantity"),
+        t("decimal").expr(F.col("price_raw")).alias("max_price"),
+        t("boolean").expr(F.col("active_raw")).alias("active"),
+    )
+
+
+def _upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-subset upsert with intra-file last-write-wins fold (S6 + J4),
+    expressed as a pure query: current = parts with p_partkey%4 != 0;
+    "file" = two rows per even partkey (row 1 sets title, row 2 sets qty)."""
+    from client_data_ingester_spark.ingestion.service import fold_duplicate_skus
+
+    p = _t(spark, sf_dir, "part")
+    current = p.filter(F.col("p_partkey") % 4 != 0).select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("sku"),
+        F.col("p_name").alias("title"),
+        F.col("p_size").alias("qty"),
+    )
+    even = p.filter(F.col("p_partkey") % 2 == 0)
+    row1 = even.select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("sku"),
+        F.upper(F.col("p_name")).alias("title"),
+        F.lit(None).cast("int").alias("qty"),
+        (F.col("p_partkey") * 2).alias("_row_idx"),
+    )
+    row2 = even.select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("sku"),
+        F.lit(None).cast("string").alias("title"),
+        (F.col("p_size") + 100).alias("qty"),
+        (F.col("p_partkey") * 2 + 1).alias("_row_idx"),
+    )
+    updates = row1.unionByName(row2)
+    folded = fold_duplicate_skus(updates, ["title", "qty"])
+    t = current.alias("t")
+    u = folded.alias("u")
+    joined = t.join(u, F.col("t.sku") == F.col("u.sku"), "full_outer")
+    is_insert = F.col("t.sku").isNull()
+    return joined.select(
+        F.coalesce(F.col("t.sku"), F.col("u.sku")).alias("sku"),
+        F.when(is_insert, F.col("u.title"))
+        .otherwise(F.coalesce(F.col("u.title"), F.col("t.title")))
+        .alias("title"),
+        F.when(is_insert, F.col("u.qty"))
+        .otherwise(F.coalesce(F.col("u.qty"), F.col("t.qty")))
+        .alias("qty"),
+        F.when(is_insert, F.lit("insert"))
+        .when(F.col("u.sku").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+def _full_update_deactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-update deactivation (S7/J2): suppliers-as-products; the "file"
+    contains the suppliers that shipped anything in 1998+ — everyone else is
+    deactivated (left-anti semantics)."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    current = sup.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("sku"),
+        F.col("s_name").alias("title"),
+    )
+    keys = (
+        li.filter(F.col("l_shipdate") >= "1998-01-01")
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("sku")
+        )
+        .distinct()
+    )
+    k = keys.withColumn("_hit", F.lit(1))
+    return current.join(k, "sku", "left").select(
+        "sku",
+        "title",
+        F.col("_hit").isNotNull().alias("active"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    DEC = "DECIMAL(18,2)"
+    money = lambda c: f"CAST({c} AS {DEC})"  # noqa: E731
+    disc_price = (
+        f"{money('l_extendedprice')} * (CAST(1 AS {DEC}) - {money('l_discount')})"
+    )
+    charge = f"{disc_price} * (CAST(1 AS {DEC}) + {money('l_tax')})"
+
+    o["q1_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM({money('l_quantity')}) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM({money('l_extendedprice')}) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(SUM({disc_price}) AS DECIMAL(18,4)) AS sum_disc_price,
+               CAST(SUM({charge}) AS DECIMAL(18,6)) AS sum_charge,
+               CAST(ROUND(CAST(SUM({money('l_quantity')}) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_qty,
+               CAST(ROUND(CAST(SUM({money('l_extendedprice')}) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_price,
+               CAST(ROUND(CAST(SUM({money('l_discount')}) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q3_top_unshipped"] = f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM({disc_price}) AS DECIMAL(18,4)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+
+    o["q4_order_priority"] = """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """
+
+    o["q5_regional_revenue"] = f"""
+        SELECT r_name, n_name,
+               CAST(SUM({disc_price}) AS DECIMAL(18,4)) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """
+
+    o["topk_parts_per_brand"] = """
+        SELECT p_brand, p_partkey, p_name, rank,
+               CAST(p_retailprice AS DECIMAL(18,2)) AS retailprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY p_brand
+                ORDER BY CAST(p_retailprice AS DECIMAL(18,2)) DESC, p_partkey
+            ) AS rank
+            FROM part) t
+        WHERE rank <= 3
+    """
+
+    o["returnflag_rollup"] = f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM({money('l_quantity')}) AS DECIMAL(18,2)) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """
+
+    o["status_pivot"] = f"""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {money('l_quantity')}
+                             ELSE CAST(0 AS {DEC}) END) AS DECIMAL(18,2)) AS qty_o,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {money('l_quantity')}
+                             ELSE CAST(0 AS {DEC}) END) AS DECIMAL(18,2)) AS qty_f
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["setops_customers"] = f"""
+        WITH urgent AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+        rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0),
+        high AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE CAST(o_totalprice AS {DEC}) > CAST(200000 AS {DEC}))
+        SELECT custkey, 1 AS flag FROM (
+            SELECT custkey FROM (
+                SELECT custkey FROM urgent INTERSECT SELECT custkey FROM rich
+                EXCEPT ALL
+                SELECT custkey FROM high)
+            UNION
+            SELECT custkey FROM (
+                SELECT custkey FROM high INTERSECT SELECT custkey FROM urgent)
+        )
+    """
+
+    o["supplier_balance_distribution"] = f"""
+        SELECT n_name, COUNT(*) AS n_suppliers,
+               COUNT(DISTINCT s_suppkey) AS n_distinct,
+               SUM(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive,
+               CAST(SUM({money('s_acctbal')}) AS DECIMAL(18,2)) AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    o["products_search_rank"] = f"""
+        WITH products AS ({_PART_PRODUCTS_SQL})
+        SELECT sku, title, remote_id, qty
+        FROM products
+        WHERE title ILIKE '%P12%' OR remote_id ILIKE '%P12%' OR sku ILIKE '%P12%'
+        ORDER BY CASE WHEN LOWER(sku) = LOWER('P12') THEN 0 ELSE 1 END,
+                 CASE WHEN sku ILIKE 'P12%' THEN 0 ELSE 1 END,
+                 sku
+        LIMIT 20 OFFSET 3
+    """
+
+    o["transformer_projection"] = """
+        WITH raw AS (
+            SELECT p_partkey AS k,
+                   '  P' || CAST(p_partkey AS VARCHAR) || '  ' AS sku_raw,
+                   CAST(p_size AS VARCHAR) || '.7' AS qty_raw,
+                   '$' || CAST(p_partkey AS VARCHAR) || '.25' AS price_raw,
+                   CASE WHEN p_size % 2 = 0 THEN ' YES ' ELSE 'no' END AS active_raw
+            FROM part)
+        SELECT k,
+               TRIM(sku_raw) AS sku,
+               CAST(TRUNC(CAST(TRIM(qty_raw) AS DOUBLE)) AS INTEGER) AS stock_quantity,
+               CAST(REGEXP_REPLACE(TRIM(price_raw), '[$£,\\s]', '', 'g') AS DECIMAL(12,2)) AS max_price,
+               CASE WHEN LOWER(TRIM(active_raw)) IN ('yes','true','1') THEN TRUE
+                    WHEN LOWER(TRIM(active_raw)) IN ('no','false','0') THEN FALSE
+                    END AS active
+        FROM raw
+    """
+
+    o["upsert_snapshot"] = """
+        WITH current AS (
+            SELECT 'P' || CAST(p_partkey AS VARCHAR) AS sku,
+                   p_name AS title, p_size AS qty
+            FROM part WHERE p_partkey % 4 <> 0),
+        updates AS (
+            SELECT 'P' || CAST(p_partkey AS VARCHAR) AS sku,
+                   UPPER(p_name) AS title, CAST(NULL AS INTEGER) AS qty,
+                   p_partkey * 2 AS _row_idx
+            FROM part WHERE p_partkey % 2 = 0
+            UNION ALL
+            SELECT 'P' || CAST(p_partkey AS VARCHAR) AS sku,
+                   CAST(NULL AS VARCHAR) AS title, p_size + 100 AS qty,
+                   p_partkey * 2 + 1 AS _row_idx
+            FROM part WHERE p_partkey % 2 = 0),
+        folded AS (
+            SELECT sku,
+                   ARG_MAX(title, _row_idx) FILTER (WHERE title IS NOT NULL) AS title,
+                   ARG_MAX(qty, _row_idx) FILTER (WHERE qty IS NOT NULL) AS qty
+            FROM updates GROUP BY sku)
+        SELECT COALESCE(t.sku, u.sku) AS sku,
+               CASE WHEN t.sku IS NULL THEN u.title
+                    ELSE COALESCE(u.title, t.title) END AS title,
+               CASE WHEN t.sku IS NULL THEN u.qty
+                    ELSE COALESCE(u.qty, t.qty) END AS qty,
+               CASE WHEN t.sku IS NULL THEN 'insert'
+                    WHEN u.sku IS NULL THEN 'keep'
+                    ELSE 'update' END AS action
+        FROM current t FULL OUTER JOIN folded u ON t.sku = u.sku
+    """
+
+    o["full_update_deactivation"] = """
+        WITH current AS (
+            SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS sku, s_name AS title
+            FROM supplier),
+        keys AS (
+            SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS sku
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00')
+        SELECT c.sku, c.title, (k.sku IS NOT NULL) AS active
+        FROM current c LEFT JOIN keys k ON c.sku = k.sku
+    """
+
+    # -- dedup --------------------------------------------------------------
+    norm = "TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))"
+    words = f"STRING_SPLIT({norm}, ' ')"
+    shingles = f"""
+        SELECT doc_id, DISTINCT_SH.sh FROM documents,
+        LATERAL (SELECT {words} AS w) W,
+        LATERAL (
+            SELECT DISTINCT ARRAY_TO_STRING(W.w[i:i+2], ' ') AS sh
+            FROM UNNEST(RANGE(1, GREATEST(LEN(W.w) - 2, 1) + 1)) AS T(i)
+        ) DISTINCT_SH
+    """
+
+    o["dedup_exact"] = f"""
+        SELECT MD5({norm}) AS text_hash, COUNT(*) AS n_copies,
+               MIN(doc_id) AS keeper_id
+        FROM documents GROUP BY 1
+    """
+
+    minhash_cols = ",\n".join(
+        f"MIN(MD5('{p}:' || sh)) AS minhash_{p}" for p in range(4)
+    )
+    o["dedup_minhash_signatures"] = f"""
+        WITH sh AS ({shingles})
+        SELECT doc_id, {minhash_cols}
+        FROM sh GROUP BY doc_id
+    """
+
+    o["dedup_lsh_candidates"] = f"""
+        WITH sh AS ({shingles}),
+        sigs AS (
+            SELECT doc_id, {minhash_cols}
+            FROM sh GROUP BY doc_id),
+        buckets AS (
+            SELECT doc_id, 0 AS band, MD5(minhash_0 || '|' || minhash_1) AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1 AS band, MD5(minhash_2 || '|' || minhash_3) AS key FROM sigs)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH sh AS ({shingles}),
+        sigs AS (
+            SELECT doc_id, {minhash_cols}
+            FROM sh GROUP BY doc_id),
+        buckets AS (
+            SELECT doc_id, 0 AS band, MD5(minhash_0 || '|' || minhash_1) AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1 AS band, MD5(minhash_2 || '|' || minhash_3) AS key FROM sigs),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            GROUP BY p.doc_a, p.doc_b)
+        SELECT p.doc_a, p.doc_b,
+               CAST(ROUND(COALESCE(i.c, 0) * 1.0 /
+                          (sa.n + sb.n - COALESCE(i.c, 0)), 4) AS DECIMAL(9,4)) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(ROUND(COALESCE(i.c, 0) * 1.0 /
+                         (sa.n + sb.n - COALESCE(i.c, 0)), 4) AS DECIMAL(9,4)) >= 0.2
+    """
+
+    bit_votes = ",\n".join(
+        f"CASE WHEN SUM(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j} ELSE 0 END AS b{j}"
+        for j in range(16)
+    )
+    fp_sum = " + ".join(f"b{j}" for j in range(16))
+    o["dedup_simhash"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   ('0x' || SUBSTR(MD5(u.w), 1, 8))::BIGINT AS h
+            FROM documents, LATERAL UNNEST({words}) AS u(w)),
+        votes AS (
+            SELECT doc_id, {bit_votes}
+            FROM w GROUP BY doc_id),
+        fp AS (SELECT doc_id, CAST({fp_sum} AS BIGINT) AS simhash FROM votes)
+        SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+        FROM fp GROUP BY simhash
+    """
+
+    # -- text ---------------------------------------------------------------
+    toks = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+    )
+    from client_data_ingester_spark.operators.text import (
+        BPE_ISH_PATTERN,
+        LANG_STOPWORDS,
+    )
+
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = []
+    for lang in langs:
+        lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"LEN(LIST_FILTER({toks}, x -> x IN ({lst}))) AS hits_{lang}"
+        )
+    # argmax with alphabetical tie-break, then 'und' when zero hits
+    best = "hits_de"
+    pred = "'de'"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN hits_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"GREATEST({best}, hits_{lang})"
+    o["text_langid"] = f"""
+        WITH h AS (
+            SELECT doc_id, {', '.join(hit_cols)}
+            FROM documents)
+        SELECT doc_id, {', '.join('hits_' + l for l in langs)},
+               CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS pred_lang
+        FROM h
+    """
+
+    o["text_quality"] = f"""
+        WITH f AS (
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars,
+                   LEN({toks}) AS n_words,
+                   LIST_SUM(LIST_TRANSFORM({toks}, x -> LENGTH(x))) AS sum_wlen,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digit,
+                   LEN(LIST_FILTER({toks},
+                       x -> x IN ({', '.join(repr(w) for w in LANG_STOPWORDS['en'])}))) AS n_stop
+            FROM documents),
+        r AS (
+            SELECT doc_id, n_chars, n_words,
+                   CASE WHEN n_words > 0 THEN CAST(sum_wlen AS DOUBLE) / n_words ELSE 0.0 END AS mean_wlen,
+                   CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END AS digit_ratio,
+                   CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio
+            FROM f)
+        SELECT doc_id, n_chars, n_words,
+               CAST(ROUND(mean_wlen, 4) AS DECIMAL(10,4)) AS mean_word_len,
+               CAST(ROUND(punct_ratio, 4) AS DECIMAL(10,4)) AS punct_ratio,
+               CAST(ROUND(digit_ratio, 4) AS DECIMAL(10,4)) AS digit_ratio,
+               CAST(ROUND(stop_ratio, 4) AS DECIMAL(10,4)) AS stop_ratio,
+               CAST(ROUND(
+                   GREATEST(0.0, LEAST(1.0,
+                       0.5 * GREATEST(0.0, 1.0 - ABS(mean_wlen - 5.0) / 5.0)
+                     + 0.3 * (1.0 - punct_ratio * 4)
+                     + 0.2 * (1.0 - digit_ratio * 4))), 4) AS DECIMAL(10,4)) AS quality_score
+        FROM r
+    """
+
+    o["text_token_counts"] = f"""
+        SELECT doc_id,
+               LEN({toks}) AS ws_tokens,
+               LEN(REGEXP_EXTRACT_ALL(text, '{BPE_ISH_PATTERN}')) AS re_tokens
+        FROM documents
+    """
+
+    o["doc_fingerprints"] = f"""
+        WITH sh AS ({shingles}),
+        hashed AS (
+            SELECT doc_id, MD5(sh) AS h,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY MD5(sh)) AS rn
+            FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+        SELECT h.doc_id,
+               MD5(STRING_AGG(h.h, '|' ORDER BY h.h)) AS fingerprint,
+               ANY_VALUE(s.n_shingles) AS n_shingles
+        FROM hashed h JOIN sizes s ON s.doc_id = h.doc_id
+        WHERE h.rn <= 4
+        GROUP BY h.doc_id
+    """
+
+    # -- similarity ---------------------------------------------------------
+    cos = (
+        "LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+        "(SQRT(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+        "SQRT(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+    )
+    o["embedding_cosine_topk"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+        scored AS (
+            SELECT a.query_id, b.vec_id AS neighbor_id,
+                   ROUND({cos.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')}, 6) AS score
+            FROM q a CROSS JOIN embeddings b
+            WHERE b.vec_id <> a.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, CAST(score AS DECIMAL(10,6)) AS score
+        FROM ranked WHERE rank <= 5
+    """
+
+    o["embedding_near_duplicates"] = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(ROUND({cos}, 6) AS DECIMAL(10,6)) AS score
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({cos}, 6) >= 0.3
+    """
+
+    # -- events -------------------------------------------------------------
+    o["events_window_agg"] = """
+        SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+    """
+
+    o["events_sessionize"] = """
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events),
+        b AS (
+            SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk
+            FROM g),
+        s AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM b)
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        FROM s GROUP BY user_id, session_seq
+    """
+
+    o["events_json_agg"] = """
+        SELECT event_type,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(ROUND(CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS DOUBLE)
+                          / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_k
+        FROM events GROUP BY 1, 2
+    """
+
+    o["asof_join_last_event"] = """
+        WITH j AS (
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   LPAD(CAST(EPOCH_US(e.ts) AS VARCHAR), 20, '0')
+                   || LPAD(CAST(e.event_id AS VARCHAR), 12, '0') AS pack
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
+        a AS (
+            SELECT o_orderkey, o_custkey, o_orderdate, MAX(pack) AS _pack
+            FROM j GROUP BY 1, 2, 3)
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               TRY_CAST(SUBSTR(_pack, 21, 12) AS BIGINT) AS last_event_id,
+               MAKE_TIMESTAMP(TRY_CAST(SUBSTR(_pack, 1, 20) AS BIGINT)) AS last_event_ts
+        FROM a
+    """
+
+    o["range_join_follows"] = """
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click')
+        SELECT c.user_id, c.click_id, COUNT(*) AS n_following
+        FROM clicks c JOIN events e
+          ON e.user_id = c.user_id
+         AND e.ts > c.click_ts
+         AND e.ts <= c.click_ts + INTERVAL 5 MINUTE
+        GROUP BY c.user_id, c.click_id
+    """
+
+    # -- multimodal ---------------------------------------------------------
+    feat_terms = " + ".join(
+        f"('0x' || SUBSTR(MD5(text), {2 * i + 1}, 2))::INTEGER" for i in range(8)
+    )
+    o["multimodal_features"] = f"""
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(STRLEN(text) AS INTEGER) AS n_bytes,
+               MD5(text) AS content_hash,
+               ({feat_terms}) / (255.0 * 8) AS feat_mean,
+               8 AS feat_dim
+        FROM documents
+    """
+
+    return o

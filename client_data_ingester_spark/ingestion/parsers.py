@@ -1,0 +1,132 @@
+"""Source/parser registry (SURVEY §2.1 S1/S2/S9).
+
+The reference dispatches parsers by string id via subclass scan
+(B/config.py:139-145; ABC at B/ingestion/parsers.py:10-28). Here the registry
+maps id → a reader returning an all-string DataFrame plus a row-order column.
+
+Two source kinds per reader:
+- a **path** (file/dir/glob): read distributed by executors — the scale path;
+  the uploaded file never has to be driver-resident.
+- **bytes/str** (HTTP upload body): parsed driver-side (request-sized by
+  definition) and parallelized; same downstream pipeline.
+
+Row order is semantically meaningful (later rows win on duplicate SKUs —
+SURVEY §2.3 J4), so every reader attaches ``_row_idx`` at the source via
+``monotonically_increasing_id()`` (per-partition-monotonic ids whose partition
+prefix follows file order — a total order consistent with file order).
+
+CSV parity details (B/ingestion/parsers.py:30-48): header column names are
+whitespace-stripped; empty-string cells stay ``""`` (NOT null — an empty sku
+means "always insert", test_products.py:216-236), while *missing* cells are
+null ("column not supplied", never overwrites on update).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+from typing import Callable, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROW_IDX_COL = "_row_idx"
+
+Source = Union[str, bytes]
+
+
+def _with_row_idx(df: DataFrame) -> DataFrame:
+    return df.withColumn(ROW_IDX_COL, F.monotonically_increasing_id())
+
+
+def _strip_headers(df: DataFrame) -> DataFrame:
+    return df.toDF(*[c.strip() for c in df.columns])
+
+
+def _all_string_schema(names: list[str]) -> T.StructType:
+    return T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+
+
+def _df_from_rows(
+    spark: SparkSession, header: list[str], rows: list[list]
+) -> DataFrame:
+    header = [h.strip() for h in header]
+    schema = _all_string_schema(header).add(ROW_IDX_COL, T.LongType(), False)
+    data = [(*r, i) for i, r in enumerate(rows)]
+    return spark.createDataFrame(data, schema=schema)
+
+
+def read_csv(spark: SparkSession, source: Source) -> DataFrame:
+    if isinstance(source, (bytes, bytearray)):
+        text = source.decode("utf-8")
+        reader = csv.reader(io.StringIO(text))
+        try:
+            header = next(reader)
+        except StopIteration:
+            # empty payload: no header, no rows — parity with DictReader
+            # yielding nothing (ingest reports success, 0 processed)
+            return _df_from_rows(spark, [], [])
+        rows = [
+            [cell if cell is not None else None for cell in row]
+            + [None] * (len(header) - len(row))
+            for row in reader
+        ]
+        rows = [r[: len(header)] for r in rows]
+        return _df_from_rows(spark, header, rows)
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", False)
+        .option("emptyValue", "")  # "" cells stay "", only missing cells → null
+        .option("mode", "PERMISSIVE")
+        .csv(source)
+    )
+    return _with_row_idx(_strip_headers(df))
+
+
+def read_json(spark: SparkSession, source: Source) -> DataFrame:
+    """JSON source (README.md:33 backlog task 2): array-of-objects or JSONL."""
+    if isinstance(source, (bytes, bytearray)):
+        source = source.decode("utf-8")
+        stripped = source.lstrip()
+        if stripped.startswith("["):
+            records = json.loads(source)
+        else:
+            records = [json.loads(line) for line in source.splitlines() if line.strip()]
+        header: list[str] = []
+        for r in records:
+            for k in r:
+                if k.strip() not in header:
+                    header.append(k.strip())
+        rows = [
+            [None if r.get(k) is None else str(r.get(k)) for k in header]
+            for r in records
+        ]
+        return _df_from_rows(spark, header, rows)
+    df = (
+        spark.read.option("primitivesAsString", True)
+        .option("multiLine", True)
+        .json(source)
+    )
+    return _with_row_idx(_strip_headers(df))
+
+
+PARSERS: dict[str, Callable[[SparkSession, Source], DataFrame]] = {}
+
+
+def register_parser(
+    parser_id: str, fn: Callable[[SparkSession, Source], DataFrame]
+) -> None:
+    PARSERS[parser_id] = fn
+
+
+register_parser("csv", read_csv)
+register_parser("json", read_json)
+
+
+def get_parser(parser_id: str) -> Callable[[SparkSession, Source], DataFrame]:
+    try:
+        return PARSERS[parser_id]
+    except KeyError:
+        raise KeyError(f"Unknown parser id: {parser_id!r}") from None

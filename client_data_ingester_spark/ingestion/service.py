@@ -1,0 +1,352 @@
+"""Ingestion service — parse → interpret → validate → merge, atomically.
+
+Replicates the semantics of the reference's DataIngestionService
+(B/ingestion/service.py:27-109) as a constant-number-of-Spark-jobs pipeline
+(SURVEY §3.1 / §6): the reference does O(N) SQL round-trips per file (one
+SELECT + one UPDATE/INSERT per row); here the whole file is one validated
+DataFrame and one merge with a single shuffle on the natural key.
+
+Behavioral contracts replicated exactly (each has a test):
+
+- upsert by (client_id, sku): matched rows update ONLY supplied non-null
+  columns, ``sku`` is never updated, ``last_changed_on`` is touched
+  (service.py:92-102);
+- falsy sku ("" after transform) always INSERTS, never matches
+  (service.py:90-91; test_products.py:216-236);
+- intra-file duplicate skus: later rows update earlier ones column-wise,
+  nulls never overwrite (autoflush consequence of service.py:92-106) —
+  implemented as an ordered last-non-null fold per column (SURVEY §2.3 J4);
+- full_update deactivates this client's products whose sku is not in the
+  file's truthy-sku set — including already-inactive ones (counted; their
+  last_changed_on is touched too, service.py:73-81);
+- whole-file atomicity: any parse/transform/validation error → failure
+  report, zero rows changed (service.py:56-64 + single commit :108);
+- report parity: messages "Success" / "Full update completed. {p} products
+  processed, {d} products deactivated." / "Error processing {data|full
+  update}: ..."; stats keys processed_count / deactivated_count /
+  total_ingested_skus (service.py:36-54);
+- processed_items counts file rows with ≥1 mapped cell (rows folded into one
+  upsert still each count, empty rows skipped — service.py:85-106);
+- a processed row with NULL sku violates the NOT NULL constraint
+  (001_up_init.sql:25) and aborts the whole file in the reference → here it
+  fails validation before any write.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import CLIENT_PRODUCTS_SCHEMA
+from ..tables.snapshot import SnapshotTable
+from .mapping import CompiledMapping, ParserConfig, compile_mapping
+from .parsers import ROW_IDX_COL, Source, get_parser
+
+_DATA_COLS = [
+    f.name
+    for f in CLIENT_PRODUCTS_SCHEMA.fields
+    if f.name not in ("id", "client_id", "sku", "active", "last_changed_on")
+]
+
+
+@dataclass
+class IngestionReport:
+    """Mirror of B/ingestion/base.py:25-30."""
+
+    success: bool
+    message: str
+    processed_items: int
+    report: list = field(default_factory=list)
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def _batch_timestamp() -> _dt.datetime:
+    """One timestamp per ingested file (the reference's per-transaction
+    current_timestamp, folded to a single per-batch constant — SURVEY §7
+    watch-list #5)."""
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None, microsecond=0)
+
+
+def fold_duplicate_skus(updates: DataFrame, mapped_cols: list[str]) -> DataFrame:
+    """Intra-file last-write-wins column fold for duplicate non-empty skus.
+
+    Later rows merge onto earlier ones column-wise; null never overwrites
+    (J4). One row per sku survives, carrying the last non-null value of each
+    mapped column in file order.
+    """
+    w = Window.partitionBy("sku").orderBy(ROW_IDX_COL)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    folded = updates
+    for c in mapped_cols:
+        if c != "sku":
+            folded = folded.withColumn(c, F.last(c, ignorenulls=True).over(wall))
+    rn = F.row_number().over(
+        Window.partitionBy("sku").orderBy(F.desc(ROW_IDX_COL))
+    )
+    return folded.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def merge_products(
+    current: DataFrame,
+    updates: DataFrame,
+    mapped_cols: list[str],
+    client_id: int,
+    full_update: bool,
+    batch_ts: _dt.datetime,
+    id_base: int,
+) -> DataFrame:
+    """Pure merge: current client snapshot ⟗ folded updates → new snapshot.
+
+    Shared by the batch service and the streaming foreachBatch path. One
+    shuffle (the full-outer join on sku); everything else is narrow.
+    """
+    ts = F.lit(batch_ts).cast("timestamp_ntz")
+    nonempty = updates.filter(F.length(F.col("sku")) > 0)
+    empty = updates.filter(F.length(F.col("sku")) == 0)
+    folded = fold_duplicate_skus(nonempty, mapped_cols)
+
+    t = current.alias("t")
+    u = folded.alias("u")
+    joined = t.join(u, F.col("t.sku") == F.col("u.sku"), "full_outer")
+
+    is_insert = F.col("t.sku").isNull()
+    is_unmatched = F.col("u.sku").isNull()  # current row absent from file
+
+    def merged_col(c: str) -> F.Column:
+        if c in mapped_cols:
+            return F.when(is_insert, F.col(f"u.{c}")).otherwise(
+                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))
+            )
+        return F.col(f"t.{c}")
+
+    active_mapped = "active" in mapped_cols
+    active_expr = (
+        F.when(
+            is_insert,
+            F.coalesce(F.col("u.active"), F.lit(True))
+            if active_mapped
+            else F.lit(True),
+        )
+        .otherwise(
+            F.coalesce(F.col("u.active"), F.col("t.active"))
+            if active_mapped
+            else F.col("t.active")
+        )
+    )
+    if full_update:
+        active_expr = F.when(is_unmatched, F.lit(False)).otherwise(active_expr)
+
+    lco_mapped = "last_changed_on" in mapped_cols
+    insert_lco = (
+        F.coalesce(F.col("u.last_changed_on").cast("timestamp_ntz"), ts)
+        if lco_mapped
+        else ts
+    )
+    untouched_lco = (
+        ts if full_update else F.col("t.last_changed_on")
+    )  # full_update touches deactivated rows
+    lco_expr = (
+        F.when(is_insert, insert_lco)
+        .when(is_unmatched, untouched_lco)
+        .otherwise(ts)
+    )
+
+    merged = joined.select(
+        F.col("t.id").alias("id"),
+        F.lit(client_id).cast("int").alias("client_id"),
+        F.coalesce(F.col("t.sku"), F.col("u.sku")).alias("sku"),
+        *[merged_col(c).alias(c) for c in _DATA_COLS],
+        lco_expr.alias("last_changed_on"),
+        active_expr.alias("active"),
+        F.col(f"u.{ROW_IDX_COL}").alias("_insert_order"),
+    )
+
+    # Falsy-sku rows: each inserts unconditionally (no matching, no fold).
+    empty_sel = empty.select(
+        F.lit(None).cast("long").alias("id"),
+        F.lit(client_id).cast("int").alias("client_id"),
+        F.col("sku"),
+        *[
+            (F.col(c) if c in mapped_cols else F.lit(None)).alias(c)
+            for c in _DATA_COLS
+        ],
+        (
+            F.coalesce(F.col("last_changed_on").cast("timestamp_ntz"), ts)
+            if lco_mapped
+            else ts
+        ).alias("last_changed_on"),
+        (
+            F.coalesce(F.col("active"), F.lit(True))
+            if active_mapped
+            else F.lit(True)
+        ).alias("active"),
+        F.col(ROW_IDX_COL).alias("_insert_order"),
+    )
+    merged = merged.unionByName(empty_sel)
+
+    # Surrogate ids for inserts: id_base + file-order rank. The window is
+    # global but spans only this file's inserted rows (file-bounded, not
+    # table-bounded), so it cannot become the scale bottleneck.
+    is_new = F.col("id").isNull()
+    w_new = Window.partitionBy(is_new).orderBy("_insert_order")
+    merged = merged.withColumn(
+        "id",
+        F.when(is_new, F.lit(id_base) + F.row_number().over(w_new)).otherwise(
+            F.col("id")
+        ),
+    ).drop("_insert_order")
+    return merged
+
+
+def ingest_data(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source: Source,
+    parser_config: ParserConfig,
+    client_id: int,
+    full_update: bool = False,
+) -> IngestionReport:
+    error_type = "full update" if full_update else "data"
+    try:
+        return _ingest(spark, table, source, parser_config, client_id, full_update)
+    except Exception as e:  # parity: catch-all → failure report, no write
+        return IngestionReport(
+            success=False,
+            message=f"Error processing {error_type}: {e}",
+            processed_items=0,
+        )
+
+
+def _ingest(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source: Source,
+    parser_config: ParserConfig,
+    client_id: int,
+    full_update: bool,
+) -> IngestionReport:
+    error_type = "full update" if full_update else "data"
+    parser = get_parser(parser_config.parser_id)
+    raw = parser(spark, source)
+    compiled: CompiledMapping = compile_mapping(parser_config, raw)
+
+    # A row is "processed" iff ≥1 mapped source cell is present (non-null) —
+    # the reference's `if not record_data: continue` (service.py:86-88).
+    if compiled.source_cols:
+        present = reduce(
+            lambda a, b: a | b,
+            [F.col(s).isNotNull() for s in compiled.source_cols],
+        )
+    else:
+        present = F.lit(False)
+    sku_mapped = "sku" in compiled.target_cols
+
+    # Single scan of the source: typed projection + per-column invalid flags
+    # (invalid flags need the pre-transform source values, so they are
+    # computed in the same select and dropped after the validation agg).
+    bad_cols = [f"_bad_{i}" for i in range(len(compiled.invalid_flags))]
+    staged = raw.filter(present).select(
+        *compiled.projection,
+        *[flag.alias(b) for flag, b in zip(compiled.invalid_flags, bad_cols)],
+        ROW_IDX_COL,
+    )
+    if not sku_mapped:
+        staged = staged.withColumn("sku", F.lit(None).cast("string"))
+    staged = staged.cache()
+
+    # --- validation job (the "permissive parse, strict apply" gate, F5) ----
+    stats_row = staged.agg(
+        F.count(F.lit(1)).alias("_processed"),
+        F.sum(F.col("sku").isNull().cast("long")).alias("_null_sku"),
+        *[F.sum(F.col(b).cast("long")).alias(b) for b in bad_cols],
+    ).first()
+    processed_count = stats_row["_processed"]
+    for b, dst in zip(bad_cols, compiled.target_cols):
+        n_bad = stats_row[b] or 0
+        if n_bad:
+            staged.unpersist()
+            return IngestionReport(
+                success=False,
+                message=(
+                    f"Error processing {error_type}: {n_bad} invalid value(s) "
+                    f"in column {dst!r}"
+                ),
+                processed_items=0,
+            )
+    if processed_count and (stats_row["_null_sku"] or not sku_mapped):
+        staged.unpersist()
+        return IngestionReport(
+            success=False,
+            message=(
+                f"Error processing {error_type}: null value in column \"sku\" "
+                f"violates not-null constraint"
+            ),
+            processed_items=0,
+        )
+    updates = staged.drop(*bad_cols)
+
+    if processed_count == 0 and not full_update:
+        staged.unpersist()
+        msg = "Success"
+        return IngestionReport(
+            success=True,
+            message=msg,
+            processed_items=0,
+            stats={"processed_count": 0},
+        )
+
+    current = table.read(spark, client_id)
+    batch_ts = _batch_timestamp()
+    manifest = table.current_manifest()
+    id_base = int(manifest.props.get("max_id", 0))
+
+    deactivated_count = 0
+    ingested_sku_count = 0
+    if full_update:
+        keys = (
+            updates.filter(F.length(F.col("sku")) > 0)
+            .select("sku")
+            .distinct()
+            .cache()
+        )
+        ingested_sku_count = keys.count()
+        deactivated_count = current.join(keys, "sku", "left_anti").count()
+        keys.unpersist()
+
+    merged = merge_products(
+        current,
+        updates,
+        compiled.target_cols,
+        client_id,
+        full_update,
+        batch_ts,
+        id_base,
+    )
+    table.overwrite_partitions(
+        merged,
+        [client_id],
+        props={"max_id": id_base + max(processed_count, 1)},
+    )
+    staged.unpersist()
+
+    stats: dict[str, Any] = {"processed_count": processed_count}
+    if full_update:
+        stats["deactivated_count"] = deactivated_count
+        stats["total_ingested_skus"] = ingested_sku_count
+        message = (
+            f"Full update completed. {processed_count} products processed, "
+            f"{deactivated_count} products deactivated."
+        )
+    else:
+        message = "Success"
+    return IngestionReport(
+        success=True,
+        message=message,
+        processed_items=processed_count,
+        stats=stats,
+    )

@@ -1,0 +1,150 @@
+"""Event-stream operators over the events table ([EXT], SURVEY §2.9).
+
+Batch expressions of the streaming semantics (the same groupBys run under
+``readStream`` + ``withWatermark`` — see streaming/; watermarking only changes
+*when* results emit, not *what* they are, so the batch form is the oracle-able
+one).
+
+Numeric policy: value sums go through ``cast(decimal(18,2))`` before SUM so
+the result is exact and engine-portable (double summation is
+partition-order-dependent); averages divide the exact sum in double and round
+to a fixed scale. Epoch arithmetic uses floor-to-second on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D182 = "decimal(18,2)"
+
+
+def tumbling_window_agg(events: DataFrame, window: str = "hour") -> DataFrame:
+    """Tumbling event-time windows (date_trunc form — portable; the streaming
+    twin uses F.window which emits struct bounds)."""
+    return events.groupBy(
+        F.date_trunc(window, F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(D182)).cast(D182).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user is idle
+    longer than ``gap_minutes``. Classic lag + cumulative-sum-of-breaks; one
+    shuffle on user_id. Returns one row per session.
+
+    Gaps are measured in whole seconds (epoch floor) so the cut points are
+    identical across engines regardless of sub-second timestamp precision."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")  # floor-to-second epoch
+    gap = sec - F.lag(sec).over(w)
+    with_break = events.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    with_sid = with_break.withColumn(
+        "session_seq",
+        F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sid.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(D182)).cast(D182).alias("sum_value"),
+    )
+
+
+def json_props_agg(events: DataFrame) -> DataFrame:
+    """Extract a JSON field from the props payload and aggregate on it
+    (F.get_json_object ≡ DuckDB json_extract_string)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4)
+            .cast("decimal(18,4)")
+            .alias("avg_k"),
+        )
+    )
+
+
+def asof_join_orders_events(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """As-of join: for each order of a known user, the latest event of that
+    user at or before the order date (orders.o_custkey ↔ events.user_id).
+
+    Spark lacks a native as-of join; this is the equi-key left join with the
+    temporal bound *inside the join condition* + arg-max composition — one
+    shuffle on the key, no window over the full fact table. The arg-max key is
+    (ts, event_id) so ties are deterministic. At scale, bucketing both sides
+    on the key removes the shuffle; per-group ``pd.merge_asof`` via
+    applyInPandas is the fallback when per-key event counts are huge."""
+    e = events.select(
+        F.col("user_id"),
+        F.col("ts").alias("ev_ts"),
+        F.col("event_id"),
+    )
+    j = orders.join(
+        e,
+        (orders.o_custkey == e.user_id) & (e.ev_ts <= orders.o_orderdate),
+        "left",
+    )
+    # Deterministic argmax on (ts, event_id) via a sortable string pack —
+    # portable to engines whose arg_max can't take a composite key.
+    pack = F.concat(
+        F.lpad(F.unix_micros(F.col("ev_ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = j.groupBy("o_orderkey", "o_custkey", "o_orderdate").agg(
+        F.max(pack).alias("_pack")
+    )
+    return agg.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.substring("_pack", 21, 12).try_cast("long").alias("last_event_id"),
+        F.timestamp_micros(
+            F.substring("_pack", 1, 20).try_cast("long")
+        ).alias("last_event_ts"),
+    )
+
+
+def range_join_event_pairs(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Range join: count later events of the same user within N minutes after
+    each 'click' event. Banded into coarse time buckets so the physical join
+    is equi-key (user, bucket) — the standard decomposition that keeps a
+    range join off the nested-loop/cartesian path; the exact timestamp
+    predicate then filters candidates."""
+    width = minutes * 60
+    bucket = lambda c: F.floor(c.cast("long") / width)  # noqa: E731
+    left = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        bucket(F.col("ts")).alias("b"),
+    )
+    left_b = left.withColumn("b", F.explode(F.array(F.col("b"), F.col("b") + 1)))
+    right = events.select(
+        F.col("user_id"),
+        F.col("event_id").alias("later_id"),
+        F.col("ts").alias("later_ts"),
+        bucket(F.col("ts")).alias("b"),
+    )
+    j = left_b.join(right, ["user_id", "b"]).filter(
+        (F.col("later_ts") > F.col("click_ts"))
+        & (
+            F.col("later_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {minutes} MINUTES")
+        )
+    )
+    return (
+        j.select("user_id", "click_id", "later_id")
+        .distinct()
+        .groupBy("user_id", "click_id")
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )

@@ -1,0 +1,206 @@
+"""Relational showcase queries over the TPC-H-ish testdata.
+
+These exercise the engine surface the reference delegates to Postgres
+(SURVEY §2.2-§2.7) at analytic scale: multi-way joins, group-bys, windows,
+rollups, pivots, set ops, top-k. Money aggregates are computed as
+``sum(cast(x as decimal(18,2)))`` — exact, engine-portable arithmetic (no
+float-summation-order drift against the DuckDB oracle); ratios divide in
+double *after* the exact sums and round to a fixed scale.
+
+Plan notes (verified via .explain):
+- dimension joins (region/nation/customer) broadcast under AQE;
+- parquet scans carry PushedFilters for every date/status predicate;
+- top-k per group stays on WindowExec with partial top-k pushdown via
+  row_number filter; global top-k uses TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D182 = "decimal(18,2)"
+
+
+def _money(c) -> F.Column:
+    return F.col(c).cast(D182) if isinstance(c, str) else c.cast(D182)
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: big scan, 2-key groupBy, 8 aggregates."""
+    li = lineitem.filter(F.col("l_shipdate") <= ship_cutoff)
+    disc_price = _money("l_extendedprice") * (
+        F.lit(1).cast(D182) - _money("l_discount")
+    )
+    charge = disc_price * (F.lit(1).cast(D182) + _money("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money("l_quantity")).cast(D182).alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast(D182).alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.round(
+                F.sum(_money("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).cast("decimal(18,4)").alias("avg_qty"),
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).cast("decimal(18,4)").alias("avg_price"),
+            F.round(
+                F.sum(_money("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).cast("decimal(18,4)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_unshipped_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → global top-k.
+
+    customer is broadcast (small after the segment filter); the global top-k
+    rides TakeOrderedAndProject, never a full sort."""
+    c = customer.filter(F.col("c_mktsegment") == segment)
+    o = orders.filter(F.col("o_orderdate") < cutoff)
+    l = lineitem.filter(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(
+        _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(k)
+    )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join (2 broadcast dims + 2 fact joins) →
+    revenue per nation."""
+    revenue = F.sum(
+        _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def topk_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group via ranked window (ties broken by key for stability)."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc(_money("p_retailprice")), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            "rank",
+            _money("p_retailprice").alias("retailprice"),
+        )
+    )
+
+
+def returnflag_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP aggregate (grand total + per-flag subtotals + leaves)."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money("l_quantity")).cast(D182).alias("sum_qty"),
+        )
+    )
+
+
+def status_pivot(lineitem: DataFrame) -> DataFrame:
+    """Pivot by linestatus (expressed as conditional aggs — portable SQL)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", _money("l_quantity")).otherwise(
+                F.lit(0).cast(D182)
+            )
+        ).cast(D182).alias("qty_o"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "F", _money("l_quantity")).otherwise(
+                F.lit(0).cast(D182)
+            )
+        ).cast(D182).alias("qty_f"),
+    )
+
+
+def customer_order_setops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operations: customers with urgent orders EXCEPT low-balance ones,
+    UNION customers with 5-URGENT... exercises intersect/except/union."""
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    rich = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    high = (
+        orders.filter(_money("o_totalprice") > F.lit(200000).cast(D182))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return (
+        urgent.intersect(rich).exceptAll(high).union(high.intersect(urgent))
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+
+
+def supplier_balance_distribution(supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Distinct-agg + conditional-agg mix per nation (broadcast dim join)."""
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.countDistinct("s_suppkey").alias("n_distinct"),
+            F.sum(
+                (F.col("s_acctbal") > 0).cast("long")
+            ).alias("n_positive"),
+            F.sum(_money("s_acctbal")).cast(D182).alias("total_bal"),
+        )
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS via left-semi join (orders having ≥1 line item
+    shipped after the order date)."""
+    l = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            l,
+            (orders.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

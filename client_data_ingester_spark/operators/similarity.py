@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column ([EXT], SURVEY §7 Phase 5).
+
+Embeddings are ``array<float>``; all math is done in double via built-in
+higher-order functions (``zip_with`` + ``aggregate``) — JVM-side, no Python
+UDF in the scoring loop. Scores are rounded to 6 decimals *before* ranking so
+that top-k boundaries are stable across engines/summation orders, and emitted
+as decimal(10,6).
+
+Two paths:
+- brute-force top-k: broadcast the (small) query set against the corpus —
+  the exact baseline. One shuffle (the per-query top-k window).
+- IVF-style cell-probed search: restrict the scan to the query's nearest
+  coarse cells. Here the corpus's ``label`` column acts as the cell
+  assignment (in a real pipeline: k-means centroid ids); centroids are the
+  per-cell mean embedding, the probe picks the ``nprobe`` nearest centroids,
+  and only those cells are scanned — at 100 TB this is the difference between
+  a full scan and reading ~nprobe/num_cells of the table (cells are the
+  partition key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each query vector.
+
+    queries: (query_id, embedding). The query side is broadcast (it is small
+    by construction); scoring is a narrow map over the corpus, then one
+    top-k-per-query window."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.col("score").cast("decimal(10,6)").alias("score"),
+        )
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell mean embedding (the coarse quantizer)."""
+    dim_count = F.size(F.col(vec_col))
+    exploded = corpus.select(
+        F.col(cell_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    return (
+        exploded.groupBy(cell_col, "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy(cell_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("_pm")
+        )
+        .select(
+            F.col(cell_col),
+            F.transform(F.col("_pm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Cell-probed approximate top-k: score only the nprobe nearest cells.
+
+    Recall < 1.0 by construction (that's the point); the probe set is chosen
+    by cosine to the per-cell centroid. Corpus partitioned/bucketed by
+    ``cell_col`` at scale → the probe is a partition-pruned scan."""
+    cents = ivf_centroids(corpus, cell_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cscore"), F.col(cell_col)
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cscore", F.round(cosine(F.col("_qvec"), F.col("centroid")), 6)
+        )
+        .withColumn("crank", F.row_number().over(probe_w))
+        .filter(F.col("crank") <= nprobe)
+        .select(query_id_col, cell_col, "_qvec")
+    )
+    scored = corpus.join(
+        F.broadcast(probes), on=cell_col
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.col("score").cast("decimal(10,6)").alias("score"),
+        )
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, blocked by ``block_col``.
+
+    Blocking keeps the self-join O(Σ block²) instead of O(n²); at scale the
+    block column is an LSH bucket or IVF cell. Emits (id_a, id_b, score)."""
+    a = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "score", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    )
+    return scored.filter(F.col("score") >= threshold).select(
+        "id_a", "id_b", F.col("score").cast("decimal(10,6)").alias("score")
+    )

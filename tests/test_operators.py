@@ -1,0 +1,135 @@
+"""Sanity tests for the [EXT] operators (full value-level correctness is
+covered by the DuckDB oracle harness, tools/check_correctness.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from client_data_ingester_spark.operators import dedup as D
+from client_data_ingester_spark.operators import multimodal as M
+from client_data_ingester_spark.operators import similarity as S
+from client_data_ingester_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines here"),
+        (5, "  The  QUICK brown fox jumps over the lazy dog  "),  # ws/case dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalizes(docs):
+    out = {r["keeper_id"]: r["n_copies"] for r in D.exact_duplicates(docs).collect()}
+    assert out[1] == 3  # docs 1, 2, 5 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_lsh_finds_near_dups_and_jaccard_orders_them(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(docs, num_perm=4, bands=4).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs  # identical docs always collide
+    jac = {
+        (r["doc_a"], r["doc_b"]): float(r["jaccard"])
+        for r in D.jaccard_pairs(docs, D.lsh_candidate_pairs(docs, 'text', 4, 4)).collect()
+    }
+    assert jac[(1, 2)] == 1.0
+    if (1, 3) in jac:
+        assert jac[(1, 3)] < 1.0
+
+
+def test_simhash_identical_docs_collide(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert fp[1] == fp[2] == fp[5]
+    assert fp[1] != fp[4]
+
+
+def test_minhash_signature_shape(docs):
+    sig = D.minhash_signatures(docs, num_perm=4).collect()
+    assert len(sig) == 5
+    assert all(len(r) == 5 for r in sig)  # doc_id + 4 hashes
+    by_id = {r["doc_id"]: r for r in sig}
+    assert by_id[1]["minhash_0"] == by_id[2]["minhash_0"]
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert float(out[0]["score"]) > 0.99
+
+
+def test_ivf_topk_probes_subset(spark):
+    rows = [(i, [float(i % 5), 1.0, 0.5 * (i % 3)], i % 5) for i in range(50)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivf_topk(emb, q, k=3, nprobe=2).collect()
+    assert len(out) == 3
+
+
+def test_language_id_picks_stopword_language(spark):
+    rows = [
+        (1, "the cat and the dog in the house"),
+        (2, "der hund und die katze ist hier"),
+        (3, "xyzzy plugh qwerty"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in X.identify_language(docs).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_quality_and_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "a clean simple sentence with the usual words"),
+         (2, "!!! ### $$$ 123 456 789 !!!")],
+        "doc_id long, text string",
+    )
+    qs = {r["doc_id"]: r for r in X.quality_scores(docs).collect()}
+    assert float(qs[1]["quality_score"]) > float(qs[2]["quality_score"])
+    tc = {r["doc_id"]: r for r in X.token_counts(docs).collect()}
+    assert tc[1]["ws_tokens"] == 8
+    assert tc[2]["re_tokens"] > tc[2]["ws_tokens"]  # symbols split apart
+
+
+def test_multimodal_plumbing_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i}") for i in range(9)], "doc_id long, text string"
+    )
+    media = M.attach_media_columns(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = M.extract_features(media, decode_stub=True).collect()
+    assert len(feats) == 9
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["kind"] == "image" and by_id[1]["kind"] == "audio"
+    assert all(0.0 <= r["feat_mean"] <= 1.0 for r in feats)
+    assert all(r["feat_dim"] == 8 for r in feats)
+    frames = M.frame_sample(media, every_n=10)
+    assert frames.columns == ["media_id", "frame_idx", "n_frames"]
+    assert frames.filter(F.col("frame_idx") % 10 != 0).count() == 0
+
+
+def test_real_decode_raises_not_implemented(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = M.attach_media_columns(docs)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        M.extract_features(media, decode_stub=False).collect()
