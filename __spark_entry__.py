@@ -312,9 +312,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM({money('l_extendedprice')}) AS DECIMAL(18,2)) AS sum_base_price,
                CAST(SUM({disc_price}) AS DECIMAL(18,4)) AS sum_disc_price,
                CAST(SUM({charge}) AS DECIMAL(18,6)) AS sum_charge,
-               CAST(ROUND(CAST(SUM({money('l_quantity')}) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_qty,
-               CAST(ROUND(CAST(SUM({money('l_extendedprice')}) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_price,
-               CAST(ROUND(CAST(SUM({money('l_discount')}) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_disc,
+               CAST(FLOOR(CAST(SUM({money('l_quantity')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS avg_qty,
+               CAST(FLOOR(CAST(SUM({money('l_extendedprice')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS avg_price,
+               CAST(FLOOR(CAST(SUM({money('l_discount')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -545,14 +545,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
             GROUP BY p.doc_a, p.doc_b)
         SELECT p.doc_a, p.doc_b,
-               CAST(ROUND(COALESCE(i.c, 0) * 1.0 /
-                          (sa.n + sb.n - COALESCE(i.c, 0)), 4) AS DECIMAL(9,4)) AS jaccard
+               CAST(FLOOR(COALESCE(i.c, 0) * 1.0 /
+                          (sa.n + sb.n - COALESCE(i.c, 0)) * 10000 + 0.5) / 10000 AS DECIMAL(9,4)) AS jaccard
         FROM pairs p
         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
         JOIN sizes sa ON sa.doc_id = p.doc_a
         JOIN sizes sb ON sb.doc_id = p.doc_b
-        WHERE CAST(ROUND(COALESCE(i.c, 0) * 1.0 /
-                         (sa.n + sb.n - COALESCE(i.c, 0)), 4) AS DECIMAL(9,4)) >= 0.2
+        WHERE CAST(FLOOR(COALESCE(i.c, 0) * 1.0 /
+                         (sa.n + sb.n - COALESCE(i.c, 0)) * 10000 + 0.5) / 10000 AS DECIMAL(9,4)) >= 0.2
     """
 
     bit_votes = ",\n".join(
@@ -624,15 +624,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio
             FROM f)
         SELECT doc_id, n_chars, n_words,
-               CAST(ROUND(mean_wlen, 4) AS DECIMAL(10,4)) AS mean_word_len,
-               CAST(ROUND(punct_ratio, 4) AS DECIMAL(10,4)) AS punct_ratio,
-               CAST(ROUND(digit_ratio, 4) AS DECIMAL(10,4)) AS digit_ratio,
-               CAST(ROUND(stop_ratio, 4) AS DECIMAL(10,4)) AS stop_ratio,
-               CAST(ROUND(
+               CAST(FLOOR(mean_wlen * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS mean_word_len,
+               CAST(FLOOR(punct_ratio * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS punct_ratio,
+               CAST(FLOOR(digit_ratio * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS digit_ratio,
+               CAST(FLOOR(stop_ratio * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS stop_ratio,
+               CAST(FLOOR(
                    GREATEST(0.0, LEAST(1.0,
                        0.5 * GREATEST(0.0, 1.0 - ABS(mean_wlen - 5.0) / 5.0)
                      + 0.3 * (1.0 - punct_ratio * 4)
-                     + 0.2 * (1.0 - digit_ratio * 4))), 4) AS DECIMAL(10,4)) AS quality_score
+                     + 0.2 * (1.0 - digit_ratio * 4))) * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS quality_score
         FROM r
     """
 
@@ -668,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
         scored AS (
             SELECT a.query_id, b.vec_id AS neighbor_id,
-                   ROUND({cos.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')}, 6) AS score
+                   FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS score
             FROM q a CROSS JOIN embeddings b
             WHERE b.vec_id <> a.query_id),
         ranked AS (
@@ -682,10 +682,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["embedding_near_duplicates"] = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(ROUND({cos}, 6) AS DECIMAL(10,6)) AS score
+               CAST(FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS DECIMAL(10,6)) AS score
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND({cos}, 6) >= 0.3
+        WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.3
     """
 
     # -- events -------------------------------------------------------------
@@ -722,8 +722,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type,
                CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS k_bucket,
                COUNT(*) AS n,
-               CAST(ROUND(CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS DOUBLE)
-                          / COUNT(*), 4) AS DECIMAL(18,4)) AS avg_k
+               CAST(FLOOR(CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS DOUBLE)
+                          / COUNT(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS avg_k
         FROM events GROUP BY 1, 2
     """
 

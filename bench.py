@@ -62,7 +62,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as e:  # a broken query must not lose the whole run
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            per_query[name] = -1.0
+            continue
         dt = round(time.time() - t0, 3)
         per_query[name] = dt
         total += dt

@@ -221,7 +221,8 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    ratio = inter.cast("double") / union.cast("double")
+    jac = F.floor(ratio * 10000 + F.lit(0.5)) / 10000  # portable half-up
     return (
         j.select(
             "doc_a",

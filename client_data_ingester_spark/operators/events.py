@@ -67,7 +67,13 @@ def json_props_agg(events: DataFrame) -> DataFrame:
         .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4)
+            (
+                F.floor(
+                    F.sum("k").cast("double") / F.count(F.lit(1)) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            )
             .cast("decimal(18,4)")
             .alias("avg_k"),
         )

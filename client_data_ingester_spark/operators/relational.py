@@ -26,6 +26,13 @@ def _money(c) -> F.Column:
     return F.col(c).cast(D182) if isinstance(c, str) else c.cast(D182)
 
 
+def _avg4(total, count) -> F.Column:
+    """Exact-sum average rounded half-up via floor (portable across engines;
+    native ROUND implementations disagree on decimal-looking halves)."""
+    x = total.cast("double") / count
+    return (F.floor(x * 10000 + F.lit(0.5)) / 10000).cast("decimal(18,4)")
+
+
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape: big scan, 2-key groupBy, 8 aggregates."""
     li = lineitem.filter(F.col("l_shipdate") <= ship_cutoff)
@@ -40,17 +47,11 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
             F.sum(_money("l_extendedprice")).cast(D182).alias("sum_base_price"),
             F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
             F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
-            F.round(
-                F.sum(_money("l_quantity")).cast("double") / F.count(F.lit(1)), 4
-            ).cast("decimal(18,4)").alias("avg_qty"),
-            F.round(
-                F.sum(_money("l_extendedprice")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).cast("decimal(18,4)").alias("avg_price"),
-            F.round(
-                F.sum(_money("l_discount")).cast("double") / F.count(F.lit(1)), 4
-            ).cast("decimal(18,4)").alias("avg_disc"),
+            _avg4(F.sum(_money("l_quantity")), F.count(F.lit(1))).alias("avg_qty"),
+            _avg4(F.sum(_money("l_extendedprice")), F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            _avg4(F.sum(_money("l_discount")), F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

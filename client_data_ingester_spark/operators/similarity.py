@@ -24,6 +24,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def round6(c: Column) -> Column:
+    """Half-up rounding at 1e-6 via floor — deterministic across engines on
+    bit-identical doubles (native ROUNDs disagree on decimal halves)."""
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -66,7 +72,7 @@ def brute_force_topk(
         F.col(id_col), F.col(vec_col)
     ).crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
     scored = scored.withColumn(
-        "score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+        "score", round6(cosine(F.col(vec_col), F.col("_qvec")))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(id_col)
@@ -130,7 +136,7 @@ def ivf_topk(
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
-            "cscore", F.round(cosine(F.col("_qvec"), F.col("centroid")), 6)
+            "cscore", round6(cosine(F.col("_qvec"), F.col("centroid")))
         )
         .withColumn("crank", F.row_number().over(probe_w))
         .filter(F.col("crank") <= nprobe)
@@ -140,7 +146,7 @@ def ivf_topk(
         F.broadcast(probes), on=cell_col
     ).filter(F.col(id_col) != F.col(query_id_col))
     scored = scored.withColumn(
-        "score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+        "score", round6(cosine(F.col(vec_col), F.col("_qvec")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return (
@@ -178,7 +184,7 @@ def embedding_near_duplicates(
     )
     pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn(
-        "score", F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+        "score", round6(cosine(F.col("_va"), F.col("_vb")))
     )
     return scored.filter(F.col("score") >= threshold).select(
         "id_a", "id_b", F.col("score").cast("decimal(10,6)").alias("score")

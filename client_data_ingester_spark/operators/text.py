@@ -104,7 +104,11 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             + F.lit(0.2) * (F.lit(1.0) - digit_ratio * 4),
         ),
     )
-    dec = lambda x: F.round(x, 4).cast("decimal(10,4)")  # noqa: E731
+    # floor(x*1e4+0.5): deterministic half-up on identical doubles — Spark's
+    # ROUND and DuckDB's ROUND disagree on decimal-looking halves (0.94125)
+    dec = lambda x: (F.floor(x * 10000 + F.lit(0.5)) / 10000).cast(  # noqa: E731
+        "decimal(10,4)"
+    )
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),

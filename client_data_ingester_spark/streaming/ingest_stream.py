@@ -58,11 +58,15 @@ def start_ingest_stream(
         stream = reader.json(landing_dir)
     else:
         raise ValueError(f"Unsupported streaming format: {fmt!r}")
-    stream = stream.withColumn(ROW_IDX_COL, F.monotonically_increasing_id())
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # row order within the micro-batch (monotonically_increasing_id is
+        # legal here — batch_df is a plain DataFrame inside foreachBatch)
+        batch_df = batch_df.withColumn(
+            ROW_IDX_COL, F.monotonically_increasing_id()
+        )
         compiled = compile_mapping(parser_config, batch_df)
         updates = batch_df.select(*compiled.projection, ROW_IDX_COL)
         if "sku" not in compiled.target_cols:

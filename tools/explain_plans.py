@@ -1,0 +1,67 @@
+"""Plan-quality inspection (SURVEY §4 / the 100 TB design bar).
+
+Prints the formatted physical plan for selected queries and greps for the
+properties we require:
+- parquet scans carry PushedFilters + pruned ReadSchema,
+- dimension joins are BroadcastHashJoin,
+- global top-k rides TakeOrderedAndProject,
+- no CartesianProduct outside the intentional broadcast cross joins.
+
+Usage: python tools/explain_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from client_data_ingester_spark.session import get_spark  # noqa: E402
+
+DEFAULT = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_regional_revenue",
+    "topk_parts_per_brand",
+    "products_search_rank",
+    "upsert_snapshot",
+    "dedup_lsh_candidates",
+    "embedding_cosine_topk",
+    "asof_join_last_event",
+    "range_join_follows",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or DEFAULT
+    spark = get_spark("explain", cpus=8)
+    qs = entry.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"{'=' * 20} {name} {'=' * 20}")
+        print(plan)
+        checks = {
+            "PushedFilters": "PushedFilters: [" in plan
+            and "PushedFilters: []" not in plan,
+            "BroadcastHashJoin": "BroadcastHashJoin" in plan,
+            "TakeOrdered": "TakeOrderedAndProject" in plan,
+            "WholeStageCodegen": "WholeStageCodegen" in plan,
+            "CartesianProduct!": "CartesianProduct" in plan,
+            "BroadcastNestedLoop": "BroadcastNestedLoopJoin" in plan,
+        }
+        print(f"--- summary {name}: "
+              + ", ".join(f"{k}={v}" for k, v in checks.items()))
+        print()
+
+
+if __name__ == "__main__":
+    main()
