@@ -116,6 +116,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    q["orders_window_funcs"] = lambda s, d: R.orders_window_funcs(
+        _t(s, d, "orders")
+    )
+    q["balance_quantiles"] = lambda s, d: R.balance_quantiles(
+        _t(s, d, "customer")
+    )
+    q["parts_above_brand_avg"] = lambda s, d: R.parts_above_brand_avg(
+        _t(s, d, "part")
+    )
+    q["date_string_funcs"] = lambda s, d: R.date_string_funcs(
+        _t(s, d, "orders")
+    )
+
     # -- the reference's own query surface (search/rank/paginate; ingest
     #    semantics as set-level queries) ------------------------------------
     q["products_search_rank"] = lambda s, d: rank_and_paginate(
@@ -410,6 +423,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM({money('s_acctbal')}) AS DECIMAL(18,2)) AS total_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """
+
+    o["orders_window_funcs"] = f"""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               ROW_NUMBER() OVER w_seq AS order_seq,
+               RANK() OVER w_price AS price_rank,
+               DENSE_RANK() OVER w_price AS price_dense_rank,
+               LAG(o_orderdate) OVER w_seq AS prev_order_date,
+               CAST(SUM({money('o_totalprice')}) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_spend
+        FROM orders
+        WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_price AS (PARTITION BY o_custkey
+                           ORDER BY {money('o_totalprice')} DESC, o_orderkey)
+    """
+
+    o["balance_quantiles"] = """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(FLOOR(QUANTILE_CONT(c_acctbal, 0.5) * 10000 + 0.5) / 10000
+                    AS DECIMAL(18,4)) AS median_bal,
+               CAST(FLOOR(QUANTILE_CONT(c_acctbal, 0.9) * 10000 + 0.5) / 10000
+                    AS DECIMAL(18,4)) AS p90_bal
+        FROM customer GROUP BY c_mktsegment
+    """
+
+    o["parts_above_brand_avg"] = f"""
+        WITH w AS (
+            SELECT p_partkey, p_brand,
+                   {money('p_retailprice')} AS retailprice,
+                   CAST(SUM({money('p_retailprice')})
+                            OVER (PARTITION BY p_brand) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+            FROM part)
+        SELECT p_partkey, p_brand, retailprice,
+               CAST(FLOOR(brand_avg * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS brand_avg
+        FROM w WHERE CAST(retailprice AS DOUBLE) > brand_avg
+    """
+
+    o["date_string_funcs"] = """
+        SELECT CAST(DATE_PART('year', o_orderdate) AS INTEGER) AS y,
+               CAST(DATE_PART('quarter', o_orderdate) AS INTEGER) AS q,
+               SUBSTR(o_orderpriority, 1, 1) AS prio,
+               UPPER(o_orderstatus) AS status,
+               LENGTH(o_orderpriority || '-' || o_orderstatus) AS tag_len,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2, 3, 4, 5
     """
 
     o["products_search_rank"] = f"""

@@ -191,6 +191,87 @@ def supplier_balance_distribution(supplier: DataFrame, nation: DataFrame) -> Dat
     )
 
 
+def orders_window_funcs(orders: DataFrame) -> DataFrame:
+    """Window-function battery per customer: order sequence (row_number),
+    price rank/dense_rank, previous order date (lag), running spend (sum over
+    rows-preceding). One shuffle on o_custkey."""
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc(_money("o_totalprice")), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w_seq).alias("order_seq"),
+        F.rank().over(w_price).alias("price_rank"),
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        F.lag("o_orderdate").over(w_seq).alias("prev_order_date"),
+        F.sum(_money("o_totalprice"))
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, 0))
+        .cast(D182)
+        .alias("running_spend"),
+    )
+
+
+def balance_quantiles(customer: DataFrame) -> DataFrame:
+    """Exact quantiles (linear interpolation) per market segment — the exact
+    twin of percentile_approx; both engines interpolate identically on
+    identical doubles."""
+    med = F.expr("percentile(c_acctbal, 0.5)")
+    p90 = F.expr("percentile(c_acctbal, 0.9)")
+    r4 = lambda c: (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast(  # noqa: E731
+        "decimal(18,4)"
+    )
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(med).alias("median_bal"),
+        r4(p90).alias("p90_bal"),
+    )
+
+
+def parts_above_brand_avg(part: DataFrame) -> DataFrame:
+    """Correlated-subquery shape (price above the brand's average), decorrelated
+    as window-avg — no self-join, one shuffle on p_brand."""
+    w = Window.partitionBy("p_brand")
+    # exact decimal sum over the window, then one double division — windowed
+    # AVG on doubles is summation-order-dependent and not engine-portable
+    avg_price = (
+        F.sum(_money("p_retailprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        part.withColumn("brand_avg", avg_price)
+        .filter(_money("p_retailprice").cast("double") > F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            _money("p_retailprice").alias("retailprice"),
+            (F.floor(F.col("brand_avg") * 10000 + F.lit(0.5)) / 10000)
+            .cast("decimal(18,4)")
+            .alias("brand_avg"),
+        )
+    )
+
+
+def date_string_funcs(orders: DataFrame) -> DataFrame:
+    """Scalar-function battery (date parts + string ops) aggregated so the
+    output is compact: orders per (year, quarter, priority-prefix)."""
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.substring(F.col("o_orderpriority"), 1, 1).alias("prio"),
+            F.upper(F.col("o_orderstatus")).alias("status"),
+            F.length(F.concat_ws("-", "o_orderpriority", "o_orderstatus")).alias(
+                "tag_len"
+            ),
+        )
+        .groupBy("y", "q", "prio", "status", "tag_len")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4 shape: EXISTS via left-semi join (orders having ≥1 line item
     shipped after the order date)."""

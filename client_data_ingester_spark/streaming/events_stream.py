@@ -1,0 +1,86 @@
+"""Event-time windowed streaming aggregation ([EXT], SURVEY §2.9).
+
+The streaming twin of operators/events.tumbling_window_agg: watermarked
+event-time tumbling windows over a parquet/file event stream. The watermark
+bounds state (windows older than max(event_time) - delay are finalized and
+dropped from the state store) and defines the late-data cutoff — records
+later than the watermark are discarded rather than reopening closed windows.
+
+In append mode a window only emits once the watermark passes its end, which
+is what makes the output exactly-once-complete per window; per-microbatch
+atomicity comes from the sink (foreachBatch → snapshot swap, or a
+transactional sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming-safe plan)."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window(F.col("ts"), window_duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def start_windowed_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "windowed_events",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> StreamingQuery:
+    """Tail a directory of event json files → memory sink (append mode: a
+    window emits only after the watermark passes it). Drive deterministically
+    with ``q.processAllAvailable()`` after dropping files in; the memory sink
+    does not support checkpoint recovery, so tests keep one long-lived query
+    rather than restarting (a durable sink would restart via foreachBatch +
+    the checkpoint, as ingest_stream does)."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).format("json").load(source_dir)
+    )
+    agg = windowed_event_counts(stream, window_duration, watermark_delay)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -54,7 +54,7 @@ def main() -> None:
             and "PushedFilters: []" not in plan,
             "BroadcastHashJoin": "BroadcastHashJoin" in plan,
             "TakeOrdered": "TakeOrderedAndProject" in plan,
-            "WholeStageCodegen": "WholeStageCodegen" in plan,
+            "WholeStageCodegen": "codegen id" in plan,
             "CartesianProduct!": "CartesianProduct" in plan,
             "BroadcastNestedLoop": "BroadcastNestedLoopJoin" in plan,
         }
