@@ -28,6 +28,10 @@ HEADLINE = [
     "q4_order_priority",
     "q5_regional_revenue",
     "topk_parts_per_brand",
+    "orders_window_funcs",
+    "balance_quantiles",
+    "parts_above_brand_avg",
+    "date_string_funcs",
     "products_search_rank",
     "upsert_snapshot",
     "full_update_deactivation",

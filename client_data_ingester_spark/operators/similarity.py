@@ -20,8 +20,11 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def round6(c: Column) -> Column:
@@ -158,6 +161,34 @@ def ivf_topk(
             F.col("rank"),
             F.col("score").cast("decimal(10,6)").alias("score"),
         )
+    )
+
+
+def cosine_scores_pandas(
+    corpus: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized Pandas-UDF scoring path — the documented escape hatch
+    for when the expression form can't express the math (e.g. a real model's
+    scoring fn). Numerically it matmuls per Arrow batch; prefer the
+    expression-based ``cosine`` for anything SQL can say (it stays JVM-side),
+    but THIS is the shape custom Python scoring should take: one
+    ``pandas_udf`` over batches, never a row-at-a-time ``F.udf``."""
+    q = np.asarray(query_vec, dtype="float64")
+    qn = np.sqrt((q * q).sum())
+
+    @F.pandas_udf(T.DoubleType())
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim) float32
+        m = m.astype("float64")
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return corpus.select(
+        F.col(id_col), score(F.col(vec_col)).alias("score")
     )
 
 

@@ -133,3 +133,20 @@ def test_real_decode_raises_not_implemented(spark):
 
     with _pytest.raises(Exception):
         M.extract_features(media, decode_stub=False).collect()
+
+
+def test_pandas_udf_scoring_matches_expression_path(spark):
+    rows = [(i, [float(i), 1.0, 2.0]) for i in range(1, 6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [1.0, 0.5, 0.25]
+    pandas_scores = {
+        r["vec_id"]: r["score"]
+        for r in S.cosine_scores_pandas(emb, qv).collect()
+    }
+    q = spark.createDataFrame([(0, qv)], "query_id long, embedding array<float>")
+    expr_scores = {
+        r["neighbor_id"]: float(r["score"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    for vid, s_expr in expr_scores.items():
+        assert abs(pandas_scores[vid] - s_expr) < 1e-6
