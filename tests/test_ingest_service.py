@@ -436,3 +436,35 @@ def test_full_update_empty_file_deactivates_everything(spark, products_table):
     assert rep.success
     assert rep.stats["deactivated_count"] == 1
     assert rows_of(spark, products_table, 1)["A"]["active"] is False
+
+
+def test_csv_path_source_distributed_read(spark, products_table, tmp_path):
+    # the scale path: a landing file read by executors, not driver bytes
+    p = tmp_path / "landing.csv"
+    p.write_text("sku,title,active\nF1,FromFile,1\nF2,FromFile2,0\n")
+    rep = ingest_data(
+        spark, products_table, str(p), BASIC_CONFIG, client_id=1
+    )
+    assert rep.success, rep.message
+    got = rows_of(spark, products_table, 1)
+    assert set(got) == {"F1", "F2"}
+    assert got["F2"]["active"] is False
+
+
+def test_json_path_source(spark, products_table, tmp_path):
+    p = tmp_path / "landing.json"
+    p.write_text(
+        '[{"sku": "J1", "title": "A", "active": "1"},\n'
+        ' {"sku": "J2", "title": "B", "active": "0"}]'
+    )
+    cfg = ParserConfig(
+        "json",
+        {
+            "sku": ("sku", "text"),
+            "title": ("title", "text"),
+            "active": ("active", "boolean"),
+        },
+    )
+    rep = ingest_data(spark, products_table, str(p), cfg, client_id=1)
+    assert rep.success, rep.message
+    assert set(rows_of(spark, products_table, 1)) == {"J1", "J2"}
