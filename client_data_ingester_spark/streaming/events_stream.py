@@ -59,6 +59,36 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap-based sessionization via the native session_window —
+    the streaming twin of operators/events.sessionize (which is the batch
+    lag+cumsum form). A session closes when a user is idle > gap and emits
+    once the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def start_windowed_event_stream(
     spark: SparkSession,
     source_dir: str,
