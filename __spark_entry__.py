@@ -116,6 +116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    q["status_priority_cube"] = lambda s, d: R.status_priority_cube(
+        _t(s, d, "orders")
+    )
+    q["customers_without_orders"] = lambda s, d: R.customers_without_orders(
+        _t(s, d, "customer"), _t(s, d, "orders")
+    )
+    q["region_nation_rollcall"] = lambda s, d: R.region_nation_rollcall(
+        _t(s, d, "region"), _t(s, d, "nation")
+    )
     q["orders_window_funcs"] = lambda s, d: R.orders_window_funcs(
         _t(s, d, "orders")
     )
@@ -423,6 +432,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM({money('s_acctbal')}) AS DECIMAL(18,2)) AS total_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """
+
+    o["status_priority_cube"] = f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM({money('o_totalprice')}) AS DECIMAL(18,2)) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """
+
+    o["customers_without_orders"] = """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """
+
+    o["region_nation_rollcall"] = """
+        SELECT r_name,
+               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """
 
     o["orders_window_funcs"] = f"""

@@ -191,6 +191,41 @@ def supplier_balance_distribution(supplier: DataFrame, nation: DataFrame) -> Dat
     )
 
 
+def status_priority_cube(orders: DataFrame) -> DataFrame:
+    """CUBE aggregate: all grouping-set combinations of (status, priority)."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_money("o_totalprice")).cast(D182).alias("total"),
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """NOT EXISTS via left-anti join (the dual of Q4's left-semi): customers
+    who never placed an URGENT order."""
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def region_nation_rollcall(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """Ordered string aggregation per group (listagg shape): nations per
+    region, alphabetically joined — Spark sort_array(collect_list) ≡ SQL
+    STRING_AGG(... ORDER BY)."""
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
 def orders_window_funcs(orders: DataFrame) -> DataFrame:
     """Window-function battery per customer: order sequence (row_number),
     price rank/dense_rank, previous order date (lag), running spend (sum over
