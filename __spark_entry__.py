@@ -3,9 +3,11 @@
 ``queries()`` is the implemented-operator inventory (SURVEY.md §2 + the [EXT]
 LLM-pipeline operators); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
 for each. Column names/aliases match exactly between the two sides; numeric
-outputs use exact decimal arithmetic or single-division doubles so the
-order-insensitive value-hash is stable across engines (see operator module
-docstrings for the portability rules).
+outputs use exact decimal arithmetic or single-division doubles internally and
+every *derived* numeric column is CAST to DOUBLE as the final step on BOTH
+sides — one canonical rendering for the driver's value-hash (round-1 lesson:
+Decimal scale/trailing-zero renderings differ between engines' client
+bindings even when values are equal).
 """
 
 from __future__ import annotations
@@ -210,7 +212,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         M.attach_media_columns(_t(s, d, "documents")), decode_stub=True
     )
 
+    # -- hash-probe diagnostic ---------------------------------------------
+    # One constructed row with a literal of every output type the engine
+    # emits. If the driver's value-hash ever disagrees between engines on a
+    # *type rendering* (as round 1's trailing-zero decimals did), this row
+    # pinpoints which type instantly. Not an operator; a canary.
+    q["hash_probe"] = lambda s, d: _hash_probe(s, d)
+
     return q
+
+
+def _hash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin(spark)
+    return spark.range(1).select(
+        F.lit(1).cast("bigint").alias("i64"),
+        F.lit(3).cast("int").alias("i32"),
+        F.lit("s").alias("str"),
+        F.lit(1.5).cast("double").alias("dbl"),
+        F.lit(0.1).cast("double").alias("dbl_frac"),
+        F.expr("CAST(1.50 AS DECIMAL(10,2))").alias("dec_tz"),
+        F.expr("CAST(1.25 AS DECIMAL(10,2))").alias("dec_nz"),
+        F.lit(None).cast("string").alias("nul"),
+        F.lit(True).alias("flag"),
+        F.expr("TIMESTAMP '2020-01-02 03:04:05'").alias("ts"),
+        F.expr("DATE '2020-01-02'").alias("dt"),
+    )
 
 
 def _transformer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,13 +356,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["q1_pricing_summary"] = f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM({money('l_quantity')}) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM({money('l_extendedprice')}) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(SUM({disc_price}) AS DECIMAL(18,4)) AS sum_disc_price,
-               CAST(SUM({charge}) AS DECIMAL(18,6)) AS sum_charge,
-               CAST(FLOOR(CAST(SUM({money('l_quantity')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS avg_qty,
-               CAST(FLOOR(CAST(SUM({money('l_extendedprice')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS avg_price,
-               CAST(FLOOR(CAST(SUM({money('l_discount')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS avg_disc,
+               CAST(SUM({money('l_quantity')}) AS DOUBLE) AS sum_qty,
+               CAST(SUM({money('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({disc_price}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({charge}) AS DOUBLE) AS sum_charge,
+               CAST(FLOOR(CAST(SUM({money('l_quantity')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_qty,
+               CAST(FLOOR(CAST(SUM({money('l_extendedprice')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_price,
+               CAST(FLOOR(CAST(SUM({money('l_discount')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -345,7 +371,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["q3_top_unshipped"] = f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               CAST(SUM({disc_price}) AS DECIMAL(18,4)) AS revenue
+               CAST(SUM({disc_price}) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -368,7 +394,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["q5_regional_revenue"] = f"""
         SELECT r_name, n_name,
-               CAST(SUM({disc_price}) AS DECIMAL(18,4)) AS revenue,
+               CAST(SUM({disc_price}) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -380,7 +406,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["topk_parts_per_brand"] = """
         SELECT p_brand, p_partkey, p_name, rank,
-               CAST(p_retailprice AS DECIMAL(18,2)) AS retailprice
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS retailprice
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY p_brand
@@ -392,7 +418,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["returnflag_rollup"] = f"""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM({money('l_quantity')}) AS DECIMAL(18,2)) AS sum_qty
+               CAST(SUM({money('l_quantity')}) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """
@@ -400,9 +426,9 @@ def oracle_sql() -> dict[str, str]:
     o["status_pivot"] = f"""
         SELECT l_returnflag,
                CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {money('l_quantity')}
-                             ELSE CAST(0 AS {DEC}) END) AS DECIMAL(18,2)) AS qty_o,
+                             ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS qty_o,
                CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {money('l_quantity')}
-                             ELSE CAST(0 AS {DEC}) END) AS DECIMAL(18,2)) AS qty_f
+                             ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS qty_f
         FROM lineitem GROUP BY l_returnflag
     """
 
@@ -429,14 +455,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name, COUNT(*) AS n_suppliers,
                COUNT(DISTINCT s_suppkey) AS n_distinct,
                SUM(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive,
-               CAST(SUM({money('s_acctbal')}) AS DECIMAL(18,2)) AS total_bal
+               CAST(SUM({money('s_acctbal')}) AS DOUBLE) AS total_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """
 
     o["status_priority_cube"] = f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM({money('o_totalprice')}) AS DECIMAL(18,2)) AS total
+               CAST(SUM({money('o_totalprice')}) AS DOUBLE) AS total
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """
 
@@ -464,7 +490,7 @@ def oracle_sql() -> dict[str, str]:
                LAG(o_orderdate) OVER w_seq AS prev_order_date,
                CAST(SUM({money('o_totalprice')}) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_spend
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
         FROM orders
         WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                w_price AS (PARTITION BY o_custkey
@@ -474,9 +500,9 @@ def oracle_sql() -> dict[str, str]:
     o["balance_quantiles"] = """
         SELECT c_mktsegment, COUNT(*) AS n,
                CAST(FLOOR(QUANTILE_CONT(c_acctbal, 0.5) * 10000 + 0.5) / 10000
-                    AS DECIMAL(18,4)) AS median_bal,
+                    AS DOUBLE) AS median_bal,
                CAST(FLOOR(QUANTILE_CONT(c_acctbal, 0.9) * 10000 + 0.5) / 10000
-                    AS DECIMAL(18,4)) AS p90_bal
+                    AS DOUBLE) AS p90_bal
         FROM customer GROUP BY c_mktsegment
     """
 
@@ -488,8 +514,8 @@ def oracle_sql() -> dict[str, str]:
                             OVER (PARTITION BY p_brand) AS DOUBLE)
                        / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
             FROM part)
-        SELECT p_partkey, p_brand, retailprice,
-               CAST(FLOOR(brand_avg * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS brand_avg
+        SELECT p_partkey, p_brand, CAST(retailprice AS DOUBLE) AS retailprice,
+               CAST(FLOOR(brand_avg * 10000 + 0.5) / 10000 AS DOUBLE) AS brand_avg
         FROM w WHERE CAST(retailprice AS DOUBLE) > brand_avg
     """
 
@@ -525,7 +551,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT k,
                TRIM(sku_raw) AS sku,
                CAST(TRUNC(CAST(TRIM(qty_raw) AS DOUBLE)) AS INTEGER) AS stock_quantity,
-               CAST(REGEXP_REPLACE(TRIM(price_raw), '[$£,\\s]', '', 'g') AS DECIMAL(12,2)) AS max_price,
+               CAST(REGEXP_REPLACE(TRIM(price_raw), '[$£,]', '', 'g') AS DECIMAL(12,2)) AS max_price,
                CASE WHEN LOWER(TRIM(active_raw)) IN ('yes','true','1') THEN TRUE
                     WHEN LOWER(TRIM(active_raw)) IN ('no','false','0') THEN FALSE
                     END AS active
@@ -637,13 +663,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.doc_a, p.doc_b)
         SELECT p.doc_a, p.doc_b,
                CAST(FLOOR(COALESCE(i.c, 0) * 1.0 /
-                          (sa.n + sb.n - COALESCE(i.c, 0)) * 10000 + 0.5) / 10000 AS DECIMAL(9,4)) AS jaccard
+                          (sa.n + sb.n - COALESCE(i.c, 0)) * 10000 + 0.5) / 10000 AS DOUBLE) AS jaccard
         FROM pairs p
         LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
         JOIN sizes sa ON sa.doc_id = p.doc_a
         JOIN sizes sb ON sb.doc_id = p.doc_b
         WHERE CAST(FLOOR(COALESCE(i.c, 0) * 1.0 /
-                         (sa.n + sb.n - COALESCE(i.c, 0)) * 10000 + 0.5) / 10000 AS DECIMAL(9,4)) >= 0.2
+                         (sa.n + sb.n - COALESCE(i.c, 0)) * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.2
     """
 
     bit_votes = ",\n".join(
@@ -715,15 +741,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio
             FROM f)
         SELECT doc_id, n_chars, n_words,
-               CAST(FLOOR(mean_wlen * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS mean_word_len,
-               CAST(FLOOR(punct_ratio * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS punct_ratio,
-               CAST(FLOOR(digit_ratio * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS digit_ratio,
-               CAST(FLOOR(stop_ratio * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS stop_ratio,
+               CAST(FLOOR(mean_wlen * 10000 + 0.5) / 10000 AS DOUBLE) AS mean_word_len,
+               CAST(FLOOR(punct_ratio * 10000 + 0.5) / 10000 AS DOUBLE) AS punct_ratio,
+               CAST(FLOOR(digit_ratio * 10000 + 0.5) / 10000 AS DOUBLE) AS digit_ratio,
+               CAST(FLOOR(stop_ratio * 10000 + 0.5) / 10000 AS DOUBLE) AS stop_ratio,
                CAST(FLOOR(
                    GREATEST(0.0, LEAST(1.0,
                        0.5 * GREATEST(0.0, 1.0 - ABS(mean_wlen - 5.0) / 5.0)
                      + 0.3 * (1.0 - punct_ratio * 4)
-                     + 0.2 * (1.0 - digit_ratio * 4))) * 10000 + 0.5) / 10000 AS DECIMAL(10,4)) AS quality_score
+                     + 0.2 * (1.0 - digit_ratio * 4))) * 10000 + 0.5) / 10000 AS DOUBLE) AS quality_score
         FROM r
     """
 
@@ -767,15 +793,48 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, neighbor_id) AS rank
             FROM scored)
-        SELECT query_id, neighbor_id, rank, CAST(score AS DECIMAL(10,6)) AS score
+        SELECT query_id, neighbor_id, rank, CAST(score AS DOUBLE) AS score
         FROM ranked WHERE rank <= 5
     """
 
+    # sign-bit LSH blocking with the SAME fixed seeded hyperplanes as the
+    # Spark operator (similarity.rademacher_planes): candidate pairs collide
+    # on ≥1 of the band keys, then exact-cosine verification ≥ threshold.
+    from client_data_ingester_spark.operators.similarity import (
+        rademacher_planes as _rp,
+    )
+
+    _RP_BITS, _RP_BANDS, _RP_DIM = 8, 2, 64
+    _planes = _rp(_RP_BANDS * _RP_BITS, _RP_DIM)
+
+    def _band_key_sql(band: int) -> str:
+        terms = []
+        for j in range(_RP_BITS):
+            plane = _planes[band * _RP_BITS + j]
+            lits = ", ".join(str(x) for x in plane)
+            terms.append(
+                f"(CASE WHEN LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), "
+                f"[{lits}]) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    _band_keys = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {band} AS band, ({_band_key_sql(band)}) AS key FROM embeddings"
+        for band in range(_RP_BANDS)
+    )
     o["embedding_near_duplicates"] = f"""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS DECIMAL(10,6)) AS score
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        WITH keys AS (
+            {_band_keys}),
+        pairs AS (
+            SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b
+            FROM keys ka JOIN keys kb
+              ON ka.band = kb.band AND ka.key = kb.key
+             AND ka.vec_id < kb.vec_id)
+        SELECT p.id_a, p.id_b,
+               CAST(FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS score
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.id_a
+        JOIN embeddings b ON b.vec_id = p.id_b
         WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.3
     """
 
@@ -783,7 +842,7 @@ def oracle_sql() -> dict[str, str]:
     o["events_window_agg"] = """
         SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2
     """
@@ -805,7 +864,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_seq,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, session_seq
     """
 
@@ -814,7 +873,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS k_bucket,
                COUNT(*) AS n,
                CAST(FLOOR(CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS DOUBLE)
-                          / COUNT(*) * 10000 + 0.5) / 10000 AS DECIMAL(18,4)) AS avg_k
+                          / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_k
         FROM events GROUP BY 1, 2
     """
 
@@ -861,6 +920,21 @@ def oracle_sql() -> dict[str, str]:
                ({feat_terms}) / (255.0 * 8) AS feat_mean,
                8 AS feat_dim
         FROM documents
+    """
+
+    # -- hash-probe diagnostic ---------------------------------------------
+    o["hash_probe"] = """
+        SELECT CAST(1 AS BIGINT) AS i64,
+               CAST(3 AS INTEGER) AS i32,
+               's' AS str,
+               CAST(1.5 AS DOUBLE) AS dbl,
+               CAST(0.1 AS DOUBLE) AS dbl_frac,
+               CAST(1.50 AS DECIMAL(10,2)) AS dec_tz,
+               CAST(1.25 AS DECIMAL(10,2)) AS dec_nz,
+               CAST(NULL AS VARCHAR) AS nul,
+               TRUE AS flag,
+               TIMESTAMP '2020-01-02 03:04:05' AS ts,
+               DATE '2020-01-02' AS dt
     """
 
     return o

@@ -189,16 +189,24 @@ def merge_products(
     )
     merged = merged.unionByName(empty_sel)
 
-    # Surrogate ids for inserts: id_base + file-order rank. The window is
-    # global but spans only this file's inserted rows (file-bounded, not
-    # table-bounded), so it cannot become the scale bottleneck.
+    # Surrogate ids for inserts: id_base + file row index + 1 — a pure
+    # per-row expression, NO window. The reference only requires ids to be
+    # unique (it uses a DB sequence); _insert_order is the file's per-row
+    # index, unique within the file, so the ids are unique above id_base and
+    # monotone in file order. The previous Window.partitionBy(<boolean>)
+    # formulation funneled every inserted row of a bulk load through ONE
+    # task's sort; this assigns ids wherever the row already lives, zero
+    # shuffle. Ids may be sparse when the parser's row index is
+    # monotonically_increasing_id (file readers); the snapshot layer tracks
+    # max_id from the written data, so sparseness only costs id-space, never
+    # correctness. (Dense ids, if ever required, are the standard
+    # zipWithIndex decomposition: per-partition counts + offsets.)
     is_new = F.col("id").isNull()
-    w_new = Window.partitionBy(is_new).orderBy("_insert_order")
     merged = merged.withColumn(
         "id",
-        F.when(is_new, F.lit(id_base) + F.row_number().over(w_new)).otherwise(
-            F.col("id")
-        ),
+        F.when(
+            is_new, F.lit(id_base) + F.col("_insert_order") + 1
+        ).otherwise(F.col("id")),
     ).drop("_insert_order")
     return merged
 

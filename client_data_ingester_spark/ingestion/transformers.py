@@ -14,9 +14,11 @@ before any write ("permissive parse, strict apply").
 Exact semantics replicated per transformer (CSV input is always string/null;
 a null cell means "column not supplied for this row" and stays null):
 
-- decimal  (B/ingestion/transformers.py:19-30): strip ``$ £ ,`` and
-  whitespace, parse as Decimal(12,2); unparsable non-null input (incl. empty
-  string) RAISES in the reference → flagged invalid here.
+- decimal  (B/ingestion/transformers.py:19-30): strip ``$ £ ,`` and trim
+  leading/trailing whitespace (interior whitespace is NOT removed — it fails
+  the parse, as in the reference), parse as Decimal(12,2); unparsable
+  non-null input (incl. empty string) RAISES in the reference → flagged
+  invalid here.
 - text     (:33-38): str().strip().
 - integer  (:40-53): int(float(s.strip())) truncating toward zero;
   unparsable → 0 (silent default, never raises).
@@ -52,8 +54,12 @@ class Transformer:
 
 
 def _decimal_expr(c: Column) -> Column:
-    # try_cast (not cast): null-on-garbage regardless of spark.sql.ansi.enabled
-    cleaned = F.regexp_replace(F.trim(c.cast("string")), r"[$£,\s]", "")
+    # try_cast (not cast): null-on-garbage regardless of spark.sql.ansi.enabled.
+    # Only currency symbols and thousands separators are removed; whitespace
+    # is TRIMMED at the ends, never stripped from the interior — the reference
+    # raises on '1 234.56' (Decimal parse fails → file aborted), so here it
+    # must fail the try_cast and trip the invalid flag, not silently ingest.
+    cleaned = F.regexp_replace(F.trim(c.cast("string")), r"[$£,]", "")
     return cleaned.try_cast(T.DecimalType(12, 2))
 
 

@@ -8,7 +8,8 @@ one).
 Numeric policy: value sums go through ``cast(decimal(18,2))`` before SUM so
 the result is exact and engine-portable (double summation is
 partition-order-dependent); averages divide the exact sum in double and round
-to a fixed scale. Epoch arithmetic uses floor-to-second on both engines.
+at a fixed scale; all derived numeric outputs are emitted as DOUBLE (the
+final cast) so the cross-engine value-hash sees one canonical rendering. Epoch arithmetic uses floor-to-second on both engines.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ def tumbling_window_agg(events: DataFrame, window: str = "hour") -> DataFrame:
         F.col("event_type"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(D182)).cast(D182).alias("sum_value"),
+        F.sum(F.col("value").cast(D182)).cast("double").alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -54,7 +55,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(D182)).cast(D182).alias("sum_value"),
+        F.sum(F.col("value").cast(D182)).cast("double").alias("sum_value"),
     )
 
 
@@ -74,7 +75,7 @@ def json_props_agg(events: DataFrame) -> DataFrame:
                 )
                 / 10000
             )
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("avg_k"),
         )
     )

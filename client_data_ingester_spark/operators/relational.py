@@ -30,7 +30,7 @@ def _avg4(total, count) -> F.Column:
     """Exact-sum average rounded half-up via floor (portable across engines;
     native ROUND implementations disagree on decimal-looking halves)."""
     x = total.cast("double") / count
-    return (F.floor(x * 10000 + F.lit(0.5)) / 10000).cast("decimal(18,4)")
+    return (F.floor(x * 10000 + F.lit(0.5)) / 10000).cast("double")
 
 
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
@@ -43,10 +43,10 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> Dat
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_money("l_quantity")).cast(D182).alias("sum_qty"),
-            F.sum(_money("l_extendedprice")).cast(D182).alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             _avg4(F.sum(_money("l_quantity")), F.count(F.lit(1))).alias("avg_qty"),
             _avg4(F.sum(_money("l_extendedprice")), F.count(F.lit(1))).alias(
                 "avg_price"
@@ -74,7 +74,7 @@ def top_unshipped_orders(
     l = lineitem.filter(F.col("l_shipdate") > cutoff)
     revenue = F.sum(
         _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
-    ).cast("decimal(18,4)")
+    ).cast("double")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -96,7 +96,7 @@ def regional_revenue(
     revenue per nation."""
     revenue = F.sum(
         _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
-    ).cast("decimal(18,4)")
+    ).cast("double")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -120,7 +120,7 @@ def topk_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
             "p_partkey",
             "p_name",
             "rank",
-            _money("p_retailprice").alias("retailprice"),
+            _money("p_retailprice").cast("double").alias("retailprice"),
         )
     )
 
@@ -131,7 +131,7 @@ def returnflag_rollup(lineitem: DataFrame) -> DataFrame:
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_money("l_quantity")).cast(D182).alias("sum_qty"),
+            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
         )
     )
 
@@ -143,12 +143,12 @@ def status_pivot(lineitem: DataFrame) -> DataFrame:
             F.when(F.col("l_linestatus") == "O", _money("l_quantity")).otherwise(
                 F.lit(0).cast(D182)
             )
-        ).cast(D182).alias("qty_o"),
+        ).cast("double").alias("qty_o"),
         F.sum(
             F.when(F.col("l_linestatus") == "F", _money("l_quantity")).otherwise(
                 F.lit(0).cast(D182)
             )
-        ).cast(D182).alias("qty_f"),
+        ).cast("double").alias("qty_f"),
     )
 
 
@@ -186,7 +186,7 @@ def supplier_balance_distribution(supplier: DataFrame, nation: DataFrame) -> Dat
             F.sum(
                 (F.col("s_acctbal") > 0).cast("long")
             ).alias("n_positive"),
-            F.sum(_money("s_acctbal")).cast(D182).alias("total_bal"),
+            F.sum(_money("s_acctbal")).cast("double").alias("total_bal"),
         )
     )
 
@@ -195,7 +195,7 @@ def status_priority_cube(orders: DataFrame) -> DataFrame:
     """CUBE aggregate: all grouping-set combinations of (status, priority)."""
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_money("o_totalprice")).cast(D182).alias("total"),
+        F.sum(_money("o_totalprice")).cast("double").alias("total"),
     )
 
 
@@ -244,7 +244,7 @@ def orders_window_funcs(orders: DataFrame) -> DataFrame:
         F.lag("o_orderdate").over(w_seq).alias("prev_order_date"),
         F.sum(_money("o_totalprice"))
         .over(w_seq.rowsBetween(Window.unboundedPreceding, 0))
-        .cast(D182)
+        .cast("double")
         .alias("running_spend"),
     )
 
@@ -256,7 +256,7 @@ def balance_quantiles(customer: DataFrame) -> DataFrame:
     med = F.expr("percentile(c_acctbal, 0.5)")
     p90 = F.expr("percentile(c_acctbal, 0.9)")
     r4 = lambda c: (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast(  # noqa: E731
-        "decimal(18,4)"
+        "double"
     )
     return customer.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
@@ -281,9 +281,9 @@ def parts_above_brand_avg(part: DataFrame) -> DataFrame:
         .select(
             "p_partkey",
             "p_brand",
-            _money("p_retailprice").alias("retailprice"),
+            _money("p_retailprice").cast("double").alias("retailprice"),
             (F.floor(F.col("brand_avg") * 10000 + F.lit(0.5)) / 10000)
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("brand_avg"),
         )
     )

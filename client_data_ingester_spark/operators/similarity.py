@@ -4,7 +4,7 @@ Embeddings are ``array<float>``; all math is done in double via built-in
 higher-order functions (``zip_with`` + ``aggregate``) — JVM-side, no Python
 UDF in the scoring loop. Scores are rounded to 6 decimals *before* ranking so
 that top-k boundaries are stable across engines/summation orders, and emitted
-as decimal(10,6).
+as DOUBLE (floor-rounded — one canonical rendering for the value hash).
 
 Two paths:
 - brute-force top-k: broadcast the (small) query set against the corpus —
@@ -87,7 +87,7 @@ def brute_force_topk(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
             F.col("rank"),
-            F.col("score").cast("decimal(10,6)").alias("score"),
+            F.col("score").alias("score"),
         )
     )
 
@@ -159,7 +159,7 @@ def ivf_topk(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),
             F.col("rank"),
-            F.col("score").cast("decimal(10,6)").alias("score"),
+            F.col("score").alias("score"),
         )
     )
 
@@ -192,31 +192,121 @@ def cosine_scores_pandas(
     )
 
 
-def embedding_near_duplicates(
+RP_SEED = "cdi-rp-v1"
+
+
+def rademacher_planes(
+    bits: int, dim: int, seed: str = RP_SEED
+) -> list[list[float]]:
+    """Fixed ±1 random-hyperplane matrix, derived from md5 so both engines
+    (and every run) see the SAME planes — no RNG state, no data dependence.
+
+    Signed ±1 (Rademacher) projections are a valid random-projection family
+    for angular LSH; the sign of ``v · plane_b`` is signature bit b."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(x) for x in plane]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def rp_band_keys(
     corpus: DataFrame,
-    threshold: float = 0.95,
-    block_col: str = "label",
+    bits: int = 8,
+    bands: int = 2,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold, blocked by ``block_col``.
+    """(id, band, key): per-band sign-bit LSH bucket keys over fixed seeded
+    hyperplanes. ``bands`` independent tables of ``bits`` bits each — a pair
+    is a candidate if it collides in ANY band (same banding trade-off as
+    MinHash LSH). Data-independent: bucket population scales with the corpus,
+    never with a class column's cardinality."""
+    planes = rademacher_planes(bands * bits, dim)
+    band_structs = []
+    for band in range(bands):
+        key = None
+        for j in range(bits):
+            bit = F.when(
+                _plane_dot(F.col(vec_col), planes[band * bits + j]) >= 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), key.cast("int").alias("key"))
+        )
+    return corpus.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    Blocking keeps the self-join O(Σ block²) instead of O(n²); at scale the
-    block column is an LSH bucket or IVF cell. Emits (id_a, id_b, score)."""
-    a = corpus.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, blocked by sign-bit LSH.
+
+    Candidate pairs collide on at least one of ``bands`` random-hyperplane
+    band keys (see ``rp_band_keys``), then are verified with EXACT cosine.
+    The blocking key is data-independent — bucket sizes stay O(n / 2^bits)
+    under the hashing assumption, so the in-bucket pair expansion is
+    O(Σ bucket²) with *bounded* bucket share, unlike blocking on a
+    low-cardinality class column where one label's bucket is a constant
+    fraction of the corpus and the join goes quadratic at scale. Recall < 1
+    by construction (angular LSH misses pairs whose bits all differ);
+    raise ``bands`` for higher recall. Emits (id_a, id_b, score)."""
+    keys = rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
+    grouped = (
+        keys.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = corpus.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
-    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.withColumn(
+    pairs = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    v = corpus.select(F.col(id_col), F.col(vec_col))
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = pairs.join(a, "id_a").join(b, "id_b").withColumn(
         "score", round6(cosine(F.col("_va"), F.col("_vb")))
     )
     return scored.filter(F.col("score") >= threshold).select(
-        "id_a", "id_b", F.col("score").cast("decimal(10,6)").alias("score")
+        "id_a", "id_b", F.col("score").alias("score")
     )

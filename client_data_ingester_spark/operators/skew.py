@@ -46,7 +46,25 @@ def salted_join(
     |small| × salt ≪ the straggler's row count. For broadcast-able small
     sides prefer F.broadcast (no shuffle at all); salting is for the
     mid-size dimension that is too big to broadcast but joins a skewed fact.
+
+    Only big-side-preserving join types are supported: because the small
+    side is replicated once per salt value, an unmatched small-side row
+    would surface ``salt`` times under right/full outer joins. Those are
+    rejected rather than silently de-duplicated.
     """
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti", "cross",
+    }
+    normalized = how.lower().replace(" ", "")
+    if normalized not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side is "
+            f"replicated {salt}x, so right/full outer joins would emit every "
+            "unmatched small-side row once per salt value. Use a plain join "
+            "(with AQE skew handling) for those."
+        )
     big_salted = big.withColumn(
         SALT_COL, (F.rand(seed=42) * salt).cast("int")
     )

@@ -2,8 +2,8 @@
 
 Everything is built-in column expressions (split/regexp/arrays) — no Python
 in the hot path — and every formula is portable to ANSI SQL so each operator
-has an exact DuckDB oracle. Ratios are emitted as decimal(10,4) (rounded
-before casting) so value-hash comparison is stable across engines.
+has an exact DuckDB oracle. Ratios are floor-rounded at scale 4 and emitted as DOUBLE so value-hash
+comparison is stable across engines (one canonical rendering).
 """
 
 from __future__ import annotations
@@ -107,7 +107,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # floor(x*1e4+0.5): deterministic half-up on identical doubles — Spark's
     # ROUND and DuckDB's ROUND disagree on decimal-looking halves (0.94125)
     dec = lambda x: (F.floor(x * 10000 + F.lit(0.5)) / 10000).cast(  # noqa: E731
-        "decimal(10,4)"
+        "double"
     )
     return docs.select(
         "doc_id",

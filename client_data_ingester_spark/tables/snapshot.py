@@ -23,15 +23,26 @@ goals, in order:
 
 This is a deliberately small, crash-safe subset of what Delta/Iceberg provide
 (those jars aren't in this image — SURVEY §4.1 "Transactionality").
-Single-writer per table is assumed (the reference serializes per-tenant writes
-through Postgres row locks; here a per-table lock file guards the swap).
+Writer serialization (the reference serializes per-tenant writes through
+Postgres row locks) is enforced two ways:
+
+- a per-table lock file (``_MANIFEST.lock``, O_CREAT|O_EXCL) is held across
+  read-manifest → stage data → publish in ``overwrite_partitions`` /
+  ``overwrite_all``, so two in-process writers can't interleave and both
+  publish version N+1 (the lost-update race);
+- ``_publish`` independently creates the versioned manifest with O_EXCL and
+  raises ``SnapshotConflictError`` if that version already exists — a
+  belt-and-braces guard against writers that bypass the lock (e.g. a crashed
+  writer's stale lock being removed manually).
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Iterable, Mapping
@@ -41,6 +52,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST = "_MANIFEST"
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer raced this one (lock timeout or version collision)."""
 
 
 @dataclass
@@ -99,10 +114,50 @@ class SnapshotTable:
         with open(path) as f:
             return Manifest.from_json(f.read())
 
+    @contextlib.contextmanager
+    def _write_lock(self, timeout: float = 60.0, poll: float = 0.05):
+        """Per-table writer lock (O_CREAT|O_EXCL lock file).
+
+        Held across read-manifest → stage-data → publish so concurrent
+        writers serialize instead of both publishing version N+1 and silently
+        losing one writer's partitions (the lost-update race)."""
+        path = os.path.join(self.root, _MANIFEST + ".lock")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    raise SnapshotConflictError(
+                        f"writer lock {path} held past {timeout}s; another "
+                        "writer is active (or crashed — remove the lock file "
+                        "after confirming no writer is running)"
+                    ) from None
+                time.sleep(poll)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
+
     def _publish(self, manifest: Manifest) -> None:
-        """Atomically swap the manifest pointer (POSIX rename)."""
+        """Atomically swap the manifest pointer (POSIX rename).
+
+        The versioned manifest is created with O_EXCL: if this exact version
+        was already published by a racing writer, fail loudly instead of
+        overwriting its commit (and later GC-ing its data directories)."""
         versioned = self._manifest_path(manifest.version)
-        with open(versioned, "w") as f:
+        try:
+            fd = os.open(versioned, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"manifest version {manifest.version} already published — "
+                "a concurrent writer won this commit; re-read and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             f.write(manifest.to_json())
             f.flush()
             os.fsync(f.fileno())
@@ -171,58 +226,62 @@ class SnapshotTable:
         Other partitions are carried forward by reference (no rewrite).
         """
         values = [str(v) for v in partition_values]
-        manifest = self.current_manifest()
-        new_version = manifest.version + 1
-        dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
-        out = os.path.join(self.root, dir_name)
-        (
-            df.select(
-                *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+        with self._write_lock():
+            manifest = self.current_manifest()
+            new_version = manifest.version + 1
+            dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
+            out = os.path.join(self.root, dir_name)
+            (
+                df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+                )
+                .write.mode("overwrite")
+                .parquet(out)
             )
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        new_partitions = dict(manifest.partitions)
-        for v in values:
-            new_partitions[v] = [dir_name]
-        new_props = dict(manifest.props)
-        if props:
-            new_props.update(props)
-        self._publish(
-            Manifest(
-                version=new_version, partitions=new_partitions, props=new_props
+            new_partitions = dict(manifest.partitions)
+            for v in values:
+                new_partitions[v] = [dir_name]
+            new_props = dict(manifest.props)
+            if props:
+                new_props.update(props)
+            self._publish(
+                Manifest(
+                    version=new_version, partitions=new_partitions, props=new_props
+                )
             )
-        )
         return self.current_manifest()
 
     def overwrite_all(self, df: DataFrame) -> Manifest:
         """Full-table replace (used by tests/bootstrap, not the ingest path)."""
-        manifest = self.current_manifest()
-        new_version = manifest.version + 1
-        dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
-        out = os.path.join(self.root, dir_name)
-        (
-            df.select(
-                *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+        with self._write_lock():
+            manifest = self.current_manifest()
+            new_version = manifest.version + 1
+            dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
+            out = os.path.join(self.root, dir_name)
+            (
+                df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+                )
+                .write.mode("overwrite")
+                .parquet(out)
             )
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        spark = df.sparkSession
-        written = spark.read.schema(self.schema).parquet(out)
-        agg = written.agg(
-            F.collect_set(self.partition_col).alias("vals"),
-            F.max("id").alias("max_id"),
-        ).first()
-        vals = [str(v) for v in (agg["vals"] or [])]
-        props = dict(manifest.props)
-        if "id" in written.columns and agg["max_id"] is not None:
-            props["max_id"] = max(int(agg["max_id"]), int(props.get("max_id", 0)))
-        self._publish(
-            Manifest(
-                version=new_version,
-                partitions={v: [dir_name] for v in vals},
-                props=props,
+            spark = df.sparkSession
+            written = spark.read.schema(self.schema).parquet(out)
+            agg = written.agg(
+                F.collect_set(self.partition_col).alias("vals"),
+                F.max("id").alias("max_id"),
+            ).first()
+            vals = [str(v) for v in (agg["vals"] or [])]
+            props = dict(manifest.props)
+            if "id" in written.columns and agg["max_id"] is not None:
+                props["max_id"] = max(
+                    int(agg["max_id"]), int(props.get("max_id", 0))
+                )
+            self._publish(
+                Manifest(
+                    version=new_version,
+                    partitions={v: [dir_name] for v in vals},
+                    props=props,
+                )
             )
-        )
         return self.current_manifest()

@@ -65,3 +65,59 @@ def test_lsh_has_no_self_join(spark):
     # candidate generation is groupBy+explode, not a bucket self-join
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_near_dup_blocking_is_data_independent(spark):
+    """The embedding near-dup blocking key must be an LSH bucket whose
+    population scales with the corpus — NOT a fixed-cardinality class column
+    (whose buckets grow linearly and make the in-bucket pair expansion
+    quadratic at scale). Occupied-bucket count must grow as the corpus grows,
+    and no single bucket may hold a constant fraction of the corpus."""
+    from pyspark.sql import functions as F
+
+    from client_data_ingester_spark.operators.similarity import rp_band_keys
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    small = emb.filter(F.col("vec_id") < 100)
+    blocks_small = rp_band_keys(small).select("band", "key").distinct().count()
+    blocks_full = rp_band_keys(emb).select("band", "key").distinct().count()
+    assert blocks_full > blocks_small  # occupancy grows with the corpus
+    n = emb.count()
+    biggest = (
+        rp_band_keys(emb)
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # label-blocking put ~1/|labels| (≥10%) of the corpus in one bucket;
+    # 8-bit sign-LSH buckets should stay well under that
+    assert biggest < 0.1 * n
+
+
+def test_insert_ids_have_no_window(spark, tmp_path):
+    """Surrogate-id assignment must be a pure expression — a
+    Window.partitionBy(<constant/boolean>) would funnel every inserted row
+    of a bulk load through one task's sort."""
+    import datetime
+
+    from client_data_ingester_spark.ingestion.service import merge_products
+    from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+
+    current = spark.createDataFrame([], CLIENT_PRODUCTS_SCHEMA)
+    updates = spark.range(100).select(
+        F.concat(F.lit("S"), F.col("id")).alias("sku"),
+        F.col("id").alias("_row_idx"),
+    )
+    merged = merge_products(
+        current, updates, ["sku"], 1, False,
+        datetime.datetime(2024, 1, 1), id_base=0,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        merged.explain("formatted")
+    assert "Window" not in buf.getvalue()
+    # ids are unique and above id_base
+    ids = [r["id"] for r in merged.select("id").collect()]
+    assert len(ids) == len(set(ids)) == 100
+    assert min(ids) >= 1

@@ -31,6 +31,20 @@ def test_salted_join_matches_plain_join(spark):
     }
 
 
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    # right/full replicate unmatched small-side rows once per salt value —
+    # salted_join must refuse them rather than emit duplicates
+    import pytest
+
+    big = spark.range(5).select(F.col("id").alias("k"))
+    small = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", salt=4, how=how)
+    # big-side-preserving types still work
+    assert salted_join(big, small, "k", salt=4, how="left").count() == 5
+
+
 def test_hot_keys_detects_skew(spark):
     big = spark.range(0, 1000).select(
         F.when(F.col("id") < 900, 7).otherwise(F.col("id")).alias("k")

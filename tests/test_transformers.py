@@ -35,6 +35,14 @@ def test_decimal_garbage_flagged_invalid(spark):
     assert all(o is None and bad for o, bad in out)
 
 
+def test_decimal_interior_whitespace_flagged_invalid(spark):
+    # Reference parity: Decimal('1 234.56') raises (only $ £ , are stripped
+    # and whitespace trimmed at the ends) — interior whitespace must trip the
+    # invalid flag, never silently ingest as 1234.56.
+    out = _apply(spark, "decimal", ["1 234.56", "$1 234.56"])
+    assert all(o is None and bad for o, bad in out)
+
+
 def test_decimal_null_stays_null_not_invalid(spark):
     out = _apply(spark, "decimal", [None])
     assert out == [(None, False)]

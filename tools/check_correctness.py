@@ -30,8 +30,13 @@ TABLES = [
 
 
 def canon(v):
+    # STRICT decimal rendering: no normalize(). The driver's hash
+    # distinguishes Decimal('123.50') from Decimal('123.5'), so the local
+    # gate must too — scale/rendering mismatches between Spark and the
+    # DuckDB oracle have to FAIL here (round-1 lesson: normalize() masked
+    # 17 driver hash failures).
     if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
