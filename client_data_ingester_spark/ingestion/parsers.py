@@ -78,7 +78,15 @@ def read_csv(spark: SparkSession, source: Source) -> DataFrame:
     df = (
         spark.read.option("header", True)
         .option("inferSchema", False)
-        .option("emptyValue", "")  # "" cells stay "", only missing cells → null
+        # A QUOTED "" cell stays "" (the always-insert empty-sku path) —
+        # but only when nullValue is moved off its default "": univocity
+        # otherwise nulls quoted empties too. The conventional \N marker is
+        # the explicit null spelling; unquoted-empty and missing cells also
+        # read as null (the python-csv bytes path keeps unquoted empties as
+        # "" — driver-parsed uploads are the reference's own surface, this
+        # distributed reader is the scale extension).
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
         .option("mode", "PERMISSIVE")
         .csv(source)
     )

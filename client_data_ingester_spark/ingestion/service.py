@@ -197,10 +197,12 @@ def merge_products(
     # formulation funneled every inserted row of a bulk load through ONE
     # task's sort; this assigns ids wherever the row already lives, zero
     # shuffle. Ids may be sparse when the parser's row index is
-    # monotonically_increasing_id (file readers); the snapshot layer tracks
-    # max_id from the written data, so sparseness only costs id-space, never
-    # correctness. (Dense ids, if ever required, are the standard
-    # zipWithIndex decomposition: per-partition counts + offsets.)
+    # monotonically_increasing_id (file readers put partition p's rows at
+    # p·2^33+n); overwrite_partitions/overwrite_all therefore compute
+    # max_id from the WRITTEN data — never from a row count — so sparseness
+    # only costs id-space, never uniqueness. (Dense ids, if ever required,
+    # are the standard zipWithIndex decomposition: per-partition counts +
+    # offsets.)
     is_new = F.col("id").isNull()
     merged = merged.withColumn(
         "id",
@@ -335,6 +337,8 @@ def _ingest(
         batch_ts,
         id_base,
     )
+    # props carries a count-derived FLOOR only; overwrite_partitions raises
+    # it to max(id) of the written data (sparse row indexes can exceed it)
     table.overwrite_partitions(
         merged,
         [client_id],

@@ -4,10 +4,21 @@ The reference's ingest is request-scoped batch (one uploaded file per call).
 Here the same pipeline is also exposed as Structured Streaming over a landing
 directory: ``readStream`` (CSV/JSON file source) → ``foreachBatch`` invoking
 the *same* merge used by the batch path, so batch and stream share one code
-path. Per-file atomicity maps to per-microbatch atomicity (the snapshot swap
-inside foreachBatch is the transactional boundary; the checkpoint gives
-exactly-once across restarts — a microbatch replayed after a crash re-merges
-idempotently because the merge is keyed upsert, not append).
+path — including the batch path's whole-file validation contract:
+
+- the micro-batch runs the same invalid-cell gate as ``ingest_data``
+  (B/ingestion/service.py:56-64 semantics): any garbage decimal/boolean cell
+  or a null sku aborts the WHOLE micro-batch with zero rows changed; the raw
+  batch goes to the dead-letter directory (if configured) with the abort
+  reason, instead of silently merging nulls;
+- exactly-once across crash/replay is transactional, not aspirational: the
+  last applied epoch id is committed in the snapshot manifest's props
+  atomically with the data publish, and a replayed micro-batch whose epoch is
+  already recorded is a no-op. This covers the otherwise non-idempotent
+  empty-sku always-insert rows, not just the keyed upserts. (Dead-letter
+  writes sit outside that transaction — an error batch replayed after a
+  crash can be dead-lettered twice; the TABLE is exactly-once, the error
+  channel is at-least-once.)
 
 Event-time windowed aggregation over the ``events`` table (watermarks, late
 data) lives in operators/events.py; this module is the ingest stream.
@@ -16,6 +27,9 @@ data) lives in operators/events.py; this module is the ingest stream.
 from __future__ import annotations
 
 import datetime as _dt
+import logging
+import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +40,8 @@ from ..ingestion.mapping import ParserConfig, compile_mapping
 from ..ingestion.parsers import ROW_IDX_COL
 from ..ingestion.service import merge_products
 from ..tables.snapshot import SnapshotTable
+
+_log = logging.getLogger(__name__)
 
 
 def _landing_schema(columns: list[str]) -> T.StructType:
@@ -42,25 +58,54 @@ def start_ingest_stream(
     source_columns: list[str],
     full_update: bool = False,
     fmt: str = "csv",
+    dead_letter_dir: str | None = None,
+    stream_id: str | None = None,
 ) -> StreamingQuery:
     """Tail ``landing_dir`` for new files and merge each micro-batch.
 
     ``source_columns`` declares the landing files' header (streaming sources
     need a fixed schema up front; everything is read as string, same as the
-    batch parser)."""
+    batch parser). ``stream_id`` keys the per-stream epoch ledger in the
+    table manifest (defaults to the checkpoint path — override it if the
+    checkpoint directory can move between runs)."""
     schema = _landing_schema(source_columns)
     reader = spark.readStream.schema(schema)
     if fmt == "csv":
-        stream = reader.option("header", True).option("emptyValue", "").csv(
-            landing_dir
+        # same CSV empty/null conventions as the batch path reader: quoted
+        # "" survives as the empty string (always-insert sku), \N is null
+        stream = (
+            reader.option("header", True)
+            .option("emptyValue", "")
+            .option("nullValue", "\\N")
+            .csv(landing_dir)
         )
     elif fmt == "json":
         stream = reader.json(landing_dir)
     else:
         raise ValueError(f"Unsupported streaming format: {fmt!r}")
 
+    txn_key = f"stream_epoch:{stream_id or os.path.abspath(checkpoint_dir)}"
+
+    def dead_letter(batch_df: DataFrame, epoch_id: int, reason: str) -> None:
+        _log.warning(
+            "ingest stream %s epoch %d aborted, zero rows changed: %s",
+            txn_key, epoch_id, reason,
+        )
+        if dead_letter_dir is None:
+            return
+        (
+            batch_df.withColumn("_epoch", F.lit(epoch_id).cast("long"))
+            .withColumn("_reason", F.lit(reason))
+            .write.mode("append")
+            .parquet(dead_letter_dir)
+        )
+
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        # replay guard: epoch committed atomically with the publish below
+        manifest = table.current_manifest()
+        if int(epoch_id) <= int(manifest.props.get(txn_key, -1)):
             return
         # row order within the micro-batch (monotonically_increasing_id is
         # legal here — batch_df is a plain DataFrame inside foreachBatch)
@@ -68,29 +113,78 @@ def start_ingest_stream(
             ROW_IDX_COL, F.monotonically_increasing_id()
         )
         compiled = compile_mapping(parser_config, batch_df)
-        updates = batch_df.select(*compiled.projection, ROW_IDX_COL)
-        if "sku" not in compiled.target_cols:
-            updates = updates.withColumn("sku", F.lit(None).cast("string"))
-        updates = updates.filter(F.col("sku").isNotNull())
-        current = table.read(spark, client_id)
-        manifest = table.current_manifest()
-        id_base = int(manifest.props.get("max_id", 0))
-        n = updates.count()
-        batch_ts = _dt.datetime.now(_dt.timezone.utc).replace(
-            tzinfo=None, microsecond=0
+
+        # same "processed row" gate as the batch path: ≥1 mapped cell present
+        if compiled.source_cols:
+            present = reduce(
+                lambda a, b: a | b,
+                [F.col(s).isNotNull() for s in compiled.source_cols],
+            )
+        else:
+            present = F.lit(False)
+        sku_mapped = "sku" in compiled.target_cols
+        bad_cols = [f"_bad_{i}" for i in range(len(compiled.invalid_flags))]
+        staged = batch_df.filter(present).select(
+            *compiled.projection,
+            *[flag.alias(b) for flag, b in zip(compiled.invalid_flags, bad_cols)],
+            ROW_IDX_COL,
         )
-        merged = merge_products(
-            current,
-            updates,
-            compiled.target_cols,
-            client_id,
-            full_update,
-            batch_ts,
-            id_base,
-        )
-        table.overwrite_partitions(
-            merged, [client_id], props={"max_id": id_base + max(n, 1)}
-        )
+        if not sku_mapped:
+            staged = staged.withColumn("sku", F.lit(None).cast("string"))
+        staged = staged.cache()
+        try:
+            stats_row = staged.agg(
+                F.count(F.lit(1)).alias("_processed"),
+                F.sum(F.col("sku").isNull().cast("long")).alias("_null_sku"),
+                *[F.sum(F.col(b).cast("long")).alias(b) for b in bad_cols],
+            ).first()
+            processed_count = stats_row["_processed"]
+            reason = None
+            for b, dst in zip(bad_cols, compiled.target_cols):
+                if stats_row[b]:
+                    reason = (
+                        f"{stats_row[b]} invalid value(s) in column {dst!r}"
+                    )
+                    break
+            if reason is None and processed_count and (
+                stats_row["_null_sku"] or not sku_mapped
+            ):
+                reason = (
+                    'null value in column "sku" violates not-null constraint'
+                )
+            if reason is not None:
+                dead_letter(batch_df.drop(ROW_IDX_COL), epoch_id, reason)
+                return  # whole-batch abort: zero rows changed, batch parity
+            if processed_count == 0 and not full_update:
+                return
+
+            updates = staged.drop(*bad_cols)
+            current = table.read(spark, client_id)
+            id_base = int(manifest.props.get("max_id", 0))
+            batch_ts = _dt.datetime.now(_dt.timezone.utc).replace(
+                tzinfo=None, microsecond=0
+            )
+            merged = merge_products(
+                current,
+                updates,
+                compiled.target_cols,
+                client_id,
+                full_update,
+                batch_ts,
+                id_base,
+            )
+            # max_id here is a count-derived floor; overwrite_partitions
+            # raises it to max(id) of the written data (sparse row indexes)
+            table.overwrite_partitions(
+                merged,
+                [client_id],
+                props={
+                    "max_id": id_base + max(processed_count, 1),
+                    txn_key: int(epoch_id),
+                },
+            )
+        finally:
+            staged.unpersist()
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

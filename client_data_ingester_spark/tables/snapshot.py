@@ -231,24 +231,53 @@ class SnapshotTable:
             new_version = manifest.version + 1
             dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, dir_name)
-            (
-                df.select(
-                    *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+            try:
+                (
+                    df.select(
+                        *[
+                            F.col(f.name).cast(f.dataType)
+                            for f in self.schema.fields
+                        ]
+                    )
+                    .write.mode("overwrite")
+                    .parquet(out)
                 )
-                .write.mode("overwrite")
-                .parquet(out)
-            )
-            new_partitions = dict(manifest.partitions)
-            for v in values:
-                new_partitions[v] = [dir_name]
-            new_props = dict(manifest.props)
-            if props:
-                new_props.update(props)
-            self._publish(
-                Manifest(
-                    version=new_version, partitions=new_partitions, props=new_props
+                new_partitions = dict(manifest.partitions)
+                for v in values:
+                    new_partitions[v] = [dir_name]
+                new_props = dict(manifest.props)
+                if props:
+                    new_props.update(props)
+                if any(f.name == "id" for f in self.schema.fields):
+                    # max_id must come from the DATA, not the caller's row
+                    # count: insert ids are id_base + row-index + 1 and the
+                    # row index is sparse (monotonically_increasing_id puts
+                    # partition p's rows at p·2^33+n), so assigned ids can
+                    # exceed any count-derived bound — trusting the caller
+                    # here let a later ingest re-assign live ids. One
+                    # column, one partition's parquet: a cheap stats read.
+                    max_id = (
+                        df.sparkSession.read.schema(self.schema)
+                        .parquet(out)
+                        .agg(F.max("id"))
+                        .first()[0]
+                    )
+                    if max_id is not None:
+                        new_props["max_id"] = max(
+                            int(max_id), int(new_props.get("max_id", 0))
+                        )
+                self._publish(
+                    Manifest(
+                        version=new_version,
+                        partitions=new_partitions,
+                        props=new_props,
+                    )
                 )
-            )
+            except BaseException:
+                # the staged dir is not referenced by any manifest yet —
+                # remove it so conflict/retry loops don't leak disk
+                shutil.rmtree(out, ignore_errors=True)
+                raise
         return self.current_manifest()
 
     def overwrite_all(self, df: DataFrame) -> Manifest:
@@ -258,30 +287,37 @@ class SnapshotTable:
             new_version = manifest.version + 1
             dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, dir_name)
-            (
-                df.select(
-                    *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
+            try:
+                (
+                    df.select(
+                        *[
+                            F.col(f.name).cast(f.dataType)
+                            for f in self.schema.fields
+                        ]
+                    )
+                    .write.mode("overwrite")
+                    .parquet(out)
                 )
-                .write.mode("overwrite")
-                .parquet(out)
-            )
-            spark = df.sparkSession
-            written = spark.read.schema(self.schema).parquet(out)
-            agg = written.agg(
-                F.collect_set(self.partition_col).alias("vals"),
-                F.max("id").alias("max_id"),
-            ).first()
-            vals = [str(v) for v in (agg["vals"] or [])]
-            props = dict(manifest.props)
-            if "id" in written.columns and agg["max_id"] is not None:
-                props["max_id"] = max(
-                    int(agg["max_id"]), int(props.get("max_id", 0))
+                spark = df.sparkSession
+                written = spark.read.schema(self.schema).parquet(out)
+                agg = written.agg(
+                    F.collect_set(self.partition_col).alias("vals"),
+                    F.max("id").alias("max_id"),
+                ).first()
+                vals = [str(v) for v in (agg["vals"] or [])]
+                props = dict(manifest.props)
+                if "id" in written.columns and agg["max_id"] is not None:
+                    props["max_id"] = max(
+                        int(agg["max_id"]), int(props.get("max_id", 0))
+                    )
+                self._publish(
+                    Manifest(
+                        version=new_version,
+                        partitions={v: [dir_name] for v in vals},
+                        props=props,
+                    )
                 )
-            self._publish(
-                Manifest(
-                    version=new_version,
-                    partitions={v: [dir_name] for v in vals},
-                    props=props,
-                )
-            )
+            except BaseException:
+                shutil.rmtree(out, ignore_errors=True)
+                raise
         return self.current_manifest()

@@ -468,3 +468,40 @@ def test_json_path_source(spark, products_table, tmp_path):
     rep = ingest_data(spark, products_table, str(p), cfg, client_id=1)
     assert rep.success, rep.message
     assert set(rows_of(spark, products_table, 1)) == {"J1", "J2"}
+
+
+def test_multifile_ingest_twice_ids_stay_unique(spark, products_table, tmp_path):
+    """The id ledger must cover SPARSE insert ids. A multi-file read's
+    _row_idx is monotonically_increasing_id (partition p's rows start at
+    p*2^33), so assigned ids can vastly exceed id_base + processed_count;
+    overwrite_partitions therefore records max(id) from the written data.
+    Before that fix, the recorded max_id fell below live ids and a later
+    ingest could re-assign them (round-2 advisor, high)."""
+    d1 = tmp_path / "batch1"
+    d1.mkdir()
+    for part in range(2):  # two files -> >=2 read partitions -> sparse ids
+        with open(d1 / f"part{part}.csv", "w") as f:
+            f.write("sku,title,active\n")
+            for i in range(5):
+                f.write(f"A{part}_{i},First,1\n")
+    rep = ingest_data(spark, products_table, str(d1), BASIC_CONFIG, client_id=1)
+    assert rep.success, rep.message
+    ids1 = [r["id"] for r in products_table.read(spark, 1).select("id").collect()]
+    ledger1 = int(products_table.current_manifest().props["max_id"])
+    # the invariant that makes future ids unique: no live id above the ledger
+    assert max(ids1) <= ledger1
+
+    d2 = tmp_path / "batch2"
+    d2.mkdir()
+    for part in range(2):
+        with open(d2 / f"part{part}.csv", "w") as f:
+            f.write("sku,title,active\n")
+            for i in range(5):
+                f.write(f"B{part}_{i},Second,1\n")
+    rep2 = ingest_data(spark, products_table, str(d2), BASIC_CONFIG, client_id=1)
+    assert rep2.success, rep2.message
+    rows = products_table.read(spark, 1).select("id", "sku").collect()
+    ids = [r["id"] for r in rows]
+    assert len(rows) == 20
+    assert len(set(ids)) == 20  # no duplicate surrogate ids across ingests
+    assert max(ids) <= int(products_table.current_manifest().props["max_id"])

