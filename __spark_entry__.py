@@ -71,6 +71,25 @@ _PART_PRODUCTS_SQL = """
 """
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-per-corpus coarse quantizer for ``similarity_ivf_topk``
+    (the persisted-index pattern: at 100 TB the centroid aggregation is a
+    full corpus scan and must never run per query batch)."""
+    import hashlib
+
+    from client_data_ingester_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    path = os.path.join(
+        "/tmp", f"cdi_ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivf_index(_t(spark, sf_dir, "embeddings"), path)
+    return load_ivf_index(spark, path)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -184,7 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), threshold=0.3
     )
     # IVF is approximate-by-design; centroid means are float-order-dependent,
-    # so this entry is rows-only checked (no oracle) on purpose.
+    # so this entry is rows-only checked (no oracle) on purpose. The coarse
+    # quantizer is a PERSISTED build artifact (build once per corpus, reuse
+    # per query batch) — the query plan reads the small centroid table, it
+    # never re-aggregates the corpus.
     q["similarity_ivf_topk"] = lambda s, d: S.ivf_topk(
         _t(s, d, "embeddings"),
         _t(s, d, "embeddings")
@@ -192,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.col("vec_id").alias("query_id"), "embedding"),
         k=5,
         nprobe=3,
+        centroids=_ivf_index(s, d),
     )
 
     # -- events / streaming-shaped ([EXT]) ---------------------------------

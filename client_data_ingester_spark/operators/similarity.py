@@ -116,6 +116,27 @@ def ivf_centroids(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD STEP: persist the coarse quantizer (per-cell centroids) as a
+    small parquet table. At 100 TB the centroid aggregation is one full scan
+    of the corpus — it must run once per corpus version, never per query
+    batch; ``ivf_topk`` then reads this table (rows = num_cells, i.e. tiny)
+    instead of re-aggregating the corpus."""
+    ivf_centroids(corpus, cell_col, vec_col).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    """Read a persisted coarse quantizer written by ``build_ivf_index``."""
+    return spark.read.parquet(path)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,13 +146,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-probed approximate top-k: score only the nprobe nearest cells.
 
     Recall < 1.0 by construction (that's the point); the probe set is chosen
     by cosine to the per-cell centroid. Corpus partitioned/bucketed by
-    ``cell_col`` at scale → the probe is a partition-pruned scan."""
-    cents = ivf_centroids(corpus, cell_col, vec_col)
+    ``cell_col`` at scale → the probe is a partition-pruned scan.
+
+    ``centroids`` should be the persisted quantizer from ``build_ivf_index``
+    (pass ``load_ivf_index(...)``); recomputing it inline is the ad-hoc
+    fallback only — it rescans the whole corpus per query batch."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, cell_col, vec_col)
+    )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cscore"), F.col(cell_col)

@@ -131,3 +131,43 @@ def test_insert_ids_have_no_constant_partition_window(spark, tmp_path):
     ids = [r["id"] for r in merged.select("id").collect()]
     assert len(ids) == len(set(ids)) == 100
     assert min(ids) >= 1
+
+
+def test_ivf_topk_with_persisted_centroids_skips_corpus_reaggregation(
+    spark, tmp_path
+):
+    """The IVF coarse quantizer is a build artifact: with a persisted
+    centroid table the query plan must read that (tiny) parquet, not
+    re-aggregate the whole corpus (posexplode+groupBy is the centroid
+    computation's plan signature)."""
+    from client_data_ingester_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    idx_path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx_path)
+
+    def fmt(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    inline_plan = fmt(ivf_topk(emb, queries))  # ad-hoc fallback
+    assert "posexplode" in inline_plan
+    indexed_plan = fmt(
+        ivf_topk(emb, queries, centroids=load_ivf_index(spark, idx_path))
+    )
+    assert "posexplode" not in indexed_plan  # no corpus re-aggregation
+    assert indexed_plan.count("Scan parquet") >= 2  # corpus + centroid table
+    # and it still answers: k results per query
+    assert ivf_topk(
+        emb, queries, centroids=load_ivf_index(spark, idx_path)
+    ).count() == 15
