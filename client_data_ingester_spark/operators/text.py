@@ -145,13 +145,18 @@ def document_fingerprints(
 
     The k lexicographically-smallest md5 digests of the doc's k-word shingles,
     concatenated and re-hashed into one fingerprint — a compact, portable
-    stand-in for winnowing; identical-fingerprint docs are near-identical."""
-    from .dedup import word_shingles
+    stand-in for winnowing; identical-fingerprint docs are near-identical.
 
-    sh = word_shingles(F.col(text_col), shingle_k)
+    Built over ``shingle_arrays`` (materialized words/shingle columns) so the
+    shingle construction runs once per doc, not once per reference of the
+    shingle expression — see dedup.word_shingles' performance note."""
+    from .dedup import shingle_arrays
+
+    arr = shingle_arrays(docs, text_col, shingle_k)
+    sh = F.col("sh")
     hashes = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
     bottom = F.slice(hashes, 1, bottom_k)
-    return docs.select(
+    return arr.select(
         "doc_id",
         F.md5(F.array_join(bottom, "|")).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
