@@ -273,6 +273,21 @@ def rp_band_keys(
     MinHash LSH). Data-independent: bucket population scales with the corpus,
     never with a class column's cardinality."""
     planes = rademacher_planes(bands * bits, dim)
+    # fail fast on a dim mismatch: zip_with would silently null-pad the
+    # shorter side (bit collapses to 0) while an engine like DuckDB errors —
+    # a silent divergence in the candidate-pair set across engines. The
+    # assert lives in a FILTER (assert_true yields null → isNull keeps every
+    # row) so column pruning can't eliminate it.
+    corpus = corpus.filter(
+        F.assert_true(
+            F.size(F.col(vec_col)) == F.lit(dim),
+            F.concat(
+                F.lit(f"rp_band_keys: embedding dim != {dim} (got "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(")"),
+            ),
+        ).isNull()
+    )
     band_structs = []
     for band in range(bands):
         key = None

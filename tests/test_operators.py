@@ -150,3 +150,19 @@ def test_pandas_udf_scoring_matches_expression_path(spark):
     }
     for vid, s_expr in expr_scores.items():
         assert abs(pandas_scores[vid] - s_expr) < 1e-6
+
+
+def test_rp_band_keys_rejects_dim_mismatch(spark):
+    """zip_with silently null-pads a short embedding (sign bit collapses to
+    0); the dim assert must fail fast instead of silently diverging."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from client_data_ingester_spark.operators.similarity import rp_band_keys
+
+    bad = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),  # dim 2, not 64
+    )
+    with pytest.raises(Exception, match="embedding dim"):
+        rp_band_keys(bad).collect()
