@@ -172,6 +172,7 @@ class AuthService:
         return {
             "user_id": u["id"],
             "email": u["email"],
+            "full_name": u["full_name"],
             "client_id": u["client_id"],
             "company_name": client[0]["company_name"],
         }
