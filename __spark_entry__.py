@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["status_priority_cube"] = lambda s, d: R.status_priority_cube(
         _t(s, d, "orders")
     )
+    q["status_priority_grouping_sets"] = lambda s, d: (
+        R.status_priority_grouping_sets(_t(s, d, "orders"))
+    )
     q["customers_without_orders"] = lambda s, d: R.customers_without_orders(
         _t(s, d, "customer"), _t(s, d, "orders")
     )
@@ -219,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- events / streaming-shaped ([EXT]) ---------------------------------
     q["events_window_agg"] = lambda s, d: E.tumbling_window_agg(
+        _t(s, d, "events")
+    )
+    q["events_hopping_window"] = lambda s, d: E.hopping_window_agg(
         _t(s, d, "events")
     )
     q["events_sessionize"] = lambda s, d: E.sessionize(_t(s, d, "events"))
@@ -507,6 +513,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                CAST(SUM({money('o_totalprice')}) AS DOUBLE) AS total
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """
+
+    o["status_priority_grouping_sets"] = f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM({money('o_totalprice')}) AS DOUBLE) AS total,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """
 
     o["customers_without_orders"] = """
@@ -888,6 +902,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2
+    """
+
+    o["events_hopping_window"] = """
+        WITH e AS (
+            SELECT event_type, value,
+                   MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 1800) * 1800
+                                       * 1000000 AS BIGINT)) AS slot
+            FROM events),
+        w AS (
+            SELECT slot AS window_start, event_type, value FROM e
+            UNION ALL
+            SELECT slot - INTERVAL 30 MINUTE, event_type, value FROM e)
+        SELECT window_start,
+               window_start + INTERVAL 60 MINUTE AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY 1, 2, 3
     """
 
     o["events_sessionize"] = """

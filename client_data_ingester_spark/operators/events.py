@@ -33,6 +33,34 @@ def tumbling_window_agg(events: DataFrame, window: str = "hour") -> DataFrame:
     )
 
 
+def hopping_window_agg(
+    events: DataFrame, size_minutes: int = 60, slide_minutes: int = 30
+) -> DataFrame:
+    """Hopping (sliding) event-time windows via native ``F.window`` — each
+    event lands in size/slide overlapping windows (here 2), epoch-aligned to
+    the slide. The streaming twin runs the same expression under a watermark;
+    the struct bounds are flattened to plain timestamp columns for the
+    cross-engine hash."""
+    assert size_minutes % slide_minutes == 0
+    w = F.window(
+        F.col("ts"), f"{size_minutes} minutes", f"{slide_minutes} minutes"
+    )
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts when the user is idle
     longer than ``gap_minutes``. Classic lag + cumulative-sum-of-breaks; one

@@ -199,6 +199,24 @@ def status_priority_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def status_priority_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general form CUBE/ROLLUP specialize
+    (each marginal separately + grand total, NOT the full cross product),
+    with grouping_id disambiguating which set produced each row (a NULL key
+    from the data vs a NULL from the rollup are different things)."""
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money("o_totalprice")).cast("double").alias("total"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
 def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """NOT EXISTS via left-anti join (the dual of Q4's left-semi): customers
     who never placed an URGENT order."""

@@ -166,3 +166,56 @@ def test_rp_band_keys_rejects_dim_mismatch(spark):
     )
     with pytest.raises(Exception, match="embedding dim"):
         rp_band_keys(bad).collect()
+
+
+def test_hopping_window_membership(spark):
+    """An event at 10:15 belongs to exactly the [9:30,10:30) and
+    [10:00,11:00) hour windows when sliding by 30 minutes."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from client_data_ingester_spark.operators.events import hopping_window_agg
+
+    df = spark.createDataFrame(
+        [(1, 1, "click", "0.50", datetime.datetime(2024, 1, 1, 10, 15))],
+        "event_id long, user_id long, event_type string, value string, ts timestamp",
+    )
+    rows = hopping_window_agg(df).collect()
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts == [
+        datetime.datetime(2024, 1, 1, 9, 30),
+        datetime.datetime(2024, 1, 1, 10, 0),
+    ]
+    assert all(
+        (r["window_end"] - r["window_start"]).total_seconds() == 3600
+        for r in rows
+    )
+    assert all(r["n_events"] == 1 and r["sum_value"] == 0.5 for r in rows)
+
+
+def test_grouping_sets_shape(spark):
+    """GROUPING SETS emits each marginal + grand total — NOT the cube's
+    cross product — and grouping_id says which set produced the row."""
+    from pyspark.sql import functions as F
+
+    from client_data_ingester_spark.operators.relational import (
+        status_priority_grouping_sets,
+    )
+
+    df = spark.createDataFrame(
+        [("O", "1-URGENT", "10.00"), ("F", "1-URGENT", "20.00"),
+         ("O", "2-HIGH", "30.00")],
+        "o_orderstatus string, o_orderpriority string, o_totalprice string",
+    )
+    rows = status_priority_grouping_sets(df).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 1 (priority rolled up): one row per status; gid 2: per priority;
+    # gid 3: grand total; gid 0 (full cross) absent
+    assert set(by_gid) == {1, 2, 3}
+    assert {r["o_orderstatus"] for r in by_gid[1]} == {"O", "F"}
+    assert {r["o_orderpriority"] for r in by_gid[2]} == {"1-URGENT", "2-HIGH"}
+    total = by_gid[3][0]
+    assert total["n"] == 3 and total["total"] == 60.0
