@@ -35,12 +35,18 @@ def windowed_event_counts(
     stream: DataFrame,
     window_duration: str = "1 hour",
     watermark_delay: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation (streaming-safe plan)."""
+    """Watermarked window aggregation (streaming-safe plan): tumbling by
+    default, hopping when ``slide`` < ``window_duration`` (each event lands
+    in size/slide windows — the streaming twin of
+    operators/events.hopping_window_agg)."""
     return (
         stream.withWatermark("ts", watermark_delay)
         .groupBy(
-            F.window(F.col("ts"), window_duration).alias("w"),
+            F.window(
+                F.col("ts"), window_duration, slide or window_duration
+            ).alias("w"),
             F.col("event_type"),
         )
         .agg(

@@ -84,3 +84,52 @@ def test_windowed_counts_and_late_data(spark, tmp_path):
         assert (10, "click", 2) in rows3
     finally:
         q.stop()
+
+
+def test_hopping_windowed_stream(spark, tmp_path):
+    """Streaming twin of hopping_window_agg: an event at 10:15 emits in BOTH
+    the [9:30,10:30) and [10:00,11:00) windows once the watermark closes
+    them (1h windows sliding by 30m)."""
+    from client_data_ingester_spark.streaming.events_stream import (
+        EVENT_SCHEMA,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_events(
+        src / "batch1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T10:15:00.000Z", "user_id": 1,
+             "event_type": "click", "value": 1.5, "props": "{}"},
+            # watermark driver closes both click windows
+            {"event_id": 2, "ts": "2024-01-01T15:00:00.000Z", "user_id": 1,
+             "event_type": "view", "value": 0.0, "props": "{}"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).format("json").load(str(src))
+    )
+    agg = windowed_event_counts(
+        stream, "1 hour", "10 minutes", slide="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        clicks = spark.sql(
+            "select * from hop where event_type = 'click'"
+        ).collect()
+        starts = {
+            (r["window_start"].hour, r["window_start"].minute) for r in clicks
+        }
+        assert starts == {(9, 30), (10, 0)}
+        assert all(r["n_events"] == 1 and float(r["sum_value"]) == 1.5
+                   for r in clicks)
+    finally:
+        q.stop()
