@@ -193,6 +193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprints"] = lambda s, d: X.document_fingerprints(
         _t(s, d, "documents")
     )
+    q["docs_hash_split"] = lambda s, d: X.hash_split(_t(s, d, "documents"))
+    q["docs_quality_stratified"] = lambda s, d: X.quality_stratified_topk(
+        _t(s, d, "documents")
+    )
 
     # -- similarity search ([EXT]) -----------------------------------------
     q["embedding_cosine_topk"] = lambda s, d: S.brute_force_topk(
@@ -808,6 +812,29 @@ def oracle_sql() -> dict[str, str]:
                      + 0.3 * (1.0 - punct_ratio * 4)
                      + 0.2 * (1.0 - digit_ratio * 4))) * 10000 + 0.5) / 10000 AS DOUBLE) AS quality_score
         FROM r
+    """
+
+    o["docs_hash_split"] = """
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100 AS INTEGER) AS bucket,
+               CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 80
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    """
+
+    # compose the langid + quality oracles as subqueries (both are
+    # standalone SELECTs; CTE-in-subquery is standard SQL)
+    o["docs_quality_stratified"] = f"""
+        SELECT doc_id, pred_lang, quality_score, rnk FROM (
+            SELECT l.doc_id, l.pred_lang, q.quality_score,
+                   ROW_NUMBER() OVER (PARTITION BY l.pred_lang
+                                      ORDER BY q.quality_score DESC, l.doc_id)
+                       AS rnk
+            FROM ({o['text_langid']}) l
+            JOIN ({o['text_quality']}) q ON l.doc_id = q.doc_id)
+        WHERE rnk <= 50
     """
 
     o["text_token_counts"] = f"""

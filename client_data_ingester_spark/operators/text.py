@@ -8,7 +8,7 @@ comparison is stable across engines (one canonical rendering).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword lang-id heuristic.
@@ -160,4 +160,46 @@ def document_fingerprints(
         "doc_id",
         F.md5(F.array_join(bottom, "|")).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+) -> DataFrame:
+    """Deterministic train/eval split by id hash — the training-pipeline
+    holdout primitive. ``sample()`` is seed- and partitioning-dependent; a
+    digest bucket is stable across runs, engines, and repartitions, and a
+    document keeps its split when the corpus grows (the property that keeps
+    eval sets uncontaminated across dataset versions). Pure expressions,
+    no shuffle."""
+    from .dedup import md5_int
+
+    bucket = md5_int(F.col(id_col).cast("string")) % 100
+    return docs.select(
+        F.col(id_col),
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+def quality_stratified_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k docs per detected language by quality score — the quality/
+    curriculum filtering shape (keep the best k of every stratum, so
+    low-resource languages aren't crowded out by the dominant one). One
+    shuffle on pred_lang for the rank window; at corpus scale k≪stratum
+    so WindowGroupLimit prunes per partition before the sort."""
+    lang = identify_language(docs).select("doc_id", "pred_lang")
+    qual = quality_scores(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("pred_lang").orderBy(
+        F.desc("quality_score"), F.col("doc_id")
+    )
+    return (
+        lang.join(qual, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "pred_lang", "quality_score", "rnk")
     )

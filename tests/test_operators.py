@@ -4,6 +4,8 @@ covered by the DuckDB oracle harness, tools/check_correctness.py)."""
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
+
 from client_data_ingester_spark.operators import dedup as D
 from client_data_ingester_spark.operators import multimodal as M
 from client_data_ingester_spark.operators import similarity as S
@@ -219,3 +221,36 @@ def test_grouping_sets_shape(spark):
     assert {r["o_orderpriority"] for r in by_gid[2]} == {"1-URGENT", "2-HIGH"}
     total = by_gid[3][0]
     assert total["n"] == 3 and total["total"] == 60.0
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """The split must be a pure function of the id: identical across runs
+    and repartitionings, ~train_pct% train."""
+    from client_data_ingester_spark.operators.text import hash_split
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    train_frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < train_frac < 0.9
+
+
+def test_quality_stratified_topk_per_stratum(spark):
+    from client_data_ingester_spark.operators.text import (
+        quality_stratified_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = quality_stratified_topk(docs, k=10).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["pred_lang"], []).append(r)
+    assert len(per_lang) > 1  # multiple strata survive
+    for lang, rs in per_lang.items():
+        assert len(rs) <= 10
+        scores = [r["quality_score"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert scores == sorted(scores, reverse=True)
