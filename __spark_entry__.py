@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: D.simhash_duplicate_groups(
         _t(s, d, "documents")
     )
+    q["dedup_clusters"] = lambda s, d: D.duplicate_clusters(
+        D.lsh_candidate_pairs(_t(s, d, "documents"), num_perm=4, bands=2)
+    )
 
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
@@ -700,6 +703,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+    # connected components over the LSH pairs: recursive-CTE transitive
+    # closure, then min reachable id per node (= the Spark label-propagation
+    # fixpoint, exactly)
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({o['dedup_lsh_candidates']}),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach AS (
+            SELECT a AS node, a AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r
+            FROM reach JOIN sym ON sym.a = reach.r)
+        SELECT node AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node
     """
 
     o["dedup_ngram_jaccard"] = f"""

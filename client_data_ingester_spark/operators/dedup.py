@@ -295,3 +295,63 @@ def ngram_jaccard_dedup(
     """LSH-blocked exact-Jaccard near-dup pairs above ``threshold``."""
     cands = lsh_candidate_pairs(docs, text_col, num_perm, bands, shingle_k)
     return jaccard_pairs(docs, cands, text_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over candidate pairs)
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components over candidate-pair edges,
+    labeling every member with the cluster's minimum doc id (the keeper).
+
+    The dedup ENDGAME: LSH/verify emits pairs, but retention policy needs
+    per-document cluster assignment ("keep min id, drop the rest") even when
+    duplicates chain A~B~C without A~C ever being a candidate pair.
+
+    Distributed min-label propagation: every node starts labeled with itself;
+    each round takes the min of its own and its neighbors' labels; converges
+    in O(component diameter) rounds (synthetic near-dup chains are short; the
+    GraphX-style large-star/small-star halves rounds if ever needed). Each
+    round is one join + one groupBy; ``localCheckpoint`` truncates the plan
+    lineage so round N's plan doesn't embed rounds 1..N-1, and the
+    sum-of-labels action doubles as the convergence test (labels only ever
+    decrease). A driver-side loop over DISTRIBUTED rounds — the per-row work
+    stays on executors; only the convergence scalar comes back."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # materialize the edge list ONCE — otherwise every propagation round
+    # re-executes the entire upstream pipeline (LSH, verify, ...) that
+    # produced the pairs
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_total = None
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        total = labels.agg(F.sum("label")).first()[0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -254,3 +254,18 @@ def test_quality_stratified_topk_per_stratum(spark):
         assert len(rs) <= 10
         scores = [r["quality_score"] for r in sorted(rs, key=lambda r: r["rnk"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B and B~C must land A, B, C in ONE cluster labeled min(id), even
+    though (A, C) was never a candidate pair; disjoint pairs stay apart."""
+    from client_data_ingester_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 30), (9, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 30: 20}
