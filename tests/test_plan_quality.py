@@ -171,3 +171,24 @@ def test_ivf_topk_with_persisted_centroids_skips_corpus_reaggregation(
     assert ivf_topk(
         emb, queries, centroids=load_ivf_index(spark, idx_path)
     ).count() == 15
+
+
+def test_minhash_plan_has_no_reinlined_shingle_filter(spark):
+    """Perf guard for the shingle formulation: the explode must NOT carry an
+    InferFiltersFromGenerate pre-filter that re-inlines the shingle
+    construction against the raw text (it re-runs the split per shingle
+    position — 4x the whole minhash stage at sf0.1). With explode_outer +
+    IS NOT NULL the only Filter in the plan tests the exploded column."""
+    from client_data_ingester_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        minhash_signatures(docs, num_perm=4).explain("extended")
+    plan = buf.getvalue()
+    optimized = plan.split("== Optimized Logical Plan ==")[1]
+    for line in optimized.splitlines():
+        if line.strip().startswith("Filter"):
+            assert "regexp_replace" not in line, (
+                "shingle construction re-inlined into a Filter:\n" + line
+            )
