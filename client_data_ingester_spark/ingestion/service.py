@@ -39,7 +39,7 @@ from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import CLIENT_PRODUCTS_SCHEMA
@@ -78,17 +78,25 @@ def fold_duplicate_skus(updates: DataFrame, mapped_cols: list[str]) -> DataFrame
     Later rows merge onto earlier ones column-wise; null never overwrites
     (J4). One row per sku survives, carrying the last non-null value of each
     mapped column in file order.
+
+    Shape: ONE sort-free aggregation — ``max_by(col, row_idx-where-non-null)``
+    is exactly "last non-null in file order" (the ordering key is null when
+    the value is null, and aggregates skip null ordering keys). Map-side
+    partial aggregation + a single shuffle on sku; the previous
+    window(last-ignorenulls) + reverse-sort row_number form paid two
+    per-partition sorts on the ingest path's biggest shuffle.
     """
-    w = Window.partitionBy("sku").orderBy(ROW_IDX_COL)
-    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    folded = updates
-    for c in mapped_cols:
-        if c != "sku":
-            folded = folded.withColumn(c, F.last(c, ignorenulls=True).over(wall))
-    rn = F.row_number().over(
-        Window.partitionBy("sku").orderBy(F.desc(ROW_IDX_COL))
+    return updates.groupBy("sku").agg(
+        *[
+            F.max_by(
+                F.col(c),
+                F.when(F.col(c).isNotNull(), F.col(ROW_IDX_COL)),
+            ).alias(c)
+            for c in mapped_cols
+            if c != "sku"
+        ],
+        F.max(ROW_IDX_COL).alias(ROW_IDX_COL),
     )
-    return folded.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def merge_products(

@@ -96,14 +96,12 @@ def test_near_dup_blocking_is_data_independent(spark):
     assert biggest < 0.1 * n
 
 
-def test_insert_ids_have_no_constant_partition_window(spark, tmp_path):
-    """Surrogate-id assignment must be a pure expression. The only windows in
-    the merge plan are the per-sku dedup fold (key-partitioned → scales with
-    the key space); a Window.partitionBy(<constant/boolean>) — the round-1
-    id-assignment bug — would funnel every inserted row of a bulk load
-    through one task's sort."""
+def test_merge_plan_has_no_window_and_ids_are_expressions(spark, tmp_path):
+    """The whole merge plan is window-free: surrogate ids are a pure
+    expression (a Window.partitionBy(<constant>) — the round-1 bug — would
+    funnel every insert through one task's sort), and the dup-sku fold is a
+    sort-free max_by aggregation, not a window."""
     import datetime
-    import re
 
     from client_data_ingester_spark.ingestion.service import merge_products
     from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
@@ -121,12 +119,7 @@ def test_insert_ids_have_no_constant_partition_window(spark, tmp_path):
     with redirect_stdout(buf):
         merged.explain("extended")
     plan = buf.getvalue()
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs, "expected the per-sku dedup fold window in the merge plan"
-    for spec in specs:
-        # first argument is the partition key: must be the natural key
-        # column, never a literal/boolean constant
-        assert spec.startswith("sku#"), f"non-key-partitioned window: {spec}"
+    assert "windowspecdefinition" not in plan
     # ids are unique and above id_base
     ids = [r["id"] for r in merged.select("id").collect()]
     assert len(ids) == len(set(ids)) == 100
