@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from client_data_ingester_spark.operators import corpus as C  # noqa: E402
 from client_data_ingester_spark.operators import dedup as D  # noqa: E402
 from client_data_ingester_spark.operators import events as E  # noqa: E402
 from client_data_ingester_spark.operators import multimodal as M  # noqa: E402
@@ -188,6 +189,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_clusters"] = lambda s, d: D.duplicate_clusters(
         D.lsh_candidate_pairs(_t(s, d, "documents"), num_perm=4, bands=2)
     )
+    q["dedup_representatives"] = lambda s, d: D.cluster_representatives(
+        _t(s, d, "documents"),
+        D.lsh_candidate_pairs(_t(s, d, "documents"), num_perm=4, bands=2),
+    )
 
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
@@ -198,6 +203,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["docs_hash_split"] = lambda s, d: X.hash_split(_t(s, d, "documents"))
     q["docs_quality_stratified"] = lambda s, d: X.quality_stratified_topk(
+        _t(s, d, "documents")
+    )
+
+    # -- corpus curation ([EXT]: decontamination / repetition / boilerplate
+    #    / term profiling) --------------------------------------------------
+    q["text_repetition"] = lambda s, d: C.repetition_scores(
+        _t(s, d, "documents")
+    )
+    q["corpus_boilerplate"] = lambda s, d: C.boilerplate_scores(
+        _t(s, d, "documents")
+    )
+    q["corpus_contamination"] = lambda s, d: C.contamination_check(
+        _t(s, d, "documents")
+    )
+    q["tfidf_top_terms"] = lambda s, d: C.tfidf_top_terms(
         _t(s, d, "documents")
     )
 
@@ -856,6 +876,135 @@ def oracle_sql() -> dict[str, str]:
             FROM ({o['text_langid']}) l
             JOIN ({o['text_quality']}) q ON l.doc_id = q.doc_id)
         WHERE rnk <= 50
+    """
+
+    # -- corpus curation ----------------------------------------------------
+    # non-distinct word occurrences (frequency work needs multiplicity)
+    word_occ = f"SELECT doc_id, u.w FROM documents, LATERAL UNNEST({words}) AS u(w)"
+    # non-distinct 2-gram occurrences (same lateral shape as `shingles`,
+    # without the DISTINCT)
+    gram2_occ = f"""
+        SELECT doc_id, G.g FROM documents,
+        LATERAL (SELECT {words} AS w) W,
+        LATERAL (
+            SELECT ARRAY_TO_STRING(W.w[i:i+1], ' ') AS g
+            FROM UNNEST(RANGE(1, GREATEST(LEN(W.w) - 1, 1) + 1)) AS T(i)
+        ) G
+    """
+
+    o["text_repetition"] = f"""
+        WITH w AS ({word_occ}),
+        ws AS (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   COUNT(DISTINCT w) AS n_distinct
+            FROM w GROUP BY doc_id),
+        g AS ({gram2_occ}),
+        gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        gs AS (
+            SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS max_c,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS rep_c
+            FROM gc GROUP BY doc_id)
+        SELECT ws.doc_id,
+               CAST(ws.n_words AS BIGINT) AS n_words,
+               CAST(ws.n_distinct AS BIGINT) AS n_distinct_words,
+               CAST(FLOOR((1.0 - CAST(ws.n_distinct AS DOUBLE) / ws.n_words)
+                          * 10000 + 0.5) / 10000 AS DOUBLE) AS dup_word_frac,
+               CAST(FLOOR(CAST(gs.max_c AS DOUBLE) / gs.n_grams
+                          * 10000 + 0.5) / 10000 AS DOUBLE) AS top_gram_frac,
+               CAST(FLOOR(CAST(gs.rep_c AS DOUBLE) / gs.n_grams
+                          * 10000 + 0.5) / 10000 AS DOUBLE) AS rep_gram_frac
+        FROM ws JOIN gs USING (doc_id)
+    """
+
+    o["corpus_boilerplate"] = f"""
+        WITH sh AS ({shingles}),
+        dfr AS (SELECT sh AS s2, COUNT(*) AS df FROM sh GROUP BY sh)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boilerplate,
+               CAST(FLOOR(CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END)
+                               AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+                    AS DOUBLE) AS boilerplate_ratio
+        FROM sh s JOIN dfr d ON s.sh = d.s2
+        GROUP BY s.doc_id
+    """
+
+    o["corpus_contamination"] = f"""
+        WITH sh AS ({shingles}),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 < 80
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM documents),
+        tr AS (
+            SELECT DISTINCT s.sh FROM sh s
+            JOIN sp ON sp.doc_id = s.doc_id WHERE sp.split = 'train'),
+        ev AS (
+            SELECT s.doc_id, s.sh FROM sh s
+            JOIN sp ON sp.doc_id = s.doc_id WHERE sp.split = 'eval')
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(FLOOR(CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)
+                               AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+                    AS DOUBLE) AS contamination_ratio
+        FROM ev e LEFT JOIN tr t ON e.sh = t.sh
+        GROUP BY e.doc_id
+    """
+
+    o["tfidf_top_terms"] = f"""
+        WITH w AS ({word_occ}),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+        dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.w AS term,
+                   CAST(tf.tf AS BIGINT) AS tf,
+                   CAST(dfr.df AS BIGINT) AS df,
+                   CAST(FLOOR(CAST(tf.tf * n.n AS DOUBLE) / dfr.df
+                              * 10000 + 0.5) / 10000 AS DOUBLE) AS score
+            FROM tf JOIN dfr USING (w) CROSS JOIN n),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+            FROM scored)
+        SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 5
+    """
+
+    # clusters (recursive closure, as dedup_clusters) + quality argmax via
+    # the packed min-key (engines disagree on composite ARG_MIN; min-by-one-
+    # string is universal)
+    o["dedup_representatives"] = f"""
+        WITH RECURSIVE pairs AS ({o['dedup_lsh_candidates']}),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach AS (
+            SELECT a AS node, a AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r
+            FROM reach JOIN sym ON sym.a = reach.r),
+        clusters AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node),
+        qx AS (
+            SELECT doc_id,
+                   CAST(FLOOR(quality_score * 10000 + 0.5) AS INTEGER) AS q4
+            FROM ({o['text_quality']})),
+        m AS (
+            SELECT c.cluster_id, c.doc_id, qx.q4,
+                   LPAD(CAST(10000 - qx.q4 AS VARCHAR), 5, '0')
+                   || LPAD(CAST(c.doc_id AS VARCHAR), 12, '0') AS pack
+            FROM clusters c JOIN qx USING (doc_id))
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ARG_MIN(doc_id, pack) AS rep_doc_id,
+               CAST(ARG_MIN(q4, pack) AS DOUBLE) / 10000 AS rep_quality
+        FROM m GROUP BY cluster_id
     """
 
     o["text_token_counts"] = f"""

@@ -1,0 +1,234 @@
+"""Corpus-level training-data curation operators ([EXT], SURVEY §7 Phase 5).
+
+The operators a large-scale LLM data pipeline runs BETWEEN dedup and
+training: decontamination (train/eval n-gram overlap), repetition-based
+quality signals (the Gopher/C4 rules), boilerplate detection by shingle
+document-frequency, and tf-idf term profiling. Everything is built-in column
+expressions over the same md5/shingle primitives as operators/dedup.py, so
+every operator has an exact DuckDB oracle; ratios use the repo's portable
+half-up convention (floor(x*1e4+0.5)/1e4 emitted as DOUBLE).
+
+Scale design (the 100 TB story):
+- all joins here shuffle on a WORD/SHINGLE key whose cardinality grows with
+  the corpus (never on a bounded label), so AQE can split skewed hot terms;
+- the contamination join's build side (distinct train shingles) and the
+  boilerplate document-frequency relation are groupBy-reduced BEFORE the
+  join — map-side partial aggregation shrinks them by the duplication
+  factor;
+- the only scalar that reaches the driver is the corpus size used by
+  tf-idf; it rides a broadcast 1-row cross join, not a collect into the
+  expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import exploded_shingles, words_expr
+from .text import hash_split
+
+
+def _dec4(c: F.Column) -> F.Column:
+    """Portable half-up at scale 4 (Spark ROUND and DuckDB ROUND disagree on
+    decimal-looking halves; floor(x*1e4+0.5) does not)."""
+    return (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast("double")
+
+
+def word_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w): one row PER OCCURRENCE of each word (non-distinct —
+    frequency work needs multiplicity, unlike dedup's distinct shingles)."""
+    return (
+        docs.select("doc_id", words_expr(F.col(text_col)).alias("_w"))
+        .select("doc_id", F.explode_outer("_w").alias("w"))
+        .filter(F.col("w").isNotNull())
+    )
+
+
+def ngram_rows(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
+    """(doc_id, g): one row per occurrence of each k-word gram (non-distinct).
+
+    Same two-projection + explode_outer formulation as
+    ``dedup.shingle_arrays``/``exploded_shingles`` (materialized words column;
+    InferFiltersFromGenerate must not re-inline the split per gram position).
+    """
+    staged = docs.select("doc_id", words_expr(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
+    return (
+        staged.select("doc_id", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    - dup_word_frac: 1 − distinct/total words (vocabulary collapse);
+    - top_gram_frac: share of k-gram occurrences held by the single most
+      frequent k-gram (loops / chant text);
+    - rep_gram_frac: share of k-gram occurrences whose gram occurs more than
+      once (overall k-gram redundancy).
+
+    Shape: two explodes (words, k-grams), each reduced by a map-side-partial
+    groupBy on (doc_id[, gram]), then a 1:1 join on doc_id. No windows, no
+    Python.
+    """
+    w = word_rows(docs, text_col)
+    wstats = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("w").alias("n_distinct_words"),
+    )
+    gcounts = ngram_rows(docs, text_col, k).groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gstats = gcounts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("max_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "rep_c"
+        ),
+    )
+    nw = F.col("n_words").cast("double")
+    ng = F.col("n_grams").cast("double")
+    return wstats.join(gstats, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        _dec4(F.lit(1.0) - F.col("n_distinct_words") / nw).alias(
+            "dup_word_frac"
+        ),
+        _dec4(F.col("max_c") / ng).alias("top_gram_frac"),
+        _dec4(F.col("rep_c") / ng).alias("rep_gram_frac"),
+    )
+
+
+def boilerplate_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    df_threshold: int = 3,
+) -> DataFrame:
+    """Per-doc share of shingles that are corpus-common (document frequency
+    ≥ ``df_threshold``) — the C4-style boilerplate signal: navigation chrome,
+    license banners, and template text recur across many documents while
+    body prose does not.
+
+    Shape: distinct-per-doc shingles → groupBy(sh) document frequency →
+    join back on the shingle → groupBy(doc_id). Both shuffles key on the
+    shingle/doc id; the df relation is corpus-vocabulary-sized, never
+    broadcast."""
+    sh = exploded_shingles(docs, text_col, shingle_k)
+    df_rel = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    n_boiler = F.sum(
+        F.when(F.col("df") >= df_threshold, 1).otherwise(0)
+    )
+    return (
+        sh.join(df_rel, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_boiler.alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+            _dec4(
+                F.col("n_boilerplate").cast("double")
+                / F.col("n_shingles")
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    train_pct: int = 80,
+) -> DataFrame:
+    """Train→eval n-gram contamination audit (decontamination primitive).
+
+    Splits the corpus with the deterministic ``hash_split``, then reports,
+    for every EVAL document, how many of its distinct k-word shingles also
+    appear anywhere in the TRAIN split. An eval doc with a high
+    contamination_ratio is leaked into training and must be dropped from the
+    benchmark (the reverse — dropping train docs — is the same query with
+    the splits swapped).
+
+    Shape: one left join keyed on the shingle string; the train side is
+    groupBy-distinct first (map-side combine), so the join's build input is
+    the train shingle VOCABULARY, not its occurrence list. No broadcast —
+    both sides scale with the corpus."""
+    split = hash_split(docs, train_pct=train_pct).select("doc_id", "split")
+    sh = exploded_shingles(docs, text_col, shingle_k).join(split, "doc_id")
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("sh").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("split") == "eval")
+    n_cont = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return (
+        ev.join(train_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_cont.alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            _dec4(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", top_k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by rational tf-idf.
+
+    The score is ``tf · N / df`` — the idf log is deliberately dropped: the
+    log doesn't change the per-document ranking (N is constant and log is
+    monotone in N/df only when comparing equal-tf terms; the product form is
+    the plain lift of the term over its corpus rate) and the rational form
+    is bit-exact across engines, where ``ln`` need not be.
+
+    Shape: word explode → tf groupBy(doc_id, w) → df groupBy(w) (derived
+    from tf, so df is one narrow count over the already-reduced relation) →
+    join on the term, corpus size rides a broadcast 1-row cross join →
+    per-doc rank window (WindowGroupLimit prunes to top_k per partition
+    before any sort at scale)."""
+    tf = word_rows(docs, text_col).groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfr = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfr, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            _dec4(
+                (F.col("tf") * F.col("n")).cast("double") / F.col("df")
+            ).alias("score"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

@@ -355,3 +355,46 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def cluster_representatives(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(cluster_id, n_members, rep_doc_id, rep_quality): pick the document
+    to KEEP from every duplicate cluster — the retention-policy step after
+    clustering. Representative = highest quality score, ties to the lowest
+    doc id.
+
+    The argmax is a single ``min_by`` over a packed sort key
+    ``lpad(10000−q₄) || lpad(doc_id)`` (q₄ = the quality score at scale 4 as
+    an integer): engines disagree on composite argmax support, but min-by-
+    one-string is universal and the pack makes the tie-break explicit. One
+    groupBy on cluster_id; quality joins 1:1 on doc_id."""
+    from .text import quality_scores
+
+    clusters = duplicate_clusters(pairs)
+    # re-quantize the (already half-up-rounded) score to its exact scale-4
+    # integer — floor(q*1e4+0.5) recovers the integer the rounding produced,
+    # immune to the binary representation of n/1e4
+    qual = quality_scores(docs, text_col).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10000 + F.lit(0.5))
+        .cast("int")
+        .alias("_q4"),
+    )
+    pack = F.concat(
+        F.lpad((F.lit(10000) - F.col("_q4")).cast("string"), 5, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+    )
+    return (
+        clusters.join(qual, "doc_id")
+        .withColumn("_pack", pack)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by(F.col("doc_id"), F.col("_pack")).alias("rep_doc_id"),
+            (
+                F.min_by(F.col("_q4"), F.col("_pack")).cast("double") / 10000
+            ).alias("rep_quality"),
+        )
+    )

@@ -269,3 +269,124 @@ def test_duplicate_clusters_transitive(spark):
         for r in duplicate_clusters(pairs).collect()
     }
     assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 30: 20}
+
+
+# ---------------------------------------------------------------------------
+# corpus curation operators
+
+
+def test_repetition_scores_flag_loops(spark):
+    from client_data_ingester_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "five totally distinct words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.repetition_scores(docs).collect()}
+    # doc 1: 4 words, 1 distinct; all three 2-grams are "spam spam"
+    assert out[1]["n_words"] == 4 and out[1]["n_distinct_words"] == 1
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["top_gram_frac"] == 1.0
+    assert out[1]["rep_gram_frac"] == 1.0
+    # doc 2: fully unique words and grams
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_gram_frac"] == 0.25  # 1 of 4 gram occurrences
+    assert out[2]["rep_gram_frac"] == 0.0
+
+
+def test_boilerplate_ratio_counts_corpus_common_shingles(spark):
+    from client_data_ingester_spark.operators import corpus as C
+
+    footer = "all rights reserved by the template"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {footer}"),
+            (2, f"epsilon zeta eta theta {footer}"),
+            (3, f"iota kappa lambda mu {footer}"),
+            (4, "completely original body text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.boilerplate_scores(docs, df_threshold=3).collect()
+    }
+    # the footer's interior shingles hit df=3; each doc's unique head does not
+    assert out[1]["n_boilerplate"] > 0
+    assert out[1]["n_boilerplate"] == out[2]["n_boilerplate"]
+    assert out[4]["n_boilerplate"] == 0 and out[4]["boilerplate_ratio"] == 0.0
+
+
+def test_contamination_identical_docs_fully_contaminated(spark):
+    from client_data_ingester_spark.operators import corpus as C
+    from client_data_ingester_spark.operators.text import hash_split
+
+    # 40 byte-identical docs: hash_split will put some in each bucket, and
+    # every eval doc's shingle set is then fully present in train
+    docs = spark.createDataFrame(
+        [(i, "one common body of shared text repeated") for i in range(40)],
+        "doc_id long, text string",
+    )
+    splits = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert "train" in splits.values() and "eval" in splits.values()
+    out = C.contamination_check(docs).collect()
+    assert {r["doc_id"] for r in out} == {
+        i for i, s in splits.items() if s == "eval"
+    }
+    assert all(r["contamination_ratio"] == 1.0 for r in out)
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    from client_data_ingester_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared unicorn"),
+            (2, "shared shared common"),
+            (3, "shared shared common"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r["doc_id"]: r
+        for r in C.tfidf_top_terms(docs, top_k=1).collect()
+    }
+    # doc 1: 'unicorn' (tf 1, df 1, score 3) beats 'shared' (tf 2, df 3, 2)
+    assert top[1]["term"] == "unicorn"
+    assert top[1]["score"] == 3.0
+
+
+def test_cluster_representatives_pick_best_quality_member(spark):
+    from client_data_ingester_spark.operators.dedup import (
+        cluster_representatives,
+    )
+    from client_data_ingester_spark.operators.text import quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2!!! 1234 9999 !!!"),  # noisy → low quality
+            (2, "the fox with mean words here"),  # clean → higher quality
+            (3, "zz"),
+            (10, "solo pair partner"),
+            (11, "solo pair partner two"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_scores(docs).collect()
+    }
+    best = max((1, 2, 3), key=lambda d: (q[d], -d))
+    out = {
+        r["cluster_id"]: r for r in cluster_representatives(docs, pairs).collect()
+    }
+    assert set(out) == {1, 10}
+    assert out[1]["n_members"] == 3
+    assert out[1]["rep_doc_id"] == best
+    assert abs(out[1]["rep_quality"] - q[best]) < 1e-9

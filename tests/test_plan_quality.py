@@ -185,3 +185,21 @@ def test_minhash_plan_has_no_reinlined_shingle_filter(spark):
             assert "regexp_replace" not in line, (
                 "shingle construction re-inlined into a Filter:\n" + line
             )
+
+
+def test_contamination_join_is_shuffle_on_shingle_no_cartesian(spark):
+    """The decontamination join must hash-partition on the shingle key (both
+    sides corpus-sized) — never broadcast a corpus-scaled side, never fall
+    onto a nested-loop product."""
+    plan = plan_of(spark, "corpus_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_corpus_size_rides_broadcast(spark):
+    """The only driver-scale scalar in tf-idf (corpus size N) must reach the
+    scorer via a broadcast of the 1-row aggregate — not a collect into the
+    expression tree, not a shuffled join."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
