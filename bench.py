@@ -48,6 +48,10 @@ HEADLINE = [
     "asof_join_last_event",
     "range_join_follows",
     "multimodal_features",
+    "text_repetition",
+    "corpus_boilerplate",
+    "corpus_contamination",
+    "tfidf_top_terms",
 ]
 
 

@@ -280,6 +280,24 @@ class SnapshotTable:
                 raise
         return self.current_manifest()
 
+    def compact(
+        self,
+        spark: SparkSession,
+        partition_value: object,
+        target_files: int = 1,
+    ) -> Manifest:
+        """Rewrite one partition's data into ``target_files`` parquet files.
+
+        Every ingest writes the merged partition with the session's shuffle
+        parallelism, so a hot tenant accumulates ~shuffle.partitions small
+        files per ingest generation. Compaction is data-identical maintenance:
+        read the current partition, coalesce (narrow — no shuffle), publish as
+        a new version through the same locked/atomic path as any write.
+        Readers of the old version are unaffected (keep_versions retention).
+        """
+        df = self.read(spark, partition_value).coalesce(max(1, target_files))
+        return self.overwrite_partitions(df, [partition_value])
+
     def overwrite_all(self, df: DataFrame) -> Manifest:
         """Full-table replace (used by tests/bootstrap, not the ingest path)."""
         with self._write_lock():

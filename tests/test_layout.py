@@ -1,0 +1,112 @@
+"""Write-side layout tests: partition pruning, file counts, compaction.
+
+The 100 TB read story depends on the write layout — these tests pin that
+(a) partition predicates prune at the PATH level (PartitionFilters in the
+scan, not a post-scan Filter), (b) clustering-before-write prevents the
+small-files explosion, and (c) snapshot compaction collapses a partition's
+file count without changing its data.
+"""
+
+import glob
+import io
+import os
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+from client_data_ingester_spark.tables import SnapshotTable
+from client_data_ingester_spark.tables.layout import (
+    read_events_day,
+    write_events_partitioned,
+)
+
+
+def _events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def test_partitioned_write_prunes_and_avoids_small_files(spark, tmp_path):
+    path = str(tmp_path / "events_by_day")
+    ev = _events(spark)
+    write_events_partitioned(ev, path)
+
+    # layout: one file per partition dir (clustered write), not one per task
+    day_dirs = glob.glob(os.path.join(path, "event_date=*"))
+    assert day_dirs, "expected Hive-style partition dirs"
+    for d in day_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"small-files explosion in {d}: {files}"
+
+    # pruning: the date predicate must appear as a PartitionFilter on the
+    # scan (path-level pruning), and the scan must not read all partitions
+    day = ev.select(F.to_date("ts").cast("string")).first()[0]
+    pruned = read_events_day(spark, path, day)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    # correctness: the pruned read returns exactly that day's rows
+    expected = ev.filter(F.to_date("ts") == F.lit(day)).count()
+    assert pruned.count() == expected > 0
+
+
+def test_sorted_layout_pushes_residual_filter(spark, tmp_path):
+    path = str(tmp_path / "events_sorted")
+    write_events_partitioned(_events(spark), path)
+    q = (
+        read_events_day(
+            spark, path, _events(spark).select(F.to_date("ts").cast("string")).first()[0]
+        )
+        .filter(F.col("user_id") == 7)
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    # the user_id predicate reaches the parquet reader (row-group stats are
+    # selective because the write sorted on user_id within each day)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1].split("]")[0]
+    assert "user_id" in pushed
+
+
+def test_snapshot_compact_collapses_files_keeps_data(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    rows = [
+        (i, 1, f"S{i}", None, None, None, None, None, True, None, None, None)
+        for i in range(1, 201)
+    ]
+    # force a many-files write (one file per slice)
+    df = spark.createDataFrame(rows, CLIENT_PRODUCTS_SCHEMA).repartition(8)
+    t.overwrite_partitions(df, [1])
+
+    def files_of(version_dirs):
+        out = []
+        for d in version_dirs:
+            out += glob.glob(os.path.join(d, "*.parquet"))
+        return out
+
+    m1 = t.current_manifest()
+    dirs1 = [os.path.join(t.root, d) for d in m1.partitions["1"]]
+    assert len(files_of(dirs1)) == 8
+
+    before = sorted(
+        (r["id"], r["sku"]) for r in t.read(spark, 1).collect()
+    )
+    m2 = t.compact(spark, 1, target_files=1)
+    assert m2.version == m1.version + 1
+    dirs2 = [os.path.join(t.root, d) for d in m2.partitions["1"]]
+    assert len(files_of(dirs2)) == 1
+    after = sorted((r["id"], r["sku"]) for r in t.read(spark, 1).collect())
+    assert after == before
+    # the id ledger survives compaction
+    assert int(m2.props["max_id"]) == int(m1.props["max_id"])
