@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_sessionize"] = lambda s, d: E.sessionize(_t(s, d, "events"))
     q["events_json_agg"] = lambda s, d: E.json_props_agg(_t(s, d, "events"))
+    q["events_funnel"] = lambda s, d: E.funnel_steps(_t(s, d, "events"))
     q["asof_join_last_event"] = lambda s, d: E.asof_join_orders_events(
         _t(s, d, "orders"), _t(s, d, "events")
     )
@@ -1147,6 +1148,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS DOUBLE)
                           / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_k
         FROM events GROUP BY 1, 2
+    """
+
+    o["events_funnel"] = """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS ts_1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS ts_2 FROM events e
+            JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.ts_1
+            WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS ts_3 FROM events e
+            JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.ts_2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+               CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS steps_completed
+        FROM s1
+        LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
     """
 
     o["asof_join_last_event"] = """

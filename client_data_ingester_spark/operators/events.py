@@ -183,3 +183,50 @@ def range_join_event_pairs(events: DataFrame, minutes: int = 5) -> DataFrame:
         .groupBy("user_id", "click_id")
         .agg(F.count(F.lit(1)).alias("n_following"))
     )
+
+
+def funnel_steps(
+    events: DataFrame, steps: list[str] | None = None
+) -> DataFrame:
+    """Ordered conversion funnel per user: first time of step 1, first
+    occurrence of step 2 STRICTLY AFTER that, first step 3 after step 2, …
+    (the classic product-analytics funnel; sessionize answers "how long",
+    this answers "how far").
+
+    Shape: one filtered min-aggregate per step, chained by a user-keyed join
+    carrying the previous step's timestamp into the next step's filter —
+    step k is one shuffle on user_id over only the step-k events (the
+    event_type filter is pushed to the scan). No windows over the full
+    stream, no per-user sort; at scale each stage's input is the step's own
+    event volume, not the whole table. Users who never reach step 1 are
+    absent (funnel entry defines the cohort).
+
+    Returns user_id, ts_1..ts_N (null once the funnel is abandoned), and
+    steps_completed.
+    """
+    steps = steps or ["view", "click", "purchase"]
+    assert steps, "funnel needs at least one step"
+    reached = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_1"))
+    )
+    out = reached
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .select("user_id", F.col("ts").alias("_ts"))
+            .join(out.select("user_id", F.col(f"ts_{i-1}").alias("_prev")), "user_id")
+            .filter(F.col("_ts") > F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("_ts").alias(f"ts_{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    completed = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        completed = completed + F.col(f"ts_{i}").isNotNull().cast("int")
+    return out.select(
+        "user_id",
+        *[F.col(f"ts_{i}") for i in range(1, len(steps) + 1)],
+        completed.cast("long").alias("steps_completed"),
+    )

@@ -193,11 +193,29 @@ class SnapshotTable:
     # ---- read --------------------------------------------------------------
 
     def read(
-        self, spark: SparkSession, partition_value: object | None = None
+        self,
+        spark: SparkSession,
+        partition_value: object | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot; tenant-scoped reads prune at the
-        manifest level (only that tenant's directories are scanned)."""
-        manifest = self.current_manifest()
+        manifest level (only that tenant's directories are scanned).
+
+        ``version`` time-travels to an older snapshot (within the
+        ``keep_versions`` retention horizon — the same property that makes
+        in-flight readers safe across a publish makes historical reads
+        free: the manifest for version N still names N's directories)."""
+        if version is not None:
+            path = self._manifest_path(version)
+            if not os.path.exists(path):
+                raise ValueError(
+                    f"version {version} is not available (GC horizon is "
+                    f"{self.keep_versions} versions)"
+                )
+            with open(path) as f:
+                manifest = Manifest.from_json(f.read())
+        else:
+            manifest = self.current_manifest()
         if partition_value is not None:
             dirs = manifest.partitions.get(str(partition_value), [])
         else:

@@ -110,3 +110,23 @@ def test_snapshot_compact_collapses_files_keeps_data(spark, tmp_path):
     assert after == before
     # the id ledger survives compaction
     assert int(m2.props["max_id"]) == int(m1.props["max_id"])
+
+
+def test_snapshot_time_travel_reads_old_version(spark, tmp_path):
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+
+    def df(skus):
+        rows = [
+            (i + 1, 1, s, None, None, None, None, None, True, None, None, None)
+            for i, s in enumerate(skus)
+        ]
+        return spark.createDataFrame(rows, CLIENT_PRODUCTS_SCHEMA)
+
+    t.overwrite_partitions(df(["A"]), [1])          # v1
+    t.overwrite_partitions(df(["A", "B"]), [1])     # v2
+    assert {r["sku"] for r in t.read(spark, 1).collect()} == {"A", "B"}
+    assert {r["sku"] for r in t.read(spark, 1, version=1).collect()} == {"A"}
+    with pytest.raises(ValueError):
+        t.read(spark, 1, version=99)

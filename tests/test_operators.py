@@ -390,3 +390,30 @@ def test_cluster_representatives_pick_best_quality_member(spark):
     assert out[1]["n_members"] == 3
     assert out[1]["rep_doc_id"] == best
     assert abs(out[1]["rep_quality"] - q[best]) < 1e-9
+
+
+def test_funnel_requires_strict_order(spark):
+    import datetime as dt
+
+    from client_data_ingester_spark.operators.events import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(1), 1, "view"), (2, t(2), 1, "click"), (3, t(3), 1, "purchase"),
+        # user 2: purchase happens but BEFORE any click → funnel stops at 1
+        (4, t(1), 2, "view"), (5, t(2), 2, "purchase"),
+        # user 3: click precedes the first view; the click after view counts
+        (6, t(1), 3, "click"), (7, t(2), 3, "view"), (8, t(3), 3, "click"),
+        # user 4: never enters the funnel (no view) → absent
+        (9, t(1), 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["user_id"]: r for r in funnel_steps(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["steps_completed"] == 1 and out[2]["ts_2"] is None
+    assert out[3]["steps_completed"] == 2
+    assert out[3]["ts_2"] == t(3)  # the post-view click, not the earlier one
