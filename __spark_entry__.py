@@ -247,6 +247,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         centroids=_ivf_index(s, d),
     )
 
+    # deterministic ANN: seeded sign-bit LSH bucket probe + exact rerank —
+    # the oracle-checkable approximate path (ivf stays rows-only by design)
+    q["similarity_lsh_probe_topk"] = lambda s, d: S.lsh_probe_topk(
+        _t(s, d, "embeddings"),
+        _t(s, d, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+    )
+
     # -- events / streaming-shaped ([EXT]) ---------------------------------
     q["events_window_agg"] = lambda s, d: E.tumbling_window_agg(
         _t(s, d, "events")
@@ -1091,6 +1101,36 @@ def oracle_sql() -> dict[str, str]:
         JOIN embeddings a ON a.vec_id = p.id_a
         JOIN embeddings b ON b.vec_id = p.id_b
         WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.3
+    """
+
+    _q_band_keys = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id AS query_id, {band} AS band, "
+        f"({_band_key_sql(band)}) AS key FROM embeddings WHERE vec_id < 3"
+        for band in range(_RP_BANDS)
+    )
+    o["similarity_lsh_probe_topk"] = f"""
+        WITH ckeys AS (
+            {_band_keys}),
+        qkeys AS (
+            {_q_band_keys}),
+        cand AS (
+            SELECT DISTINCT qk.query_id, ck.vec_id AS neighbor_id
+            FROM qkeys qk JOIN ckeys ck
+              ON ck.band = qk.band AND ck.key = qk.key
+            WHERE ck.vec_id <> qk.query_id),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS score
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.query_id
+            JOIN embeddings b ON b.vec_id = c.neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, CAST(score AS DOUBLE) AS score
+        FROM ranked WHERE rank <= 5
     """
 
     # -- events -------------------------------------------------------------

@@ -134,3 +134,60 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(idx).alias("frame_idx"),
         F.col("meta.n_frames").alias("n_frames"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, out_width int, out_height int, "
+    "scale_x double, scale_y double, resized_hash string"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    out_width: int = 32,
+    out_height: int = 32,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize plumbing for image rows: Arrow-batched ``mapInPandas`` with a
+    1:1 row contract, emitting the output geometry, the scale factors from
+    the metadata dims, and a digest standing in for the resized payload.
+
+    The pixel resample itself is the stubbed codec step (``decode_stub=False``
+    raises where Pillow would be called); everything Spark-side — the image
+    filter pushed to the scan, batch iteration, schema, scale math — is real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                for k, p in zip(pdf["kind"], pdf["payload"]):
+                    _decode_real(k, p)  # raises NotImplementedError
+            widths = [m["width"] if m else None for m in pdf["meta"]]
+            heights = [m["height"] if m else None for m in pdf["meta"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "scale_x": [
+                        (out_width / w) if w else None for w in widths
+                    ],
+                    "scale_y": [
+                        (out_height / h) if h else None for h in heights
+                    ],
+                    # stub stand-in for the resized payload: digest of the
+                    # original payload + output geometry (deterministic)
+                    "resized_hash": [
+                        hashlib.md5(
+                            (p or b"")
+                            + f"|{out_width}x{out_height}".encode()
+                        ).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

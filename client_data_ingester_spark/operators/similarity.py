@@ -355,3 +355,63 @@ def embedding_near_duplicates(
     return scored.filter(F.col("score") >= threshold).select(
         "id_a", "id_b", F.col("score").alias("score")
     )
+
+
+def lsh_probe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k via sign-bit LSH bucket probe + exact-cosine rerank.
+
+    The fully-DETERMINISTIC approximate path (companion to ``ivf_topk``,
+    whose float-mean centroids are summation-order-dependent and therefore
+    oracle-exempt): candidates are corpus vectors sharing at least one of
+    the query's ``bands`` seeded-hyperplane band keys; only candidates are
+    scored. Same recall trade-off as any LSH probe — raise ``bands`` for
+    recall, ``bits`` for precision. Queries may return < k rows when a
+    bucket holds few candidates; that IS the ANN contract.
+
+    Scale shape: the corpus-side band keys are a narrow projection
+    (computable at write time and bucketable by (band, key) — then the
+    probe is a bucket-pruned scan); the query-side keys and vectors are
+    broadcast; exact rerank touches only the candidate set.
+    """
+    ckeys = rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
+    qkeys = rp_band_keys(
+        queries, bits, bands, dim, query_id_col, vec_col
+    ).select(F.col("id").alias(query_id_col), "band", "key")
+    cand = (
+        ckeys.join(F.broadcast(qkeys), ["band", "key"])
+        .select(F.col(query_id_col), F.col("id").alias("neighbor_id"))
+        .distinct()
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+    )
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), query_id_col)
+        .join(nv, "neighbor_id")
+        .withColumn("score", round6(cosine(F.col("_nvec"), F.col("_qvec"))))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "rank",
+            F.col("score").cast("double").alias("score"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Streaming deduplication ([EXT], SURVEY §2.9): the streaming twin of
+operators/dedup.exact_duplicates.
+
+A document stream is deduplicated on the normalized-text digest as it
+arrives, so the downstream pipeline (quality scoring, tokenization, sink)
+only ever sees each distinct text once — the "dedup at ingest, not as a
+nightly batch" shape a continuously-fed training corpus needs.
+
+State design for scale:
+- the dedup key is the md5 DIGEST of the normalized text (16 bytes in the
+  state store), never the text itself — state size is O(distinct docs), not
+  O(corpus bytes);
+- ``dropDuplicatesWithinWatermark`` bounds the state store by event time:
+  a digest is only held while a duplicate could still arrive inside the
+  watermark delay, then evicted. Unbounded-history dedup (the batch
+  operator) is the wrong tool in a stream — its state grows forever;
+  within-watermark dedup is the streaming contract: exact within the
+  horizon, append-only beyond it (re-sends older than the watermark are the
+  batch job's problem, same division of labor as Kafka→lakehouse pipelines);
+- the per-batch plan is a hash aggregate on the digest — same shuffle key
+  and skew behavior as the batch exact-dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import norm_text
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    watermark_delay: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-text pass-through: first arrival of each normalized text
+    (within the watermark horizon) survives, later copies are dropped."""
+    return (
+        stream.withColumn("text_hash", F.md5(norm_text(F.col(text_col))))
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "deduped_docs",
+    watermark_delay: str = "10 minutes",
+) -> StreamingQuery:
+    """Tail a directory of document json files → memory sink of first-seen
+    documents. Drive deterministically with ``processAllAvailable()``."""
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .format("json")
+        .load(source_dir)
+    )
+    return (
+        dedup_stream(stream, watermark_delay)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

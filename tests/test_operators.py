@@ -417,3 +417,26 @@ def test_funnel_requires_strict_order(spark):
     assert out[2]["steps_completed"] == 1 and out[2]["ts_2"] is None
     assert out[3]["steps_completed"] == 2
     assert out[3]["ts_2"] == t(3)  # the post-view click, not the earlier one
+
+
+def test_resize_plumbing_image_only_and_scales(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text payload {i}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    media = M.attach_media_columns(docs)
+    out = M.resize_images(media, out_width=32, out_height=16).collect()
+    # only image rows (doc_id % 3 == 0) survive the kind filter
+    assert {r["media_id"] for r in out} == {0, 3, 6}
+    for r in out:
+        assert (r["out_width"], r["out_height"]) == (32, 16)
+        assert r["scale_x"] == 32 / 64 and r["scale_y"] == 16 / 64
+        assert len(r["resized_hash"]) == 32
+    # stub off → the codec boundary raises
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        M.resize_images(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
