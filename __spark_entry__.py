@@ -83,9 +83,20 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_ivf_index,
     )
 
-    path = os.path.join(
-        "/tmp", f"cdi_ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
-    )
+    # cache key = path + CONTENT fingerprint (mtime_ns + size of every file
+    # under the embeddings parquet) — regenerated source data invalidates the
+    # cached index instead of being silently served a stale quantizer
+    src = f"{sf_dir}/embeddings.parquet"
+    stats = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            stats.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        stats.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5(f"v2|{sf_dir}|{'|'.join(stats)}".encode()).hexdigest()
+    path = os.path.join("/tmp", f"cdi_ivf_index_{key[:12]}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_ivf_index(_t(spark, sf_dir, "embeddings"), path)
     return load_ivf_index(spark, path)
@@ -232,11 +243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
         _t(s, d, "embeddings"), threshold=0.3
     )
-    # IVF is approximate-by-design; centroid means are float-order-dependent,
-    # so this entry is rows-only checked (no oracle) on purpose. The coarse
-    # quantizer is a PERSISTED build artifact (build once per corpus, reuse
-    # per query batch) — the query plan reads the small centroid table, it
-    # never re-aggregates the corpus.
+    # IVF is approximate-by-design but fully DETERMINISTIC since the
+    # integer-exact centroid quantization (similarity.ivf_centroids) — it is
+    # oracle-checked like every other query. The coarse quantizer is a
+    # PERSISTED build artifact (build once per corpus, reuse per query
+    # batch) — the query plan reads the small centroid table, it never
+    # re-aggregates the corpus.
     q["similarity_ivf_topk"] = lambda s, d: S.ivf_topk(
         _t(s, d, "embeddings"),
         _t(s, d, "embeddings")
@@ -1009,7 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         m AS (
             SELECT c.cluster_id, c.doc_id, qx.q4,
                    LPAD(CAST(10000 - qx.q4 AS VARCHAR), 5, '0')
-                   || LPAD(CAST(c.doc_id AS VARCHAR), 12, '0') AS pack
+                   || LPAD(CAST(c.doc_id AS VARCHAR), 20, '0') AS pack
             FROM clusters c JOIN qx USING (doc_id))
         SELECT cluster_id,
                CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -1133,6 +1145,59 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 5
     """
 
+    # IVF probe with the SAME integer-exact quantized centroids as
+    # similarity.ivf_centroids: floor(Σ floor(v·10⁶) / n) / 10⁶ per (cell,
+    # pos) over exact long sums — associative, so both engines agree bit-for-
+    # bit regardless of summation order.
+    o["similarity_ivf_topk"] = f"""
+        WITH ex AS (
+            SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS sv
+            FROM embeddings),
+        cent AS (
+            SELECT label, pos,
+                   CAST(FLOOR(CAST(SUM(sv) AS DOUBLE) / COUNT(*)) AS DOUBLE)
+                   / 1000000.0 AS m
+            FROM ex GROUP BY label, pos),
+        centroids AS (
+            SELECT label, LIST(m ORDER BY pos) AS centroid
+            FROM cent GROUP BY label),
+        q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id < 3),
+        probed AS (
+            SELECT query_id, label FROM (
+                SELECT a.query_id, b.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.query_id
+                           ORDER BY FLOOR((
+                               LIST_DOT_PRODUCT(
+                                   CAST(a.embedding AS DOUBLE[]), b.centroid)
+                               / (SQRT(LIST_DOT_PRODUCT(
+                                       CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                                  * SQRT(LIST_DOT_PRODUCT(
+                                        b.centroid, b.centroid)))
+                           ) * 1000000 + 0.5) / 1000000 DESC,
+                           b.label) AS crank
+                FROM q a CROSS JOIN centroids b)
+            WHERE crank <= 3),
+        scored AS (
+            SELECT p.query_id, b.vec_id AS neighbor_id,
+                   FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS score
+            FROM probed p
+            JOIN embeddings b ON b.label = p.label
+            JOIN embeddings a ON a.vec_id = p.query_id
+            WHERE b.vec_id <> p.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, CAST(score AS DOUBLE) AS score
+        FROM ranked WHERE rank <= 5
+    """
+
     # -- events -------------------------------------------------------------
     o["events_window_agg"] = """
         SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
@@ -1215,7 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         WITH j AS (
             SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
                    LPAD(CAST(EPOCH_US(e.ts) AS VARCHAR), 20, '0')
-                   || LPAD(CAST(e.event_id AS VARCHAR), 12, '0') AS pack
+                   || LPAD(CAST(e.event_id AS VARCHAR), 20, '0') AS pack
             FROM orders o
             LEFT JOIN events e
               ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
@@ -1223,7 +1288,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderdate, MAX(pack) AS _pack
             FROM j GROUP BY 1, 2, 3)
         SELECT o_orderkey, o_custkey, o_orderdate,
-               TRY_CAST(SUBSTR(_pack, 21, 12) AS BIGINT) AS last_event_id,
+               TRY_CAST(SUBSTR(_pack, 21, 20) AS BIGINT) AS last_event_id,
                MAKE_TIMESTAMP(TRY_CAST(SUBSTR(_pack, 1, 20) AS BIGINT)) AS last_event_ts
         FROM a
     """

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import CLIENT_PRODUCTS_SCHEMA
-from ..tables.snapshot import SnapshotTable
+from ..tables.snapshot import SnapshotConflictError, SnapshotTable
 from .mapping import CompiledMapping, ParserConfig, compile_mapping
 from .parsers import ROW_IDX_COL, Source, get_parser
 
@@ -318,40 +318,62 @@ def _ingest(
             stats={"processed_count": 0},
         )
 
-    current = table.read(spark, client_id)
     batch_ts = _batch_timestamp()
-    manifest = table.current_manifest()
-    id_base = int(manifest.props.get("max_id", 0))
-
     deactivated_count = 0
     ingested_sku_count = 0
-    if full_update:
-        keys = (
-            updates.filter(F.length(F.col("sku")) > 0)
-            .select("sku")
-            .distinct()
-            .cache()
+    # Optimistic-concurrency loop: the merge is computed against a snapshot
+    # PINNED to the manifest version read here, and the publish passes that
+    # version (+ the id base) as the expected state. A concurrent writer that
+    # lands in between makes overwrite_partitions raise instead of letting
+    # this publish silently drop the racer's rows (or mint colliding ids) —
+    # we then re-read the new snapshot and re-merge. This is the parquet-
+    # world equivalent of the reference's Postgres transaction serialization.
+    last_conflict: SnapshotConflictError | None = None
+    for _attempt in range(5):
+        manifest = table.current_manifest()
+        id_base = int(manifest.props.get("max_id", 0))
+        current = table.read(
+            spark,
+            client_id,
+            version=manifest.version if manifest.version else None,
         )
-        ingested_sku_count = keys.count()
-        deactivated_count = current.join(keys, "sku", "left_anti").count()
-        keys.unpersist()
-
-    merged = merge_products(
-        current,
-        updates,
-        compiled.target_cols,
-        client_id,
-        full_update,
-        batch_ts,
-        id_base,
-    )
-    # props carries a count-derived FLOOR only; overwrite_partitions raises
-    # it to max(id) of the written data (sparse row indexes can exceed it)
-    table.overwrite_partitions(
-        merged,
-        [client_id],
-        props={"max_id": id_base + max(processed_count, 1)},
-    )
+        if full_update:
+            keys = (
+                updates.filter(F.length(F.col("sku")) > 0)
+                .select("sku")
+                .distinct()
+                .cache()
+            )
+            ingested_sku_count = keys.count()
+            deactivated_count = current.join(keys, "sku", "left_anti").count()
+            keys.unpersist()
+        merged = merge_products(
+            current,
+            updates,
+            compiled.target_cols,
+            client_id,
+            full_update,
+            batch_ts,
+            id_base,
+        )
+        try:
+            # props carries a count-derived FLOOR only; overwrite_partitions
+            # raises it to max(id) of the written data (sparse row indexes
+            # can exceed it)
+            table.overwrite_partitions(
+                merged,
+                [client_id],
+                props={"max_id": id_base + max(processed_count, 1)},
+                expected_version=manifest.version,
+                expected_max_id=id_base,
+            )
+            break
+        except SnapshotConflictError as e:
+            last_conflict = e
+            continue
+    else:
+        staged.unpersist()
+        raise last_conflict
     staged.unpersist()
 
     stats: dict[str, Any] = {"processed_count": processed_count}

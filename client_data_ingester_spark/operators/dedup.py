@@ -332,6 +332,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     prev_total = None
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -350,8 +351,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         total = labels.agg(F.sum("label")).first()[0]
         if total == prev_total:
+            converged = True
             break
         prev_total = total
+    if not converged:
+        # a partial labeling is a WRONG clustering (members of one component
+        # still carry different labels) — fail loudly instead of silently
+        # diverging from the exact transitive closure. Components deeper than
+        # max_iter need a bigger budget (or the large-star/small-star variant
+        # that converges in O(log n) rounds).
+        raise RuntimeError(
+            f"duplicate_clusters: min-label propagation did not converge "
+            f"within max_iter={max_iter} rounds — a connected component has "
+            f"diameter > {max_iter}; raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -382,9 +395,13 @@ def cluster_representatives(
         .cast("int")
         .alias("_q4"),
     )
+    # 20-digit id pad: Spark's lpad TRUNCATES over-length strings, so a
+    # 12-digit pad silently corrupts the key for doc_id ≥ 10^12 — reachable
+    # with sparse monotonically_increasing_id (partition p starts at p·2^33,
+    # 13 digits at ~117 partitions). 20 digits covers all of int64.
     pack = F.concat(
         F.lpad((F.lit(10000) - F.col("_q4")).cast("string"), 5, "0"),
-        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 20, "0"),
     )
     return (
         clusters.join(qual, "doc_id")

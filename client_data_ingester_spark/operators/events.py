@@ -131,9 +131,11 @@ def asof_join_orders_events(orders: DataFrame, events: DataFrame) -> DataFrame:
     )
     # Deterministic argmax on (ts, event_id) via a sortable string pack —
     # portable to engines whose arg_max can't take a composite key.
+    # 20-digit pads: lpad TRUNCATES over-length input, which would corrupt
+    # the key silently for ids ≥ 10^12; 20 digits covers all of int64.
     pack = F.concat(
         F.lpad(F.unix_micros(F.col("ev_ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     agg = j.groupBy("o_orderkey", "o_custkey", "o_orderdate").agg(
         F.max(pack).alias("_pack")
@@ -142,7 +144,7 @@ def asof_join_orders_events(orders: DataFrame, events: DataFrame) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.substring("_pack", 21, 12).try_cast("long").alias("last_event_id"),
+        F.substring("_pack", 21, 20).try_cast("long").alias("last_event_id"),
         F.timestamp_micros(
             F.substring("_pack", 1, 20).try_cast("long")
         ).alias("last_event_ts"),

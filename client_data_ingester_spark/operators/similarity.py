@@ -95,14 +95,31 @@ def brute_force_topk(
 def ivf_centroids(
     corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Per-cell mean embedding (the coarse quantizer)."""
-    dim_count = F.size(F.col(vec_col))
+    """Per-cell mean embedding (the coarse quantizer), quantized at 1e-6.
+
+    Each component is computed INTEGER-EXACTLY — ``floor(Σ floor(v·10⁶) / n)
+    / 10⁶`` over long sums — instead of a float ``avg``. A float mean is
+    summation-order-dependent (shuffle/partition order changes the last ulp),
+    which makes the probe's cell ranking nondeterministic across runs AND
+    engines; the integer form is associative, so the centroid (and therefore
+    every downstream top-k) is bit-stable everywhere. The 1e-6 quantization
+    is far below any angular resolution the coarse quantizer needs."""
     exploded = corpus.select(
         F.col(cell_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
     )
+    per_pos = exploded.groupBy(cell_col, "pos").agg(
+        F.sum(
+            F.floor(F.col("v").cast("double") * 1000000).cast("long")
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # _s/_n stays well under 2^53, so the double division + floor is exact
+    m = (
+        F.floor(F.col("_s").cast("double") / F.col("_n")).cast("double")
+        / 1000000.0
+    )
     return (
-        exploded.groupBy(cell_col, "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        per_pos.select(F.col(cell_col), F.col("pos"), m.alias("m"))
         .groupBy(cell_col)
         .agg(
             F.array_sort(
@@ -370,9 +387,9 @@ def lsh_probe_topk(
 ) -> DataFrame:
     """ANN top-k via sign-bit LSH bucket probe + exact-cosine rerank.
 
-    The fully-DETERMINISTIC approximate path (companion to ``ivf_topk``,
-    whose float-mean centroids are summation-order-dependent and therefore
-    oracle-exempt): candidates are corpus vectors sharing at least one of
+    A second fully-DETERMINISTIC approximate path (companion to ``ivf_topk``,
+    which since the integer-exact centroid quantization is deterministic
+    too): candidates are corpus vectors sharing at least one of
     the query's ``bands`` seeded-hyperplane band keys; only candidates are
     scored. Same recall trade-off as any LSH probe — raise ``bands`` for
     recall, ``bits`` for precision. Queries may return < k rows when a

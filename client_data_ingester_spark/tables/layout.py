@@ -39,11 +39,17 @@ def write_partitioned(
 
     ``files_per_partition > 1`` splits hot partitions across several tasks
     (a salt column keeps the shuffle balanced and is dropped before write).
+    The salt is CONTENT-DERIVED (hash of the row's non-partition columns,
+    not ``rand``): a retried task re-produces the identical row→file
+    assignment, so speculative/retried writes are byte-stable.
     """
     if files_per_partition <= 1:
         out = df.repartition(*[F.col(c) for c in partition_cols])
     else:
-        salt = (F.rand(seed=7) * files_per_partition).cast("int")
+        salt_cols = [c for c in df.columns if c not in partition_cols]
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in salt_cols]), F.lit(files_per_partition)
+        )
         out = (
             df.withColumn("_salt", salt)
             .repartition(

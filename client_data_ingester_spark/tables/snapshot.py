@@ -114,6 +114,16 @@ class SnapshotTable:
         with open(path) as f:
             return Manifest.from_json(f.read())
 
+    def _manifest_at(self, version: int) -> Manifest | None:
+        """The manifest as of ``version`` (None if GC'd past the horizon)."""
+        if version == 0:
+            return Manifest(version=0, partitions={})
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return Manifest.from_json(f.read())
+
     @contextlib.contextmanager
     def _write_lock(self, timeout: float = 60.0, poll: float = 0.05):
         """Per-table writer lock (O_CREAT|O_EXCL lock file).
@@ -237,15 +247,50 @@ class SnapshotTable:
         df: DataFrame,
         partition_values: Iterable[object],
         props: Mapping[str, object] | None = None,
+        expected_version: int | None = None,
+        expected_max_id: int | None = None,
     ) -> Manifest:
         """Replace the listed partitions with ``df``'s rows, atomically.
 
         ``df`` must contain only rows belonging to ``partition_values``.
         Other partitions are carried forward by reference (no rewrite).
+
+        Optimistic concurrency: callers that computed ``df`` as a MERGE
+        against a snapshot read pass the manifest version they read
+        (``expected_version``). Under the write lock, if any of the written
+        partitions' directory entries changed since that version, the merge
+        was computed from stale data and publishing it would silently drop
+        the racing writer's rows — ``SnapshotConflictError`` is raised
+        instead and the caller re-reads + re-merges (the reference gets this
+        serialization for free from Postgres row locks). ``expected_max_id``
+        guards the id ledger the same way: a caller that minted surrogate
+        ids above the max_id it read conflicts if ANY writer (any tenant)
+        advanced max_id since — otherwise two concurrent ingests could both
+        assign ids from the same base and collide across tenants.
         """
         values = [str(v) for v in partition_values]
         with self._write_lock():
             manifest = self.current_manifest()
+            if expected_version is not None and manifest.version != expected_version:
+                expected = self._manifest_at(expected_version)
+                if expected is None or any(
+                    manifest.partitions.get(v) != expected.partitions.get(v)
+                    for v in values
+                ):
+                    raise SnapshotConflictError(
+                        f"partition(s) {values} changed since version "
+                        f"{expected_version} (now {manifest.version}); "
+                        "re-read and retry the merge"
+                    )
+            if (
+                expected_max_id is not None
+                and int(manifest.props.get("max_id", 0)) != expected_max_id
+            ):
+                raise SnapshotConflictError(
+                    f"max_id advanced from {expected_max_id} to "
+                    f"{manifest.props.get('max_id', 0)} since the merge was "
+                    "computed; re-read and retry (surrogate ids would collide)"
+                )
             new_version = manifest.version + 1
             dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, dir_name)
@@ -312,9 +357,31 @@ class SnapshotTable:
         read the current partition, coalesce (narrow — no shuffle), publish as
         a new version through the same locked/atomic path as any write.
         Readers of the old version are unaffected (keep_versions retention).
+
+        The read is PINNED to the manifest version observed at entry and the
+        publish carries that version as ``expected_version`` — an ingest that
+        lands between the read and the publish makes the publish conflict
+        (instead of silently rolling the partition back to pre-ingest data),
+        and the compaction retries against the new version. Compaction mints
+        no ids, so it does not guard max_id.
         """
-        df = self.read(spark, partition_value).coalesce(max(1, target_files))
-        return self.overwrite_partitions(df, [partition_value])
+        for _ in range(5):
+            manifest = self.current_manifest()
+            df = self.read(
+                spark,
+                partition_value,
+                version=manifest.version if manifest.version else None,
+            ).coalesce(max(1, target_files))
+            try:
+                return self.overwrite_partitions(
+                    df, [partition_value], expected_version=manifest.version
+                )
+            except SnapshotConflictError:
+                continue
+        raise SnapshotConflictError(
+            f"compact({partition_value!r}) lost the publish race 5 times; "
+            "a writer is continuously updating this partition"
+        )
 
     def overwrite_all(self, df: DataFrame) -> Manifest:
         """Full-table replace (used by tests/bootstrap, not the ingest path)."""

@@ -109,8 +109,23 @@ class SparkIngesterApp:
             status, payload, extra_headers = e.status, {"detail": e.detail}, []
         except AuthError as e:
             status, payload, extra_headers = 401, {"detail": e.message}, []
-        except Exception as e:  # pragma: no cover - parity catch-all
-            status, payload, extra_headers = 500, {"detail": str(e)}, []
+        except Exception:  # pragma: no cover - parity catch-all
+            # log server-side, return the reference's generic body — never
+            # leak internal paths/plan details to the client
+            import logging
+            import traceback
+
+            logging.getLogger(__name__).error(
+                "unhandled error serving %s %s\n%s",
+                environ.get("REQUEST_METHOD"),
+                environ.get("PATH_INFO"),
+                traceback.format_exc(),
+            )
+            status, payload, extra_headers = (
+                500,
+                {"detail": "Internal Server Error"},
+                [],
+            )
         body = json.dumps(payload).encode()
         start_response(
             _STATUS_LINE[status],

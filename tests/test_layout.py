@@ -59,6 +59,33 @@ def test_partitioned_write_prunes_and_avoids_small_files(spark, tmp_path):
     assert pruned.count() == expected > 0
 
 
+def test_salted_write_is_byte_stable_across_runs(spark, tmp_path):
+    """The files_per_partition salt is content-derived (hash, not rand):
+    writing the same input twice — as a task retry or speculative attempt
+    would — produces byte-identical files in every partition dir."""
+    import hashlib
+
+    ev = _events(spark)
+    p1, p2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    write_events_partitioned(ev, p1, files_per_partition=2)
+    write_events_partitioned(ev, p2, files_per_partition=2)
+
+    def digests(root):
+        out = {}
+        for d in sorted(glob.glob(os.path.join(root, "event_date=*"))):
+            hs = sorted(
+                hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in glob.glob(os.path.join(d, "*.parquet"))
+            )
+            out[os.path.basename(d)] = hs
+        return out
+
+    d1, d2 = digests(p1), digests(p2)
+    assert d1 and d1 == d2
+    # the salt actually splits hot partitions across >1 file
+    assert any(len(hs) > 1 for hs in d1.values())
+
+
 def test_sorted_layout_pushes_residual_filter(spark, tmp_path):
     path = str(tmp_path / "events_sorted")
     write_events_partitioned(_events(spark), path)

@@ -407,16 +407,21 @@ def test_funnel_requires_strict_order(spark):
         (6, t(1), 3, "click"), (7, t(2), 3, "view"), (8, t(3), 3, "click"),
         # user 4: never enters the funnel (no view) → absent
         (9, t(1), 4, "purchase"),
+        # user 5: clicks BEFORE the first view and never again — ordered
+        # semantics say steps_completed=1; unordered-contains would say 2.
+        # This is the case that pins the operator to ordered semantics.
+        (10, t(1), 5, "click"), (11, t(2), 5, "view"),
     ]
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string"
     )
     out = {r["user_id"]: r for r in funnel_steps(ev).collect()}
-    assert set(out) == {1, 2, 3}
+    assert set(out) == {1, 2, 3, 5}
     assert out[1]["steps_completed"] == 3
     assert out[2]["steps_completed"] == 1 and out[2]["ts_2"] is None
     assert out[3]["steps_completed"] == 2
     assert out[3]["ts_2"] == t(3)  # the post-view click, not the earlier one
+    assert out[5]["steps_completed"] == 1 and out[5]["ts_2"] is None
 
 
 def test_resize_plumbing_image_only_and_scales(spark):
