@@ -84,19 +84,38 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # cache key = path + CONTENT fingerprint (mtime_ns + size of every file
-    # under the embeddings parquet) — regenerated source data invalidates the
-    # cached index instead of being silently served a stale quantizer
+    # under the embeddings parquet, walked recursively so partitioned
+    # layouts fingerprint their leaf files too) — regenerated source data
+    # invalidates the cached index instead of being silently served a stale
+    # quantizer
     src = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(src):
+        raise FileNotFoundError(
+            f"embeddings source not found at {src}; cannot build IVF index"
+        )
     stats = []
     if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, name))
-            stats.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        for root, dirs, files in os.walk(src):
+            dirs.sort()
+            for name in sorted(files):
+                full = os.path.join(root, name)
+                st = os.stat(full)
+                rel = os.path.relpath(full, src)
+                stats.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     else:
         st = os.stat(src)
         stats.append(f"{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5(f"v2|{sf_dir}|{'|'.join(stats)}".encode()).hexdigest()
-    path = os.path.join("/tmp", f"cdi_ivf_index_{key[:12]}")
+    key = hashlib.md5(f"v3|{sf_dir}|{'|'.join(stats)}".encode()).hexdigest()
+    # per-user cache root (0700) so another local user can't pre-create the
+    # keyed dir with a _SUCCESS marker and poison the cached quantizer
+    import tempfile
+
+    cache_root = os.path.join(
+        tempfile.gettempdir(), f"cdi_ivf_cache_{os.getuid()}"
+    )
+    os.makedirs(cache_root, mode=0o700, exist_ok=True)
+    os.chmod(cache_root, 0o700)
+    path = os.path.join(cache_root, f"ivf_index_{key[:12]}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_ivf_index(_t(spark, sf_dir, "embeddings"), path)
     return load_ivf_index(spark, path)

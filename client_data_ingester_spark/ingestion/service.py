@@ -329,52 +329,63 @@ def _ingest(
     # we then re-read the new snapshot and re-merge. This is the parquet-
     # world equivalent of the reference's Postgres transaction serialization.
     last_conflict: SnapshotConflictError | None = None
-    for _attempt in range(5):
-        manifest = table.current_manifest()
-        id_base = int(manifest.props.get("max_id", 0))
-        current = table.read(
-            spark,
-            client_id,
-            version=manifest.version if manifest.version else None,
-        )
-        if full_update:
-            keys = (
-                updates.filter(F.length(F.col("sku")) > 0)
-                .select("sku")
-                .distinct()
-                .cache()
+    # try/finally so ANY exit — success, conflict exhaustion, or an
+    # unexpected error from merge/overwrite — releases the cached staged
+    # DataFrame exactly once (a leak here pins executor storage memory for
+    # the rest of the session).
+    try:
+        for _attempt in range(5):
+            manifest = table.current_manifest()
+            id_base = int(manifest.props.get("max_id", 0))
+            current = table.read(
+                spark,
+                client_id,
+                version=manifest.version if manifest.version else None,
             )
-            ingested_sku_count = keys.count()
-            deactivated_count = current.join(keys, "sku", "left_anti").count()
-            keys.unpersist()
-        merged = merge_products(
-            current,
-            updates,
-            compiled.target_cols,
-            client_id,
-            full_update,
-            batch_ts,
-            id_base,
-        )
-        try:
-            # props carries a count-derived FLOOR only; overwrite_partitions
-            # raises it to max(id) of the written data (sparse row indexes
-            # can exceed it)
-            table.overwrite_partitions(
-                merged,
-                [client_id],
-                props={"max_id": id_base + max(processed_count, 1)},
-                expected_version=manifest.version,
-                expected_max_id=id_base,
+            if full_update:
+                # INTENTIONALLY recomputed on every retry: the counts must
+                # describe the snapshot version this attempt merges against
+                # (a racer may have added/retired skus between attempts).
+                # Do not hoist out of the loop.
+                keys = (
+                    updates.filter(F.length(F.col("sku")) > 0)
+                    .select("sku")
+                    .distinct()
+                    .cache()
+                )
+                ingested_sku_count = keys.count()
+                deactivated_count = current.join(
+                    keys, "sku", "left_anti"
+                ).count()
+                keys.unpersist()
+            merged = merge_products(
+                current,
+                updates,
+                compiled.target_cols,
+                client_id,
+                full_update,
+                batch_ts,
+                id_base,
             )
-            break
-        except SnapshotConflictError as e:
-            last_conflict = e
-            continue
-    else:
+            try:
+                # props carries a count-derived FLOOR only;
+                # overwrite_partitions raises it to max(id) of the written
+                # data (sparse row indexes can exceed it)
+                table.overwrite_partitions(
+                    merged,
+                    [client_id],
+                    props={"max_id": id_base + max(processed_count, 1)},
+                    expected_version=manifest.version,
+                    expected_max_id=id_base,
+                )
+                break
+            except SnapshotConflictError as e:
+                last_conflict = e
+                continue
+        else:
+            raise last_conflict
+    finally:
         staged.unpersist()
-        raise last_conflict
-    staged.unpersist()
 
     stats: dict[str, Any] = {"processed_count": processed_count}
     if full_update:

@@ -42,18 +42,43 @@ def write_partitioned(
     The salt is CONTENT-DERIVED (hash of the row's non-partition columns,
     not ``rand``): a retried task re-produces the identical row→file
     assignment, so speculative/retried writes are byte-stable.
+
+    The salted ``repartition`` carries an EXPLICIT partition count: a
+    column-only repartition is a hint AQE's ``coalescePartitions`` is free
+    to collapse — on a small-footprint write it merges the whole shuffle
+    into one task and the split silently no-ops (one file per dir again).
+    A user-specified count is never coalesced. The count is
+    ``n_dirs * files_per_partition * 4``: one hash bucket per intended
+    (dir, salt) file, overprovisioned 4x so two (dir, salt) groups rarely
+    collide into the same task (a collision merges two intended files —
+    harmless for correctness, but it would blunt the split). The
+    ``n_dirs`` distinct-count is one cheap map-side-combined scan of the
+    partition columns only.
     """
     if files_per_partition <= 1:
         out = df.repartition(*[F.col(c) for c in partition_cols])
     else:
         salt_cols = [c for c in df.columns if c not in partition_cols]
-        salt = F.pmod(
-            F.hash(*[F.col(c) for c in salt_cols]), F.lit(files_per_partition)
-        )
+        # F.hash rejects zero args and MapType columns: serialize maps to
+        # JSON first, and fall back to a constant salt (no split — every
+        # column is a partition column, so rows within a dir are
+        # indistinguishable and any content-derived split is impossible).
+        hashable = [
+            F.to_json(F.col(c))
+            if df.schema[c].dataType.typeName() == "map"
+            else F.col(c)
+            for c in salt_cols
+        ]
+        if hashable:
+            salt = F.pmod(F.hash(*hashable), F.lit(files_per_partition))
+        else:
+            salt = F.lit(0)
+        n_dirs = df.select(*partition_cols).distinct().count()
+        n_tasks = max(1, n_dirs * files_per_partition * 4)
         out = (
             df.withColumn("_salt", salt)
             .repartition(
-                *[F.col(c) for c in partition_cols], F.col("_salt")
+                n_tasks, *[F.col(c) for c in partition_cols], F.col("_salt")
             )
             .drop("_salt")
         )
