@@ -22,37 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry  # noqa: E402
 from client_data_ingester_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "topk_parts_per_brand",
-    "orders_window_funcs",
-    "balance_quantiles",
-    "parts_above_brand_avg",
-    "date_string_funcs",
-    "products_search_rank",
-    "upsert_snapshot",
-    "full_update_deactivation",
-    "dedup_exact",
-    "dedup_lsh_candidates",
-    "dedup_simhash",
-    "text_quality",
-    "text_langid",
-    "doc_fingerprints",
-    "embedding_cosine_topk",
-    "embedding_near_duplicates",
-    "events_window_agg",
-    "events_sessionize",
-    "asof_join_last_event",
-    "range_join_follows",
-    "multimodal_features",
-    "text_repetition",
-    "corpus_boilerplate",
-    "corpus_contamination",
-    "tfidf_top_terms",
-]
+# HEADLINE = every scored queries() entry except the hash_probe_* type
+# canaries (sub-ms constants — they'd only add noise to the total). Derived
+# dynamically so a new operator gets a perf trend the round it lands instead
+# of silently missing from the bench.
+def headline(qs: dict) -> list[str]:
+    return [name for name in qs if not name.startswith("hash_probe_")]
 
 
 def main() -> None:
@@ -65,31 +40,43 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    # SPARK_GRAFT_BENCH_REPEATS>1 runs each query N times and reports the
+    # median (plus all runs under "runs") — for settling noise vs regression.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+
     per_query: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline(qs):
         fn = qs[name]
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).count()
-        except Exception as e:  # a broken query must not lose the whole run
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
+        times: list[float] = []
+        failed = False
+        for _ in range(repeats):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as e:  # a broken query must not lose the run
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                failed = True
+                break
+            times.append(round(time.time() - t0, 3))
+        if failed or not times:
             per_query[name] = -1.0
             continue
-        dt = round(time.time() - t0, 3)
-        per_query[name] = dt
-        total += dt
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+        med = sorted(times)[len(times) // 2]
+        per_query[name] = med
+        all_runs[name] = times
+        total += med
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if repeats > 1:
+        out["runs"] = all_runs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

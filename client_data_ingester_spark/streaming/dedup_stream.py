@@ -53,6 +53,14 @@ def dedup_stream(
     )
 
 
+def _doc_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .format("json")
+        .load(source_dir)
+    )
+
+
 def start_dedup_stream(
     spark: SparkSession,
     source_dir: str,
@@ -61,17 +69,57 @@ def start_dedup_stream(
     watermark_delay: str = "10 minutes",
 ) -> StreamingQuery:
     """Tail a directory of document json files → memory sink of first-seen
-    documents. Drive deterministically with ``processAllAvailable()``."""
-    stream = (
-        spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .format("json")
-        .load(source_dir)
-    )
+    documents. Drive deterministically with ``processAllAvailable()``.
+
+    Memory sink = test/debug harness; production lands through
+    :func:`start_dedup_stream_to_parquet`.
+    """
     return (
-        dedup_stream(stream, watermark_delay)
+        dedup_stream(_doc_stream(spark, source_dir), watermark_delay)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def start_dedup_stream_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    query_name: str = "deduped_docs_parquet",
+    watermark_delay: str = "10 minutes",
+) -> StreamingQuery:
+    """Production sink: first-seen documents land as parquet, exactly-once
+    across restarts and replays.
+
+    ``foreachBatch`` + one partition dir per micro-batch
+    (``output_dir/batch_id=N``, written with overwrite) makes the sink
+    IDEMPOTENT: after a crash between "batch written" and "offset
+    committed", the restarted query replays the same batchId into the same
+    dir and overwrites its own partial output instead of duplicating rows —
+    the standard exactly-once recipe for non-transactional stores. The
+    dedup STATE (seen digests within the watermark horizon) lives in the
+    checkpoint, so a restart keeps dropping duplicates of documents that
+    arrived before the crash; read the result with
+    ``spark.read.parquet(output_dir)`` (``batch_id`` is a partition
+    column).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_dir}/batch_id={batch_id}"
+            )
+        )
+
+    return (
+        dedup_stream(_doc_stream(spark, source_dir), watermark_delay)
+        .writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_write_batch)
         .start()
     )

@@ -6,6 +6,7 @@ import json
 
 from client_data_ingester_spark.streaming.dedup_stream import (
     start_dedup_stream,
+    start_dedup_stream_to_parquet,
 )
 
 
@@ -52,3 +53,56 @@ def test_stream_drops_duplicates_across_microbatches(spark, tmp_path):
         assert ids == {1, 3, 5}
     finally:
         q.stop()
+
+
+def test_parquet_sink_survives_restart_first_seen_only(spark, tmp_path):
+    """Production sink + checkpoint restart: dedup state is recovered from
+    the checkpoint, so a duplicate of a PRE-restart document arriving AFTER
+    the restart is still dropped, and the parquet output holds exactly the
+    first-seen rows across both incarnations of the query."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ts = "2024-01-01T10:{:02d}:00.000Z"
+
+    _write_docs(
+        src / "b1.json",
+        [
+            {"doc_id": 1, "ts": ts.format(0), "text": "alpha beta gamma"},
+            {"doc_id": 2, "ts": ts.format(1), "text": " Alpha  beta GAMMA "},
+            {"doc_id": 3, "ts": ts.format(2), "text": "wholly different"},
+        ],
+    )
+    q = start_dedup_stream_to_parquet(spark, str(src), ckpt, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}
+
+    # restart from the same checkpoint; the new batch carries a duplicate
+    # of a pre-restart doc (must be dropped by RECOVERED state) and a new
+    # doc (must pass)
+    _write_docs(
+        src / "b2.json",
+        [
+            {"doc_id": 4, "ts": ts.format(3), "text": "alpha beta gamma"},
+            {"doc_id": 5, "ts": ts.format(4), "text": "brand new text"},
+        ],
+    )
+    q2 = start_dedup_stream_to_parquet(spark, str(src), ckpt, out)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 3, 5]
+    # exactly-once shape: each surviving row appears exactly once, and the
+    # restarted query appended via new batch dirs rather than rewriting old
+    hashes = [r["text_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))
