@@ -309,64 +309,111 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     per-document cluster assignment ("keep min id, drop the rest") even when
     duplicates chain A~B~C without A~C ever being a candidate pair.
 
-    Distributed min-label propagation: every node starts labeled with itself;
-    each round takes the min of its own and its neighbors' labels; converges
-    in O(component diameter) rounds (synthetic near-dup chains are short; the
-    GraphX-style large-star/small-star halves rounds if ever needed). Each
-    round is one join + one groupBy; ``localCheckpoint`` truncates the plan
-    lineage so round N's plan doesn't embed rounds 1..N-1, and the
-    sum-of-labels action doubles as the convergence test (labels only ever
-    decrease). A driver-side loop over DISTRIBUTED rounds — the per-row work
-    stays on executors; only the convergence scalar comes back."""
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    # materialize the edge list ONCE — otherwise every propagation round
-    # re-executes the entire upstream pipeline (LSH, verify, ...) that
-    # produced the pairs
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    Algorithm: alternating **large-star / small-star** rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round rewires every node toward the smallest id it can currently see,
+    which contracts a component of ANY diameter in **O(log n) rounds**
+    (min-label propagation needs O(diameter) rounds: a 10⁶-document chain
+    would need 10⁶ of them; this needs ~20). Per round the work is two
+    groupBy-min's and two joins on the node id — plain shuffles Catalyst/AQE
+    handle like any aggregation, nothing driver-side except the convergence
+    scalar. ``localCheckpoint`` truncates lineage so round N's plan doesn't
+    embed rounds 1..N-1.
+
+    - large-star(u): every neighbor v > u re-attaches to m = min(Γ(u) ∪ u)
+    - small-star(u): u and its neighbors v < u collapse onto their minimum
+
+    At the fixpoint the edge set IS the answer: a star per component, every
+    member pointing at the component's minimum id. Convergence is detected
+    by a (count, id-sum) checksum going stable — the potential function
+    strictly decreases every non-fixpoint round — then confirmed with an
+    exact set compare before trusting it."""
+    # canonical directed edges (hi > lo), deduped, self-loops dropped, and
+    # materialized ONCE — otherwise every round re-executes the entire
+    # upstream pipeline (LSH, verify, ...) that produced the pairs
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_total = None
+    nodes = (
+        edges.select(F.col("hi").alias("node"))
+        .union(edges.select(F.col("lo").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_chk = None
     converged = False
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        labels = (
-            labels.join(neigh, labels["node"] == neigh["a"], "left")
+        sym = edges.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        # large-star: neighbors above u re-attach to min(Γ(u) ∪ {u})
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", "label")
-                ).alias("label"),
+                F.col("v").alias("hi"),
+                F.least(F.col("mn"), F.col("u")).alias("lo"),
             )
+        )
+        # small-star: u and its below-u neighbors collapse onto their min
+        lsym = large.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(large.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        sn = lsym.where(F.col("v") < F.col("u"))
+        smins = sn.groupBy("u").agg(F.min("v").alias("mn"))
+        new_edges = (
+            sn.join(smins, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("hi"), F.col("mn").alias("lo"))
+            .union(
+                smins.select(F.col("u").alias("hi"), F.col("mn").alias("lo"))
+            )
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
             .localCheckpoint()
         )
-        total = labels.agg(F.sum("label")).first()[0]
-        if total == prev_total:
-            converged = True
-            break
-        prev_total = total
-    if not converged:
-        # a partial labeling is a WRONG clustering (members of one component
-        # still carry different labels) — fail loudly instead of silently
-        # diverging from the exact transitive closure. Components deeper than
-        # max_iter need a bigger budget (or the large-star/small-star variant
-        # that converges in O(log n) rounds).
-        raise RuntimeError(
-            f"duplicate_clusters: min-label propagation did not converge "
-            f"within max_iter={max_iter} rounds — a connected component has "
-            f"diameter > {max_iter}; raise max_iter"
+        chk = tuple(
+            new_edges.agg(
+                F.count(F.lit(1)), F.sum(F.col("hi") + F.col("lo"))
+            ).first()
         )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        if chk == prev_chk:
+            # checksum-stable; confirm exactly (both are checkpointed, the
+            # compare runs once per clustering, not once per round)
+            if (
+                new_edges.exceptAll(edges).limit(1).count() == 0
+                and edges.exceptAll(new_edges).limit(1).count() == 0
+            ):
+                edges = new_edges
+                converged = True
+                break
+        prev_chk = chk
+        edges = new_edges
+    if not converged:
+        # a partial contraction is a WRONG clustering (members of one
+        # component may still point at different minima) — fail loudly
+        # instead of silently diverging from the exact transitive closure.
+        raise RuntimeError(
+            f"duplicate_clusters: large-star/small-star did not converge "
+            f"within max_iter={max_iter} rounds — pathological for O(log n) "
+            f"contraction; raise max_iter"
+        )
+    # fixpoint edges are stars: every non-minimum member appears as hi
+    # exactly once, pointing at its component minimum; minima label
+    # themselves (left join misses)
+    member_min = edges.groupBy("hi").agg(F.min("lo").alias("lbl"))
+    return nodes.join(
+        member_min, nodes["node"] == member_min["hi"], "left"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("lbl"), F.col("node")).alias("cluster_id"),
     )
 
 

@@ -271,6 +271,24 @@ def test_duplicate_clusters_transitive(spark):
     assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 30: 20}
 
 
+def test_duplicate_clusters_deep_chain_converges_sublinearly(spark):
+    """A 100-node chain (diameter 99) must cluster within max_iter=10:
+    min-label propagation moves the minimum one hop per round and would
+    need ~99 rounds, so passing at 10 pins the O(log n) large-star/
+    small-star contraction — a deep component is no longer an operational
+    cliff at the default budget."""
+    from client_data_ingester_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(101)}
+
+
 # ---------------------------------------------------------------------------
 # corpus curation operators
 
