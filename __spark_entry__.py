@@ -72,26 +72,22 @@ _PART_PRODUCTS_SQL = """
 """
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once-per-corpus coarse quantizer for ``similarity_ivf_topk``
-    (the persisted-index pattern: at 100 TB the centroid aggregation is a
-    full corpus scan and must never run per query batch)."""
+def _index_cache_path(sf_dir: str, kind: str) -> str:
+    """Keyed, per-user cache path for a persisted corpus index.
+
+    Key = path + CONTENT fingerprint (mtime_ns + size of every file under
+    the embeddings parquet, walked recursively so partitioned layouts
+    fingerprint their leaf files too) — regenerated source data invalidates
+    the cached index instead of being silently served stale. The cache root
+    is per-user and 0700 so another local user can't pre-create the keyed
+    dir with a _SUCCESS marker and poison the cached index."""
     import hashlib
+    import tempfile
 
-    from client_data_ingester_spark.operators.similarity import (
-        build_ivf_index,
-        load_ivf_index,
-    )
-
-    # cache key = path + CONTENT fingerprint (mtime_ns + size of every file
-    # under the embeddings parquet, walked recursively so partitioned
-    # layouts fingerprint their leaf files too) — regenerated source data
-    # invalidates the cached index instead of being silently served a stale
-    # quantizer
     src = f"{sf_dir}/embeddings.parquet"
     if not os.path.exists(src):
         raise FileNotFoundError(
-            f"embeddings source not found at {src}; cannot build IVF index"
+            f"embeddings source not found at {src}; cannot build {kind} index"
         )
     stats = []
     if os.path.isdir(src):
@@ -106,19 +102,43 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = os.stat(src)
         stats.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(f"v3|{sf_dir}|{'|'.join(stats)}".encode()).hexdigest()
-    # per-user cache root (0700) so another local user can't pre-create the
-    # keyed dir with a _SUCCESS marker and poison the cached quantizer
-    import tempfile
-
     cache_root = os.path.join(
         tempfile.gettempdir(), f"cdi_ivf_cache_{os.getuid()}"
     )
     os.makedirs(cache_root, mode=0o700, exist_ok=True)
     os.chmod(cache_root, 0o700)
-    path = os.path.join(cache_root, f"ivf_index_{key[:12]}")
+    return os.path.join(cache_root, f"{kind}_index_{key[:12]}")
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-per-corpus coarse quantizer for ``similarity_ivf_topk``
+    (the persisted-index pattern: at 100 TB the centroid aggregation is a
+    full corpus scan and must never run per query batch)."""
+    from client_data_ingester_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    path = _index_cache_path(sf_dir, "ivf")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_ivf_index(_t(spark, sf_dir, "embeddings"), path)
     return load_ivf_index(spark, path)
+
+
+def _rp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-per-corpus LSH band keys for ``similarity_lsh_probe_topk``
+    — same persisted-index pattern as the IVF quantizer: the corpus-side
+    band keys are a write-time artifact; per query batch they'd be a
+    full-corpus scan of repeated hyperplane dot products."""
+    from client_data_ingester_spark.operators.similarity import (
+        build_rp_index,
+        load_rp_index,
+    )
+
+    path = _index_cache_path(sf_dir, "rp")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_rp_index(_t(spark, sf_dir, "embeddings"), path)
+    return load_rp_index(spark, path)
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_quality_stratified"] = lambda s, d: X.quality_stratified_topk(
         _t(s, d, "documents")
     )
+    q["docs_pack_sequences"] = lambda s, d: X.pack_sequences(
+        _t(s, d, "documents"), budget_tokens=512
+    )
+    q["docs_mixture_sample"] = lambda s, d: X.mixture_sample(
+        _t(s, d, "documents")
+    )
 
     # -- corpus curation ([EXT]: decontamination / repetition / boilerplate
     #    / term profiling) --------------------------------------------------
@@ -278,14 +304,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         centroids=_ivf_index(s, d),
     )
 
-    # deterministic ANN: seeded sign-bit LSH bucket probe + exact rerank —
-    # the oracle-checkable approximate path (ivf stays rows-only by design)
+    # deterministic ANN: seeded sign-bit LSH bucket probe + exact rerank.
+    # The corpus band keys come from the PERSISTED write-time index (the
+    # keys are pure functions of embedding + fixed planes, so the persisted
+    # and inline paths are bit-identical — same oracle either way).
     q["similarity_lsh_probe_topk"] = lambda s, d: S.lsh_probe_topk(
         _t(s, d, "embeddings"),
         _t(s, d, "embeddings")
         .filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("query_id"), "embedding"),
         k=5,
+        corpus_keys=_rp_index(s, d),
     )
 
     # -- events / streaming-shaped ([EXT]) ---------------------------------
@@ -918,6 +947,45 @@ def oracle_sql() -> dict[str, str]:
             FROM ({o['text_langid']}) l
             JOIN ({o['text_quality']}) q ON l.doc_id = q.doc_id)
         WHERE rnk <= 50
+    """
+
+    # sequence packing: global running token count via window (exact oracle
+    # for the engine's distributed prefix-sum), shard = floor(before/budget)
+    o["docs_pack_sequences"] = f"""
+        WITH c AS (
+            SELECT doc_id, CAST(LEN({toks}) AS INTEGER) AS n_tokens
+            FROM documents),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS before
+            FROM c),
+        sh AS (
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR(before / 512.0) AS BIGINT) AS shard_id
+            FROM cum)
+        SELECT doc_id, n_tokens, shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY shard_id ORDER BY doc_id) AS INTEGER) AS pos
+        FROM sh
+    """
+
+    # mixture sampling: per-language keep rates over a deterministic
+    # id-hash bucket (same md5 bucket recipe as docs_hash_split, 'mix:'
+    # salt so the mixture decision is independent of the train/eval split)
+    o["docs_mixture_sample"] = f"""
+        WITH lang AS ({o['text_langid']}),
+        b AS (
+            SELECT doc_id, pred_lang,
+                   CAST(('0x' || SUBSTR(MD5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 AS INTEGER) AS bucket,
+                   CAST(CASE pred_lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+                        WHEN 'und' THEN 5 ELSE 10 END AS INTEGER) AS keep_pct
+            FROM lang)
+        SELECT doc_id, pred_lang, bucket, keep_pct
+        FROM b WHERE bucket < keep_pct
     """
 
     # -- corpus curation ----------------------------------------------------

@@ -5,9 +5,13 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Each query is forced with .count() (full plan executes; no driver-side
-result transfer skew). A warmup query absorbs JVM/codegen startup so the
-numbers measure the plans, not the JIT.
+Each query is forced with a write to the ``noop`` sink: every output column
+is fully materialized executor-side with no driver transfer. ``.count()``
+would be wrong here — Catalyst prunes unreferenced columns, so a
+projection-only query (quality scores, lang-id, token counts) collapses to
+a bare row-count scan and benches fake-fast while its real expression cost
+stays invisible. A warmup query absorbs JVM/codegen startup so the numbers
+measure the plans, not the JIT.
 """
 
 from __future__ import annotations
@@ -30,6 +34,11 @@ def headline(qs: dict) -> list[str]:
     return [name for name in qs if not name.startswith("hash_probe_")]
 
 
+def _force(df) -> None:
+    """Materialize every output column executor-side (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -38,7 +47,7 @@ def main() -> None:
     qs = entry.queries()
 
     # warmup: JVM + codegen + parquet footer caches
-    qs["q1_pricing_summary"](spark, sf_dir).count()
+    _force(qs["q1_pricing_summary"](spark, sf_dir))
 
     # SPARK_GRAFT_BENCH_REPEATS>1 runs each query N times and reports the
     # median (plus all runs under "runs") — for settling noise vs regression.
@@ -54,7 +63,7 @@ def main() -> None:
         for _ in range(repeats):
             t0 = time.time()
             try:
-                fn(spark, sf_dir).count()
+                _force(fn(spark, sf_dir))
             except Exception as e:  # a broken query must not lose the run
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 failed = True

@@ -322,6 +322,34 @@ def rp_band_keys(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def build_rp_index(
+    corpus: DataFrame,
+    path: str,
+    bits: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD STEP: persist the corpus-side LSH band keys as parquet.
+
+    The band keys are pure functions of the embedding and the fixed seeded
+    planes, so they belong at WRITE time: at 100 TB, computing
+    ``bands × bits`` 64-dim dot products per corpus row on every query
+    batch is a full-corpus scan of wasted FLOPs. Persisted (and at scale
+    bucketed by ``(band, key)``), the probe side becomes a narrow
+    bucket-pruned scan of a 3-int-column table; only the exact rerank
+    touches the wide embedding column — and only for candidates."""
+    rp_band_keys(corpus, bits, bands, dim, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_rp_index(spark, path: str) -> DataFrame:
+    """Read persisted corpus band keys written by ``build_rp_index``."""
+    return spark.read.parquet(path)
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -384,6 +412,7 @@ def lsh_probe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via sign-bit LSH bucket probe + exact-cosine rerank.
 
@@ -395,12 +424,18 @@ def lsh_probe_topk(
     recall, ``bits`` for precision. Queries may return < k rows when a
     bucket holds few candidates; that IS the ANN contract.
 
-    Scale shape: the corpus-side band keys are a narrow projection
-    (computable at write time and bucketable by (band, key) — then the
-    probe is a bucket-pruned scan); the query-side keys and vectors are
-    broadcast; exact rerank touches only the candidate set.
+    Scale shape: the corpus-side band keys should be the PERSISTED index
+    from ``build_rp_index`` (pass ``corpus_keys=load_rp_index(...)``) —
+    computed at write time and bucketable by (band, key), the probe is a
+    bucket-pruned scan of a narrow table; recomputing them inline is the
+    ad-hoc fallback and rescans the corpus per query batch. The query-side
+    keys and vectors are broadcast; exact rerank touches only candidates.
     """
-    ckeys = rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
+    ckeys = (
+        corpus_keys
+        if corpus_keys is not None
+        else rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
+    )
     qkeys = rp_band_keys(
         queries, bits, bands, dim, query_id_col, vec_col
     ).select(F.col("id").alias(query_id_col), "band", "key")

@@ -42,56 +42,105 @@ def lang_scores(c: Column) -> dict[str, Column]:
     }
 
 
-def identify_language(
-    docs: DataFrame, text_col: str = "text"
-) -> DataFrame:
-    """Stopword-hit lang-id: argmax of per-language stopword counts; ties go
-    to the alphabetically-first language; zero hits → 'und' (undetermined)."""
-    scores = lang_scores(F.col(text_col))
-    langs = sorted(scores)  # deterministic tie-break: alphabetical
+def _staged_text_features(docs: DataFrame, text_col: str) -> DataFrame:
+    """Tokenize ONCE, then compute every heavy per-doc text feature exactly
+    once, each landing as a named attribute behind a projection boundary.
+
+    This staging is a PERFORMANCE CONTRACT, not style: expressions built by
+    composing ``lang_scores``/ratio columns inline re-tokenize the text per
+    reference, and the lang-id argmax CASE tree doubles per language — the
+    fully-inlined form re-evaluated the tokenizer ~100x per row (measured
+    ~600 µs/row on the stratified query — a 3.4 s scan of 5 k docs, i.e.
+    catastrophic at corpus scale). Catalyst's CollapseProject keeps these
+    boundaries because every staged column is non-trivial and referenced
+    more than once downstream."""
+    t = F.col(text_col)
+    s1 = docs.select("doc_id", t.alias("_t"), tokens(t).alias("_toks"))
+    tt, toks = F.col("_t"), F.col("_toks")
+    return s1.select(
+        "doc_id",
+        F.length(tt).alias("n_chars"),
+        F.size(toks).alias("n_words"),
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).alias(
+            "_sum_wlen"
+        ),
+        (
+            F.length(tt) - F.length(F.regexp_replace(tt, r"[^\w\s]", ""))
+        ).alias("_n_punct"),
+        (F.length(tt) - F.length(F.regexp_replace(tt, r"[0-9]", ""))).alias(
+            "_n_digit"
+        ),
+        *[
+            F.size(F.filter(toks, _isin_fn(LANG_STOPWORDS[lang]))).alias(
+                f"hits_{lang}"
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ],
+    )
+
+
+def _isin_fn(words: list[str]):
+    # closure factory, NOT a default-arg lambda: pyspark derives the lambda
+    # arity from the signature, so an extra bound parameter would be handed
+    # a Column
+    return lambda w: w.isin(*words)
+
+
+def _pred_from_hits() -> Column:
+    """Lang-id argmax over the staged ``hits_<lang>`` ATTRIBUTES: highest
+    stopword-hit count wins, ties go to the alphabetically-first language,
+    zero hits → 'und'. The CASE tree still doubles per language, but its
+    leaves are plain column refs — cheap to duplicate."""
     best = None
     best_score = None
-    for lang in langs:
-        s = scores[lang]
+    for lang in sorted(LANG_STOPWORDS):
+        s = F.col(f"hits_{lang}")
         if best is None:
             best, best_score = F.lit(lang), s
         else:
             cond = s > best_score
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, s).otherwise(best_score)
-    pred = F.when(best_score > 0, best).otherwise(F.lit("und"))
-    return docs.select(
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def identify_language(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc language id + per-language stopword hit counts: argmax of
+    stopword hits; ties go to the alphabetically-first language; zero hits
+    → 'und' (undetermined)."""
+    f = _staged_text_features(docs, text_col)
+    return f.select(
         "doc_id",
-        *[scores[lang].alias(f"hits_{lang}") for lang in langs],
-        pred.alias("pred_lang"),
+        *[f"hits_{lang}" for lang in sorted(LANG_STOPWORDS)],
+        _pred_from_hits().alias("pred_lang"),
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic doc-quality features + composite score.
+def _quality_cols() -> dict[str, Column]:
+    """Quality features + composite score as expressions over the staged
+    feature ATTRIBUTES (cheap arithmetic — safe to duplicate).
 
-    Features (all deterministic, SQL-portable):
     - n_chars, n_words, mean word length
     - punct_ratio: punctuation chars / chars
     - digit_ratio: digit chars / chars
-    - stop_ratio: english-stopword tokens / tokens
+    - stop_ratio: english-stopword tokens / tokens (== hits_en)
     - score: 0..1 composite (word-length sweet spot + low punct/digit noise)
     """
-    t = F.col(text_col)
-    toks = tokens(t)
-    n_chars = F.length(t)
-    n_words = F.size(toks)
-    mean_wlen = F.when(n_words > 0, (
-        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
-        .cast("double") / n_words
-    )).otherwise(F.lit(0.0))
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
-    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
-    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
-    en = LANG_STOPWORDS["en"]
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(*en)))
-    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    n_chars, n_words = F.col("n_chars"), F.col("n_words")
+    mean_wlen = F.when(
+        n_words > 0, F.col("_sum_wlen").cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.col("_n_punct").cast("double") / n_chars
+    ).otherwise(0.0)
+    digit_ratio = F.when(
+        n_chars > 0, F.col("_n_digit").cast("double") / n_chars
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        n_words > 0, F.col("hits_en").cast("double") / n_words
+    ).otherwise(0.0)
     wlen_term = F.greatest(
         F.lit(0.0), F.lit(1.0) - F.abs(mean_wlen - F.lit(5.0)) / F.lit(5.0)
     )
@@ -109,15 +158,25 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     dec = lambda x: (F.floor(x * 10000 + F.lit(0.5)) / 10000).cast(  # noqa: E731
         "double"
     )
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        dec(mean_wlen).alias("mean_word_len"),
-        dec(punct_ratio).alias("punct_ratio"),
-        dec(digit_ratio).alias("digit_ratio"),
-        dec(stop_ratio).alias("stop_ratio"),
-        dec(score).alias("quality_score"),
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": dec(mean_wlen),
+        "punct_ratio": dec(punct_ratio),
+        "digit_ratio": dec(digit_ratio),
+        "stop_ratio": dec(stop_ratio),
+        "quality_score": dec(score),
+    }
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality features + composite score (see
+    ``_quality_cols`` for the feature list; tokenization is staged once —
+    see ``_staged_text_features``)."""
+    f = _staged_text_features(docs, text_col)
+    cols = _quality_cols()
+    return f.select(
+        "doc_id", *[cols[name].alias(name) for name in cols]
     )
 
 
@@ -189,17 +248,121 @@ def hash_split(
 def quality_stratified_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Top-k docs per detected language by quality score — the quality/
     curriculum filtering shape (keep the best k of every stratum, so
-    low-resource languages aren't crowded out by the dominant one). One
-    shuffle on pred_lang for the rank window; at corpus scale k≪stratum
-    so WindowGroupLimit prunes per partition before the sort."""
-    lang = identify_language(docs).select("doc_id", "pred_lang")
-    qual = quality_scores(docs).select("doc_id", "quality_score")
+    low-resource languages aren't crowded out by the dominant one).
+
+    Lang-id and quality score both derive from the SAME staged feature
+    projection over one scan (joining two derived tables on doc_id would
+    re-scan and shuffle for a row the scan already had whole). The only
+    shuffle is the pred_lang rank window; k≪stratum at corpus scale, so
+    WindowGroupLimit prunes per partition before the sort."""
+    qual = _staged_text_features(docs, "text").select(
+        "doc_id",
+        _pred_from_hits().alias("pred_lang"),
+        _quality_cols()["quality_score"].alias("quality_score"),
+    )
     w = Window.partitionBy("pred_lang").orderBy(
         F.desc("quality_score"), F.col("doc_id")
     )
     return (
-        lang.join(qual, "doc_id")
-        .withColumn("rnk", F.row_number().over(w))
+        qual.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("doc_id", "pred_lang", "quality_score", "rnk")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    text_col: str = "text",
+    chunk_size: int = 100_000,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id, pos): pack documents in doc_id order
+    into contiguous fixed-token-budget shards — the sequence-packing step
+    that turns a curated corpus into uniform training chunks.
+
+    A document lands in shard ``floor(tokens_before_it / budget)`` of the
+    running whitespace-token count; ``pos`` is its rank inside the shard.
+    Deterministic (pure function of ids + token counts — no RNG, no
+    partitioning dependence), so shard composition is reproducible across
+    runs and engines.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not one global window: a single
+    unpartitioned ``sum() over (order by doc_id)`` funnels the whole corpus
+    through ONE task. Instead: (1) chunk docs by ``doc_id div chunk_size``;
+    (2) cumsum within each chunk (window partitioned by chunk — parallel);
+    (3) aggregate per-chunk totals — rows = n_chunks, tiny — and cumsum
+    those into chunk base offsets (the only serial step, over n_chunks rows
+    not n_docs); (4) broadcast-join the offsets back. At 100 TB every
+    per-row pass stays parallel and the serial window touches ~corpus/10⁵
+    rows."""
+    counted = docs.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        (F.col("doc_id") / chunk_size).cast("long").alias("_chunk"),
+    )
+    in_chunk = Window.partitionBy("_chunk").orderBy("doc_id")
+    local = counted.withColumn(
+        "_cum_in_chunk",
+        F.sum("n_tokens").over(
+            in_chunk.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    chunk_w = Window.orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        counted.groupBy("_chunk")
+        .agg(F.sum("n_tokens").alias("_chunk_total"))
+        .withColumn(
+            "_base", F.coalesce(F.sum("_chunk_total").over(chunk_w), F.lit(0))
+        )
+        .select("_chunk", "_base")
+    )
+    before = F.col("_base") + F.col("_cum_in_chunk") - F.col("n_tokens")
+    packed = local.join(F.broadcast(offsets), "_chunk").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(before / budget_tokens).cast("long").alias("shard_id"),
+    )
+    pos_w = Window.partitionBy("shard_id").orderBy("doc_id")
+    return packed.withColumn(
+        "pos", F.row_number().over(pos_w).cast("int")
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_pct: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-language corpus mixture sampling: keep
+    ``rates[lang]`` percent of each detected language's documents (the
+    mixture-rebalancing step that up/down-weights strata when assembling a
+    training mix).
+
+    Selection is a pure id-hash bucket per document (see ``hash_split`` for
+    why not ``sample()``): a doc's keep/drop decision is stable across
+    runs, engines, repartitions, and corpus growth, so mixes are
+    reproducible and audit-able. One scan; lang-id rides the staged feature
+    projection; no shuffle at all."""
+    from .dedup import md5_int
+
+    rates = rates if rates is not None else {"en": 100, "de": 50, "und": 5}
+    f = _staged_text_features(docs, text_col)
+    bucket = (
+        md5_int(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % 100
+    ).cast("int")
+    pct_expr = F.lit(default_pct)
+    for lang in sorted(rates, reverse=True):
+        pct_expr = F.when(
+            F.col("pred_lang") == lang, F.lit(rates[lang])
+        ).otherwise(pct_expr)
+    return (
+        f.select("doc_id", _pred_from_hits().alias("pred_lang"))
+        .withColumn("bucket", bucket)
+        .withColumn("keep_pct", pct_expr.cast("int"))
+        .filter(F.col("bucket") < F.col("keep_pct"))
+        .select("doc_id", "pred_lang", "bucket", "keep_pct")
     )

@@ -139,6 +139,53 @@ def test_snapshot_compact_collapses_files_keeps_data(spark, tmp_path):
     assert int(m2.props["max_id"]) == int(m1.props["max_id"])
 
 
+def test_snapshot_retention_pins_time_travel_horizon(spark, tmp_path):
+    """The time-travel guarantee is exactly ``keep_versions`` generations:
+    versions inside the horizon stay readable after later publishes, older
+    versions raise (not silently read wrong data), and GC actually removes
+    the dropped versions' manifests and data dirs from disk."""
+    import pytest
+
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA, keep_versions=2
+    )
+
+    def df(skus):
+        rows = [
+            (i + 1, 1, s, None, None, None, None, None, True, None, None, None)
+            for i, s in enumerate(skus)
+        ]
+        return spark.createDataFrame(rows, CLIENT_PRODUCTS_SCHEMA)
+
+    for v, skus in enumerate((["A"], ["A", "B"], ["A", "B", "C"], ["D"]), 1):
+        t.overwrite_partitions(df(skus), [1])
+    # the horizon is INCLUSIVE: current + keep_versions generations back
+    # stay readable (v2..v4 here), anything older raises — never a silent
+    # wrong-data read
+    assert {r["sku"] for r in t.read(spark, 1, version=4).collect()} == {"D"}
+    assert {r["sku"] for r in t.read(spark, 1, version=3).collect()} == {
+        "A", "B", "C",
+    }
+    assert {r["sku"] for r in t.read(spark, 1, version=2).collect()} == {
+        "A", "B",
+    }
+    with pytest.raises(ValueError):
+        t.read(spark, 1, version=1)
+    # GC physically removed the expired manifest AND unreferenced data dirs
+    names = set(os.listdir(t.root))
+    assert not any(n.endswith(".v1") for n in names)
+    live = set()
+    for v in (2, 3, 4):
+        import json as _json
+
+        with open(os.path.join(t.root, f"_MANIFEST.v{v}")) as f:
+            m = _json.load(f)
+        for ds in m["partitions"].values():
+            live.update(ds)
+    data_dirs = {n for n in names if os.path.isdir(os.path.join(t.root, n))}
+    assert data_dirs <= live
+
+
 def test_snapshot_time_travel_reads_old_version(spark, tmp_path):
     import pytest
 

@@ -239,6 +239,72 @@ def test_hash_split_deterministic_and_stable(spark):
     assert 0.7 < train_frac < 0.9
 
 
+def test_pack_sequences_budget_and_order(spark):
+    """Packing is the running-token-count quotient: doc order by id,
+    shard = floor(tokens_before / budget), pos = rank inside shard — and
+    identical across repartitionings (the distributed prefix-sum must not
+    depend on physical partitioning)."""
+    from client_data_ingester_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 30)) for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"], r["pos"])
+        for r in pack_sequences(docs, budget_tokens=100).collect()
+    }
+    # 30 tokens each: before = (id-1)*30 → shards of 4,3,3 docs
+    assert out == {
+        1: (30, 0, 1), 2: (30, 0, 2), 3: (30, 0, 3), 4: (30, 0, 4),
+        5: (30, 1, 1), 6: (30, 1, 2), 7: (30, 1, 3),
+        8: (30, 2, 1), 9: (30, 2, 2), 10: (30, 2, 3),
+    }
+    again = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"], r["pos"])
+        for r in pack_sequences(
+            docs.repartition(7), budget_tokens=100
+        ).collect()
+    }
+    assert again == out
+    # chunk boundaries (chunk_size smaller than corpus) must not change
+    # the global packing
+    chunked = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"], r["pos"])
+        for r in pack_sequences(
+            docs, budget_tokens=100, chunk_size=3
+        ).collect()
+    }
+    assert chunked == out
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Keep/drop is a pure id-hash decision honoring per-language rates:
+    en=100% all kept, rate-0 strata drop entirely, and the sample is
+    identical across runs and repartitionings."""
+    from client_data_ingester_spark.operators.text import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "the and of to in is it for on with") for i in range(50)]
+        + [(100 + i, "qqq zzz xxx") for i in range(50)],
+        "doc_id long, text string",
+    )
+    rates = {"en": 100, "und": 0}
+    a = {r["doc_id"] for r in mixture_sample(docs, rates).collect()}
+    assert a == set(range(50))  # every en doc kept, every und doc dropped
+    b = {
+        r["doc_id"]
+        for r in mixture_sample(docs.repartition(9), rates).collect()
+    }
+    assert b == a
+    # partial rate keeps a ~matching fraction, deterministically
+    half = {
+        r["doc_id"]
+        for r in mixture_sample(docs, {"en": 50, "und": 0}).collect()
+    }
+    assert half <= set(range(50)) and 10 <= len(half) <= 40
+
+
 def test_quality_stratified_topk_per_stratum(spark):
     from client_data_ingester_spark.operators.text import (
         quality_stratified_topk,
