@@ -344,8 +344,18 @@ def mixture_sample(
     Selection is a pure id-hash bucket per document (see ``hash_split`` for
     why not ``sample()``): a doc's keep/drop decision is stable across
     runs, engines, repartitions, and corpus growth, so mixes are
-    reproducible and audit-able. One scan; lang-id rides the staged feature
-    projection; no shuffle at all."""
+    reproducible and audit-able.
+
+    The rates ride a BROADCAST-JOINED 5-row table rather than a
+    ``when``-chain column: a chained-``when`` ``keep_pct`` makes the keep
+    filter a plain deterministic predicate over projections, and Catalyst
+    pushes it to the scan by ALIAS SUBSTITUTION — re-inlining the staged
+    lang-id (and its tokenizer) into the pushed condition, which undoes
+    ``_staged_text_features``'s staging wholesale (measured 6.8 s vs
+    0.9 s at sf0.1). A post-outer-join filter referencing the rate column
+    can't sink below the left projection, so ``pred_lang`` stays a
+    computed-once attribute; the join itself is a broadcast against
+    len(rates) rows — free at any corpus size."""
     from .dedup import md5_int
 
     rates = rates if rates is not None else {"en": 100, "de": 50, "und": 5}
@@ -354,15 +364,22 @@ def mixture_sample(
         md5_int(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
         % 100
     ).cast("int")
-    pct_expr = F.lit(default_pct)
-    for lang in sorted(rates, reverse=True):
-        pct_expr = F.when(
-            F.col("pred_lang") == lang, F.lit(rates[lang])
-        ).otherwise(pct_expr)
+    rates_df = docs.sparkSession.createDataFrame(
+        sorted((lang, int(pct)) for lang, pct in rates.items()),
+        "lang string, rate int",
+    )
+    scored = f.select(
+        "doc_id", _pred_from_hits().alias("pred_lang"), bucket.alias("bucket")
+    )
     return (
-        f.select("doc_id", _pred_from_hits().alias("pred_lang"))
-        .withColumn("bucket", bucket)
-        .withColumn("keep_pct", pct_expr.cast("int"))
+        scored.join(
+            F.broadcast(rates_df),
+            scored["pred_lang"] == rates_df["lang"],
+            "left",
+        )
+        .withColumn(
+            "keep_pct", F.coalesce(F.col("rate"), F.lit(default_pct)).cast("int")
+        )
         .filter(F.col("bucket") < F.col("keep_pct"))
         .select("doc_id", "pred_lang", "bucket", "keep_pct")
     )
