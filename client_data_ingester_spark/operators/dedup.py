@@ -340,12 +340,6 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.col("hi").alias("node"))
-        .union(edges.select(F.col("lo").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     prev_chk = None
     converged = False
     for _ in range(max_iter):
@@ -405,16 +399,19 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             f"within max_iter={max_iter} rounds — pathological for O(log n) "
             f"contraction; raise max_iter"
         )
-    # fixpoint edges are stars: every non-minimum member appears as hi
-    # exactly once, pointing at its component minimum; minima label
-    # themselves (left join misses)
-    member_min = edges.groupBy("hi").agg(F.min("lo").alias("lbl"))
-    return nodes.join(
-        member_min, nodes["node"] == member_min["hi"], "left"
-    ).select(
-        F.col("node").alias("doc_id"),
-        F.coalesce(F.col("lbl"), F.col("node")).alias("cluster_id"),
+    # fixpoint edges ARE the labeling — a star per component: every
+    # non-minimum member appears exactly once as hi pointing at its
+    # component minimum, and each minimum appears only on the lo side
+    # (labeling itself). No node table, no final join.
+    member = edges.select(
+        F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id")
     )
+    minima = (
+        edges.select(F.col("lo").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return member.union(minima)
 
 
 def cluster_representatives(
