@@ -29,6 +29,7 @@ from client_data_ingester_spark.operators import relational as R  # noqa: E402
 from client_data_ingester_spark.operators import similarity as S  # noqa: E402
 from client_data_ingester_spark.operators import text as X  # noqa: E402
 from client_data_ingester_spark.queries.products import rank_and_paginate  # noqa: E402
+from client_data_ingester_spark.tables.rollup import daily_rollup as _rollup_def  # noqa: E402
 
 
 def _pin(spark: SparkSession) -> None:
@@ -325,6 +326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events")
     )
     q["events_sessionize"] = lambda s, d: E.sessionize(_t(s, d, "events"))
+    # the continuous-aggregate DEFINITION (the incremental maintenance path
+    # — dynamic-partition-overwrite of only new/tail days — is exercised by
+    # tests/test_rollup.py; the aggregation itself is oracle-checked here)
+    q["events_daily_rollup"] = lambda s, d: _rollup_def(_t(s, d, "events"))
     q["events_json_agg"] = lambda s, d: E.json_props_agg(_t(s, d, "events"))
     q["events_funnel"] = lambda s, d: E.funnel_steps(_t(s, d, "events"))
     q["asof_join_last_event"] = lambda s, d: E.asof_join_orders_events(
@@ -1288,6 +1293,14 @@ def oracle_sql() -> dict[str, str]:
     # -- events -------------------------------------------------------------
     o["events_window_agg"] = """
         SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+    """
+
+    o["events_daily_rollup"] = """
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                COUNT(DISTINCT user_id) AS n_users

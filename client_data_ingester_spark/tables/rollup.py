@@ -1,0 +1,103 @@
+"""Incrementally-maintained daily rollup over events ([EXT], SURVEY §2.9 —
+the hypertable-style continuous aggregate).
+
+At 100 TB you never re-aggregate the whole events table to refresh a daily
+summary: maintenance cost must scale with NEW data, not table size. The
+recipe here is the idiomatic Spark form of a continuous aggregate:
+
+- the rollup is a parquet table partitioned by ``event_date``;
+- ``maintain_daily_rollup`` diffs the source's days against the rollup's
+  existing partition dirs (a LISTING, not a scan) and aggregates ONLY the
+  missing days plus a ``reprocess_tail_days`` window for late/partial data
+  (the batch analogue of a streaming watermark);
+- the write uses **dynamic partition overwrite** (``partitionOverwriteMode=
+  dynamic``): only the partitions present in the incremental batch are
+  atomically replaced — untouched days' files are never rewritten, so a
+  maintenance run is idempotent and re-runnable after failure.
+
+The day filter prunes the source scan at the PATH level when the events
+table is itself date-partitioned (see ``tables/layout.py``); on a flat
+table it still prunes row groups via parquet ``ts`` stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+D182 = "decimal(18,2)"
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """The rollup definition: per (day, event_type) counts, value sum, and
+    distinct users. One map-side-combinable aggregation (countDistinct
+    expands to a two-phase distinct-then-count — still shuffle-on-key)."""
+    return events.groupBy(
+        F.to_date(F.col("ts")).alias("event_date"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(D182)).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def existing_rollup_days(rollup_path: str) -> set[str]:
+    """Days already materialized — a directory listing, never a data scan."""
+    if not os.path.isdir(rollup_path):
+        return set()
+    return {
+        name.split("=", 1)[1]
+        for name in os.listdir(rollup_path)
+        if name.startswith("event_date=")
+    }
+
+
+def maintain_daily_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_path: str,
+    reprocess_tail_days: int = 1,
+) -> list[str]:
+    """Bring the rollup up to date incrementally; returns the days written.
+
+    Missing days are aggregated from scratch; the LAST ``reprocess_tail_days``
+    existing days are re-aggregated too (they may have been partial when
+    first materialized — late data lands there). Everything else is left
+    untouched on disk."""
+    have = existing_rollup_days(rollup_path)
+    source_days = {
+        str(r["d"])
+        for r in events.select(
+            F.to_date(F.col("ts")).alias("d")
+        ).distinct().collect()
+    }
+    # guard reprocess_tail_days=0: list[-0:] is the WHOLE list, not none of it
+    tail = (
+        set(sorted(have)[-reprocess_tail_days:])
+        if have and reprocess_tail_days > 0
+        else set()
+    )
+    todo = sorted((source_days - have) | (tail & source_days))
+    if not todo:
+        return []
+    batch = daily_rollup(
+        events.filter(F.to_date(F.col("ts")).isin(todo))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(rollup_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return todo
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    return spark.read.parquet(rollup_path)
