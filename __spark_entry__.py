@@ -244,6 +244,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"),
         D.lsh_candidate_pairs(_t(s, d, "documents"), num_perm=4, bands=2),
     )
+    # the end-to-end retention set: unclustered docs + one representative
+    # per duplicate cluster — what a training pipeline actually keeps
+    q["dedup_retained_corpus"] = lambda s, d: D.retained_corpus(
+        _t(s, d, "documents"),
+        D.lsh_candidate_pairs(_t(s, d, "documents"), num_perm=4, bands=2),
+    )
 
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
@@ -261,6 +267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["docs_mixture_sample"] = lambda s, d: X.mixture_sample(
         _t(s, d, "documents")
+    )
+    q["docs_packed_shards"] = lambda s, d: X.packed_shard_texts(
+        _t(s, d, "documents"), budget_tokens=512
     )
 
     # -- corpus curation ([EXT]: decontamination / repetition / boilerplate
@@ -977,6 +986,19 @@ def oracle_sql() -> dict[str, str]:
         FROM sh
     """
 
+    # packed training shards: per-shard ordered concat, emitted as md5
+    o["docs_packed_shards"] = f"""
+        WITH p AS ({o['docs_pack_sequences']}),
+        j AS (
+            SELECT p.shard_id, p.pos, p.n_tokens, d.text
+            FROM p JOIN documents d USING (doc_id))
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               MD5(STRING_AGG(text, CHR(10) ORDER BY pos)) AS text_md5
+        FROM j GROUP BY shard_id
+    """
+
     # mixture sampling: per-language keep rates over a deterministic
     # id-hash bucket (same md5 bucket recipe as docs_hash_split, 'mix:'
     # salt so the mixture decision is independent of the train/eval split)
@@ -1120,6 +1142,41 @@ def oracle_sql() -> dict[str, str]:
                ARG_MIN(doc_id, pack) AS rep_doc_id,
                CAST(ARG_MIN(q4, pack) AS DOUBLE) / 10000 AS rep_quality
         FROM m GROUP BY cluster_id
+    """
+
+    # end-to-end retention: drop every clustered doc that is not its
+    # cluster's representative (same clusters/representative CTEs as above)
+    o["dedup_retained_corpus"] = f"""
+        WITH RECURSIVE pairs AS ({o['dedup_lsh_candidates']}),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach AS (
+            SELECT a AS node, a AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r
+            FROM reach JOIN sym ON sym.a = reach.r),
+        clusters AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY node),
+        qx AS (
+            SELECT doc_id,
+                   CAST(FLOOR(quality_score * 10000 + 0.5) AS INTEGER) AS q4
+            FROM ({o['text_quality']})),
+        m AS (
+            SELECT c.cluster_id, c.doc_id,
+                   LPAD(CAST(10000 - qx.q4 AS VARCHAR), 5, '0')
+                   || LPAD(CAST(c.doc_id AS VARCHAR), 20, '0') AS pack
+            FROM clusters c JOIN qx USING (doc_id)),
+        reps AS (
+            SELECT ARG_MIN(doc_id, pack) AS rep_doc_id
+            FROM m GROUP BY cluster_id),
+        drop_set AS (
+            SELECT doc_id FROM clusters
+            WHERE doc_id NOT IN (SELECT rep_doc_id FROM reps))
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_set)
     """
 
     o["text_token_counts"] = f"""

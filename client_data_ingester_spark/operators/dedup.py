@@ -415,7 +415,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 
 def cluster_representatives(
-    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """(cluster_id, n_members, rep_doc_id, rep_quality): pick the document
     to KEEP from every duplicate cluster — the retention-policy step after
@@ -429,7 +432,11 @@ def cluster_representatives(
     groupBy on cluster_id; quality joins 1:1 on doc_id."""
     from .text import quality_scores
 
-    clusters = duplicate_clusters(pairs)
+    # pass precomputed clusters to share one contraction across consumers —
+    # duplicate_clusters runs its star rounds EAGERLY at build time, so a
+    # second call re-pays the whole iterative loop
+    if clusters is None:
+        clusters = duplicate_clusters(pairs)
     # re-quantize the (already half-up-rounded) score to its exact scale-4
     # integer — floor(q*1e4+0.5) recovers the integer the rounding produced,
     # immune to the binary representation of n/1e4
@@ -459,3 +466,26 @@ def cluster_representatives(
             ).alias("rep_quality"),
         )
     )
+
+
+def retained_corpus(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id): the post-dedup corpus — every unclustered document plus
+    exactly one representative (highest quality, ties to lowest id) from
+    each duplicate cluster. The end-to-end retention step: this is the set
+    a training pipeline actually keeps after LSH → verify → cluster →
+    pick-representative.
+
+    One clustering pass shared between membership and representative
+    selection; the drop set (cluster members that are not their cluster's
+    representative) is corpus-small and the final subtraction is a
+    LEFT ANTI join on doc_id — no full-corpus shuffle beyond it."""
+    clusters = duplicate_clusters(pairs)
+    reps = cluster_representatives(
+        docs, pairs, text_col, clusters=clusters
+    ).select("rep_doc_id")
+    drop = clusters.select("doc_id").join(
+        reps, F.col("doc_id") == F.col("rep_doc_id"), "left_anti"
+    )
+    return docs.select("doc_id").join(drop, "doc_id", "left_anti")

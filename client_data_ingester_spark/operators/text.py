@@ -383,3 +383,29 @@ def mixture_sample(
         .filter(F.col("bucket") < F.col("keep_pct"))
         .select("doc_id", "pred_lang", "bucket", "keep_pct")
     )
+
+
+def packed_shard_texts(
+    docs: DataFrame, budget_tokens: int = 512, text_col: str = "text"
+) -> DataFrame:
+    """(shard_id, n_docs, shard_tokens, text_md5): the materialized training
+    shards — each shard's documents concatenated in packing order (pos) with
+    newline separators, emitted as an md5 so the result row stays compact
+    and hash-comparable (the actual packed text is the array_join input).
+
+    Per-shard state is bounded by ``budget_tokens`` (a shard holds roughly
+    one budget's worth of documents), so the collect_list is a bounded
+    aggregation, not an unbounded group materialization."""
+    packed = pack_sequences(docs, budget_tokens, text_col)
+    j = packed.join(docs.select("doc_id", text_col), "doc_id")
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col(text_col).alias("t")))
+        ),
+        lambda s: s["t"],
+    )
+    return j.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.md5(F.array_join(ordered, "\n")).alias("text_md5"),
+    )

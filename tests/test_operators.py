@@ -278,7 +278,62 @@ def test_pack_sequences_budget_and_order(spark):
     assert chunked == out
 
 
-def test_mixture_sample_rates_and_determinism(spark):
+def test_packed_shard_texts_orders_docs_within_shards(spark):
+    """Shard text = member docs joined in pos order; token/doc counts add
+    up. 30-token docs at budget 100 → shards of 4/3/3 (see pack test)."""
+    import hashlib
+
+    from client_data_ingester_spark.operators.text import packed_shard_texts
+
+    texts = {i: " ".join([f"w{i}"] * 30) for i in range(1, 11)}
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    rows = {
+        r["shard_id"]: r
+        for r in packed_shard_texts(docs, budget_tokens=100).collect()
+    }
+    assert {s: (rows[s]["n_docs"], rows[s]["shard_tokens"]) for s in rows} == {
+        0: (4, 120), 1: (3, 90), 2: (3, 90),
+    }
+    expect0 = "\n".join(texts[i] for i in (1, 2, 3, 4))
+    assert rows[0]["text_md5"] == hashlib.md5(expect0.encode()).hexdigest()
+
+
+def test_retained_corpus_keeps_singletons_and_representatives(spark):
+    """Retention = all unclustered docs + exactly one rep per cluster, and
+    every cluster still has a surviving member."""
+    from client_data_ingester_spark.operators.dedup import (
+        cluster_representatives,
+        lsh_candidate_pairs,
+        retained_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "tail"),          # near-dup of 1
+            (3, "completely different words entirely here now"),
+            (4, base + "tail more"),     # near-dup chain
+        ],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(docs, num_perm=4, bands=2)
+    kept = {r["doc_id"] for r in retained_corpus(docs, pairs).collect()}
+    reps = {
+        r["rep_doc_id"]
+        for r in cluster_representatives(docs, pairs).collect()
+    }
+    clustered = {
+        r[c]
+        for r in pairs.collect()
+        for c in ("doc_a", "doc_b")
+    }
+    # singletons always kept; clustered docs kept iff representative
+    singles = {1, 2, 3, 4} - clustered
+    assert kept == singles | (clustered & reps)
+    assert reps <= kept and 3 in kept
     """Keep/drop is a pure id-hash decision honoring per-language rates:
     en=100% all kept, rate-0 strata drop entirely, and the sample is
     identical across runs and repartitionings."""
