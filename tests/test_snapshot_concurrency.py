@@ -16,6 +16,7 @@ from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
 from client_data_ingester_spark.tables import SnapshotTable
 from client_data_ingester_spark.tables.snapshot import (
     _MANIFEST,
+    Manifest,
     SnapshotConflictError,
 )
 
@@ -146,3 +147,45 @@ def test_sequential_writers_interleave_cleanly(spark, tmp_path):
     assert t.current_manifest().version == 2
     assert t.read(spark, 1).count() == 1
     assert t.read(spark, 2).count() == 1
+
+
+def test_time_travel_retention_horizon(spark, tmp_path):
+    """Pins the time-travel contract: ``read(version=N)`` is guaranteed for
+    the last ``keep_versions`` generations behind latest; anything older is
+    GC'd — its manifest is gone, the read raises with a clear message, and
+    its orphaned data dirs are actually deleted from disk."""
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA, keep_versions=2
+    )
+    for n in range(1, 6):  # v1..v5, version v has skus S0..S{v-1}
+        t.overwrite_partitions(
+            _df(spark, 1, [f"S{i}" for i in range(n)]), [1]
+        )
+    latest = t.current_manifest().version
+    assert latest == 5
+
+    # every version within the horizon reads back its exact as-of content
+    for v in range(latest - t.keep_versions, latest + 1):  # v3..v5
+        got = {r["sku"] for r in t.read(spark, 1, version=v).collect()}
+        assert got == {f"S{i}" for i in range(v)}, v
+
+    # versions past the horizon: manifest unlinked, read raises
+    for v in (1, 2):
+        assert not os.path.exists(t._manifest_path(v))
+        with pytest.raises(ValueError, match="GC horizon"):
+            t.read(spark, 1, version=v)
+
+    # GC removed orphaned data dirs: everything on disk is referenced by a
+    # still-live manifest (no unbounded storage growth under churn)
+    live = set()
+    for v in range(latest - t.keep_versions, latest + 1):
+        with open(t._manifest_path(v)) as f:
+            m = Manifest.from_json(f.read())
+        for dirs in m.partitions.values():
+            live.update(dirs)
+    on_disk = {
+        name
+        for name in os.listdir(t.root)
+        if os.path.isdir(os.path.join(t.root, name))
+    }
+    assert on_disk == live
