@@ -27,6 +27,7 @@ from client_data_ingester_spark.operators import events as E  # noqa: E402
 from client_data_ingester_spark.operators import multimodal as M  # noqa: E402
 from client_data_ingester_spark.operators import relational as R  # noqa: E402
 from client_data_ingester_spark.operators import similarity as S  # noqa: E402
+from client_data_ingester_spark.operators import sketch as K  # noqa: E402
 from client_data_ingester_spark.operators import text as X  # noqa: E402
 from client_data_ingester_spark.queries.products import rank_and_paginate  # noqa: E402
 from client_data_ingester_spark.tables.rollup import daily_rollup as _rollup_def  # noqa: E402
@@ -346,6 +347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["range_join_follows"] = lambda s, d: E.range_join_event_pairs(
         _t(s, d, "events")
+    )
+    # mergeable HLL registers per event_type: open sketch state (exact
+    # BIGINT register sums) + the standard estimate, deterministic across
+    # engines so the oracle is hash-exact (operators/sketch.py)
+    q["sketch_distinct_users"] = lambda s, d: K.hll_distinct(
+        _t(s, d, "events"), "user_id", ["event_type"]
     )
 
     # -- multimodal plumbing ([EXT]) ---------------------------------------
@@ -1461,6 +1468,10 @@ def oracle_sql() -> dict[str, str]:
          AND e.ts <= c.click_ts + INTERVAL 5 MINUTE
         GROUP BY c.user_id, c.click_id
     """
+
+    o["sketch_distinct_users"] = K.hll_oracle_sql(
+        "events", "user_id", ["event_type"]
+    )
 
     # -- multimodal ---------------------------------------------------------
     feat_terms = " + ".join(

@@ -1,0 +1,201 @@
+"""Mergeable distinct-count sketches (HyperLogLog) — [EXT].
+
+The reference engine has no sketch support; at 100 TB an exact
+``COUNT(DISTINCT)`` over a high-cardinality key is a full shuffle of every
+distinct value, while an HLL register table is ``m`` (here 64) tiny rows per
+group that merge by ``MAX`` — the classic pre-aggregated-rollup shape: keep
+per-partition / per-day register tables and combine them associatively at
+query time without re-reading the raw data.
+
+Spark ships ``approx_count_distinct`` (also HLL), but its register layout
+and hashing are engine-internal: the state can't be persisted as a table,
+merged with registers produced elsewhere, or reproduced by another engine.
+This implementation trades its tuned accuracy for an *open* register format
+(md5-based bucketing, exact BIGINT register sums) that is deterministic
+across engines — the same formula runs in DuckDB and hash-matches, which is
+what makes the sketch auditable and the oracle exact.
+
+Determinism across engines:
+
+- hash: first 15 hex digits of ``md5(value)`` → a 60-bit non-negative
+  BIGINT (identical in Spark ``conv(.., 16, 10)`` and DuckDB
+  ``('0x' || ..)::BIGINT``);
+- bucket = ``h % m``; remaining ``w = h DIV m`` has ``W = 60 - p`` bits and
+  ``rho = W - length(bin(w)) + 1`` (``bin`` renders without leading zeros
+  in both engines; ``w = 0`` → ``rho = W + 1``);
+- register sums are kept in exact integer units of ``2^-(W+1)``
+  (``shiftleft(1, W+1-r)``), so the merge is BIGINT addition —
+  order-independent, no float accumulation;
+- the only floating-point steps are one multiply/divide chain for the raw
+  estimate and the standard small-range linear-counting correction, both
+  written as the *same* literal arithmetic in both engines and rounded to
+  one decimal at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# p=6 → m=64 registers: ±~13% standard error. Deliberately small so the
+# small-range (linear counting) branch is exercised only when a group
+# really is tiny, and so the whole register table for thousands of groups
+# is still broadcast-sized.
+DEFAULT_P = 6
+_HEX_DIGITS = 15  # 60-bit hash: fits BIGINT with headroom, md5-derived
+
+
+def _hash60(c: Column) -> Column:
+    """Deterministic 60-bit non-negative hash of the value's string form."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, _HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Per-group HLL register table: ``group_cols..., bucket, r``.
+
+    This is the sketch's mergeable state — register tables from disjoint
+    slices of the data (days, partitions, engines) combine with
+    ``groupBy(group, bucket).agg(max(r))`` and estimate exactly as if built
+    in one pass. Two-stage aggregation: the ``max`` is map-side partial, so
+    the shuffle carries at most ``m`` rows per group per task.
+    """
+    group_cols = group_cols or []
+    m = 2**p
+    w_bits = 60 - p
+    h = _hash60(F.col(value_col))
+    w = F.expr(f"h DIV {m}")
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, h.alias("h"))
+        .select(
+            *group_cols,
+            F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Collapse a register table to one row per group:
+    ``n_used, zeros, s_int, est_distinct``.
+
+    ``s_int`` is the exact integer register sum (units of ``2^-(W+1)``) —
+    the auditable scalar state; ``est_distinct`` applies the standard HLL
+    raw estimate with the linear-counting small-range correction, rounded
+    to one decimal so the value renders identically cross-engine.
+    """
+    group_cols = group_cols or []
+    m = 2**p
+    scale = (60 - p) + 1  # register term exponent ceiling (W + 1)
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    per_group = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("int").alias("n_used"),
+        # pyspark's shiftleft() binding only takes a literal int shift;
+        # the SQL form accepts the per-row expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - r)")).alias(
+            "s_used"
+        ),
+    )
+    s_int = (
+        F.col("s_used") + F.col("zeros").cast("long") * F.lit(2**scale)
+    ).alias("s_int")
+    raw = (
+        f"{alpha} * {m * m} * CAST({2 ** scale} AS DOUBLE) / s_int"
+    )
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m} * LN(CAST({m} AS DOUBLE) / zeros) "
+        f"ELSE {raw} END"
+    )
+    return (
+        per_group.withColumn("zeros", F.lit(m) - F.col("n_used"))
+        .select(
+            *group_cols,
+            "n_used",
+            "zeros",
+            s_int,
+        )
+        .withColumn("est_distinct", F.round(F.expr(est), 1))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """One-pass per-group approximate distinct count with open state.
+
+    Equivalent to ``hll_estimate(hll_registers(df, ...))``; at scale the
+    two halves run separately — registers are materialized per
+    day/partition and estimates are served off the merged register table.
+    """
+    return hll_estimate(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
+    )
+
+
+def hll_oracle_sql(
+    table_expr: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = DEFAULT_P,
+) -> str:
+    """The DuckDB-dialect twin of :func:`hll_distinct` (exact oracle)."""
+    group_cols = group_cols or []
+    m = 2**p
+    w_bits = 60 - p
+    scale = w_bits + 1
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby_b = ", ".join(group_cols + ["bucket"]) or "bucket"
+    gby = ", ".join(group_cols)
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    raw = f"{alpha} * {m * m} * CAST({2 ** scale} AS DOUBLE) / s_int"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m} * LN(CAST({m} AS DOUBLE) / zeros) "
+        f"ELSE {raw} END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, {_HEX_DIGITS}))::BIGINT AS h
+  FROM {table_expr}
+),
+regs AS (
+  SELECT {gsel}h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN {w_bits + 1}
+              ELSE {w_bits + 1} - length(bin(h // {m})) END AS rho
+  FROM hashed
+),
+folded AS (
+  SELECT {gsel}bucket, MAX(rho) AS r FROM regs GROUP BY {gby_b}
+),
+summed AS (
+  SELECT {gsel}CAST(COUNT(*) AS INTEGER) AS n_used,
+         SUM(1::BIGINT << ({scale} - r)) AS s_used
+  FROM folded{(" GROUP BY " + gby) if group_cols else ""}
+),
+finalized AS (
+  SELECT {gsel}n_used, {m} - n_used AS zeros,
+         CAST(s_used + ({m} - n_used)::BIGINT * {2 ** scale} AS BIGINT) AS s_int
+  FROM summed
+)
+SELECT {gsel}n_used, zeros, s_int, round({est}, 1) AS est_distinct
+FROM finalized
+"""
