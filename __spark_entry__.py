@@ -355,6 +355,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), "user_id", ["event_type"]
     )
 
+    # Count-Min point estimates vs exact counts for a probe key set: the
+    # register table is depth×width rows however large the corpus, so the
+    # probe side is a broadcast join against sketch state
+    def _cms_query(s, d):
+        ev = _t(s, d, "events")
+        probes = ev.filter(F.col("user_id") < 10).select("user_id").distinct()
+        est = K.cms_estimate(
+            K.cms_registers(ev, "user_id"), probes, "user_id"
+        )
+        exact = (
+            ev.filter(F.col("user_id") < 10)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("exact_count"))
+        )
+        return est.join(exact, "user_id")
+
+    q["sketch_heavy_hitters"] = _cms_query
+
     # -- multimodal plumbing ([EXT]) ---------------------------------------
     q["multimodal_features"] = lambda s, d: M.extract_features(
         M.attach_media_columns(_t(s, d, "documents")), decode_stub=True
@@ -1472,6 +1490,33 @@ def oracle_sql() -> dict[str, str]:
     o["sketch_distinct_users"] = K.hll_oracle_sql(
         "events", "user_id", ["event_type"]
     )
+
+    o["sketch_heavy_hitters"] = f"""
+        WITH r AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+        regs AS (
+            SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' ||
+                       CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {K.CMS_WIDTH} AS bucket,
+                   COUNT(*) AS cnt
+            FROM events CROSS JOIN r GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+        pb AS (
+            SELECT p.user_id, r.r,
+                   ('0x' || substr(md5(r.r::VARCHAR || ':' ||
+                       CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {K.CMS_WIDTH} AS bucket
+            FROM probes p CROSS JOIN r),
+        est AS (
+            SELECT user_id,
+                   MIN(COALESCE(g.cnt, 0))::BIGINT AS est_count
+            FROM pb LEFT JOIN regs g USING (r, bucket)
+            GROUP BY user_id),
+        exact AS (
+            SELECT user_id, COUNT(*) AS exact_count
+            FROM events WHERE user_id < 10 GROUP BY user_id)
+        SELECT e.user_id, est_count, exact_count
+        FROM est e JOIN exact USING (user_id)
+    """
 
     # -- multimodal ---------------------------------------------------------
     feat_terms = " + ".join(

@@ -199,3 +199,85 @@ finalized AS (
 SELECT {gsel}n_used, zeros, s_int, round({est}, 1) AS est_distinct
 FROM finalized
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate frequencies / heavy hitters
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_registers(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min register table ``(r, bucket, cnt)`` over ``value_col``.
+
+    The complement of the HLL sketch above: HLL answers "how many
+    distinct", CMS answers "how often does key k occur" with one-sided
+    (over-)estimates. State is ``depth × width`` counters regardless of
+    corpus size, and register tables from disjoint slices merge by plain
+    SUM — so per-day counter tables roll up to any window without
+    re-reading raw events.
+
+    Each input row fans out to ``depth`` (row, bucket) increments; the
+    groupBy folds them with map-side partial counts, so the shuffle
+    carries at most ``depth × width`` rows per task.
+    """
+    rows = F.explode(
+        F.array(*[F.lit(j) for j in range(depth)])
+    ).alias("r")
+    return (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .select(rows, "v")
+        .select(
+            "r",
+            F.pmod(
+                _hash60(F.concat_ws(":", F.col("r"), F.col("v"))),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate counts for ``probes[key_col]`` from a register table:
+    ``est = min over rows of the key's bucket counter`` (never less than
+    the true count; collisions only inflate).
+
+    The register table is ``depth × width`` rows — broadcast-sized by
+    construction — so probing is a broadcast join however large the
+    corpus that built the registers was.
+    """
+    rows = F.explode(
+        F.array(*[F.lit(j) for j in range(depth)])
+    ).alias("r")
+    keyed = probes.select(F.col(key_col).alias("k")).select(
+        "k", rows
+    )
+    keyed = keyed.select(
+        "k",
+        "r",
+        F.pmod(
+            _hash60(F.concat_ws(":", F.col("r"), F.col("k").cast("string"))),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(registers), ["r", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count"))
+        .withColumnRenamed("k", key_col)
+    )

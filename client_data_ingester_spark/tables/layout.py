@@ -118,3 +118,98 @@ def read_events_day(
     """One day of events — the predicate lands in PartitionFilters (path
     pruning), not a post-scan filter."""
     return spark.read.parquet(path).filter(F.col("event_date") == F.lit(day))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: multi-dimensional data skipping
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> "tuple[DataFrame, str]":
+    """Attach a Morton (Z-order) clustering key over ``cols``.
+
+    A 1-D sort gives tight parquet min/max stats on the sort column only —
+    a predicate on any OTHER column touches every file. Interleaving the
+    bits of several columns' rank-normalized values gives a key whose sort
+    order is a space-filling curve: each output file covers a small hyper-
+    rectangle, so min/max stats stay tight on EVERY participating column
+    and a selective predicate on any of them prunes files/row groups.
+
+    Normalization is min/max-linear into ``bits`` bits per column (one
+    cheap map-side-combined aggregate for the bounds — 2 scalars per
+    column on the driver, scale-independent). Values are cast to double
+    first, so numeric, date, and timestamp columns all work. NULLs map to
+    bucket 0 (they cluster together at the curve's origin).
+
+    Returns ``(df_with_key, key_col_name)``; the key is a plain BIGINT
+    column built from shift/and/or expressions — whole-stage-codegen'd,
+    no UDF.
+    """
+    bounds_row = df.select(
+        *[
+            c
+            for col in cols
+            for c in (
+                F.min(F.col(col).cast("double")).alias(f"min_{col}"),
+                F.max(F.col(col).cast("double")).alias(f"max_{col}"),
+            )
+        ]
+    ).collect()[0]
+    n = len(cols)
+    scaled = []
+    top = (1 << bits) - 1
+    for col in cols:
+        lo = bounds_row[f"min_{col}"]
+        hi = bounds_row[f"max_{col}"]
+        v = F.col(col).cast("double")
+        if lo is None or hi is None or hi == lo:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            frac = (v - F.lit(lo)) / F.lit(hi - lo)
+            # NULL check must come first: least()/greatest() IGNORE nulls
+            # (a coalesce around least(NULL, top) would yield top, sending
+            # NULL rows to the far corner of the curve instead of origin)
+            scaled.append(
+                F.when(v.isNull(), F.lit(0).cast("long")).otherwise(
+                    F.least(
+                        F.floor(frac * F.lit(top + 1)).cast("long"),
+                        F.lit(top).cast("long"),
+                    )
+                )
+            )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    out = df.withColumn("_zkey", key)
+    return out, "_zkey"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of
+    ``zorder_cols``.
+
+    ``repartitionByRange`` on the key range-partitions the curve (a
+    sampled global sort boundary — one extra pass over the key column
+    only), and the within-partition sort makes row-group stats monotone
+    inside each file. The key itself is dropped before write; skipping
+    works off the ORIGINAL columns' min/max footers, so readers need no
+    knowledge of the layout.
+    """
+    keyed, kcol = zorder_key(df, zorder_cols, bits)
+    (
+        keyed.repartitionByRange(num_files, F.col(kcol))
+        .sortWithinPartitions(kcol)
+        .drop(kcol)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -86,3 +86,47 @@ def test_register_build_is_one_shuffle_two_stage_agg(spark):
     tree = buf.getvalue().split("== Physical Plan ==")[1].split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert tree.count("HashAggregate") == 2  # partial + final
+
+
+def test_cms_overestimates_never_underestimates(spark):
+    """CMS point estimates are one-sided: collisions only inflate, so
+    est >= exact for every key — the property that makes the sketch safe
+    for heavy-hitter screening (no false negatives above the threshold)."""
+    df = spark.range(0, 20_000).select(
+        # zipf-ish: low keys occur many times, tail keys once
+        (F.col("id") % 50).alias("k")
+    )
+    regs = K.cms_registers(df, "k")
+    probes = df.select("k").distinct()
+    est = {
+        r["k"]: r["est_count"]
+        for r in K.cms_estimate(regs, probes, "k").collect()
+    }
+    exact = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_cms_registers_merge_by_sum(spark):
+    df = spark.range(0, 8_000).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") % 2).alias("slice")
+    )
+    whole = K.cms_registers(df, "k").collect()
+    merged = (
+        K.cms_registers(df.filter(F.col("slice") == 0), "k")
+        .unionAll(K.cms_registers(df.filter(F.col("slice") == 1), "k"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    assert sorted((r["r"], r["bucket"], r["cnt"]) for r in whole) == sorted(
+        (r["r"], r["bucket"], r["cnt"]) for r in merged
+    )
+
+
+def test_cms_state_is_bounded(spark):
+    """However large the input, the register table is at most depth×width
+    rows — the reason the probe join is always broadcast-safe."""
+    df = spark.range(0, 50_000).select(F.col("id").alias("k"))  # all unique
+    n = K.cms_registers(df, "k").count()
+    assert n <= K.CMS_DEPTH * K.CMS_WIDTH
