@@ -232,6 +232,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_lsh_candidates"] = lambda s, d: D.lsh_candidate_pairs(
         _t(s, d, "documents"), num_perm=4, bands=2
     )
+
+    # daily-increment dedup: sign only the "new" 20% slice, equi-join the
+    # persisted band index of the other 80% — cost ∝ batch, not corpus
+    def _incr_lsh(s, d):
+        docs = _t(s, d, "documents")
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        old = docs.filter(F.col("doc_id") % 5 != 0)
+        return D.incremental_lsh_candidates(
+            new, D.minhash_band_keys(old, num_perm=4, bands=2),
+            num_perm=4, bands=2,
+        )
+
+    q["dedup_incremental_candidates"] = _incr_lsh
     q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_dedup(
         _t(s, d, "documents"), num_perm=4, bands=2, threshold=0.2
     )
@@ -833,6 +846,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+    # incremental variant: same band keys, but pairs restricted to
+    # new (doc_id%5=0) × indexed-old — band keys are per-document, so this
+    # equals the full run's new-involving cross-slice pairs exactly
+    o["dedup_incremental_candidates"] = f"""
+        WITH sh AS ({shingles}),
+        sigs AS (
+            SELECT doc_id, {minhash_cols}
+            FROM sh GROUP BY doc_id),
+        buckets AS (
+            SELECT doc_id, 0 AS band, MD5(minhash_0 || '|' || minhash_1) AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1 AS band, MD5(minhash_2 || '|' || minhash_3) AS key FROM sigs)
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                        GREATEST(a.doc_id, b.doc_id) AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.key = b.key
+         AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
     """
 
     # connected components over the LSH pairs: recursive-CTE transitive

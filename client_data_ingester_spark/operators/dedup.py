@@ -151,6 +151,84 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(doc_id, band, key)`` — the persistable LSH index relation.
+
+    A band key is a per-document function only (md5 over that band's
+    minhash rows), so the relation is INCREMENTAL by construction: computing
+    it for a new batch of documents never touches previously-indexed ones.
+    Persist it partitioned/bucketed by ``key`` and daily dedup becomes
+    "hash the new docs, equi-join the index" (see
+    :func:`incremental_lsh_candidates`) instead of re-signing the corpus.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
+    band_exprs = []
+    for b in range(bands):
+        parts = [
+            F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("key"),
+            )
+        )
+    return (
+        sigs.select("doc_id", F.explode(F.array(*band_exprs)).alias("bk"))
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidates of a NEW batch against an already-indexed
+    corpus: ``(doc_a, doc_b)`` with ``doc_a < doc_b``, where one side is a
+    new document and the other an indexed one.
+
+    The batch is signed once (cost ∝ batch size, never corpus size) and its
+    band keys equi-join the persisted index on ``(band, key)`` — a plain
+    hash join that prunes/partitions on the key at scale. Together with
+    in-batch pairs (``lsh_candidate_pairs`` over the batch alone) this
+    reproduces exactly the pairs a full re-run over old ∪ new would emit
+    involving a new document (pinned by test): a shared band key between
+    two documents does not depend on what else is in the corpus.
+    """
+    new_bands = minhash_band_keys(
+        new_docs, text_col, num_perm, bands, shingle_k
+    )
+    joined = new_bands.alias("n").join(
+        index.alias("i"),
+        (F.col("n.band") == F.col("i.band"))
+        & (F.col("n.key") == F.col("i.key"))
+        & (F.col("n.doc_id") != F.col("i.doc_id")),
+    )
+    return (
+        joined.select(
+            F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -167,23 +245,7 @@ def lsh_candidate_pairs(
     self-join that computes the signature relation twice. Work stays
     O(Σ bucket²) with bucket sizes bounded by collision rate; a pathological
     all-identical corpus degenerates the same way under either formulation."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
-    band_exprs = []
-    for b in range(bands):
-        parts = [
-            F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_exprs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("key"),
-            )
-        )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = minhash_band_keys(docs, text_col, num_perm, bands, shingle_k)
     grouped = (
         buckets.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

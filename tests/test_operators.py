@@ -584,3 +584,47 @@ def test_resize_plumbing_image_only_and_scales(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_incremental_lsh_equals_full_run_cross_slice(spark):
+    """The completeness contract for daily-increment dedup: in-batch pairs
+    plus batch-vs-index pairs reproduce EXACTLY the full re-run's pairs
+    that involve a new document (band keys are per-document functions, so
+    membership of a pair never depends on the rest of the corpus)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a completely different document about spark execution engines",
+        "yet another unrelated piece of text entirely on its own",
+    ]
+    # 40 docs: four text families repeated with small id-dependent suffixes
+    rows = [
+        (i, texts[i % 4] + (" extra" if i % 8 >= 4 else ""))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(docs, num_perm=4, bands=2).collect()
+    }
+    in_batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(new, num_perm=4, bands=2).collect()
+    }
+    cross = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_lsh_candidates(
+            new, D.minhash_band_keys(old, num_perm=4, bands=2),
+            num_perm=4, bands=2,
+        ).collect()
+    }
+    is_new = lambda d: d % 5 == 0  # noqa: E731
+    full_involving_new = {
+        p for p in full if is_new(p[0]) or is_new(p[1])
+    }
+    assert cross | in_batch == full_involving_new
+    # and the cross set is disjoint from in-batch (new×old only)
+    assert all(is_new(a) != is_new(b) for a, b in cross)
