@@ -1,0 +1,123 @@
+"""Streaming sketch maintenance ([EXT]): continuously-updated HLL distinct
+counts over an event stream.
+
+The batch sketch (operators/sketch.py) made register state an open,
+mergeable DataFrame; this module closes the loop for streams. Each
+micro-batch writes ONLY its own registers to an idempotent per-batch dir
+(``register_dir/batch_id=N``, overwrite — the same exactly-once recipe as
+the streaming dedup parquet sink: a replayed batch overwrites itself).
+Estimates are MERGE-ON-READ: readers fold all shards with
+``groupBy(group, bucket).max(r)`` — associative, order- and
+replay-insensitive — then apply the standard estimate.
+
+Why this shape at scale:
+- the stream job does no read-modify-write of global state (no lock, no
+  transactional table needed): appends are tiny (≤ m rows per group per
+  batch) and the merge is deferred to readers;
+- shard count grows with batch count, not data size; ``compact_registers``
+  folds history into a single shard when listings get long (any replayed
+  batch after compaction still merges correctly — max is idempotent);
+- the same register shards can be merged with BATCH-built registers (same
+  schema, same hash), so a backfill job and the live stream feed one
+  estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sketch import DEFAULT_P, hll_estimate, hll_registers
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+    ]
+)
+
+
+def start_hll_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    register_dir: str,
+    value_col: str = "user_id",
+    group_cols: list[str] | None = None,
+    p: int = DEFAULT_P,
+    query_name: str = "hll_registers",
+) -> StreamingQuery:
+    """Tail a directory of event json files; per micro-batch, land that
+    batch's HLL registers in its own idempotent shard dir."""
+    group_cols = list(group_cols or [])
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_registers(batch_df, value_col, group_cols, p)
+            .write.mode("overwrite")
+            .parquet(f"{register_dir}/batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .format("json")
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+
+
+def merged_registers(
+    spark: SparkSession,
+    register_dir: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """All shards folded to one register table (merge-on-read)."""
+    group_cols = list(group_cols or [])
+    return (
+        spark.read.parquet(register_dir)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def read_hll_estimate(
+    spark: SparkSession,
+    register_dir: str,
+    group_cols: list[str] | None = None,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Current distinct-count estimate over everything streamed so far —
+    bit-identical to a batch ``hll_distinct`` over the union of all
+    micro-batch inputs (asserted in tests)."""
+    group_cols = list(group_cols or [])
+    return hll_estimate(
+        merged_registers(spark, register_dir, group_cols), group_cols, p
+    )
+
+
+def compact_registers(
+    spark: SparkSession,
+    register_dir: str,
+    compacted_dir: str,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Fold all shards into a single shard at ``compacted_dir`` (a fresh
+    root for readers). Estimates before and after are identical; max-merge
+    idempotence means late replays against the old root stay mergeable."""
+    group_cols = list(group_cols or [])
+    (
+        merged_registers(spark, register_dir, group_cols)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{compacted_dir}/batch_id=compacted")
+    )

@@ -1,0 +1,117 @@
+"""Streaming HLL register maintenance ([EXT], streaming/sketch_stream.py):
+the live estimate must equal a batch build over the union of everything
+streamed — across micro-batches, restarts, and compaction."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from client_data_ingester_spark.operators.sketch import hll_distinct
+from client_data_ingester_spark.streaming.sketch_stream import (
+    compact_registers,
+    read_hll_estimate,
+    start_hll_register_stream,
+)
+
+
+def _write_events(path, events):
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _events(id0, users, etype="click"):
+    ts = "2024-01-01T10:{:02d}:00.000Z"
+    return [
+        {
+            "event_id": id0 + i,
+            "ts": ts.format(i % 60),
+            "user_id": u,
+            "event_type": etype,
+        }
+        for i, u in enumerate(users)
+    ]
+
+
+def test_streaming_estimate_matches_batch_across_restart(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    regs = str(tmp_path / "regs")
+
+    batch1 = _events(0, [1, 2, 3, 4, 5, 2, 3])
+    _write_events(src / "b1.json", batch1)
+    q = start_hll_register_stream(spark, str(src), ckpt, regs)
+    try:
+        q.processAllAvailable()
+        batch2 = _events(100, [4, 5, 6, 7, 8, 9])
+        _write_events(src / "b2.json", batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def batch_build(events):
+        df = spark.createDataFrame(
+            [(e["user_id"],) for e in events], "user_id long"
+        )
+        return hll_distinct(df, "user_id").collect()[0]
+
+    live = read_hll_estimate(spark, regs).collect()[0]
+    ref = batch_build(batch1 + batch2)
+    assert (live["s_int"], live["est_distinct"]) == (
+        ref["s_int"],
+        ref["est_distinct"],
+    )
+    # 9 distinct users; m=64 keeps a tiny set in linear-counting territory
+    assert abs(live["est_distinct"] - 9) <= 2
+
+    # restart from the checkpoint: only the NEW file is processed, its
+    # shard lands next to the old ones, and the merged estimate advances
+    batch3 = _events(200, [10, 11, 12, 1, 2])
+    _write_events(src / "b3.json", batch3)
+    q2 = start_hll_register_stream(spark, str(src), ckpt, regs)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    live2 = read_hll_estimate(spark, regs).collect()[0]
+    ref2 = batch_build(batch1 + batch2 + batch3)
+    assert (live2["s_int"], live2["est_distinct"]) == (
+        ref2["s_int"],
+        ref2["est_distinct"],
+    )
+
+    # compaction preserves the estimate exactly
+    compact_registers(spark, regs, str(tmp_path / "regs_c"))
+    compacted = read_hll_estimate(spark, str(tmp_path / "regs_c")).collect()[0]
+    assert (compacted["s_int"], compacted["est_distinct"]) == (
+        ref2["s_int"],
+        ref2["est_distinct"],
+    )
+
+
+def test_streaming_grouped_registers(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    regs = str(tmp_path / "regs")
+    _write_events(
+        src / "b1.json",
+        _events(0, [1, 2, 3], "click") + _events(50, [1, 2], "view"),
+    )
+    q = start_hll_register_stream(
+        spark, str(src), ckpt, regs, group_cols=["event_type"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["event_type"]: r["est_distinct"]
+        for r in read_hll_estimate(
+            spark, regs, group_cols=["event_type"]
+        ).collect()
+    }
+    assert set(rows) == {"click", "view"}
+    assert abs(rows["click"] - 3) <= 1
+    assert abs(rows["view"] - 2) <= 1
