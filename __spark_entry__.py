@@ -386,6 +386,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_heavy_hitters"] = _cms_query
 
+    # fixed-domain histogram quantiles: SUM-mergeable bin registers, bin-
+    # edge estimates; cumulative window runs over ≤200 aggregated rows
+    q["sketch_value_quantiles"] = lambda s, d: K.hist_quantiles(
+        K.hist_registers(_t(s, d, "events"), "value", 0.0, 500.0, 200),
+        [0.5, 0.9, 0.95, 0.99],
+        0.0,
+        500.0,
+        200,
+    )
+
     # -- multimodal plumbing ([EXT]) ---------------------------------------
     q["multimodal_features"] = lambda s, d: M.extract_features(
         M.attach_media_columns(_t(s, d, "documents")), decode_stub=True
@@ -1548,6 +1558,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id < 10 GROUP BY user_id)
         SELECT e.user_id, est_count, exact_count
         FROM est e JOIN exact USING (user_id)
+    """
+
+    o["sketch_value_quantiles"] = """
+        WITH regs AS (
+            SELECT CAST(LEAST(GREATEST(
+                       FLOOR((value - 0.0) / 500.0 * 200), 0), 199)
+                       AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+        c AS (
+            SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin) AS cum,
+                   SUM(cnt) OVER () AS total
+            FROM regs),
+        qs AS (
+            SELECT CAST(q AS DOUBLE) AS q
+            FROM (VALUES (0.5), (0.9), (0.95), (0.99)) t(q)),
+        hit AS (
+            SELECT q, MIN(bin) AS bin
+            FROM c CROSS JOIN qs
+            WHERE cum >= q * total GROUP BY q)
+        SELECT q, 0.0 + ((bin + 1) * 500.0) / 200 AS est_value
+        FROM hit
     """
 
     # -- multimodal ---------------------------------------------------------

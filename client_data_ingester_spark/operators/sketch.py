@@ -281,3 +281,79 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count"))
         .withColumnRenamed("k", key_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch: mergeable approximate quantiles
+
+
+def hist_registers(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 200,
+) -> DataFrame:
+    """Histogram register table ``(bin, cnt)`` over a FIXED domain.
+
+    The third mergeable-sketch family: registers merge by SUM (like CMS),
+    state is ≤ ``n_bins`` rows however large the input, and quantile
+    estimates are deterministic bin edges — no rank shuffle of raw values.
+    The domain is fixed up front (not derived from the data) precisely so
+    register tables from different days/slices share bin boundaries and
+    stay mergeable; at 100 TB you know your metric's domain, and outliers
+    clamp into the edge bins (bounded error, never lost rows).
+    """
+    span = hi - lo
+    v = F.col(value_col).cast("double")
+    bin_expr = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(span) * F.lit(n_bins)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 200,
+) -> DataFrame:
+    """Quantile estimates from a register table: for each q, the upper edge
+    of the first bin whose cumulative count reaches ``q * total``.
+
+    Estimate error is one bin width — the classic accuracy/state trade.
+    The cumulative window runs over the AGGREGATED relation (≤ n_bins
+    rows), so the single-partition sort is bounded and constant, never
+    data-sized.
+    """
+    from pyspark.sql import Window
+
+    span = hi - lo
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = registers.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+    q_rows = F.explode(
+        F.array(*[F.lit(float(q)).alias("q") for q in qs])
+    ).alias("q")
+    qdf = c.sparkSession.range(1).select(q_rows)
+    hit = (
+        c.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.lit(lo) + ((F.col("bin") + 1) * F.lit(span)) / F.lit(n_bins)
+    return hit.select("q", est.alias("est_value"))

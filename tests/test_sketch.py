@@ -130,3 +130,49 @@ def test_cms_state_is_bounded(spark):
     df = spark.range(0, 50_000).select(F.col("id").alias("k"))  # all unique
     n = K.cms_registers(df, "k").count()
     assert n <= K.CMS_DEPTH * K.CMS_WIDTH
+
+
+def test_hist_quantiles_accuracy_and_merge(spark):
+    """Histogram registers SUM-merge across slices, and quantile estimates
+    land within one bin width of the exact rank statistic."""
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 1000).cast("double").alias("v"),
+        (F.col("id") % 2).alias("slice"),
+    )
+    lo, hi, nb = 0.0, 1000.0, 100  # bin width 10
+    whole = K.hist_registers(df, "v", lo, hi, nb).collect()
+    merged = (
+        K.hist_registers(df.filter(F.col("slice") == 0), "v", lo, hi, nb)
+        .unionAll(
+            K.hist_registers(df.filter(F.col("slice") == 1), "v", lo, hi, nb)
+        )
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    assert sorted((r["bin"], r["cnt"]) for r in whole) == sorted(
+        (r["bin"], r["cnt"]) for r in merged
+    )
+
+    regs = K.hist_registers(df, "v", lo, hi, nb)
+    est = {
+        r["q"]: r["est_value"]
+        for r in K.hist_quantiles(regs, [0.5, 0.9, 0.99], lo, hi, nb).collect()
+    }
+    # uniform 0..999 → true p50≈500, p90≈900, p99≈990; bin width 10
+    assert abs(est[0.5] - 500) <= 10
+    assert abs(est[0.9] - 900) <= 10
+    assert abs(est[0.99] - 990) <= 10
+    # out-of-domain values clamp into edge bins instead of disappearing
+    spiked = df.unionAll(
+        spark.range(0, 1).select(
+            F.lit(10_000.0).alias("v"), F.lit(0).cast("long").alias("slice")
+        )
+    )
+    top = K.hist_registers(spiked, "v", lo, hi, nb).filter(
+        F.col("bin") == nb - 1
+    )
+    base_top = K.hist_registers(df, "v", lo, hi, nb).filter(
+        F.col("bin") == nb - 1
+    )
+    assert top.collect()[0]["cnt"] == base_top.collect()[0]["cnt"] + 1
