@@ -265,3 +265,45 @@ def test_mixture_sample_filter_not_pushed_through_langid(spark):
                 "keep filter pushed through the lang-id projection:\n"
                 + section[:500]
             )
+
+
+def test_incremental_lsh_is_equi_hash_join_no_cartesian(spark):
+    """The batch-vs-index join must be a hash/merge join keyed on
+    (band, key) — never a nested-loop — and the doc_id inequality must
+    ride as a post-join condition, not degrade the join itself."""
+    plan = plan_of(spark, "dedup_incremental_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_cms_probe_join_is_broadcast(spark):
+    """The CMS register table is depth×width rows by construction; probing
+    it must compile to a broadcast join, never a shuffled one."""
+    plan = plan_of(spark, "sketch_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hist_quantile_window_runs_over_aggregated_relation(spark):
+    """The only unpartitioned window must consume the ≤n_bins aggregate
+    (HashAggregate below the Window), never the raw events scan."""
+    plan = plan_of(spark, "sketch_value_quantiles")
+    # window input comes from the bin-fold aggregate: in the tree, the
+    # Window node sits above a HashAggregate, not directly above the scan
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    # tree depth = column of the "+-" node marker (leading-space counts are
+    # flat inside a join branch; the marker column always grows with depth)
+    win_depth = agg_depth = None
+    for line in tree.split("\n"):
+        if "+-" not in line:
+            continue
+        col = line.index("+-")
+        if "Window" in line and win_depth is None:
+            win_depth = col
+        if "HashAggregate" in line and win_depth is not None and agg_depth is None:
+            agg_depth = col
+    assert win_depth is not None and agg_depth is not None
+    assert agg_depth > win_depth  # aggregate feeds the window
