@@ -297,6 +297,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_contamination"] = lambda s, d: C.contamination_check(
         _t(s, d, "documents")
     )
+    # bloom-screened decontamination: eval shingles → 64Ki-bit bloom
+    # (broadcast), train corpus screened without shuffling train shingles;
+    # zero-hit docs are PROVEN clean (one-sided), flagged docs are a small
+    # verifiable superset
+    q["corpus_bloom_decontaminate"] = lambda s, d: K.bloom_decontaminate(
+        _t(s, d, "documents")
+    )
     q["tfidf_top_terms"] = lambda s, d: C.tfidf_top_terms(
         _t(s, d, "documents")
     )
@@ -1158,6 +1165,39 @@ def oracle_sql() -> dict[str, str]:
         FROM ev e LEFT JOIN tr t ON e.sh = t.sh
         GROUP BY e.doc_id
     """
+
+    o["corpus_bloom_decontaminate"] = f"""
+        WITH sh AS ({{shingles}}),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 < 80
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM documents),
+        ks AS (SELECT * FROM (VALUES (0), (1), (2)) t(r)),
+        ev_bits AS (
+            SELECT DISTINCT ('0x' || substr(md5(ks.r::VARCHAR || ':' || s.sh), 1, 15))::BIGINT
+                   % 65536 AS bit
+            FROM sh s JOIN sp ON sp.doc_id = s.doc_id CROSS JOIN ks
+            WHERE sp.split = 'eval'),
+        probes AS (
+            SELECT s.doc_id, s.sh,
+                   ('0x' || substr(md5(ks.r::VARCHAR || ':' || s.sh), 1, 15))::BIGINT
+                   % 65536 AS bit
+            FROM sh s JOIN sp ON sp.doc_id = s.doc_id CROSS JOIN ks
+            WHERE sp.split = 'train'),
+        per_sh AS (
+            SELECT doc_id, sh, (COUNT(b.bit) = 3) AS maybe_eval
+            FROM probes p LEFT JOIN ev_bits b USING (bit)
+            GROUP BY doc_id, sh)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN maybe_eval THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_hits,
+               (CAST(SUM(CASE WHEN maybe_eval THEN 1 ELSE 0 END) AS BIGINT) > 0)
+                   AS dropped
+        FROM per_sh GROUP BY doc_id
+    """.format(shingles=shingles)
 
     o["tfidf_top_terms"] = f"""
         WITH w AS ({word_occ}),

@@ -357,3 +357,100 @@ def hist_quantiles(
     )
     est = F.lit(lo) + ((F.col("bin") + 1) * F.lit(span)) / F.lit(n_bins)
     return hit.select("q", est.alias("est_value"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set membership / semi-join reduction
+
+
+BLOOM_K = 3
+
+
+def bloom_registers(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 16,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom register table ``(bit,)`` — the distinct set positions.
+
+    Fourth mergeable-sketch family: state merges by UNION+distinct, is
+    bounded by ``m_bits`` rows however large the keyed set, and membership
+    tests are one-sided — a key whose ``k`` positions are all present MAY
+    be in the set (false-positive rate ≈ (1-e^{-kn/m})^k); a key with any
+    position missing is DEFINITELY absent. That asymmetry is exactly what
+    semi-join reduction wants: pre-filter the huge side with the bloom of
+    the small side, then (optionally) verify survivors exactly — the
+    shuffle only ever carries rows that might match.
+    """
+    rows = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("r")
+    return (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .select(rows, "v")
+        .select(
+            F.pmod(
+                _hash60(F.concat_ws(":", F.col("r"), F.col("v"))),
+                F.lit(m_bits),
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    train_pct: int = 80,
+    m_bits: int = 1 << 16,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Train-side decontamination screened through a bloom of the EVAL
+    split's shingles: per train document, how many of its shingles hit the
+    bloom, and whether the doc must be dropped (any hit).
+
+    This is the scale-correct direction: train is the 100 TB side, eval
+    benchmarks are small, so the bloom (≤ m_bits rows, here 64Ki) is
+    broadcast and the train corpus is screened WITHOUT shuffling a single
+    train shingle — compare ``contamination_check``, whose exact join
+    shuffles both sides. One-sidedness makes the screen safe: a bloom miss
+    proves the shingle is not in eval, so a doc with zero hits is
+    definitely clean; flagged docs are a small superset of the truly
+    contaminated (drop them all, or verify exactly — the verify join's
+    input is now the flagged sliver, not the corpus).
+    """
+    from .corpus import hash_split  # local import to avoid a cycle
+    from .dedup import exploded_shingles
+
+    split = hash_split(docs, train_pct=train_pct).select("doc_id", "split")
+    sh = exploded_shingles(docs, text_col, shingle_k).join(split, "doc_id")
+    eval_bits = bloom_registers(
+        sh.filter(F.col("split") == "eval").select("sh"), "sh", m_bits, k
+    ).withColumn("_set", F.lit(1))
+    rows = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("r")
+    probed = (
+        sh.filter(F.col("split") == "train")
+        .select("doc_id", "sh")
+        .select("doc_id", "sh", rows)
+        .select(
+            "doc_id",
+            "sh",
+            F.pmod(
+                _hash60(F.concat_ws(":", F.col("r"), F.col("sh"))),
+                F.lit(m_bits),
+            ).alias("bit"),
+        )
+        .join(F.broadcast(eval_bits), "bit", "left")
+        .groupBy("doc_id", "sh")
+        .agg(
+            (F.count(F.col("_set")) == F.lit(k)).alias("maybe_eval")
+        )
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("maybe_eval").cast("long")).alias("n_bloom_hits"),
+        )
+        .withColumn("dropped", F.col("n_bloom_hits") > 0)
+    )

@@ -176,3 +176,44 @@ def test_hist_quantiles_accuracy_and_merge(spark):
         F.col("bin") == nb - 1
     )
     assert top.collect()[0]["cnt"] == base_top.collect()[0]["cnt"] + 1
+
+
+def test_bloom_screen_is_one_sided_superset_of_exact(spark):
+    """Every shingle truly shared with the eval split MUST hit the bloom
+    (no false negatives — zero-hit docs are proven clean); bloom hits are
+    allowed to exceed the exact count (false positives), never undercut."""
+    from client_data_ingester_spark.operators.corpus import (
+        contamination_check,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bloom = {
+        r["doc_id"]: (r["n_shingles"], r["n_bloom_hits"], r["dropped"])
+        for r in K.bloom_decontaminate(docs).collect()
+    }
+    # exact contamination of the TRAIN split = contamination_check with
+    # the splits swapped (train_pct inverted semantics): recompute exactly
+    # with a direct join
+    from client_data_ingester_spark.operators.corpus import hash_split
+    from client_data_ingester_spark.operators.dedup import exploded_shingles
+
+    split = hash_split(docs).select("doc_id", "split")
+    sh = exploded_shingles(docs, "text", 3).join(split, "doc_id")
+    ev_sh = sh.filter(F.col("split") == "eval").select("sh").distinct()
+    exact = {
+        r["doc_id"]: r["n_exact"]
+        for r in (
+            sh.filter(F.col("split") == "train")
+            .join(ev_sh.withColumn("_hit", F.lit(1)), "sh", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_exact"))
+            .collect()
+        )
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, n_exact in exact.items():
+        n_sh, n_hits, dropped = bloom[doc_id]
+        assert n_hits >= n_exact, doc_id  # one-sided
+        assert n_hits <= n_sh
+        if n_exact > 0:
+            assert dropped  # truly contaminated docs always flagged
