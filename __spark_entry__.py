@@ -1176,13 +1176,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents),
         ks AS (SELECT * FROM (VALUES (0), (1), (2)) t(r)),
         ev_bits AS (
-            SELECT DISTINCT ('0x' || substr(md5(ks.r::VARCHAR || ':' || s.sh), 1, 15))::BIGINT
+            SELECT DISTINCT ('0x' || substr(md5(s.sh), 1 + 10 * ks.r, 10))::BIGINT
                    % 65536 AS bit
             FROM sh s JOIN sp ON sp.doc_id = s.doc_id CROSS JOIN ks
             WHERE sp.split = 'eval'),
         probes AS (
             SELECT s.doc_id, s.sh,
-                   ('0x' || substr(md5(ks.r::VARCHAR || ':' || s.sh), 1, 15))::BIGINT
+                   ('0x' || substr(md5(s.sh), 1 + 10 * ks.r, 10))::BIGINT
                    % 65536 AS bit
             FROM sh s JOIN sp ON sp.doc_id = s.doc_id CROSS JOIN ks
             WHERE sp.split = 'train'),

@@ -366,6 +366,27 @@ def hist_quantiles(
 BLOOM_K = 3
 
 
+def _digest_bits(m_bits: int, k: int) -> "list[Column]":
+    """The k bloom positions as expressions, sliced from ONE md5 digest
+    (column ``d``): position j = 40-bit int from hex chars [1+10j, 10+10j]
+    mod m_bits. One digest per key instead of k keyed hashes — the hash
+    work is the probe's dominant cost, so this is ~k× cheaper, and slicing
+    independent digest regions keeps the k positions pairwise independent.
+    ``d`` must be a STAGED named column (its own projection) so the three
+    references share one md5 evaluation instead of re-inlining it.
+    """
+    assert k * 10 <= 32, "md5 has 32 hex chars: at most 3 ten-char slices"
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(F.col("d"), 1 + 10 * j, 10), 16, 10
+            ).cast("long"),
+            F.lit(m_bits),
+        )
+        for j in range(k)
+    ]
+
+
 def bloom_registers(
     df: DataFrame,
     value_col: str,
@@ -383,16 +404,9 @@ def bloom_registers(
     the small side, then (optionally) verify survivors exactly — the
     shuffle only ever carries rows that might match.
     """
-    rows = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("r")
     return (
-        df.select(F.col(value_col).cast("string").alias("v"))
-        .select(rows, "v")
-        .select(
-            F.pmod(
-                _hash60(F.concat_ws(":", F.col("r"), F.col("v"))),
-                F.lit(m_bits),
-            ).alias("bit")
-        )
+        df.select(F.md5(F.col(value_col).cast("string")).alias("d"))
+        .select(F.explode(F.array(*_digest_bits(m_bits, k))).alias("bit"))
         .distinct()
     )
 
@@ -411,13 +425,16 @@ def bloom_decontaminate(
 
     This is the scale-correct direction: train is the 100 TB side, eval
     benchmarks are small, so the bloom (≤ m_bits rows, here 64Ki) is
-    broadcast and the train corpus is screened WITHOUT shuffling a single
-    train shingle — compare ``contamination_check``, whose exact join
-    shuffles both sides. One-sidedness makes the screen safe: a bloom miss
-    proves the shingle is not in eval, so a doc with zero hits is
-    definitely clean; flagged docs are a small superset of the truly
-    contaminated (drop them all, or verify exactly — the verify join's
-    input is now the flagged sliver, not the corpus).
+    broadcast and the membership test is a broadcast join — the
+    shingle-keyed shuffle of two corpus-sized sides that
+    ``contamination_check``'s exact join pays disappears entirely. The
+    only remaining wide op is the per-document fold (keyed by doc_id,
+    map-side combined — the k explode rows of a shingle collapse to one
+    partial row before the shuffle). One-sidedness makes the screen safe:
+    a bloom miss proves the shingle is not in eval, so a doc with zero
+    hits is definitely clean; flagged docs are a small superset of the
+    truly contaminated (drop them all, or verify exactly — the verify
+    join's input is now the flagged sliver, not the corpus).
     """
     from .corpus import hash_split  # local import to avoid a cycle
     from .dedup import exploded_shingles
@@ -426,28 +443,34 @@ def bloom_decontaminate(
     sh = exploded_shingles(docs, text_col, shingle_k).join(split, "doc_id")
     eval_bits = bloom_registers(
         sh.filter(F.col("split") == "eval").select("sh"), "sh", m_bits, k
-    ).withColumn("_set", F.lit(1))
-    rows = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("r")
-    probed = (
-        sh.filter(F.col("split") == "train")
-        .select("doc_id", "sh")
-        .select("doc_id", "sh", rows)
-        .select(
-            "doc_id",
-            "sh",
-            F.pmod(
-                _hash60(F.concat_ws(":", F.col("r"), F.col("sh"))),
-                F.lit(m_bits),
-            ).alias("bit"),
-        )
-        .join(F.broadcast(eval_bits), "bit", "left")
-        .groupBy("doc_id", "sh")
-        .agg(
-            (F.count(F.col("_set")) == F.lit(k)).alias("maybe_eval")
-        )
     )
+    # membership = k broadcast LEFT joins, one per digest slice — no
+    # explode, no per-shingle groupBy: each join is map-side against the
+    # bounded bit set (distinct, so it can never duplicate probe rows),
+    # and the ONLY shuffle in the whole screen is the final doc_id fold
+    bit_cols = _digest_bits(m_bits, k)
+    probed = sh.filter(F.col("split") == "train").select(
+        "doc_id", F.md5(F.col("sh")).alias("d")
+    )
+    probed = probed.select(
+        "doc_id", *[bit_cols[j].alias(f"_b{j}") for j in range(k)]
+    )
+    hit = F.lit(True)
+    for j in range(k):
+        probed = probed.join(
+            F.broadcast(
+                eval_bits.select(
+                    F.col("bit").alias(f"_b{j}"),
+                    F.lit(1).alias(f"_s{j}"),
+                )
+            ),
+            f"_b{j}",
+            "left",
+        )
+        hit = hit & F.col(f"_s{j}").isNotNull()
     return (
-        probed.groupBy("doc_id")
+        probed.select("doc_id", hit.alias("maybe_eval"))
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
             F.sum(F.col("maybe_eval").cast("long")).alias("n_bloom_hits"),
