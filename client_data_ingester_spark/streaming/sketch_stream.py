@@ -1,5 +1,5 @@
 """Streaming sketch maintenance ([EXT]): continuously-updated HLL distinct
-counts over an event stream.
+counts and Count-Min frequencies over an event stream.
 
 The batch sketch (operators/sketch.py) made register state an open,
 mergeable DataFrame; this module closes the loop for streams. Each
@@ -19,7 +19,9 @@ Why this shape at scale:
   batch after compaction still merges correctly — max is idempotent);
 - the same register shards can be merged with BATCH-built registers (same
   schema, same hash), so a backfill job and the live stream feed one
-  estimate.
+  estimate;
+- the pattern is merge-generic: HLL shards fold by MAX, CMS shards by SUM
+  — any associative, replay-idempotent-after-overwrite merge fits.
 """
 
 from __future__ import annotations
@@ -121,3 +123,65 @@ def compact_registers(
         .write.mode("overwrite")
         .parquet(f"{compacted_dir}/batch_id=compacted")
     )
+
+
+def start_cms_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    register_dir: str,
+    value_col: str = "user_id",
+    depth: int = None,
+    width: int = None,
+    query_name: str = "cms_registers",
+) -> StreamingQuery:
+    """Count-Min twin of :func:`start_hll_register_stream`: per micro-batch
+    counter shards, idempotent per batch id; the merged sketch estimates
+    running frequencies over everything streamed so far."""
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_registers
+
+    depth = CMS_DEPTH if depth is None else depth
+    width = CMS_WIDTH if width is None else width
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_registers(batch_df, value_col, depth, width)
+            .write.mode("overwrite")
+            .parquet(f"{register_dir}/batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .format("json")
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+
+
+def read_cms_estimate(
+    spark: SparkSession,
+    register_dir: str,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = None,
+    width: int = None,
+) -> DataFrame:
+    """Frequency estimates for ``probes`` over all streamed input: shards
+    merge by SUM (counts are additive across micro-batches), then the
+    standard CMS min-over-rows probe."""
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_estimate
+
+    depth = CMS_DEPTH if depth is None else depth
+    width = CMS_WIDTH if width is None else width
+    merged = (
+        spark.read.parquet(register_dir)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cms_estimate(merged, probes, key_col, depth, width)

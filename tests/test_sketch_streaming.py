@@ -115,3 +115,54 @@ def test_streaming_grouped_registers(spark, tmp_path):
     assert set(rows) == {"click", "view"}
     assert abs(rows["click"] - 3) <= 1
     assert abs(rows["view"] - 2) <= 1
+
+
+def test_streaming_cms_matches_batch_counts(spark, tmp_path):
+    """SUM-merged micro-batch counter shards estimate exactly like a batch
+    CMS over the union — and est >= exact stays one-sided throughout."""
+    from client_data_ingester_spark.operators.sketch import (
+        cms_estimate,
+        cms_registers,
+    )
+    from client_data_ingester_spark.streaming.sketch_stream import (
+        read_cms_estimate,
+        start_cms_register_stream,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    users1 = [1, 1, 1, 2, 3]
+    users2 = [1, 2, 2, 4]
+    _write_events(src / "b1.json", _events(0, users1))
+    q = start_cms_register_stream(
+        spark, str(src), str(tmp_path / "ckpt"), str(tmp_path / "regs")
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(src / "b2.json", _events(100, users2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_users = users1 + users2
+    union_df = spark.createDataFrame(
+        [(u,) for u in all_users], "user_id long"
+    )
+    probes = union_df.select("user_id").distinct()
+    live = {
+        r["user_id"]: r["est_count"]
+        for r in read_cms_estimate(
+            spark, str(tmp_path / "regs"), probes, "user_id"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(
+            cms_registers(union_df, "user_id"), probes, "user_id"
+        ).collect()
+    }
+    assert live == batch
+    from collections import Counter
+
+    exact = Counter(all_users)
+    assert all(live[u] >= exact[u] for u in exact)
