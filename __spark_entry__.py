@@ -167,6 +167,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q4_order_priority"] = lambda s, d: R.order_priority_counts(
         _t(s, d, "orders"), _t(s, d, "lineitem")
     )
+    q["q18_large_volume_customers"] = lambda s, d: R.large_volume_customers(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    q["q7_volume_shipping"] = lambda s, d: R.volume_shipping(
+        _t(s, d, "supplier"),
+        _t(s, d, "lineitem"),
+        _t(s, d, "orders"),
+        _t(s, d, "customer"),
+        _t(s, d, "nation"),
+    )
     q["q5_regional_revenue"] = lambda s, d: R.regional_revenue(
         _t(s, d, "region"),
         _t(s, d, "nation"),
@@ -605,6 +615,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM lineitem
             WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
+    """
+
+    o["q18_large_volume_customers"] = """
+        WITH qty AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   AS o_totalprice,
+               CAST(q AS DOUBLE) AS total_qty
+        FROM orders
+        JOIN qty ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """
+
+    o["q7_volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+          AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
     """
 
     o["q5_regional_revenue"] = f"""

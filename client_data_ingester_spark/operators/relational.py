@@ -339,3 +339,87 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: int = 200,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: agg-filtered semi-join (HAVING subquery).
+
+    The classic formulation scans lineitem twice (once in the IN-subquery,
+    once in the outer join); here the per-order quantity aggregate IS the
+    join input — one lineitem shuffle on l_orderkey total. The filtered
+    aggregate is selective (the whole point of the HAVING), so it
+    broadcasts to both the orders and customer joins: at 100 TB neither
+    fact table shuffles for this query at all. Deterministic top-k: the
+    sort key ends in the unique o_orderkey so LIMIT ties can't flap
+    between engines.
+    """
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_money("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > qty_threshold)
+    )
+    return (
+        orders.join(
+            F.broadcast(qty), orders.o_orderkey == qty.l_orderkey
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _money("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(limit)
+    )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nations: tuple = ("NATION_1", "NATION_2", "NATION_3", "NATION_4"),
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by (supplier nation, customer
+    nation, year) restricted to a nation set.
+
+    Two broadcast copies of the nation dim (supplier side and customer
+    side) carry the nation-set filters INTO the joins, so the fact-side
+    rows of out-of-set nations are dropped at the join instead of after
+    it; the inequality (cross-border only) is a cheap post-join residual.
+    Revenue is the exact-decimal money sum, cast once.
+    """
+    n1 = nation.filter(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("_n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.filter(F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("_n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    revenue = F.sum(
+        _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    ).cast("double")
+    return (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("_n1_key"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("_n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year(F.col("l_shipdate")).cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )

@@ -307,3 +307,23 @@ def test_hist_quantile_window_runs_over_aggregated_relation(spark):
             agg_depth = col
     assert win_depth is not None and agg_depth is not None
     assert agg_depth > win_depth  # aggregate feeds the window
+
+
+def test_q18_single_lineitem_pass_and_broadcast_semi(spark):
+    """Q18 must not scan lineitem twice (the IN-subquery formulation): one
+    lineitem aggregate, whose selective result BROADCASTS to the orders
+    join, and the top-k rides TakeOrderedAndProject."""
+    plan = plan_of(spark, "q18_large_volume_customers")
+    # count scans in the tree slice only (formatted explain repeats every
+    # node in the detail section)
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 3  # lineitem + orders + customer
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_broadcasts_both_nation_dims(spark):
+    plan = plan_of(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
