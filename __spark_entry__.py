@@ -177,6 +177,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "customer"),
         _t(s, d, "nation"),
     )
+    q["q13_order_count_distribution"] = lambda s, d: R.order_count_distribution(
+        _t(s, d, "customer"), _t(s, d, "orders")
+    )
+    q["q15_top_revenue_suppliers"] = lambda s, d: R.top_revenue_suppliers(
+        _t(s, d, "supplier"), _t(s, d, "lineitem")
+    )
+    q["q22_idle_rich_customers"] = lambda s, d: R.idle_rich_customers(
+        _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")
+    )
+    q["q6_forecast_revenue_change"] = lambda s, d: R.forecast_revenue_change(
+        _t(s, d, "lineitem")
+    )
+    q["q8_market_share"] = lambda s, d: R.market_share(
+        _t(s, d, "part"),
+        _t(s, d, "supplier"),
+        _t(s, d, "lineitem"),
+        _t(s, d, "orders"),
+        _t(s, d, "customer"),
+        _t(s, d, "nation"),
+        _t(s, d, "region"),
+    )
+    q["q10_returned_item_losses"] = lambda s, d: R.returned_item_losses(
+        _t(s, d, "customer"),
+        _t(s, d, "orders"),
+        _t(s, d, "lineitem"),
+        _t(s, d, "nation"),
+    )
     q["q5_regional_revenue"] = lambda s, d: R.regional_revenue(
         _t(s, d, "region"),
         _t(s, d, "nation"),
@@ -652,6 +679,97 @@ def oracle_sql() -> dict[str, str]:
           AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
           AND n1.n_name <> n2.n_name
         GROUP BY 1, 2, 3
+    """
+
+    o["q13_order_count_distribution"] = """
+        WITH pc AS (
+            SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        SELECT COALESCE(n, 0) AS c_count, COUNT(*) AS custdist
+        FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        GROUP BY 1
+    """
+
+    o["q15_top_revenue_suppliers"] = f"""
+        WITH rev AS (
+            SELECT l_suppkey, SUM({disc_price}) AS r
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1),
+        m AS (SELECT *, MAX(r) OVER () AS mx FROM rev)
+        SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        FROM m JOIN supplier ON s_suppkey = l_suppkey
+        WHERE r = mx
+    """
+
+    o["q22_idle_rich_customers"] = f"""
+        WITH stats AS (
+            SELECT SUM({money('c_acctbal')}) AS tot, COUNT(*) AS n
+            FROM customer WHERE c_acctbal > 0),
+        rich AS (
+            SELECT c_custkey, c_nationkey, {money('c_acctbal')} AS bal
+            FROM customer CROSS JOIN stats
+            WHERE {money('c_acctbal')} * n > tot
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01'))
+        SELECT n_name, COUNT(*) AS numcust,
+               CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        FROM rich JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """
+
+    o["q6_forecast_revenue_change"] = f"""
+        SELECT CAST(SUM({money('l_extendedprice')} * {money('l_discount')})
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+
+    o["q8_market_share"] = f"""
+        WITH joined AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   {disc_price} AS vol,
+                   n1.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year,
+               CAST(FLOOR(
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                                 THEN vol ELSE CAST(0 AS {DEC}) END)
+                        AS DOUBLE)
+                   / CAST(SUM(vol) AS DOUBLE) * 10000 + 0.5) / 10000
+                    AS DOUBLE) AS mkt_share,
+               CAST(SUM(vol) AS DOUBLE) AS total_volume
+        FROM joined GROUP BY 1
+    """
+
+    o["q10_returned_item_losses"] = f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM({disc_price}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """
 
     o["q5_regional_revenue"] = f"""

@@ -423,3 +423,268 @@ def volume_shipping(
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including the zero-order customers an inner join would drop.
+
+    Orders are REDUCED (groupBy o_custkey) before the join, so the shuffle
+    carries one row per customer instead of one per order — at 100 TB
+    that's the difference between shuffling ~1.5B rows and ~150M. The
+    zero bucket comes from the left join's nulls, not a separate anti-join
+    pass. The second aggregation (histogram of counts) is tiny.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        customer.join(
+            per_cust, customer.c_custkey == per_cust.o_custkey, "left_outer"
+        )
+        .select(F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    ship_start: str = "1996-01-01",
+    ship_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in a quarter.
+
+    The classic SQL computes the revenue view twice (once for MAX, once to
+    filter); here the global max rides a WHOLE-RELATION window over the
+    ALREADY-AGGREGATED per-supplier relation — one lineitem scan total.
+    The single-partition WindowExec is safe by construction: its input is
+    one row per supplier (~10M rows even at 100 TB, and only
+    (l_suppkey, revenue) wide), not the fact table. The max-equality
+    filter runs on exact decimals, so revenue ties are exact (no float
+    '==' flakiness), and ALL tied suppliers are returned per Q15 semantics.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= ship_start) & (F.col("l_shipdate") < ship_end)
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _money("l_extendedprice")
+            * (F.lit(1).cast(D182) - _money("l_discount"))
+        ).alias("_rev")
+    )
+    top = rev.withColumn(
+        "_mx", F.max("_rev").over(Window.partitionBy(F.lit(1)))
+    ).filter(F.col("_rev") == F.col("_mx"))
+    return (
+        supplier.join(
+            F.broadcast(top), supplier.s_suppkey == top.l_suppkey
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    idle_since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape (phone-prefix swapped for nation — this schema has
+    no c_phone): per-nation count and total balance of customers whose
+    balance beats the positive-balance average AND who placed no order
+    since ``idle_since`` (every customer in this dataset has SOME order,
+    so "idle" is time-windowed, as in a real churn query).
+
+    The scalar threshold is one (sum, count) row broadcast into a
+    nested-loop join, and the comparison is INTEGER-EXACT:
+    ``bal * n > total`` in decimal arithmetic instead of ``bal > avg``
+    in floats, so no engine-specific AVG rounding can flip a boundary
+    customer. The "no recent order" predicate is a left-anti join on the
+    date-filtered orders (NOT EXISTS at scale — the filter shrinks the
+    anti-join's build input before it shuffles), and nation broadcasts.
+    """
+    bal = _money("c_acctbal")
+    stats = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal).alias("_tot"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    recent = orders.filter(F.col("o_orderdate") >= idle_since)
+    rich = (
+        customer.join(F.broadcast(stats))
+        .filter(bal * F.col("_n") > F.col("_tot"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(
+            F.broadcast(nation), rich.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    ship_start: str = "1996-01-01",
+    ship_end: str = "1997-01-01",
+    disc_min: float = 0.05,
+    disc_max: float = 0.07,
+    qty_max: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: scalar what-if revenue (discounted volume that would
+    have been earned without the discount).
+
+    Every predicate compares RAW parquet columns against literals — no
+    casts on the column side — so all four filters reach the scan as
+    PushedFilters and row groups outside the date/discount/quantity
+    ranges never leave storage. The money math (exact decimal
+    price*discount) happens only on surviving rows.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= ship_start)
+        & (F.col("l_shipdate") < ship_end)
+        & (F.col("l_discount") >= disc_min)
+        & (F.col("l_discount") <= disc_max)
+        & (F.col("l_quantity") < qty_max)
+    )
+    return li.agg(
+        F.sum(_money("l_extendedprice") * _money("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_2",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+    order_start: str = "1995-01-01",
+    order_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share inside a region's market
+    for one part type, by order year.
+
+    The market is defined on the CUSTOMER side (region filter travels
+    broadcast nation⨝region → customer join), the share on the SUPPLIER
+    side (conditional sum on the supplier's nation). Both nation lookups
+    broadcast; the part-type filter prunes lineitem through the part join
+    (part is a real table, not broadcast-forced — at 100 TB a 1-in-6 type
+    slice of part is shuffle-join material and AQE picks the strategy).
+    Share = exact-decimal sums, divided in double AFTER aggregation and
+    floor-rounded to 4 — one canonical value on both engines.
+    """
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("_cn_key"))
+    )
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= order_start)
+        & (F.col("o_orderdate") < order_end)
+    )
+    vol = _money("l_extendedprice") * (
+        F.lit(1).cast(D182) - _money("l_discount")
+    )
+    joined = (
+        lineitem.join(p, lineitem.l_partkey == p.p_partkey)
+        .join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(asia_nations),
+            customer.c_nationkey == F.col("_cn_key"),
+        )
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_n), supplier.s_nationkey == F.col("_sn_key"))
+        .select(
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+            vol.alias("_vol"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == target_nation, F.col("_vol"))
+            .otherwise(F.lit(0).cast(D182))
+        ).alias("_num"),
+        F.sum("_vol").alias("_den"),
+    )
+    share = (
+        F.floor(
+            F.col("_num").cast("double") / F.col("_den").cast("double")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    ).cast("double")
+    return agg.select(
+        "o_year",
+        share.alias("mkt_share"),
+        F.col("_den").cast("double").alias("total_volume"),
+    )
+
+
+def returned_item_losses(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    order_start: str = "1995-10-01",
+    order_end: str = "1996-01-01",
+    limit: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returned items in
+    a quarter.
+
+    The date filter prunes orders BEFORE the lineitem join (the quarter
+    slice is what makes the join's build side small), the returnflag
+    filter is pushed into the lineitem scan, nation broadcasts, and the
+    global top-k compiles to TakeOrderedAndProject — no full sort of the
+    grouped relation. Sort key ends in the unique c_custkey so the LIMIT
+    is deterministic across engines.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= order_start)
+        & (F.col("o_orderdate") < order_end)
+    )
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(
+        _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(limit)
+    )

@@ -327,3 +327,59 @@ def test_q7_broadcasts_both_nation_dims(spark):
     plan = plan_of(spark, "q7_volume_shipping")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q13_reduces_orders_before_outer_join(spark):
+    """Q13 must shuffle one row per customer, not one per order: the
+    orders-side aggregate sits BELOW the left-outer join."""
+    plan = plan_of(spark, "q13_order_count_distribution")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # customer + orders, once each
+    assert "LeftOuter" in plan
+    # join node id < aggregate node id == aggregate is a child of the join
+    join_line = next(
+        ln for ln in tree.splitlines() if "Join" in ln and "LeftOuter" in ln
+    )
+    agg_lines = [ln for ln in tree.splitlines() if "HashAggregate" in ln]
+    assert any(
+        tree.index(ln) > tree.index(join_line) for ln in agg_lines
+    )  # at least one aggregate BELOW the join (tree prints top-down)
+
+
+def test_q15_single_lineitem_scan_window_over_aggregate(spark):
+    """Q15's global max must not trigger a second lineitem scan: the
+    window runs over the per-supplier aggregate, and the tiny max-filtered
+    side broadcasts into the supplier join."""
+    plan = plan_of(spark, "q15_top_revenue_suppliers")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # supplier + lineitem, once each
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_broadcast_scalar_and_anti_join(spark):
+    plan = plan_of(spark, "q22_idle_rich_customers")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats relation
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_pushes_all_predicates_to_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue_change")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+
+
+def test_q8_market_share_broadcasts_dims_no_cartesian(spark):
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation x2 (+region)
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_takes_ordered_topk_and_pushes_returnflag(spark):
+    plan = plan_of(spark, "q10_returned_item_losses")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "CartesianProduct" not in plan
