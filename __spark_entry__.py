@@ -344,6 +344,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_top_terms"] = lambda s, d: C.tfidf_top_terms(
         _t(s, d, "documents")
     )
+    q["docs_unigram_logprob"] = lambda s, d: C.unigram_logprob(
+        _t(s, d, "documents")
+    )
+    q["corpus_pmi_bigrams"] = lambda s, d: C.pmi_bigrams(
+        _t(s, d, "documents")
+    )
+    q["docs_oov_rate"] = lambda s, d: C.oov_rate(_t(s, d, "documents"))
 
     # -- similarity search ([EXT]) -----------------------------------------
     q["embedding_cosine_topk"] = lambda s, d: S.brute_force_topk(
@@ -1381,6 +1388,80 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
             FROM scored)
         SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 5
+    """
+
+    # ln() only ever runs on the reduced word-count table, quantized to
+    # integer micro-nats; per-doc sums are exact BIGINTs (no float
+    # accumulation drift), one double division renders the score.
+    o["docs_unigram_logprob"] = f"""
+        WITH w AS ({word_occ}),
+        wc AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1),
+        lp AS (SELECT w, CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1000000.0
+                                    + 0.5) AS BIGINT) AS lp_micro
+               FROM wc),
+        tot AS (SELECT CAST(FLOOR(LN(CAST(SUM(cnt) AS DOUBLE)) * 1000000.0
+                                  + 0.5) AS BIGINT) AS lnn_micro
+                FROM wc),
+        pd AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                      SUM(lp_micro) AS s
+               FROM w JOIN lp USING (w) GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(CAST(lnn_micro * n_tokens - s AS DOUBLE)
+                          / n_tokens / 100.0 + 0.5) / 10000.0
+                    AS DOUBLE) AS neg_logprob
+        FROM pd CROSS JOIN tot
+    """
+
+    o["corpus_pmi_bigrams"] = f"""
+        WITH b AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM (SELECT doc_id, {words} AS ws FROM documents) D,
+            LATERAL UNNEST(RANGE(1, LEN(ws))) AS g(i)),
+        bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM b GROUP BY 1, 2),
+        w AS ({word_occ}),
+        uc AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+        tot AS (SELECT (SELECT SUM(c_xy) FROM bc) AS nb,
+                       (SELECT SUM(c) FROM uc) AS nu),
+        j AS (
+            SELECT bc.w1, bc.w2, bc.c_xy, x.c AS c_x, y.c AS c_y,
+                   tot.nb, tot.nu
+            FROM bc
+            JOIN uc x ON bc.w1 = x.w
+            JOIN uc y ON bc.w2 = y.w
+            CROSS JOIN tot
+            WHERE bc.c_xy >= 5),
+        scored AS (
+            SELECT w1, w2,
+                   CAST(c_xy AS BIGINT) AS c_xy,
+                   CAST(c_x AS BIGINT) AS c_x,
+                   CAST(c_y AS BIGINT) AS c_y,
+                   CAST(FLOOR(LN(
+                       (CAST(c_xy AS DOUBLE) / CAST(nb AS DOUBLE))
+                       / ((CAST(c_x AS DOUBLE) / CAST(nu AS DOUBLE))
+                          * (CAST(c_y AS DOUBLE) / CAST(nu AS DOUBLE)))
+                   ) * 10000 + 0.5) / 10000 AS DOUBLE) AS pmi
+            FROM j),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY pmi DESC, w1, w2) AS rnk
+              FROM scored)
+        SELECT w1, w2, c_xy, c_x, c_y, pmi, rnk FROM r WHERE rnk <= 50
+    """
+
+    o["docs_oov_rate"] = f"""
+        WITH w AS ({word_occ}),
+        wc AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1),
+        vocab AS (
+            SELECT w FROM (
+                SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r
+                FROM wc)
+            WHERE r <= 30)
+        SELECT w.doc_id AS doc_id, COUNT(*) AS n_tokens,
+               COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov,
+               CAST(FLOOR(COUNT(CASE WHEN v.w IS NULL THEN 1 END)
+                          / COUNT(*) * 10000 + 0.5) / 10000
+                    AS DOUBLE) AS oov_ratio
+        FROM w LEFT JOIN vocab v ON w.w = v.w
+        GROUP BY 1
     """
 
     # clusters (recursive closure, as dedup_clusters) + quality argmax via

@@ -232,3 +232,192 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+def bigram_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w1, w2): one row per ADJACENT word pair occurrence.
+
+    Unlike ``ngram_rows(k=2)`` (which pads single-word docs with a
+    degenerate 1-word gram), docs shorter than two words emit nothing:
+    the index sequence is explicitly emptied below two words because
+    Spark's ``sequence(1, 0)`` counts DOWN instead of returning empty.
+    """
+    staged = docs.select("doc_id", words_expr(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"),
+            F.element_at(ws, i + 1).alias("w2"),
+        ),
+    )
+    return (
+        staged.select("doc_id", F.explode_outer(pairs).alias("_p"))
+        .filter(F.col("_p").isNotNull())
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document average negative log-probability under the corpus's own
+    unigram LM — the CCNet-style "perplexity filter" quality signal (a doc
+    of globally-rare words scores high; boilerplate scores low).
+
+    Cross-engine float discipline: ``ln`` is evaluated ONLY on the reduced
+    per-word count table, quantized to integer micro-nats
+    (``floor(ln(cnt)·1e6 + 0.5)``) right there. Everything that aggregates
+    per document — the hot path — is exact BIGINT arithmetic (a sum of
+    micro-nats), so executor-order float drift is impossible; one double
+    division at the end renders the score. Shape: ONE explode → per-(doc,
+    word) tf (map-side combine) → corpus counts derived FROM tf
+    (vocabulary-sized) → tf⨝counts join → per-doc long sum of tf·lp. The
+    join input is the tf relation, not raw occurrences — document length
+    drops out of the shuffle entirely.
+    """
+    tf = word_rows(docs, text_col).groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    wc = tf.groupBy("w").agg(F.sum("_tf").alias("_cnt"))
+    lp = wc.select(
+        "w",
+        F.floor(F.log(F.col("_cnt").cast("double")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("_lp_micro"),
+    )
+    totals = wc.agg(
+        F.floor(
+            F.log(F.sum("_cnt").cast("double")) * 1000000.0 + 0.5
+        )
+        .cast("long")
+        .alias("_lnN_micro")
+    )
+    per_doc = (
+        tf.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_tf").alias("n_tokens"),
+            F.sum(F.col("_tf") * F.col("_lp_micro")).alias("_s"),
+        )
+    )
+    x = F.col("_lnN_micro") * F.col("n_tokens") - F.col("_s")
+    return (
+        per_doc.crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.floor(x.cast("double") / F.col("n_tokens") / 100.0 + 0.5)
+                / 10000.0
+            )
+            .cast("double")
+            .alias("neg_logprob"),
+        )
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent word pairs by pointwise mutual information — the
+    classic phrase-detection pass (word2vec/BPE-merge style) a tokenizer
+    pipeline runs over the corpus.
+
+    All counts are exact integers; PMI takes ONE ``ln`` per surviving
+    (frequency-filtered) pair over a double built from those integers in a
+    fixed operation order, then floor-rounds at 1e-4 — the only float step
+    is deterministic given identical inputs. The rank window runs over the
+    filtered pair-count relation (vocabulary², then min_count-pruned —
+    reduced long before any window).
+    """
+    bi = bigram_rows(docs, text_col)
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uc = word_rows(docs, text_col).groupBy("w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = (
+        bc.agg(F.sum("c_xy").alias("_nb"))
+        .crossJoin(F.broadcast(uc.agg(F.sum("_c").alias("_nu"))))
+    )
+    cx = uc.select(F.col("w").alias("_wx"), F.col("_c").alias("c_x"))
+    cy = uc.select(F.col("w").alias("_wy"), F.col("_c").alias("c_y"))
+    joined = (
+        bc.filter(F.col("c_xy") >= min_count)
+        .join(cx, F.col("w1") == F.col("_wx"))
+        .join(cy, F.col("w2") == F.col("_wy"))
+        .crossJoin(F.broadcast(totals))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi_raw = F.log(
+        (d("c_xy") / d("_nb"))
+        / ((d("c_x") / d("_nu")) * (d("c_y") / d("_nu")))
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        _dec4(pmi_raw).alias("pmi"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(
+            F.desc("pmi"), F.col("w1"), F.col("w2")
+        )
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= top_k)
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "pmi", "rnk")
+    )
+
+
+def oov_rate(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = 30
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own top-k
+    vocabulary — the "does this doc look like the rest of the corpus"
+    screen a tokenizer-budgeted pipeline applies before training.
+
+    The vocabulary is a rank window over the REDUCED word-count relation
+    (deterministic tie-break on the word), broadcast into the occurrence
+    stream as a left join — the fact-side explode never shuffles on the
+    word; only the per-doc fold shuffles, on doc_id.
+    """
+    tf = word_rows(docs, text_col).groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    wc = tf.groupBy("w").agg(F.sum("_tf").alias("_cnt"))
+    vocab = (
+        wc.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.desc("_cnt"), F.col("w")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= vocab_size)
+        .select(F.col("w").alias("_vw"))
+    )
+    return (
+        tf.join(F.broadcast(vocab), tf.w == F.col("_vw"), "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_vw").isNull(), F.col("_tf")).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            _dec4(F.col("n_oov") / F.col("n_tokens")).alias("oov_ratio"),
+        )
+    )

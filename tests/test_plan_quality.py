@@ -383,3 +383,37 @@ def test_q10_takes_ordered_topk_and_pushes_returnflag(spark):
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan
     assert "CartesianProduct" not in plan
+
+
+def executed_plan_of(spark, name: str) -> str:
+    """Final AQE plan AFTER execution — the only place runtime exchange
+    reuse (the tokenize-once dedup of identical tf subtrees) is visible;
+    the static formatted plan prints each consumer's copy."""
+    df = entry.queries()[name](spark, SF)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_unigram_logprob_reuses_tf_exchange(spark):
+    """The perplexity proxy derives corpus counts FROM the per-doc tf
+    relation; the identical tf shuffle on both join inputs must collapse
+    to one computed exchange at runtime (tokenize once)."""
+    final = executed_plan_of(spark, "docs_unigram_logprob")
+    assert final.count("ReusedExchange") >= 1
+    assert "CartesianProduct" not in final
+
+
+def test_oov_rate_reuses_tf_exchange_and_broadcasts_vocab(spark):
+    final = executed_plan_of(spark, "docs_oov_rate")
+    assert final.count("ReusedExchange") >= 1
+    assert "BroadcastHashJoin" in final  # vocab side
+    assert "CartesianProduct" not in final
+
+
+def test_pmi_reuses_count_exchanges_no_cartesian(spark):
+    """PMI's Nb/Nu totals re-aggregate the bigram- and unigram-count
+    relations; both identical count exchanges must be runtime-reused, and
+    the 1-row totals ride BroadcastNestedLoopJoin, never a cartesian."""
+    final = executed_plan_of(spark, "corpus_pmi_bigrams")
+    assert final.count("ReusedExchange") >= 2
+    assert "CartesianProduct" not in final
