@@ -25,6 +25,7 @@ from client_data_ingester_spark.operators import corpus as C  # noqa: E402
 from client_data_ingester_spark.operators import dedup as D  # noqa: E402
 from client_data_ingester_spark.operators import events as E  # noqa: E402
 from client_data_ingester_spark.operators import multimodal as M  # noqa: E402
+from client_data_ingester_spark.operators import profile as P  # noqa: E402
 from client_data_ingester_spark.operators import relational as R  # noqa: E402
 from client_data_ingester_spark.operators import similarity as S  # noqa: E402
 from client_data_ingester_spark.operators import sketch as K  # noqa: E402
@@ -351,6 +352,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
     q["docs_oov_rate"] = lambda s, d: C.oov_rate(_t(s, d, "documents"))
+    q["docs_balanced_sample"] = lambda s, d: X.balanced_sample(
+        _t(s, d, "documents")
+    )
+    q["profile_orders"] = lambda s, d: P.profile_table(
+        _t(s, d, "orders"),
+        [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ],
+    )
 
     # -- similarity search ([EXT]) -----------------------------------------
     q["embedding_cosine_topk"] = lambda s, d: S.brute_force_topk(
@@ -1463,6 +1478,54 @@ def oracle_sql() -> dict[str, str]:
         FROM w LEFT JOIN vocab v ON w.w = v.w
         GROUP BY 1
     """
+
+    o["docs_balanced_sample"] = """
+        SELECT doc_id, source, sample_key, rnk FROM (
+            SELECT doc_id, source, sample_key,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY sample_key, doc_id) AS rnk
+            FROM (
+                SELECT doc_id, source,
+                       ('0x' || SUBSTR(MD5('bal:' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT AS sample_key
+                FROM documents))
+        WHERE rnk <= 20
+    """
+
+    profile_cols = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+    profile_selects = []
+    for cname, kind in profile_cols:
+        if kind == "num":
+            mn = f"CAST(MIN({cname}) AS DOUBLE) AS min_num"
+            mx = f"CAST(MAX({cname}) AS DOUBLE) AS max_num"
+            ms = "CAST(NULL AS VARCHAR) AS min_str"
+            xs = "CAST(NULL AS VARCHAR) AS max_str"
+        elif kind == "ts":
+            mn = "CAST(NULL AS DOUBLE) AS min_num"
+            mx = "CAST(NULL AS DOUBLE) AS max_num"
+            ms = f"STRFTIME(MIN({cname}), '%Y-%m-%d %H:%M:%S') AS min_str"
+            xs = f"STRFTIME(MAX({cname}), '%Y-%m-%d %H:%M:%S') AS max_str"
+        else:
+            mn = "CAST(NULL AS DOUBLE) AS min_num"
+            mx = "CAST(NULL AS DOUBLE) AS max_num"
+            ms = f"CAST(MIN({cname}) AS VARCHAR) AS min_str"
+            xs = f"CAST(MAX({cname}) AS VARCHAR) AS max_str"
+        profile_selects.append(f"""
+            SELECT '{cname}' AS col_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN {cname} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT {cname}) AS ndv,
+                   {mn}, {mx}, {ms}, {xs}
+            FROM orders""")
+    o["profile_orders"] = " UNION ALL ".join(profile_selects)
 
     # clusters (recursive closure, as dedup_clusters) + quality argmax via
     # the packed min-key (engines disagree on composite ARG_MIN; min-by-one-

@@ -409,3 +409,37 @@ def packed_shard_texts(
         F.sum("n_tokens").cast("long").alias("shard_tokens"),
         F.md5(F.array_join(ordered, "\n")).alias("text_md5"),
     )
+
+
+def balanced_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Deterministic k-per-group sample — the per-source rebalancing
+    primitive a mixture pipeline runs before weighting (cap every source
+    at k docs so one crawl can't dominate).
+
+    ``sample()``/``rand()`` are seed- and partitioning-dependent; ranking
+    an id digest is stable across runs, engines, and repartitions, and a
+    kept document stays kept when OTHER groups grow. The rank window
+    partitions by the group (parallel across groups, no global sort); at
+    100 TB WindowGroupLimit prunes each partition to its top-k before the
+    per-group sort materializes.
+    """
+    from .dedup import md5_int
+
+    key = md5_int(F.concat(F.lit("bal:"), F.col(id_col).cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col))
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            key.alias("sample_key"),
+            rn.alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )

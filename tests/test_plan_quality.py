@@ -410,6 +410,26 @@ def test_oov_rate_reuses_tf_exchange_and_broadcasts_vocab(spark):
     assert "CartesianProduct" not in final
 
 
+def test_profile_orders_single_scan_expand(spark):
+    """The profiler's contract is ONE scan: every per-column statistic
+    (null counts, exact ndv, min/max) rides a single Expand +
+    partial-aggregate pass, never one scan per column."""
+    plan = plan_of(spark, "profile_orders")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" in plan  # the multi-distinct rewrite
+
+
+def test_balanced_sample_window_group_limit(spark):
+    """k-per-group sampling must prune to top-k per group BEFORE the full
+    per-group sort materializes (WindowGroupLimit), and needs exactly one
+    scan of documents."""
+    plan = plan_of(spark, "docs_balanced_sample")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "WindowGroupLimit" in plan
+
+
 def test_pmi_reuses_count_exchanges_no_cartesian(spark):
     """PMI's Nb/Nu totals re-aggregate the bigram- and unigram-count
     relations; both identical count exchanges must be runtime-reused, and
