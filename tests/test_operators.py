@@ -628,3 +628,64 @@ def test_incremental_lsh_equals_full_run_cross_slice(spark):
     assert cross | in_batch == full_involving_new
     # and the cross set is disjoint from in-batch (new×old only)
     assert all(is_new(a) != is_new(b) for a, b in cross)
+
+
+# -- corpus LM ops / profiler / sampler (round-5 late additions) ------------
+
+
+def test_bigram_rows_skips_short_docs(spark):
+    from client_data_ingester_spark.operators import corpus as CO
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["w1"], r["w2"]) for r in CO.bigram_rows(df).collect()
+    }
+    # docs 1 and 2 contribute nothing (sequence(1,0) would count DOWN in
+    # Spark — the empty-below-two-words guard is the point of this test)
+    assert got == {(3, "two", "words"), (4, "a", "b"), (4, "b", "c")}
+
+
+def test_unigram_logprob_orders_rare_above_common(spark):
+    from client_data_ingester_spark.operators import corpus as CO
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"), (2, "rare common common common")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["neg_logprob"] for r in CO.unigram_logprob(df).collect()}
+    assert out[2] > out[1]  # the doc containing the rare word is more surprising
+
+
+def test_balanced_sample_invariant_to_partitioning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = X.balanced_sample(docs, k=5).collect()
+    b = X.balanced_sample(docs.repartition(13), k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_group = {}
+    for r in a:
+        per_group[r["source"]] = per_group.get(r["source"], 0) + 1
+    assert all(v <= 5 for v in per_group.values())
+
+
+def test_profile_table_counts_nulls_and_ndv(spark):
+    from client_data_ingester_spark.operators import profile as PF
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, 2.5, None), (3, 2.5, "y"), (None, 1.0, "y")],
+        "a long, b double, c string",
+    )
+    rows = {
+        r["col_name"]: r
+        for r in PF.profile_table(
+            df, [("a", "num"), ("b", "num"), ("c", "str")]
+        ).collect()
+    }
+    assert rows["a"]["n_rows"] == 4 and rows["a"]["n_nulls"] == 1
+    assert rows["a"]["ndv"] == 3  # count_distinct ignores the null
+    assert rows["b"]["min_num"] == 1.0 and rows["b"]["max_num"] == 2.5
+    assert rows["c"]["n_nulls"] == 1 and rows["c"]["ndv"] == 2
+    assert rows["c"]["min_str"] == "x" and rows["c"]["max_str"] == "y"
+    assert rows["c"]["min_num"] is None  # numeric slots null for strings
