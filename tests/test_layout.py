@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from conftest import SF_DIR
 
 from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+from client_data_ingester_spark.sources import load_table
 from client_data_ingester_spark.tables import SnapshotTable
 from client_data_ingester_spark.tables.layout import (
     read_events_day,
@@ -25,11 +26,7 @@ from client_data_ingester_spark.tables.layout import (
 
 
 def _events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    return load_table(spark, SF_DIR, "events")
 
 
 def test_partitioned_write_prunes_and_avoids_small_files(spark, tmp_path):

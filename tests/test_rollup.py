@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 
+from client_data_ingester_spark.sources import load_table
 from client_data_ingester_spark.tables.rollup import (
     daily_rollup,
     maintain_daily_rollup,
@@ -17,11 +18,7 @@ from client_data_ingester_spark.tables.rollup import (
 
 
 def _events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    return load_table(spark, SF_DIR, "events")
 
 
 def _snap(rollup_path):
