@@ -411,17 +411,18 @@ def bloom_registers(
     )
 
 
-def bloom_decontaminate(
-    docs: DataFrame,
+def bloom_probe(
+    train_docs: DataFrame,
+    eval_bits: DataFrame,
     text_col: str = "text",
     shingle_k: int = 3,
-    train_pct: int = 80,
     m_bits: int = 1 << 16,
     k: int = BLOOM_K,
 ) -> DataFrame:
-    """Train-side decontamination screened through a bloom of the EVAL
-    split's shingles: per train document, how many of its shingles hit the
-    bloom, and whether the doc must be dropped (any hit).
+    """The deployment-shape decontamination screen: probe the (pre-built,
+    typically persisted) bloom register table of the EVAL set's shingles
+    with the train corpus — per train document, how many of its shingles
+    hit the bloom, and whether the doc must be dropped (any hit).
 
     This is the scale-correct direction: train is the 100 TB side, eval
     benchmarks are small, so the bloom (≤ m_bits rows, here 64Ki) is
@@ -429,27 +430,22 @@ def bloom_decontaminate(
     shingle-keyed shuffle of two corpus-sized sides that
     ``contamination_check``'s exact join pays disappears entirely. The
     only remaining wide op is the per-document fold (keyed by doc_id,
-    map-side combined — the k explode rows of a shingle collapse to one
-    partial row before the shuffle). One-sidedness makes the screen safe:
-    a bloom miss proves the shingle is not in eval, so a doc with zero
-    hits is definitely clean; flagged docs are a small superset of the
-    truly contaminated (drop them all, or verify exactly — the verify
-    join's input is now the flagged sliver, not the corpus).
+    map-side combined). One-sidedness makes the screen safe: a bloom miss
+    proves the shingle is not in eval, so a doc with zero hits is
+    definitely clean; flagged docs are a small superset of the truly
+    contaminated (drop them all, or verify exactly — the verify join's
+    input is now the flagged sliver, not the corpus). The bloom itself is
+    a build-once artifact per eval-set version — like the IVF/RP-LSH
+    indexes, it must never be rebuilt per probe batch.
     """
-    from .corpus import hash_split  # local import to avoid a cycle
     from .dedup import exploded_shingles
 
-    split = hash_split(docs, train_pct=train_pct).select("doc_id", "split")
-    sh = exploded_shingles(docs, text_col, shingle_k).join(split, "doc_id")
-    eval_bits = bloom_registers(
-        sh.filter(F.col("split") == "eval").select("sh"), "sh", m_bits, k
-    )
     # membership = k broadcast LEFT joins, one per digest slice — no
     # explode, no per-shingle groupBy: each join is map-side against the
     # bounded bit set (distinct, so it can never duplicate probe rows),
     # and the ONLY shuffle in the whole screen is the final doc_id fold
     bit_cols = _digest_bits(m_bits, k)
-    probed = sh.filter(F.col("split") == "train").select(
+    probed = exploded_shingles(train_docs, text_col, shingle_k).select(
         "doc_id", F.md5(F.col("sh")).alias("d")
     )
     probed = probed.select(
@@ -477,3 +473,32 @@ def bloom_decontaminate(
         )
         .withColumn("dropped", F.col("n_bloom_hits") > 0)
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    train_pct: int = 80,
+    m_bits: int = 1 << 16,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Self-contained demo of the bloom screen: hash-split ``docs`` into
+    train/eval, build the eval bloom, probe the train side. Semantics
+    (and output) are identical to building the bloom once with
+    :func:`bloom_registers` and probing with :func:`bloom_probe`; a real
+    deployment uses those two halves so the eval-side build cost is paid
+    once per eval-set version, not per probe batch.
+    """
+    from .corpus import hash_split  # local import to avoid a cycle
+    from .dedup import exploded_shingles
+
+    split = hash_split(docs, train_pct=train_pct).select("doc_id", "split")
+    sh = exploded_shingles(docs, text_col, shingle_k).join(split, "doc_id")
+    eval_bits = bloom_registers(
+        sh.filter(F.col("split") == "eval").select("sh"), "sh", m_bits, k
+    )
+    train_docs = docs.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    return bloom_probe(train_docs, eval_bits, text_col, shingle_k, m_bits, k)

@@ -689,3 +689,29 @@ def test_profile_table_counts_nulls_and_ndv(spark):
     assert rows["c"]["n_nulls"] == 1 and rows["c"]["ndv"] == 2
     assert rows["c"]["min_str"] == "x" and rows["c"]["max_str"] == "y"
     assert rows["c"]["min_num"] is None  # numeric slots null for strings
+
+
+def test_profile_table_approx_ndv_same_schema_close_values(spark):
+    """exact_ndv=False keeps the output contract and lands within the HLL++
+    error bound on small-cardinality columns (exact for ndv << 1/rsd²)."""
+    from client_data_ingester_spark.operators import profile as PF
+
+    df = spark.range(1000).selectExpr(
+        "id AS a", "CAST(id % 37 AS DOUBLE) AS b", "CAST(id % 5 AS STRING) AS c"
+    )
+    cols = [("a", "num"), ("b", "num"), ("c", "str")]
+    exact = PF.profile_table(df, cols)
+    approx = PF.profile_table(df, cols, exact_ndv=False)
+    assert exact.schema == approx.schema
+    e = {r["col_name"]: r for r in exact.collect()}
+    a = {r["col_name"]: r for r in approx.collect()}
+    for name in ("a", "b", "c"):
+        # everything except ndv is computed identically
+        assert e[name]["n_rows"] == a[name]["n_rows"]
+        assert e[name]["n_nulls"] == a[name]["n_nulls"]
+        assert e[name]["min_num"] == a[name]["min_num"]
+        assert e[name]["max_str"] == a[name]["max_str"]
+        # HLL++ at rsd=0.05: allow 3 standard deviations
+        assert abs(a[name]["ndv"] - e[name]["ndv"]) <= max(
+            3, 0.15 * e[name]["ndv"]
+        )

@@ -420,6 +420,22 @@ def test_profile_orders_single_scan_expand(spark):
     assert "Expand" in plan  # the multi-distinct rewrite
 
 
+def test_profile_approx_ndv_has_no_expand(spark):
+    """exact_ndv=False is the wide-fact-table shape: HLL++ sketches replace
+    the multi-distinct, so the plan is a plain single-scan hash aggregate —
+    no Expand row replication at all, and still one parquet scan."""
+    plan = plan_of(spark, "profile_lineitem_approx")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" not in plan
+    # same output contract as the exact profiler
+    exact = entry.queries()["profile_orders"]
+    approx = entry.queries()["profile_lineitem_approx"]
+    assert (
+        exact(spark, SF).schema == approx(spark, SF).schema
+    )
+
+
 def test_balanced_sample_window_group_limit(spark):
     """k-per-group sampling must prune to top-k per group BEFORE the full
     per-group sort materializes (WindowGroupLimit), and needs exactly one
