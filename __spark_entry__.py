@@ -267,6 +267,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["date_string_funcs"] = lambda s, d: R.date_string_funcs(
         _t(s, d, "orders")
     )
+    q["q14_promo_revenue"] = lambda s, d: R.promo_revenue_share(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    )
+    q["q17_small_quantity_revenue"] = lambda s, d: R.small_quantity_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    )
+    q["q19_disjunctive_revenue"] = lambda s, d: R.disjunctive_predicate_revenue(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    )
+    q["q16_supplier_variety"] = lambda s, d: R.supplier_variety(
+        _t(s, d, "lineitem"), _t(s, d, "part")
+    )
+    q["q9_profit_by_nation_year"] = lambda s, d: R.profit_by_nation_year(
+        _t(s, d, "lineitem"),
+        _t(s, d, "part"),
+        _t(s, d, "supplier"),
+        _t(s, d, "orders"),
+        _t(s, d, "nation"),
+    )
+    q["q12_late_shipments"] = lambda s, d: R.late_shipment_priority(
+        _t(s, d, "lineitem"), _t(s, d, "orders")
+    )
 
     # -- the reference's own query surface (search/rank/paginate; ingest
     #    semantics as set-level queries) ------------------------------------
@@ -1055,6 +1077,91 @@ def oracle_sql() -> dict[str, str]:
                LENGTH(o_orderpriority || '-' || o_orderstatus) AS tag_len,
                COUNT(*) AS n
         FROM orders GROUP BY 1, 2, 3, 4, 5
+    """
+
+    o["q14_promo_revenue"] = f"""
+        WITH j AS (
+            SELECT {disc_price} AS _vol, (p_type = 'PROMO') AS _is_promo
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'),
+        a AS (
+            SELECT SUM(CASE WHEN _is_promo THEN _vol ELSE CAST(0 AS {DEC}) END) AS _promo,
+                   SUM(_vol) AS _total
+            FROM j)
+        SELECT CAST(FLOOR(CAST(_promo AS DOUBLE) / CAST(_total AS DOUBLE)
+                          * 100 * 10000 + 0.5) / 10000 AS DOUBLE) AS promo_revenue_pct,
+               CAST(_promo AS DOUBLE) AS promo_revenue,
+               CAST(_total AS DOUBLE) AS total_revenue
+        FROM a
+    """
+
+    o["q17_small_quantity_revenue"] = f"""
+        WITH br_li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13'),
+        thr AS (
+            SELECT l_partkey AS _tp_key,
+                   AVG(CAST(l_quantity AS DOUBLE)) * 0.2 AS _qty_thr
+            FROM br_li GROUP BY l_partkey)
+        SELECT CAST(FLOOR(CAST(SUM({money('l_extendedprice')}) AS DOUBLE) / 7.0
+                          * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_yearly,
+               COUNT(*) AS n_small_lines
+        FROM br_li JOIN thr ON l_partkey = _tp_key
+        WHERE CAST(l_quantity AS DOUBLE) < _qty_thr
+    """
+
+    o["q19_disjunctive_revenue"] = f"""
+        SELECT CAST(SUM({disc_price}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    o["q16_supplier_variety"] = """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 50
+    """
+
+    o["q9_profit_by_nation_year"] = f"""
+        SELECT n_name AS nation,
+               CAST(DATE_PART('year', o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM({disc_price}) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, DATE_PART('year', o_orderdate)
+        ORDER BY n_name, DATE_PART('year', o_orderdate) DESC
+    """
+
+    o["q12_late_shipments"] = """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+               COUNT(*) AS late_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """
 
     o["products_search_rank"] = f"""

@@ -688,3 +688,217 @@ def returned_item_losses(
         .orderBy(F.desc("revenue"), F.col("c_custkey"))
         .limit(limit)
     )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    ship_start: str = "1996-03-01",
+    ship_end: str = "1996-04-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 shape: share of a month's revenue earned by promo parts.
+
+    The one-month shipdate slice is pushed into the lineitem scan before
+    the part join (the month is what bounds the join, not the part side),
+    and the share is a conditional sum over ONE joined pass — never two
+    scans. Exact-decimal sums; one double division floor-rounded to 4.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= ship_start) & (F.col("l_shipdate") < ship_end)
+    )
+    vol = _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        vol.alias("_vol"),
+        (F.col("p_type") == promo_type).alias("_is_promo"),
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("_is_promo"), F.col("_vol")).otherwise(F.lit(0).cast(D182))).alias("_promo"),
+        F.sum("_vol").alias("_total"),
+    )
+    share = (
+        F.floor(
+            F.col("_promo").cast("double") / F.col("_total").cast("double")
+            * 100 * 10000 + F.lit(0.5)
+        ) / 10000
+    ).cast("double")
+    return agg.select(
+        share.alias("promo_revenue_pct"),
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#13",
+    qty_fraction: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were not filled.
+
+    The correlated scalar subquery (per-part avg quantity) is decorrelated
+    into a pre-aggregated per-part relation joined back to the brand
+    slice — the aggregate runs over the BRAND-FILTERED lineitem keys only
+    (semi-join reduction first, then aggregate), not the whole fact table,
+    and the threshold comparison is a cheap hash-join probe. This is the
+    plan a correlated subquery should decorrelate to at 100 TB.
+    """
+    bp = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    br_li = lineitem.join(bp, lineitem.l_partkey == bp.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = br_li.groupBy("l_partkey").agg(
+        (F.avg(F.col("l_quantity").cast("double")) * qty_fraction).alias("_qty_thr")
+    ).select(F.col("l_partkey").alias("_tp_key"), "_qty_thr")
+    small = br_li.join(
+        thresholds, br_li.l_partkey == F.col("_tp_key")
+    ).filter(F.col("l_quantity").cast("double") < F.col("_qty_thr"))
+    avg_yearly = (
+        F.floor(
+            F.sum(_money("l_extendedprice")).cast("double") / 7.0 * 10000
+            + F.lit(0.5)
+        ) / 10000
+    ).cast("double")
+    return small.agg(
+        avg_yearly.alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+def disjunctive_predicate_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunctions (adapted to the testdata's columns).
+
+    The disjunction mixes part-side and lineitem-side predicates, so no
+    single branch can prune either scan alone — but the per-side
+    envelopes CAN: Catalyst pushes the derived ``l_quantity BETWEEN
+    min(all branches) AND max(all branches)`` and ``p_size <= 15`` bounds
+    to the scans, and the exact disjunction evaluates post-join. The join
+    stays a plain partkey equi-join; the OR never becomes a union of
+    three join passes.
+    """
+    vol = _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(vol).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def supplier_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    exclude_brand: str = "Brand#45",
+    exclude_type: str = "MEDIUM",
+    sizes: tuple = (1, 4, 9, 14, 19, 23, 36, 49),
+    limit: int = 50,
+) -> DataFrame:
+    """TPC-H Q16 shape (partsupp adapted to the lineitem supplier
+    relation): how many distinct suppliers have shipped each surviving
+    (brand, type, size) part bucket.
+
+    The part-side NOT-predicates and the size IN-list are all pushed into
+    the part scan; lineitem arrives as a (partkey, suppkey) projection —
+    two columns off the fact table — and the distinct-supplier count is a
+    two-stage aggregate (partial distinct per partition, merge on the
+    group key). Top-k by variety rides TakeOrderedAndProject.
+    """
+    p = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & (~F.col("p_type").startswith(exclude_type))
+        & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+        .limit(limit)
+    )
+
+
+def profit_by_nation_year(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in the testdata, so profit =
+    discounted revenue): profit by supplier nation and order year for
+    parts whose name contains a fragment.
+
+    The contains-filter prunes part FIRST (it's the most selective
+    input), then lineitem joins the surviving partkeys; orders is joined
+    only for its date (2-column projection), supplier only for its
+    nationkey, and the nation name broadcasts. Group-by lands on the
+    already-small (nation, year) domain.
+    """
+    p = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    vol = _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    o = orders.select("o_orderkey", "o_orderdate")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    return (
+        lineitem.join(p, lineitem.l_partkey == p.p_partkey)
+        .join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(s, lineitem.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+            vol.alias("_vol"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_vol").cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def late_shipment_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q12 shape (commit/receipt dates adapted to ship-lag): orders
+    whose lineitems shipped more than ``late_days`` after the order date,
+    bucketed into high/low priority conditional counts.
+
+    The lag predicate needs both sides, so it evaluates post-join — but
+    both inputs arrive as minimal projections (3 and 3 columns), the join
+    is the natural orderkey equi-join, and the output domain is the
+    5-row priority dimension with the classic Q12 conditional-count
+    pivot folded into one aggregate pass.
+    """
+    joined = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = joined.filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+            F.count(F.lit(1)).alias("late_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

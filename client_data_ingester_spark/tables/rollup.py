@@ -68,12 +68,24 @@ def maintain_daily_rollup(
     first materialized — late data lands there). Everything else is left
     untouched on disk."""
     have = existing_rollup_days(rollup_path)
-    source_days = {
-        str(r["d"])
-        for r in events.select(
-            F.to_date(F.col("ts")).alias("d")
-        ).distinct().collect()
-    }
+    # the ONE driver-side materialization in this maintenance path: the
+    # distinct day list. Bounded by the calendar (100 years ≈ 36.5k rows),
+    # but cap it so a corrupt ts column (e.g. epoch-zero garbage fanning
+    # out to millions of "days") fails loudly instead of OOMing the driver.
+    _DAY_CAP = 100_000
+    day_rows = (
+        events.select(F.to_date(F.col("ts")).alias("d"))
+        .distinct()
+        .limit(_DAY_CAP + 1)
+        .collect()
+    )
+    if len(day_rows) > _DAY_CAP:
+        raise ValueError(
+            f"maintain_daily_rollup: source has more than {_DAY_CAP} distinct "
+            "days — the ts column is likely corrupt; refusing to collect the "
+            "day list on the driver"
+        )
+    source_days = {str(r["d"]) for r in day_rows}
     # guard reprocess_tail_days=0: list[-0:] is the WHOLE list, not none of it
     tail = (
         set(sorted(have)[-reprocess_tail_days:])

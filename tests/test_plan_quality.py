@@ -420,6 +420,63 @@ def test_profile_orders_single_scan_expand(spark):
     assert "Expand" in plan  # the multi-distinct rewrite
 
 
+def test_q14_pushes_month_slice_before_part_join(spark):
+    plan = plan_of(spark, "q14_promo_revenue")
+    assert "GreaterThanOrEqual(l_shipdate,1996-03-01" in plan
+    assert "LessThan(l_shipdate,1996-04-01" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_reuses_brand_slice_exchange(spark):
+    """The decorrelated per-part average joins back to the SAME brand
+    slice it aggregated; the slice's shuffle must be computed once."""
+    final = executed_plan_of(spark, "q17_small_quantity_revenue")
+    assert final.count("ReusedExchange") >= 1
+    assert "CartesianProduct" not in final
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    assert "EqualTo(p_brand,Brand#13)" in plan  # pushed into the part scan
+
+
+def test_q19_disjunction_derives_per_side_pushed_envelopes(spark):
+    """The OR of brand/size/quantity conjunctions must not block pushdown:
+    Catalyst derives each side's envelope (quantity OR-of-ranges on the
+    lineitem scan, brand/size disjunction on the part scan) so both scans
+    prune, and the join stays a plain equi-join."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    li_push = [ln for ln in lines if "l_quantity" in ln]
+    part_push = [ln for ln in lines if "p_brand" in ln]
+    assert li_push and "Or(" in li_push[0]
+    assert part_push and "Or(" in part_push[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_part_predicates_pushed_and_topk(spark):
+    plan = plan_of(spark, "q16_supplier_variety")
+    assert "Not(EqualTo(p_brand,Brand#45))" in plan
+    assert "Not(StringStartsWith(p_type,MEDIUM))" in plan
+    assert "In(p_size" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_contains_filter_pushed_and_nation_broadcast(spark):
+    plan = plan_of(spark, "q9_profit_by_nation_year")
+    assert "StringContains(p_name,widget)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_minimal_projections_no_cartesian(spark):
+    plan = plan_of(spark, "q12_late_shipments")
+    # both scans read only the columns the lag predicate and pivot need
+    read_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert any("l_orderkey" in ln and "l_quantity" not in ln for ln in read_schemas)
+    assert any("o_orderpriority" in ln and "o_totalprice" not in ln for ln in read_schemas)
+    assert "CartesianProduct" not in plan
+
+
 def test_profile_approx_ndv_has_no_expand(spark):
     """exact_ndv=False is the wide-fact-table shape: HLL++ sketches replace
     the multi-distinct, so the plan is a plain single-scan hash aggregate —
