@@ -474,6 +474,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_keys=_rp_index(s, d),
     )
 
+    # SemDeDup-style semantic dedup: exact cosine only WITHIN a semantic
+    # cluster (the cell column / IVF assignment), so the quadratic pair
+    # work is bounded per cell; the keep-list retains the vector least
+    # similar to its cell centroid (diversity-preserving drop rule)
+    q["semantic_dedup_pairs"] = lambda s, d: S.semantic_dedup_pairs(
+        _t(s, d, "embeddings")
+    )
+    q["semantic_dedup_retained"] = lambda s, d: S.semantic_dedup_retained(
+        _t(s, d, "embeddings"), _ivf_index(s, d)
+    )
+
     # -- events / streaming-shaped ([EXT]) ---------------------------------
     q["events_window_agg"] = lambda s, d: E.tumbling_window_agg(
         _t(s, d, "events")
@@ -572,6 +583,8 @@ _DRIVER_FIRST = (
     "embedding_near_duplicates",
     "similarity_ivf_topk",
     "similarity_lsh_probe_topk",
+    "semantic_dedup_pairs",
+    "semantic_dedup_retained",
     "corpus_bloom_decontaminate",
     "tfidf_top_terms",
     "docs_unigram_logprob",
@@ -1902,6 +1915,57 @@ def oracle_sql() -> dict[str, str]:
         JOIN embeddings a ON a.vec_id = p.id_a
         JOIN embeddings b ON b.vec_id = p.id_b
         WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.3
+    """
+
+    o["semantic_dedup_pairs"] = f"""
+        SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS score
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.25
+    """
+
+    o["semantic_dedup_retained"] = f"""
+        WITH ex AS (
+            SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS sv
+            FROM embeddings),
+        cent AS (
+            SELECT label, pos,
+                   CAST(FLOOR(CAST(SUM(sv) AS DOUBLE) / COUNT(*)) AS DOUBLE)
+                   / 1000000.0 AS m
+            FROM ex GROUP BY label, pos),
+        centroids AS (
+            SELECT label, LIST(m ORDER BY pos) AS centroid
+            FROM cent GROUP BY label),
+        ranked AS (
+            SELECT e.label AS cell, e.vec_id,
+                   FLOOR((LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                          / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])))
+                             * SQRT(LIST_DOT_PRODUCT(c.centroid, c.centroid))))
+                         * 1000000 + 0.5) / 1000000 AS cent_sim
+            FROM embeddings e JOIN centroids c ON e.label = c.label),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.25),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs),
+        dropped AS (
+            SELECT DISTINCT e.v AS vec_id
+            FROM edges e
+            JOIN ranked ru ON ru.vec_id = e.u
+            JOIN ranked rv ON rv.vec_id = e.v
+            WHERE ru.cent_sim < rv.cent_sim
+               OR (ru.cent_sim = rv.cent_sim AND e.u < e.v))
+        SELECT r.vec_id, r.cell, CAST(r.cent_sim AS DOUBLE) AS cent_sim
+        FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
     """
 
     _q_band_keys = "\n            UNION ALL\n            ".join(

@@ -467,3 +467,109 @@ def lsh_probe_topk(
             F.col("score").cast("double").alias("score"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.25,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs: exact pairwise cosine, but
+    ONLY within a semantic cluster (the corpus's cluster/cell column — at
+    100 TB this is the k-means/IVF cell assignment from the persisted
+    coarse quantizer, computed once per corpus version).
+
+    Clustering first is what makes semantic dedup tractable: the
+    quadratic pair expansion runs per cell (Σ c² work, c = cell size,
+    chosen ≈ corpus/k at build time), never across the corpus, and the
+    cell equi-join shuffles each vector once. Emits one row per unordered
+    in-cell pair with cosine ≥ threshold; scores are round6-quantized so
+    the threshold comparison is engine-portable.
+    """
+    v = corpus.select(
+        F.col(cell_col).alias("cell"), F.col(id_col), F.col(vec_col)
+    )
+    a = v.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = v.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", round6(cosine(F.col("_va"), F.col("_vb"))))
+    )
+    return scored.filter(F.col("score") >= threshold).select(
+        "cell", "id_a", "id_b", F.col("score").cast("double").alias("score")
+    )
+
+
+def semantic_dedup_retained(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.25,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SemDeDup keep-list: per duplicate pair, keep the vector LESS
+    similar to its cell centroid (retaining the diverse example, dropping
+    the prototypical near-copy), with the id as a deterministic
+    tie-break.
+
+    A vector is dropped iff some in-cell neighbor with cosine ≥ threshold
+    ranks strictly lower on (centroid_similarity, id). The rule is local
+    to each edge — no connected-components iteration — so the whole
+    keep-list is two joins: the pair relation (see
+    :func:`semantic_dedup_pairs`) and a broadcast of the k-row centroid
+    table for the rank key. Greedy-per-edge is deliberately NOT
+    transitive-closure dedup: in a chain a~b~c, c survives only if b
+    still outranks it even though b itself was dropped — deterministic,
+    oracle-checkable, and the standard SemDeDup behavior.
+    """
+    cent = centroids.select(
+        F.col(cell_col).alias("cell"), F.col("centroid")
+    )
+    ranked = (
+        corpus.select(
+            F.col(cell_col).alias("cell"), F.col(id_col), F.col(vec_col)
+        )
+        .join(F.broadcast(cent), "cell")
+        .select(
+            "cell",
+            F.col(id_col),
+            round6(cosine(F.col(vec_col), F.col("centroid")))
+            .cast("double")
+            .alias("cent_sim"),
+        )
+    )
+    pairs = semantic_dedup_pairs(
+        corpus, threshold, cell_col, id_col, vec_col
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("_u"), F.col("id_b").alias("_v")
+    ).union(
+        pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v"))
+    )
+    ru = ranked.select(
+        F.col(id_col).alias("_u"), F.col("cent_sim").alias("_cs_u")
+    )
+    rv = ranked.select(
+        F.col(id_col).alias("_v"), F.col("cent_sim").alias("_cs_v")
+    )
+    dropped = (
+        edges.join(ru, "_u")
+        .join(rv, "_v")
+        .filter(
+            (F.col("_cs_u") < F.col("_cs_v"))
+            | ((F.col("_cs_u") == F.col("_cs_v")) & (F.col("_u") < F.col("_v")))
+        )
+        .select(F.col("_v").alias(id_col))
+        .distinct()
+    )
+    return ranked.join(dropped, id_col, "left_anti").select(
+        id_col, "cell", "cent_sim"
+    )

@@ -715,3 +715,51 @@ def test_profile_table_approx_ndv_same_schema_close_values(spark):
         assert abs(a[name]["ndv"] - e[name]["ndv"]) <= max(
             3, 0.15 * e[name]["ndv"]
         )
+
+
+def test_semantic_dedup_pairs_stay_within_cell(spark):
+    from client_data_ingester_spark.operators import similarity as SM
+
+    # two cells; a1/a2 identical (cos=1), b1 orthogonal to both
+    corpus = spark.createDataFrame(
+        [
+            (1, "A", [1.0, 0.0, 0.0]),
+            (2, "A", [1.0, 0.0, 0.0]),
+            (3, "B", [1.0, 0.0, 0.0]),  # identical direction but other cell
+            (4, "B", [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    pairs = SM.semantic_dedup_pairs(
+        corpus, threshold=0.9, cell_col="label"
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["cell"]) for r in pairs] == [(1, 2, "A")]
+
+
+def test_semantic_dedup_retained_keeps_least_central(spark):
+    from client_data_ingester_spark.operators import similarity as SM
+
+    # cell A: v1 and v2 near-duplicates, v2 closer to the centroid (which
+    # is pulled toward v2/v3's direction) -> v2 must be dropped, v1 kept
+    corpus = spark.createDataFrame(
+        [
+            (1, "A", [1.0, 0.05, 0.0]),
+            (2, "A", [1.0, 0.25, 0.0]),
+            (3, "A", [1.0, 0.30, 0.0]),
+            (4, "A", [0.0, 0.0, 1.0]),  # orthogonal, not a dup of anyone
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    cents = SM.ivf_centroids(corpus, cell_col="label")
+    kept = sorted(
+        r["vec_id"]
+        for r in SM.semantic_dedup_retained(
+            corpus, cents, threshold=0.98, cell_col="label"
+        ).collect()
+    )
+    # pairs >= 0.98: (1,2) and (2,3) — cos(1,3) ~ 0.971 is under the bar.
+    # centroid ranking (cos to the 4-vector mean): 1 < 3 < 2, so vector 2
+    # is outranked on both of its edges and drops; 3's only neighbor (2)
+    # ranks higher, so 3 survives — the documented greedy-per-edge rule,
+    # not transitive-closure dedup
+    assert kept == [1, 3, 4]

@@ -477,6 +477,17 @@ def test_q12_minimal_projections_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semantic_dedup_pair_join_is_cell_equi_join(spark):
+    """The quadratic pair expansion must be blocked by the cell key: the
+    self-join is an equi-join on cell (never a cartesian), and the
+    retained-set's centroid lookup broadcasts the k-row centroid table."""
+    pairs_plan = plan_of(spark, "semantic_dedup_pairs")
+    assert "CartesianProduct" not in pairs_plan
+    retained_plan = plan_of(spark, "semantic_dedup_retained")
+    assert "CartesianProduct" not in retained_plan
+    assert "BroadcastHashJoin" in retained_plan
+
+
 def test_profile_approx_ndv_has_no_expand(spark):
     """exact_ndv=False is the wide-fact-table shape: HLL++ sketches replace
     the multi-distinct, so the plan is a plain single-scan hash aggregate —
