@@ -339,6 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"),
         D.lsh_candidate_pairs(_t(s, d, "documents"), num_perm=4, bands=2),
     )
+    # substring-level dedup: content-defined chunking + corpus-wide
+    # chunk-hash counts (finds shared spans document dedup misses)
+    q["dedup_chunk_spans"] = lambda s, d: D.chunk_dedup_stats(
+        _t(s, d, "documents")
+    )
 
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
@@ -401,6 +406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
     q["docs_oov_rate"] = lambda s, d: C.oov_rate(_t(s, d, "documents"))
+    # mixture statistics per (lang, source) slice — the data-card report
+    q["corpus_composition"] = lambda s, d: C.corpus_composition(
+        _t(s, d, "documents")
+    )
     q["docs_balanced_sample"] = lambda s, d: X.balanced_sample(
         _t(s, d, "documents")
     )
@@ -590,6 +599,8 @@ _DRIVER_FIRST = (
     "docs_unigram_logprob",
     "corpus_pmi_bigrams",
     "docs_oov_rate",
+    "corpus_composition",
+    "dedup_chunk_spans",
     "docs_balanced_sample",
     "profile_orders",
     "multimodal_features",
@@ -1714,6 +1725,68 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS oov_ratio
         FROM w LEFT JOIN vocab v ON w.w = v.w
         GROUP BY 1
+    """
+
+    o["dedup_chunk_spans"] = f"""
+        WITH tok AS (
+            SELECT doc_id, generate_subscripts({words}, 1) - 1 AS pos,
+                   UNNEST({words}) AS w
+            FROM documents),
+        lagd AS (
+            SELECT doc_id, pos, w,
+                   MD5(LAG(w, 2) OVER dw || ' ' || LAG(w, 1) OVER dw
+                       || ' ' || w) AS h
+            FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+        b AS (
+            SELECT doc_id, pos, w,
+                   CASE WHEN pos = 0 THEN 1
+                        WHEN pos >= 2
+                             AND ('0x' || SUBSTR(h, 1, 8))::BIGINT % 8 = 0
+                        THEN 1 ELSE 0 END AS is_b
+            FROM lagd),
+        c AS (
+            SELECT doc_id, pos, w,
+                   SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS chunk_idx
+            FROM b),
+        chunks AS (
+            SELECT doc_id, chunk_idx,
+                   MD5(STRING_AGG(w, ' ' ORDER BY pos)) AS chunk_hash
+            FROM c GROUP BY doc_id, chunk_idx),
+        gc AS (SELECT chunk_hash, COUNT(*) AS n_occ
+               FROM chunks GROUP BY 1)
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               CAST(FLOOR(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                               AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+                    AS DOUBLE) AS dup_chunk_ratio
+        FROM chunks JOIN gc USING (chunk_hash)
+        GROUP BY doc_id
+    """
+
+    o["corpus_composition"] = f"""
+        WITH per AS (
+            SELECT lang, source, LENGTH(text) AS _chars,
+                   LEN({toks}) AS _toks
+            FROM documents),
+        g AS (
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   SUM(_chars) AS sum_chars, SUM(_toks) AS sum_toks
+            FROM per GROUP BY lang, source),
+        t AS (SELECT SUM(n_docs) AS total FROM g)
+        SELECT lang, source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(FLOOR(CAST(n_docs AS DOUBLE) / total * 10000 + 0.5)
+                    / 10000 AS DOUBLE) AS doc_share,
+               CAST(sum_chars AS BIGINT) AS sum_chars,
+               CAST(FLOOR(CAST(sum_chars AS DOUBLE) / n_docs * 10000 + 0.5)
+                    / 10000 AS DOUBLE) AS avg_chars,
+               CAST(sum_toks AS BIGINT) AS sum_tokens,
+               CAST(FLOOR(CAST(sum_toks AS DOUBLE) / n_docs * 10000 + 0.5)
+                    / 10000 AS DOUBLE) AS avg_tokens
+        FROM g CROSS JOIN t
     """
 
     o["docs_balanced_sample"] = """

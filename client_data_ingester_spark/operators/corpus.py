@@ -421,3 +421,54 @@ def oov_rate(
             _dec4(F.col("n_oov") / F.col("n_tokens")).alias("oov_ratio"),
         )
     )
+
+
+def corpus_composition(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple = ("lang", "source"),
+) -> DataFrame:
+    """Mixture statistics per corpus slice — the report a training run's
+    data card is built from: document counts and share, exact char/token
+    totals, and per-doc averages for every (lang, source) cell.
+
+    One corpus scan: per-doc char/token counts are computed inline (the
+    tokenizer runs once per doc), partially aggregated map-side onto the
+    tiny (lang × source) domain, and the grand total for the share column
+    comes from RE-aggregating the grouped relation (a few rows), never
+    from a second scan. The 1-row total then broadcasts back onto the
+    group rows. Integer-exact sums; shares and averages are one double
+    division, floor-rounded at scale 4.
+    """
+    from .text import tokens
+
+    per = docs.select(
+        *group_cols,
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_toks"),
+    )
+    g = per.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").alias("sum_chars"),
+        F.sum("_toks").alias("sum_tokens"),
+    )
+    total = g.agg(F.sum("n_docs").alias("_total_docs"))
+    share = _dec4(
+        F.col("n_docs").cast("double") / F.col("_total_docs")
+    )
+    return (
+        g.join(F.broadcast(total))
+        .select(
+            *group_cols,
+            "n_docs",
+            share.alias("doc_share"),
+            "sum_chars",
+            _dec4(F.col("sum_chars").cast("double") / F.col("n_docs")).alias(
+                "avg_chars"
+            ),
+            "sum_tokens",
+            _dec4(F.col("sum_tokens").cast("double") / F.col("n_docs")).alias(
+                "avg_tokens"
+            ),
+        )
+    )

@@ -551,3 +551,89 @@ def retained_corpus(
         reps, F.col("doc_id") == F.col("rep_doc_id"), "left_anti"
     )
     return docs.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    divisor: int = 8,
+) -> DataFrame:
+    """Substring-level dedup via content-defined chunking (CDC): split each
+    document's token stream at ROLLING-HASH boundaries, hash each chunk,
+    and report per document how many of its chunks also occur elsewhere in
+    the corpus (the "duplicated span" signal document-level dedup misses —
+    boilerplate headers, quoted passages, templated spans).
+
+    Content-defined (not fixed-width) boundaries are what make the chunks
+    insertion-stable: a boundary fires where the hash of the trailing
+    3-token window ≡ 0 (mod ``divisor``), so an edit only redraws the
+    chunks it touches — the same shared passage chunks identically in two
+    different documents, which is exactly what lets the corpus-wide
+    chunk-hash count find it. Expected chunk length ≈ ``divisor`` tokens.
+
+    Shape: the rolling window is two ``lag``s (narrow per-doc window state,
+    never a whole-doc buffer), chunk membership is a running sum over the
+    same doc-keyed sort, chunk hashes aggregate per (doc, chunk), and the
+    global occurrence count is one hash-keyed aggregation of the CHUNK
+    relation (corpus tokens never shuffle twice). All keys are doc_id or
+    chunk_hash — uniform, unskewed at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words_expr(F.col(text_col))).alias("pos", "w"),
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.md5(
+        F.concat_ws(
+            " ", F.lag("w", 2).over(dw), F.lag("w", 1).over(dw), F.col("w")
+        )
+    )
+    hash32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    boundary = F.when(F.col("pos") == 0, 1).otherwise(
+        F.when(
+            (F.col("pos") >= 2) & (F.pmod(hash32, F.lit(divisor)) == 0), 1
+        ).otherwise(0)
+    )
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(boundary)
+        .over(dw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("chunk_idx"),
+    )
+    chunks = marked.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("chunk_len"),
+    )
+    global_counts = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("_n_occ")
+    )
+    dup = F.sum(F.when(F.col("_n_occ") > 1, 1).otherwise(0)).cast("long")
+    return (
+        chunks.join(global_counts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            (
+                F.floor(
+                    dup.cast("double") / F.count(F.lit(1)) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            )
+            .cast("double")
+            .alias("dup_chunk_ratio"),
+        )
+    )

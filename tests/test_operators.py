@@ -763,3 +763,26 @@ def test_semantic_dedup_retained_keeps_least_central(spark):
     # ranks higher, so 3 survives — the documented greedy-per-edge rule,
     # not transitive-closure dedup
     assert kept == [1, 3, 4]
+
+
+def test_chunk_dedup_finds_shared_spans(spark):
+    """Two docs share a passage at DIFFERENT offsets; content-defined
+    boundaries resynchronize inside the shared span, so both docs report
+    duplicated chunks while the unrelated doc reports none."""
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one"),
+            (2, "different head words " + shared),
+            (3, "totally unrelated text with none of those passages at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.chunk_dedup_stats(docs).collect()}
+    assert len(out) == 3
+    assert out[1]["n_dup_chunks"] > 0
+    assert out[2]["n_dup_chunks"] > 0
+    assert out[3]["n_dup_chunks"] == 0
+    assert out[3]["dup_chunk_ratio"] == 0.0
+    # every doc's chunk partition covers it: chunks * ~divisor ≈ tokens
+    assert out[1]["n_chunks"] == 5 and out[2]["n_chunks"] == 4
