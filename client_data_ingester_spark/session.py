@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) writes NO min/max statistics, which
+        # silently disables row-group skipping and zone maps on every
+        # timestamp column this engine writes; micros is the modern
+        # stats-bearing encoding
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
@@ -49,6 +54,7 @@ def pin_session_defaults(spark: SparkSession) -> SparkSession:
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     }.items():
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,186 @@
+"""File-level zone maps ([EXT]): a manifest table of per-file column
+min/max statistics, and a reader that plans scans FROM the manifest —
+the data-skipping layer table formats (Iceberg/Delta) put between the
+query and the file listing, expressed over plain parquet.
+
+Partition dirs prune on the partition value only (layout.py); zone maps
+prune on ANY sorted-ish column inside the surviving dirs, at file
+granularity, before a single data footer is opened by the query itself:
+
+- ``build_manifest`` reads each data file's parquet FOOTER (row-group
+  stats, folded to file min/max) and lands them in a tiny manifest table
+  — one row per (file, column). The footer reads are distributed with
+  ``mapInPandas`` over the file list (pyarrow on the executors, batched;
+  the driver never touches a footer), so building the manifest for a
+  100 TB table is a parallel metadata pass over O(files), not O(bytes).
+  The manifest is a write-time artifact: rebuild it per table version,
+  like the IVF/bloom indexes.
+- ``prune_files`` intersects a column range predicate with the manifest:
+  a file survives unless its [min, max] provably excludes the range.
+  Files with missing stats always survive (pruning is evidence-based,
+  never assumption-based).
+- ``read_pruned`` reads ONLY the surviving files (with ``basePath`` set
+  so Hive partition columns still materialize) and re-applies the
+  predicate — pruning is an optimization, the filter stays authoritative,
+  so results are byte-identical to the full scan.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("col_name", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("min_num", T.DoubleType(), True),
+        T.StructField("max_num", T.DoubleType(), True),
+        T.StructField("min_str", T.StringType(), True),
+        T.StructField("max_str", T.StringType(), True),
+    ]
+)
+
+
+def list_data_files(table_path: str) -> list[str]:
+    """Every parquet data file under ``table_path`` (recursive, sorted —
+    deterministic manifest row order for a given tree)."""
+    out = []
+    for root, dirs, files in os.walk(table_path):
+        dirs.sort()
+        for name in sorted(files):
+            if name.endswith(".parquet") and not name.startswith("_"):
+                out.append(os.path.join(root, name))
+    return out
+
+
+def build_manifest(
+    spark: SparkSession, table_path: str, columns: list[str]
+) -> DataFrame:
+    """One manifest row per (data file, column) with file-level min/max.
+
+    The file list parallelizes across executors; each task opens only the
+    FOOTERS of its files with pyarrow and folds row-group stats to file
+    stats. Numeric and temporal stats land in ``min_num``/``max_num``
+    (timestamps as epoch micros), strings in ``min_str``/``max_str``.
+    """
+    files = list_data_files(table_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet data files under {table_path}")
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 32))
+    cols = list(columns)
+
+    def _footer_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["file"]:
+                md = pq.read_metadata(path)
+                name_to_idx = {
+                    md.schema.column(i).path: i
+                    for i in range(len(md.schema))
+                }
+                for col in cols:
+                    idx = name_to_idx.get(col)
+                    mins, maxs = [], []
+                    if idx is not None:
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx).statistics
+                            if st is None or not st.has_min_max:
+                                mins, maxs = [], []
+                                break
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    row = {
+                        "file": path,
+                        "col_name": col,
+                        "n_rows": md.num_rows,
+                        "min_num": None,
+                        "max_num": None,
+                        "min_str": None,
+                        "max_str": None,
+                    }
+                    if mins:
+                        lo, hi = min(mins), max(maxs)
+                        if isinstance(lo, bool) or isinstance(lo, str):
+                            row["min_str"], row["max_str"] = str(lo), str(hi)
+                        elif isinstance(lo, (int, float)):
+                            row["min_num"] = float(lo)
+                            row["max_num"] = float(hi)
+                        else:  # datetime/date -> epoch micros
+                            ts = pd.Timestamp(lo), pd.Timestamp(hi)
+                            row["min_num"] = float(ts[0].value // 1000)
+                            row["max_num"] = float(ts[1].value // 1000)
+                    rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MANIFEST_SCHEMA.fields]
+            )
+
+    return files_df.mapInPandas(_footer_stats, MANIFEST_SCHEMA)
+
+
+def write_manifest(
+    spark: SparkSession, table_path: str, columns: list[str], manifest_path: str
+) -> None:
+    """Persist the manifest (the write-time half of the skipping story)."""
+    build_manifest(spark, table_path, columns).write.mode(
+        "overwrite"
+    ).parquet(manifest_path)
+
+
+def prune_files(
+    manifest: DataFrame,
+    col_name: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> list[str]:
+    """Files whose [min, max] for ``col_name`` may intersect [lo, hi].
+
+    A file is dropped only when its stats PROVE exclusion
+    (``max < lo`` or ``min > hi``); missing stats keep the file. The
+    manifest is tiny (files × columns rows), so the collect here is the
+    planner's file-listing step, not a data read.
+    """
+    m = manifest.filter(F.col("col_name") == col_name)
+    excluded = F.lit(False)
+    if lo is not None:
+        excluded = excluded | (F.col("max_num") < F.lit(float(lo)))
+    if hi is not None:
+        excluded = excluded | (F.col("min_num") > F.lit(float(hi)))
+    keep = m.filter(
+        F.col("min_num").isNull() | ~excluded
+    )
+    return sorted(r["file"] for r in keep.select("file").collect())
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_path: str,
+    manifest: DataFrame,
+    col_name: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Scan only the files the manifest can't exclude, then re-apply the
+    range predicate (authoritative — results match the full scan exactly;
+    zone maps only shrink the file list)."""
+    files = prune_files(manifest, col_name, lo, hi)
+    if not files:
+        full = spark.read.parquet(table_path)
+        return full.filter(F.lit(False))
+    df = spark.read.option("basePath", table_path).parquet(*files)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col_name) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col_name) <= F.lit(hi))
+    return df.filter(pred)

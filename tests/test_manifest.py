@@ -1,0 +1,86 @@
+"""Zone-map manifest: distributed footer-stat collection, evidence-based
+file pruning, and full-scan-equivalent pruned reads."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from client_data_ingester_spark.sources import load_table
+from client_data_ingester_spark.tables.manifest import (
+    build_manifest,
+    list_data_files,
+    prune_files,
+    read_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def events_by_day(spark, tmp_path_factory):
+    """events written one file per day, value-sorted within each — the
+    layout that gives zone maps disjoint per-file value ranges on ts."""
+    path = str(tmp_path_factory.mktemp("zm") / "events_by_day")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    (
+        ev.repartition("event_date")
+        .sortWithinPartitions("value")
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_manifest_covers_every_file_and_column(spark, events_by_day):
+    files = list_data_files(events_by_day)
+    m = build_manifest(spark, events_by_day, ["value", "user_id"]).collect()
+    assert len(m) == 2 * len(files)
+    by_file = {}
+    for r in m:
+        by_file.setdefault(r["file"], {})[r["col_name"]] = r
+    for f, cols in by_file.items():
+        assert cols["value"]["min_num"] <= cols["value"]["max_num"]
+        assert cols["value"]["n_rows"] > 0
+
+
+def test_pruned_read_equals_full_scan(spark, events_by_day):
+    manifest = build_manifest(
+        spark, events_by_day, ["value", "user_id"]
+    ).cache()
+    lo, hi = 10.0, 40.0
+    pruned = read_pruned(
+        spark, events_by_day, manifest, "value", lo, hi
+    )
+    full = spark.read.parquet(events_by_day).filter(
+        (F.col("value") >= lo) & (F.col("value") <= hi)
+    )
+    got = sorted(r["event_id"] for r in pruned.select("event_id").collect())
+    want = sorted(r["event_id"] for r in full.select("event_id").collect())
+    assert got == want and len(got) > 0
+    # partition column survives the explicit-file read (basePath)
+    assert "event_date" in pruned.columns
+
+
+def test_ts_zone_maps_prune_day_files(spark, events_by_day):
+    """ts is monotone with event_date, so per-day files have disjoint ts
+    ranges: a one-day ts window must prune to a strict file subset."""
+    manifest = build_manifest(spark, events_by_day, ["ts"]).cache()
+    all_files = list_data_files(events_by_day)
+    span = manifest.agg(
+        F.min("min_num").alias("lo"), F.max("max_num").alias("hi")
+    ).collect()[0]
+    one_day_us = 24 * 3600 * 1_000_000
+    kept = prune_files(
+        manifest, "ts", span["lo"], min(span["lo"] + one_day_us, span["hi"])
+    )
+    assert 0 < len(kept) < len(all_files)
+
+
+def test_pruning_is_evidence_based_keeps_statless_files(spark, events_by_day):
+    """A column absent from the footers (never written) must never prune:
+    every file survives when there is no evidence."""
+    manifest = build_manifest(spark, events_by_day, ["no_such_column"])
+    kept = prune_files(manifest, "no_such_column", 0.0, 1.0)
+    assert sorted(kept) == sorted(list_data_files(events_by_day))
