@@ -488,19 +488,39 @@ def semantic_dedup_pairs(
     in-cell pair with cosine ≥ threshold; scores are round6-quantized so
     the threshold comparison is engine-portable.
     """
+    # norms are attached per VECTOR before the pair join — computed once
+    # per row, not once per pair (each vector appears in ~cell_size pairs,
+    # so inlining l2norm into the cosine would redo it cell_size times).
+    # dot/(na*nb) keeps the exact expression structure of cosine(), so the
+    # scores are bit-identical to the inlined form.
     v = corpus.select(
-        F.col(cell_col).alias("cell"), F.col(id_col), F.col(vec_col)
+        F.col(cell_col).alias("cell"),
+        F.col(id_col),
+        F.col(vec_col),
+        l2norm(F.col(vec_col)).alias("_n"),
     )
     a = v.select(
-        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = v.select(
-        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     scored = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", round6(cosine(F.col("_va"), F.col("_vb"))))
+        .withColumn(
+            "score",
+            round6(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ),
+        )
     )
     return scored.filter(F.col("score") >= threshold).select(
         "cell", "id_a", "id_b", F.col("score").cast("double").alias("score")
