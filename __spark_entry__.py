@@ -159,6 +159,34 @@ def _bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _zone_mapped_events(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
+    """Build-once zone-mapped copy of events: day-partitioned, value-sorted
+    files plus the per-file min/max manifest (tables/manifest.py). The same
+    persisted-artifact pattern as the IVF/RP/bloom indexes — the layout
+    write and footer-stat pass run once per table version; queries pay only
+    the manifest lookup + pruned scan."""
+    from client_data_ingester_spark.tables.manifest import write_manifest
+
+    base = _index_cache_path(sf_dir, "zonemap", src_table="events")
+    table_path = os.path.join(base, "table")
+    manifest_path = os.path.join(base, "manifest")
+    if not os.path.exists(os.path.join(manifest_path, "_SUCCESS")):
+        ev = _t(spark, sf_dir, "events")
+        # RANGE-cluster on the pruning column: each output file owns a
+        # disjoint value range, so file-level min/max actually excludes
+        # files for a range predicate. (Day-partitioning would leave every
+        # file spanning the full value domain — zone maps on value would
+        # keep everything; clustering IS the skipping story.)
+        (
+            ev.repartitionByRange(16, "value")
+            .sortWithinPartitions("value")
+            .write.mode("overwrite")
+            .parquet(table_path)
+        )
+        write_manifest(spark, table_path, ["value", "ts"], manifest_path)
+    return table_path, spark.read.parquet(manifest_path)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -344,6 +372,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_chunk_spans"] = lambda s, d: D.chunk_dedup_stats(
         _t(s, d, "documents")
     )
+
+    # zone-map pruned scan: the value predicate plans against the persisted
+    # per-file min/max manifest (only files whose range may intersect are
+    # opened), then re-applies the filter — result ≡ the full scan, so the
+    # oracle is the plain filtered aggregate
+    def _zone_map_scored(s, d):
+        from client_data_ingester_spark.tables.manifest import read_pruned
+
+        path, manifest = _zone_mapped_events(s, d)
+        pruned = read_pruned(s, path, manifest, "value", 100.0, 150.0)
+        return pruned.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+
+    q["events_zone_map_scan"] = _zone_map_scored
 
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
@@ -601,6 +649,7 @@ _DRIVER_FIRST = (
     "docs_oov_rate",
     "corpus_composition",
     "dedup_chunk_spans",
+    "events_zone_map_scan",
     "docs_balanced_sample",
     "profile_orders",
     "multimodal_features",
@@ -1764,6 +1813,17 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS dup_chunk_ratio
         FROM chunks JOIN gc USING (chunk_hash)
         GROUP BY doc_id
+    """
+
+    o["events_zone_map_scan"] = """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               MIN(event_id) AS min_event_id,
+               MAX(event_id) AS max_event_id
+        FROM events
+        WHERE value >= 100.0 AND value <= 150.0
+        GROUP BY event_type
     """
 
     o["corpus_composition"] = f"""
