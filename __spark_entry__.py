@@ -393,6 +393,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_zone_map_scan"] = _zone_map_scored
 
+    # skew-salted join: the (key, salt) rewrite spreads a hot key over
+    # `salt` shuffle partitions; results are salt-invariant, so the oracle
+    # is the plain join — what's scored is the rewritten plan's output
+    def _salted_join_scored(s, d):
+        from client_data_ingester_spark.operators.skew import salted_join
+
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        o_dim = _t(s, d, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        joined = salted_join(li, o_dim, "l_orderkey", salt=8)
+        vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.sum(vol).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
+    q["skew_salted_join_revenue"] = _salted_join_scored
+
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
     q["text_quality"] = lambda s, d: X.quality_scores(_t(s, d, "documents"))
@@ -650,6 +675,7 @@ _DRIVER_FIRST = (
     "corpus_composition",
     "dedup_chunk_spans",
     "events_zone_map_scan",
+    "skew_salted_join_revenue",
     "docs_balanced_sample",
     "profile_orders",
     "multimodal_features",
@@ -1813,6 +1839,14 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS dup_chunk_ratio
         FROM chunks JOIN gc USING (chunk_hash)
         GROUP BY doc_id
+    """
+
+    o["skew_salted_join_revenue"] = f"""
+        SELECT o_orderpriority,
+               CAST(SUM({disc_price}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """
 
     o["events_zone_map_scan"] = """
