@@ -678,6 +678,7 @@ _DRIVER_FIRST = (
     "skew_salted_join_revenue",
     "docs_balanced_sample",
     "profile_orders",
+    "profile_lineitem_approx",
     "multimodal_features",
     "hash_probe_int",
     "hash_probe_double",

