@@ -1,0 +1,77 @@
+"""Change feed between snapshot versions: manifest-level partition diff
+(untouched tenants contribute zero I/O) + row-level insert/delete/update
+classification."""
+
+import pytest
+
+from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+from client_data_ingester_spark.tables import SnapshotTable
+from client_data_ingester_spark.tables.changes import (
+    changed_partitions,
+    changes_between,
+)
+
+
+def _row(i, client_id, sku, title, qty=None, active=True):
+    return (
+        i, client_id, sku, None, None, title, None, qty, active,
+        None, None, None,
+    )
+
+
+@pytest.fixture()
+def versioned_table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    v1 = [
+        _row(1, 1, "A", "alpha"),
+        _row(2, 1, "B", "beta"),
+        _row(3, 1, "C", "gamma"),
+        _row(10, 2, "X", "ex"),  # tenant 2: never touched again
+    ]
+    t.overwrite_partitions(
+        spark.createDataFrame(v1, CLIENT_PRODUCTS_SCHEMA), [1, 2]
+    )
+    v2 = [
+        _row(1, 1, "A", "alpha"),            # unchanged
+        _row(2, 1, "B", "beta-renamed"),     # update
+        _row(4, 1, "D", "delta"),            # insert; C deleted
+    ]
+    t.overwrite_partitions(
+        spark.createDataFrame(v2, CLIENT_PRODUCTS_SCHEMA), [1]
+    )
+    return t
+
+
+def test_manifest_diff_scopes_to_touched_partitions(versioned_table):
+    assert changed_partitions(versioned_table, 1, 2) == ["1"]
+
+
+def test_change_rows_classified(spark, versioned_table):
+    feed = {
+        (r["client_id"], r["sku"]): r
+        for r in changes_between(
+            spark, versioned_table, ["client_id", "sku"], 1, 2
+        ).collect()
+    }
+    assert set(feed) == {(1, "B"), (1, "C"), (1, "D")}
+    assert feed[(1, "B")]["change_type"] == "update"
+    assert feed[(1, "B")]["old_row"]["title"] == "beta"
+    assert feed[(1, "B")]["new_row"]["title"] == "beta-renamed"
+    assert feed[(1, "C")]["change_type"] == "delete"
+    assert feed[(1, "C")]["new_row"] is None
+    assert feed[(1, "D")]["change_type"] == "insert"
+    assert feed[(1, "D")]["old_row"] is None
+
+
+def test_same_version_diff_is_empty(spark, versioned_table):
+    assert (
+        changes_between(
+            spark, versioned_table, ["client_id", "sku"], 2, 2
+        ).count()
+        == 0
+    )
+
+
+def test_gc_horizon_raises(spark, versioned_table):
+    with pytest.raises(ValueError, match="not available"):
+        changed_partitions(versioned_table, 0, 99)
