@@ -187,6 +187,56 @@ def _zone_mapped_events(spark: SparkSession, sf_dir: str) -> tuple[str, DataFram
     return table_path, spark.read.parquet(manifest_path)
 
 
+def _changes_table(spark: SparkSession, sf_dir: str):
+    """Build-once two-version snapshot table for the change-feed scored
+    query: v1 = part-derived products (p_partkey % 4 != 0); v2 applies
+    deterministic edits — delete k%7==0, retitle (UPPER) k%5==0, insert
+    the k%4==0 & k%6==0 skus. Both versions derive from the part table
+    alone, so the DuckDB oracle reproduces the diff from two CTEs."""
+    from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+    from client_data_ingester_spark.tables import SnapshotTable
+
+    base = _index_cache_path(sf_dir, "changes", src_table="part")
+    t = SnapshotTable(os.path.join(base, "table"), CLIENT_PRODUCTS_SCHEMA)
+
+    def _rows(df):
+        return df.select(
+            F.col("p_partkey").cast("long").alias("id"),
+            F.lit(1).cast("int").alias("client_id"),
+            F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("sku"),
+            F.lit(None).cast("string").alias("remote_id"),
+            F.lit(None).cast("string").alias("brand"),
+            F.col("_title").alias("title"),
+            F.lit(None).cast("timestamp_ntz").alias("last_changed_on"),
+            F.col("p_size").cast("int").alias("stock_quantity"),
+            F.lit(True).alias("active"),
+            F.lit(None).cast("decimal(12,2)").alias("max_price"),
+            F.lit(None).cast("decimal(12,2)").alias("min_price"),
+            F.lit(None).cast("decimal(12,2)").alias("reference_price"),
+        )
+
+    if t.current_manifest().version < 2:
+        p = _t(spark, sf_dir, "part")
+        k = F.col("p_partkey")
+        v1 = _rows(
+            p.filter(k % 4 != 0).withColumn("_title", F.col("p_name"))
+        )
+        t.overwrite_partitions(v1, [1])
+        v2_kept = p.filter((k % 4 != 0) & (k % 7 != 0)).withColumn(
+            "_title",
+            F.when(k % 5 == 0, F.upper(F.col("p_name"))).otherwise(
+                F.col("p_name")
+            ),
+        )
+        v2_new = p.filter((k % 4 == 0) & (k % 6 == 0)).withColumn(
+            "_title", F.col("p_name")
+        )
+        t.overwrite_partitions(
+            _rows(v2_kept).unionByName(_rows(v2_new)), [1]
+        )
+    return t
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -417,6 +467,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["skew_salted_join_revenue"] = _salted_join_scored
+
+    # CDC read between snapshot versions: manifest-level partition diff +
+    # row classification; flattened to scalar columns for the oracle
+    def _change_feed_scored(s, d):
+        from client_data_ingester_spark.tables.changes import changes_between
+
+        t = _changes_table(s, d)
+        feed = changes_between(s, t, ["sku"], 1, 2)
+        return feed.select(
+            "sku",
+            "change_type",
+            F.col("old_row.title").alias("old_title"),
+            F.col("new_row.title").alias("new_title"),
+            F.col("old_row.stock_quantity").alias("old_qty"),
+            F.col("new_row.stock_quantity").alias("new_qty"),
+        )
+
+    q["snapshot_change_feed"] = _change_feed_scored
 
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
@@ -676,6 +744,7 @@ _DRIVER_FIRST = (
     "dedup_chunk_spans",
     "events_zone_map_scan",
     "skew_salted_join_revenue",
+    "snapshot_change_feed",
     "docs_balanced_sample",
     "profile_orders",
     "profile_lineitem_approx",
@@ -1848,6 +1917,33 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """
+
+    o["snapshot_change_feed"] = """
+        WITH v1 AS (
+            SELECT 'P' || CAST(p_partkey AS VARCHAR) AS sku,
+                   p_name AS title, p_size AS qty
+            FROM part WHERE p_partkey % 4 <> 0),
+        v2 AS (
+            SELECT 'P' || CAST(p_partkey AS VARCHAR) AS sku,
+                   CASE WHEN p_partkey % 5 = 0 THEN UPPER(p_name)
+                        ELSE p_name END AS title,
+                   p_size AS qty
+            FROM part WHERE p_partkey % 4 <> 0 AND p_partkey % 7 <> 0
+            UNION ALL
+            SELECT 'P' || CAST(p_partkey AS VARCHAR), p_name, p_size
+            FROM part WHERE p_partkey % 4 = 0 AND p_partkey % 6 = 0),
+        d AS (
+            SELECT COALESCE(a.sku, b.sku) AS sku,
+                   CASE WHEN a.sku IS NULL THEN 'insert'
+                        WHEN b.sku IS NULL THEN 'delete'
+                        WHEN a.title <> b.title OR a.qty <> b.qty
+                             THEN 'update' END AS change_type,
+                   a.title AS old_title, b.title AS new_title,
+                   CAST(a.qty AS INTEGER) AS old_qty,
+                   CAST(b.qty AS INTEGER) AS new_qty
+            FROM v1 a FULL OUTER JOIN v2 b ON a.sku = b.sku)
+        SELECT * FROM d WHERE change_type IS NOT NULL
     """
 
     o["events_zone_map_scan"] = """

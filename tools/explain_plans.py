@@ -26,13 +26,19 @@ DEFAULT = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_regional_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
     "topk_parts_per_brand",
     "products_search_rank",
     "upsert_snapshot",
     "dedup_lsh_candidates",
+    "dedup_chunk_spans",
+    "semantic_dedup_pairs",
     "embedding_cosine_topk",
     "asof_join_last_event",
     "range_join_follows",
+    "profile_lineitem_approx",
+    "events_zone_map_scan",
 ]
 
 
