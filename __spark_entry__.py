@@ -486,6 +486,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_change_feed"] = _change_feed_scored
 
+    # weekly activation/retention triangle — all shuffles user-keyed
+    q["events_retention_cohorts"] = lambda s, d: E.retention_cohorts(
+        _t(s, d, "events")
+    )
+    # per-type daily volume z-scores vs trailing week (drift monitor)
+    q["events_daily_anomaly"] = lambda s, d: E.daily_anomaly_scores(
+        _t(s, d, "events")
+    )
+
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
     q["text_quality"] = lambda s, d: X.quality_scores(_t(s, d, "documents"))
@@ -745,6 +754,8 @@ _DRIVER_FIRST = (
     "events_zone_map_scan",
     "skew_salted_join_revenue",
     "snapshot_change_feed",
+    "events_retention_cohorts",
+    "events_daily_anomaly",
     "docs_balanced_sample",
     "profile_orders",
     "profile_lineitem_approx",
@@ -1917,6 +1928,60 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """
+
+    o["events_retention_cohorts"] = """
+        WITH fs AS (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id),
+        act AS (
+            SELECT DISTINCT user_id,
+                   CAST(DATE_TRUNC('week', ts) AS DATE) AS activity_week
+            FROM events),
+        cell AS (
+            SELECT cohort_week, activity_week,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM act a JOIN fs USING (user_id)
+            GROUP BY 1, 2)
+        SELECT cohort_week, activity_week,
+               CAST(FLOOR(DATE_DIFF('day', cohort_week, activity_week) / 7)
+                    AS INTEGER) AS week_offset,
+               n_users,
+               CAST(FLOOR(CAST(n_users AS DOUBLE)
+                          / MAX(CASE WHEN activity_week = cohort_week
+                                     THEN n_users END)
+                            OVER (PARTITION BY cohort_week)
+                          * 10000 + 0.5) / 10000 AS DOUBLE) AS retained_pct
+        FROM cell
+    """
+
+    o["events_daily_anomaly"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS event_date,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2),
+        win AS (
+            SELECT event_type, event_date, n_events,
+                   COUNT(n_events) OVER tw AS n,
+                   SUM(n_events) OVER tw AS s,
+                   SUM(n_events * n_events) OVER tw AS s2
+            FROM daily
+            WINDOW tw AS (PARTITION BY event_type ORDER BY event_date
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, event_date, n_events,
+               CASE WHEN n >= 2 AND
+                         (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0
+                    THEN CAST(FLOOR(CAST(s AS DOUBLE) / n * 10000 + 0.5) / 10000 AS DOUBLE)
+               END AS trailing_mean,
+               CASE WHEN n >= 2 AND
+                         (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0
+                    THEN CAST(FLOOR(
+                         (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                         / SQRT((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+                         * 10000 + 0.5) / 10000 AS DOUBLE)
+               END AS z_score
+        FROM win
     """
 
     o["snapshot_change_feed"] = """

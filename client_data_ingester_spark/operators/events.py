@@ -232,3 +232,99 @@ def funnel_steps(
         *[F.col(f"ts_{i}") for i in range(1, len(steps) + 1)],
         completed.cast("long").alias("steps_completed"),
     )
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    in every week they return — the activation/retention triangle every
+    product analytics stack computes.
+
+    Two aggregations and one join, all keyed on the user column:
+    first-seen week is a per-user MIN (map-side partial), activity is the
+    distinct (user, week) set, and the cohort join is user-keyed — at
+    100 TB every shuffle in the query is on the uniform user key, and the
+    output is |cohorts| × |weeks| rows (hundreds), so the final aggregate
+    collapses to almost nothing. week_offset counts whole weeks between
+    cohort and activity week; retained_pct is computed against the
+    cohort's week-0 size with the portable floor-rounding.
+    """
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    first_seen = (
+        events.groupBy(user_col)
+        .agg(F.min("ts").alias("_first_ts"))
+        .select(user_col, week(F.col("_first_ts")).alias("cohort_week"))
+    )
+    activity = (
+        events.select(user_col, week(F.col("ts")).alias("activity_week"))
+        .distinct()
+    )
+    per_cell = (
+        activity.join(first_seen, user_col)
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+    cohort_size = Window.partitionBy("cohort_week")
+    base = F.max(
+        F.when(F.col("activity_week") == F.col("cohort_week"), F.col("n_users"))
+    ).over(cohort_size)
+    return per_cell.select(
+        "cohort_week",
+        "activity_week",
+        F.floor(
+            F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+        "n_users",
+        (
+            F.floor(
+                F.col("n_users").cast("double") / base * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).cast("double").alias("retained_pct"),
+    )
+
+
+def daily_anomaly_scores(
+    events: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Per (event_type, day) volume z-scores against the trailing
+    ``window_days`` of history — the drift/anomaly monitor a pipeline runs
+    on every ingest drop before the data is trusted.
+
+    The heavy part (daily counts) is one map-side-combined aggregate of
+    the raw stream; the windowed statistics then run over the tiny
+    (types × days) relation, so the sliding window costs nothing at any
+    corpus size. Variance uses exact integer sums (counts are BIGINTs;
+    Σx and Σx² are exact in double far beyond any daily volume), computed
+    in one fixed expression order so both engines produce bit-identical
+    scores: var = (Σx² − (Σx)²/n) / (n−1), z = (x − mean)/√var,
+    floor-rounded at 4. Windows shorter than 2 days or with zero variance
+    emit NULL z (no evidence of anomaly either way).
+    """
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("event_date")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_date")
+        .rowsBetween(-window_days, -1)
+    )
+    n = F.count(F.col("n_events")).over(w)
+    s = F.sum(F.col("n_events")).over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = s.cast("double") / n
+    var = (s2.cast("double") - s.cast("double") * s.cast("double") / n) / (
+        n - 1
+    )
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    dec4 = lambda c: (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast(  # noqa: E731
+        "double"
+    )
+    return daily.select(
+        "event_type",
+        "event_date",
+        "n_events",
+        F.when((n >= 2) & (var > 0), dec4(mean)).alias("trailing_mean"),
+        F.when((n >= 2) & (var > 0), dec4(z)).alias("z_score"),
+    )

@@ -812,3 +812,65 @@ def test_chunk_dedup_is_deterministic_and_covers_all_tokens(spark):
     assert sorted(by_doc) == sorted(tok_counts)
     for doc_id, row in by_doc.items():
         assert 1 <= row[1] <= tok_counts[doc_id]
+
+
+def test_retention_cohorts_triangle(spark):
+    import datetime as dt
+
+    from client_data_ingester_spark.operators.events import retention_cohorts
+
+    def ev(i, uid, day):
+        return (i, uid, "view", "1.0", dt.datetime(2024, 1, day, 12, 0))
+
+    # week of Jan 1 2024 is Mon Jan 1; next week starts Jan 8
+    events = spark.createDataFrame(
+        [
+            ev(1, 1, 1), ev(2, 2, 2),        # users 1,2 first seen week 0
+            ev(3, 1, 9),                      # user 1 returns in week 1
+            ev(4, 3, 10),                     # user 3 first seen week 1
+        ],
+        "event_id long, user_id long, event_type string, value string, ts timestamp",
+    )
+    rows = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in retention_cohorts(events).collect()
+    }
+    w0 = rows[("2024-01-01", 0)]
+    assert w0["n_users"] == 2 and w0["retained_pct"] == 1.0
+    w0r = rows[("2024-01-01", 1)]
+    assert w0r["n_users"] == 1 and w0r["retained_pct"] == 0.5
+    w1 = rows[("2024-01-08", 0)]
+    assert w1["n_users"] == 1
+
+
+def test_daily_anomaly_flags_spike_nulls_constant(spark):
+    import datetime as dt
+
+    from client_data_ingester_spark.operators.events import daily_anomaly_scores
+
+    rows = []
+    i = 0
+    # type "flat": 10 events every day -> zero variance -> NULL z
+    # type "spiky": 10/day then 100 on the last day -> large positive z...
+    # add mild jitter so the trailing window has nonzero variance
+    for day in range(1, 9):
+        n_flat, n_spiky = 10, (100 if day == 8 else 10 + day % 2)
+        for k in range(n_flat):
+            i += 1
+            rows.append((i, k, "flat", "1.0", dt.datetime(2024, 1, day, 8, 0)))
+        for k in range(n_spiky):
+            i += 1
+            rows.append((i, k, "spiky", "1.0", dt.datetime(2024, 1, day, 9, 0)))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value string, ts timestamp",
+    )
+    out = {
+        (r["event_type"], str(r["event_date"])): r
+        for r in daily_anomaly_scores(events).collect()
+    }
+    assert out[("flat", "2024-01-08")]["z_score"] is None  # no variance
+    spike = out[("spiky", "2024-01-08")]
+    assert spike["z_score"] is not None and spike["z_score"] > 3.0
+    # first day has no trailing history at all
+    assert out[("spiky", "2024-01-01")]["z_score"] is None
