@@ -53,18 +53,46 @@ def main() -> None:
     # map, versioned change snapshot) OUTSIDE the timed region: they are
     # build-once-per-corpus-version write-time work, and in a cold
     # environment their first touch would otherwise be billed to whichever
-    # query happens to read them first
-    for builder in (
-        entry._ivf_index,
-        entry._rp_index,
-        entry._bloom_index,
-        entry._zone_mapped_events,
-        entry._changes_table,
-    ):
+    # query happens to read them first. Each build's wall seconds are
+    # RECORDED in the output ("build_costs") so the one-scan build side of
+    # the persisted-artifact story is published next to the warm probe
+    # numbers; "cached" marks builds that found a prior artifact (their
+    # sec is then just the cache check + load, not a true build cost).
+    artifacts = [
+        ("ivf_index", entry._ivf_index, ("ivf", "embeddings"), "_SUCCESS"),
+        ("rp_index", entry._rp_index, ("rp", "embeddings"), "_SUCCESS"),
+        ("bloom_index", entry._bloom_index, ("bloom", "documents"), "_SUCCESS"),
+        (
+            "zone_map",
+            entry._zone_mapped_events,
+            ("zonemap", "events"),
+            os.path.join("manifest", "_SUCCESS"),
+        ),
+        (
+            "changes_snapshot",
+            entry._changes_table,
+            ("changes", "part"),
+            os.path.join("table", "_MANIFEST.v2"),
+        ),
+    ]
+    build_costs: dict[str, dict] = {}
+    for name, builder, (kind, src), marker in artifacts:
         try:
+            cached = os.path.exists(
+                os.path.join(
+                    entry._index_cache_path(sf_dir, kind, src_table=src),
+                    marker,
+                )
+            )
+            t0 = time.time()
             builder(spark, sf_dir)
+            build_costs[name] = {
+                "sec": round(time.time() - t0, 3),
+                "cached": cached,
+            }
         except Exception as e:  # keep benching even if one artifact fails
-            print(f"warmup: {builder.__name__} failed: {e}", file=sys.stderr)
+            print(f"warmup: {name} failed: {e}", file=sys.stderr)
+            build_costs[name] = {"sec": -1.0, "cached": False}
 
     # SPARK_GRAFT_BENCH_REPEATS>1 runs each query N times and reports the
     # median (plus all runs under "runs") — for settling noise vs regression.
@@ -99,6 +127,12 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "build_costs": build_costs,
+        # the driver's correctness gate scores only the first 50 entries;
+        # record which entries rotated out this round (they return to the
+        # window next round — tests/test_driver_window.py pins the
+        # two-round coverage guarantee)
+        "window": entry.window_report(qs),
     }
     if repeats > 1:
         out["runs"] = all_runs

@@ -22,17 +22,51 @@ Two ndv modes, same output schema:
   hash-aggregate whose per-column state is a fixed register array, map-side
   partial merge, a single 1-row-per-task shuffle. This is the 100 TB shape
   for wide fact tables. The estimate is engine-specific (not hash-matchable
-  against DuckDB); when a cross-engine-auditable sketch is required, use
-  the open-state HLL family in ``operators/sketch.py`` (registers are
-  engine-independent integers) instead of a profile row.
+  against DuckDB).
+
+Third mode, ``ndv_mode="portable"`` — the open-state HLL from
+``operators/sketch.py`` (md5 bucketing, exact integer registers) inlined
+into the same single scan: each column's 64 registers are carried as 64
+conditional-MAX aggregate columns (``MAX(CASE WHEN bucket=b THEN rho)``)
+inside the one wide hash aggregate, so the plan is still scan → project →
+hash-aggregate — no Expand, no second scan, bounded state — but the
+estimate is a deterministic cross-engine formula that a DuckDB oracle
+reproduces bit-exactly (``portable_profile_oracle_sql``). Hash inputs are
+canonicalized per column kind (num → DECIMAL(30,6) string, ts → one
+explicit format, str → as-is) so both engines hash identical text.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .sketch import _HEX_DIGITS, _hash60
+
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _canon_col(name: str, kind: str) -> Column:
+    """Canonical string rendering of a value for cross-engine hashing
+    (the md5 input must be byte-identical in Spark and DuckDB; raw
+    double→string rendering differs between engines at 1e7+, so numerics
+    go through a fixed-scale decimal)."""
+    c = F.col(name)
+    if kind == "num":
+        return c.cast("decimal(30,6)").cast("string")
+    if kind == "ts":
+        return F.date_format(c, TS_FMT)
+    return c.cast("string")
+
+
+def _canon_sql(name: str, kind: str) -> str:
+    """DuckDB twin of :func:`_canon_col`."""
+    if kind == "num":
+        return f"CAST(CAST({name} AS DECIMAL(30,6)) AS VARCHAR)"
+    if kind == "ts":
+        return f"STRFTIME({name}, '{_TS_FMT_DUCK}')"
+    return f"CAST({name} AS VARCHAR)"
 
 
 def profile_table(
@@ -40,16 +74,30 @@ def profile_table(
     columns: list[tuple[str, str]],
     exact_ndv: bool = True,
     rsd: float = 0.05,
+    ndv_mode: str | None = None,
+    p: int = 6,
 ) -> DataFrame:
     """Profile ``columns`` (list of (name, kind) with kind in
     ``num|str|ts``) in one scan; one output row per column.
 
     Output: col_name, n_rows, n_nulls, ndv, min_num, max_num (DOUBLE,
     NULL for non-numeric), min_str, max_str (VARCHAR, NULL for numeric).
-    ``exact_ndv=False`` swaps the exact multi-distinct (Expand plan) for
-    HLL++ ``approx_count_distinct`` with relative error ``rsd`` — identical
-    output schema, bounded aggregation state.
+
+    ``ndv_mode`` selects the distinct-count strategy (defaults to
+    ``"exact"``/``"hllpp"`` according to the legacy ``exact_ndv`` flag):
+
+    * ``"exact"`` — ``count_distinct`` (Expand ×(k+1); dimension tables).
+    * ``"hllpp"`` — ``approx_count_distinct(rsd)`` (engine-native HLL++,
+      no oracle).
+    * ``"portable"`` — the open-state md5 HLL (2**p registers/column as
+      conditional-MAX agg columns; deterministic cross-engine estimate,
+      oracle via :func:`portable_profile_oracle_sql`). Still one scan, no
+      Expand.
     """
+    if ndv_mode is None:
+        ndv_mode = "exact" if exact_ndv else "hllpp"
+    if ndv_mode == "portable":
+        return _profile_portable(table, columns, p)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for name, kind in columns:
         c = F.col(name)
@@ -58,7 +106,7 @@ def profile_table(
             .cast("long")
             .alias(f"{name}__nulls")
         )
-        if exact_ndv:
+        if ndv_mode == "exact":
             aggs.append(F.count_distinct(c).alias(f"{name}__ndv"))
         else:
             aggs.append(F.approx_count_distinct(c, rsd).alias(f"{name}__ndv"))
@@ -95,3 +143,199 @@ def profile_table(
             "min_str, max_str)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# portable-HLL ndv mode (cross-engine deterministic, hash-checkable)
+
+
+def _hll_consts(p: int) -> tuple[int, int, str, str]:
+    m = 2**p
+    scale = (60 - p) + 1  # register term exponent ceiling (W + 1)
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    raw = f"{alpha} * {m * m} * CAST({2 ** scale} AS DOUBLE) / s_int"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m} * LN(CAST({m} AS DOUBLE) / zeros) "
+        f"ELSE {raw} END"
+    )
+    return m, scale, raw, est
+
+
+def _profile_portable(
+    table: DataFrame, columns: list[tuple[str, str]], p: int
+) -> DataFrame:
+    """Single-scan profile whose ndv is the open md5-HLL estimate.
+
+    Shape: one staged projection computes each column's 60-bit md5 hash
+    once per row; a Generate (explode) pivots every row into k per-column
+    tuples ``(col_name, bucket, rho, num_val, str_val, is_null)``; a first
+    aggregate folds to the bounded register relation (k×(m+1) groups —
+    max(rho) is the HLL register, and min/max/count are re-aggregable so
+    the base stats ride the same fold); a second aggregate collapses the
+    registers to per-column (n_used, s_used) and the base stats to their
+    finals. The k× row replication is pipelined through map-side partial
+    aggregation (state ≤ k×(m+1) groups per task, NOT per-partition-ndv
+    like the Expand multi-distinct), and the only shuffle carries the
+    register relation. ndv = FLOOR(estimate + 0.5) as BIGINT — same
+    formula text evaluated in both engines over identical doubles, so the
+    driver hash matches.
+    """
+    m, scale, _raw, _est = _hll_consts(p)
+    # the k md5s/row dominate the pass; when the source yields fewer
+    # splits than cores (small local files), fan the rows out first so the
+    # hash projection runs at full parallelism. At scale the scan already
+    # has >= cores splits and this branch never triggers (no shuffle).
+    sc = table.sparkSession.sparkContext
+    if table.rdd.getNumPartitions() < sc.defaultParallelism:
+        table = table.repartition(sc.defaultParallelism)
+    staged = table.select(
+        "*",
+        *[
+            _hash60(_canon_col(name, kind)).alias(f"__h_{name}")
+            for name, kind in columns
+        ],
+    )
+    structs = []
+    for name, kind in columns:
+        c = F.col(name)
+        h = F.col(f"__h_{name}")
+        w = F.expr(f"__h_{name} DIV {m}")
+        rho = F.when(w == 0, F.lit(scale)).otherwise(
+            F.lit(scale) - F.length(F.bin(w))
+        )
+        if kind == "num":
+            num_val = c.cast("double")
+            str_val = F.lit(None).cast("string")
+        elif kind == "ts":
+            num_val = F.lit(None).cast("double")
+            str_val = F.date_format(c, TS_FMT)
+        else:
+            num_val = F.lit(None).cast("double")
+            str_val = c.cast("string")
+        structs.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.pmod(h, F.lit(m)).alias("bucket"),
+                rho.cast("int").alias("rho"),
+                num_val.alias("num_val"),
+                str_val.alias("str_val"),
+                F.when(c.isNull(), 1).otherwise(0).alias("is_null"),
+            )
+        )
+    exploded = staged.select(
+        F.explode(F.array(*structs)).alias("e")
+    ).select("e.*")
+
+    regs = exploded.groupBy("col_name", "bucket").agg(
+        F.max("rho").alias("r"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("is_null").cast("long").alias("nulls"),
+        F.min("num_val").alias("mn_num"),
+        F.max("num_val").alias("mx_num"),
+        F.min("str_val").alias("mn_str"),
+        F.max("str_val").alias("mx_str"),
+    )
+    live = F.col("bucket").isNotNull()
+    per_col = regs.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum("nulls").alias("n_nulls"),
+        F.count(F.when(live, 1)).cast("int").alias("n_used"),
+        F.sum(
+            F.when(
+                live,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - r)"),
+            )
+        ).alias("s_used"),
+        F.min("mn_num").alias("min_num"),
+        F.max("mx_num").alias("max_num"),
+        F.min("mn_str").alias("min_str"),
+        F.max("mx_str").alias("max_str"),
+    )
+    # all-null column: no live register -> NULL state (matches the
+    # register-table SQL, where SUM over zero rows is NULL)
+    ndv = F.expr(
+        "CAST(FLOOR((CASE WHEN n_used = 0 THEN NULL ELSE "
+        + _est.replace(
+            "s_int",
+            f"(s_used + CAST({m} - n_used AS BIGINT) * {2 ** scale})",
+        ).replace("zeros", f"({m} - n_used)")
+        + " END) + 0.5) AS BIGINT)"
+    )
+    is_num = {name: kind == "num" for name, kind in columns}
+    num_names = [n for n, yes in is_num.items() if yes]
+    in_num = F.col("col_name").isin(num_names) if num_names else F.lit(False)
+    return per_col.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        ndv.alias("ndv"),
+        F.when(in_num, F.col("min_num")).alias("min_num"),
+        F.when(in_num, F.col("max_num")).alias("max_num"),
+        F.when(~in_num, F.col("min_str")).alias("min_str"),
+        F.when(~in_num, F.col("max_str")).alias("max_str"),
+    )
+
+
+def portable_profile_oracle_sql(
+    table_expr: str, columns: list[tuple[str, str]], p: int = 6
+) -> str:
+    """DuckDB twin of ``profile_table(..., ndv_mode="portable")`` — exact
+    oracle (one UNION ALL branch per column; the hll subquery mirrors
+    ``sketch.hll_oracle_sql`` without grouping)."""
+    m, scale, _raw, _est = _hll_consts(p)
+    selects = []
+    for cname, kind in columns:
+        if kind == "num":
+            mn = f"CAST(MIN({cname}) AS DOUBLE) AS min_num"
+            mx = f"CAST(MAX({cname}) AS DOUBLE) AS max_num"
+            ms = "CAST(NULL AS VARCHAR) AS min_str"
+            xs = "CAST(NULL AS VARCHAR) AS max_str"
+        elif kind == "ts":
+            mn = "CAST(NULL AS DOUBLE) AS min_num"
+            mx = "CAST(NULL AS DOUBLE) AS max_num"
+            ms = f"STRFTIME(MIN({cname}), '{_TS_FMT_DUCK}') AS min_str"
+            xs = f"STRFTIME(MAX({cname}), '{_TS_FMT_DUCK}') AS max_str"
+        else:
+            mn = "CAST(NULL AS DOUBLE) AS min_num"
+            mx = "CAST(NULL AS DOUBLE) AS max_num"
+            ms = f"CAST(MIN({cname}) AS VARCHAR) AS min_str"
+            xs = f"CAST(MAX({cname}) AS VARCHAR) AS max_str"
+        hll = f"""(
+            SELECT CAST(FLOOR((CASE WHEN n_used = 0 THEN NULL
+                               ELSE {_est} END) + 0.5) AS BIGINT) AS ndv
+            FROM (
+              SELECT n_used, {m} - n_used AS zeros,
+                     CAST(s_used + ({m} - n_used)::BIGINT * {2 ** scale}
+                          AS BIGINT) AS s_int
+              FROM (
+                SELECT CAST(COUNT(*) AS INTEGER) AS n_used,
+                       SUM(1::BIGINT << ({scale} - r)) AS s_used
+                FROM (
+                  SELECT bucket, MAX(rho) AS r
+                  FROM (
+                    SELECT h % {m} AS bucket,
+                           CASE WHEN h // {m} = 0 THEN {scale}
+                                ELSE {scale} - length(bin(h // {m})) END AS rho
+                    FROM (
+                      SELECT ('0x' || substr(md5({_canon_sql(cname, kind)}),
+                                             1, {_HEX_DIGITS}))::BIGINT AS h
+                      FROM {table_expr} WHERE {cname} IS NOT NULL
+                    )
+                  )
+                  GROUP BY bucket
+                )
+              )
+            )
+        )"""
+        selects.append(f"""
+            SELECT '{cname}' AS col_name, b.n_rows, b.n_nulls, h.ndv,
+                   b.min_num, b.max_num, b.min_str, b.max_str
+            FROM (
+              SELECT COUNT(*) AS n_rows,
+                     CAST(SUM(CASE WHEN {cname} IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_nulls,
+                     {mn}, {mx}, {ms}, {xs}
+              FROM {table_expr}
+            ) b CROSS JOIN {hll} h""")
+    return " UNION ALL ".join(selects)

@@ -75,3 +75,31 @@ def test_same_version_diff_is_empty(spark, versioned_table):
 def test_gc_horizon_raises(spark, versioned_table):
     with pytest.raises(ValueError, match="not available"):
         changed_partitions(versioned_table, 0, 99)
+
+
+def test_changes_table_builder_recovers_from_partial_build(spark):
+    """If a prior run crashed between the two publishes (cache dir holds
+    only v1), the scored-query builder must wipe and rebuild — resuming
+    from v1 would publish v2 as a copy of v1 and the scored 1→2 diff
+    would silently be empty (round-6 ADVICE)."""
+    import os
+    import shutil
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    t = entry._changes_table(spark, sf)
+    assert t.current_manifest().version == 2
+    n_changes = changes_between(spark, t, ["sku"], 1, 2).count()
+    assert n_changes > 0
+
+    # simulate the crash: roll the manifest pointer back to v1 and drop v2
+    root = t.root
+    shutil.copyfile(
+        os.path.join(root, "_MANIFEST.v1"), os.path.join(root, "_MANIFEST")
+    )
+    os.remove(os.path.join(root, "_MANIFEST.v2"))
+
+    t2 = entry._changes_table(spark, sf)
+    assert t2.current_manifest().version == 2
+    assert changes_between(spark, t2, ["sku"], 1, 2).count() == n_changes

@@ -53,6 +53,88 @@ def test_hot_keys_detects_skew(spark):
     assert [(r["k"], r["n_rows"]) for r in hot] == [(7, 900)]
 
 
+def _skewed_frames(spark):
+    # one pathological key (0) with 4k rows; some keys missing from each
+    # side so outer/anti semantics are exercised; nulls on both sides
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4000, 0)
+        .when(F.col("id") % 50 == 49, None)
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 40)] + [(None, "dimnull")],
+        "k long, name string",
+    )
+    return big, small
+
+
+def test_hot_scoped_salted_join_matches_plain_join_all_types(spark):
+    """With hot_keys wired in, only flagged keys are salted; every
+    supported join type must still match the plain join exactly —
+    including null keys and keys absent from the small side."""
+    big, small = _skewed_frames(spark)
+    from collections import Counter
+
+    for how in ("inner", "left", "semi", "anti"):
+        plain = big.join(small, "k", how)
+        scoped = salted_join(
+            big, small, "k", salt=8, how=how, hot_threshold=1000
+        )
+        assert Counter(map(tuple, plain.collect())) == Counter(
+            map(tuple, scoped.collect())
+        ), how
+
+
+def test_hot_scoped_salted_join_replication_bounded(spark):
+    """Replication must cover only the hot slice of the small side: the
+    explode sits above a filtered small side, and the non-hot remainder
+    unions through a plain join (no rand() anywhere — the salt is a
+    deterministic content hash, so re-runs re-produce the bucketing)."""
+    big, small = _skewed_frames(spark)
+    hot = hot_keys(big, "k", min_rows=1000)
+    df = salted_join(big, small, "k", salt=8, hot=hot)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "rand(" not in plan
+    physical = plan.split("== Physical Plan ==")[1]
+    assert physical.count("Generate explode") == 1
+    assert "Union" in physical
+    # the salted branch's small side is filtered to the hot keys before
+    # the explode: replication = |hot ∩ small| x salt, not |small| x salt
+    from client_data_ingester_spark.operators.skew import _replicate
+
+    hot_vals = [r[0] for r in hot.collect()]
+    small_hot = small.filter(F.col("k").isin(hot_vals))
+    assert _replicate(small_hot, 8).count() == small_hot.count() * 8
+    assert small_hot.count() < small.count()
+
+
+def test_salted_join_empty_hot_set_is_plain_join(spark):
+    big, small = _skewed_frames(spark)
+    from collections import Counter
+
+    out = salted_join(big, small, "k", salt=8, hot_threshold=10**9)
+    plain = big.join(small, "k")
+    assert Counter(map(tuple, out.collect())) == Counter(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_hot_set_cap(spark):
+    import pytest
+
+    from client_data_ingester_spark.operators import skew
+
+    big = spark.range(0, 5).select(F.col("id").alias("k"))
+    small = spark.range(0, 5).select(F.col("id").alias("k"))
+    many = spark.range(0, skew.MAX_HOT_KEYS + 1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="hot key set exceeds"):
+        salted_join(big, small, "k", hot=many)
+
+
 def test_streaming_session_window(spark, tmp_path):
     src = tmp_path / "ev"
     src.mkdir()
