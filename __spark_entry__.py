@@ -567,6 +567,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.bloom_probe(train, _bloom_index(s, d))
 
     q["corpus_bloom_decontaminate"] = _bloom_probe_scored
+
+    # end-to-end curation pipeline ([EXT]): exact dedup -> train split ->
+    # bloom decontaminate (persisted eval bloom) -> quality filter ->
+    # sequence packing — one scored entry proving the operator families
+    # COMPOSE (schema drift between any two stages breaks this row).
+    # Every stage is the same operator the standalone scored queries use;
+    # the only driver-side values are the two literals (split pct,
+    # quality threshold).
+    def _pipeline_scored(s, d):
+        from client_data_ingester_spark.operators.corpus import hash_split
+
+        docs = _t(s, d, "documents")
+        keep = D.exact_duplicates(docs).select(
+            F.col("keeper_id").alias("doc_id")
+        )
+        train_ids = (
+            hash_split(docs, train_pct=80)
+            .filter(F.col("split") == "train")
+            .select("doc_id")
+        )
+        train = docs.join(keep, "doc_id").join(train_ids, "doc_id")
+        # majority-overlap quarantine (2*hits > shingles), not the any-hit
+        # rule: this synthetic corpus is templated, so nearly every doc
+        # shares SOME shingle with the eval split — any-hit would empty
+        # the pipeline. Integer comparison: no float ratio to disagree on.
+        flagged = (
+            K.bloom_probe(train, _bloom_index(s, d))
+            .filter(F.col("n_bloom_hits") * 2 > F.col("n_shingles"))
+            .select("doc_id")
+        )
+        clean = train.join(flagged, "doc_id", "left_anti")
+        good = (
+            clean.join(
+                X.quality_scores(clean).select("doc_id", "quality_score"),
+                "doc_id",
+            )
+            .filter(F.col("quality_score") >= 0.95)
+            .select(*docs.columns)
+        )
+        return X.pack_sequences(good, budget_tokens=512)
+
+    q["pipeline_curate_and_pack"] = _pipeline_scored
     q["tfidf_top_terms"] = lambda s, d: C.tfidf_top_terms(
         _t(s, d, "documents")
     )
@@ -1816,6 +1858,51 @@ def oracle_sql() -> dict[str, str]:
         FROM per_sh GROUP BY doc_id
     """.format(shingles=shingles)
 
+    # the end-to-end curation pipeline: composes the dedup / split / bloom
+    # / quality / packing oracles already proven above, in the same stage
+    # order as the engine query
+    o["pipeline_curate_and_pack"] = f"""
+        WITH dkeep AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id, MD5({norm}) AS text_hash FROM documents)
+            GROUP BY text_hash),
+        tr AS (
+            SELECT doc_id FROM documents
+            WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < 80),
+        fl AS (
+            SELECT doc_id FROM ({o['corpus_bloom_decontaminate']})
+            WHERE 2 * n_bloom_hits > n_shingles),
+        qual AS (
+            SELECT doc_id, quality_score FROM ({o['text_quality']})),
+        kept AS (
+            SELECT d.doc_id, d.text
+            FROM documents d
+            JOIN dkeep USING (doc_id)
+            JOIN tr USING (doc_id)
+            LEFT JOIN fl USING (doc_id)
+            JOIN qual USING (doc_id)
+            WHERE fl.doc_id IS NULL AND qual.quality_score >= 0.95),
+        c AS (
+            SELECT doc_id, CAST(LEN({toks}) AS INTEGER) AS n_tokens
+            FROM kept),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS before
+            FROM c),
+        shd AS (
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR(before / 512.0) AS BIGINT) AS shard_id
+            FROM cum)
+        SELECT doc_id, n_tokens, shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY shard_id ORDER BY doc_id) AS INTEGER) AS pos
+        FROM shd
+    """
+
     o["tfidf_top_terms"] = f"""
         WITH w AS ({word_occ}),
         tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
@@ -1993,8 +2080,10 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_events) OVER tw AS s,
                    SUM(n_events * n_events) OVER tw AS s2
             FROM daily
-            WINDOW tw AS (PARTITION BY event_type ORDER BY event_date
-                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            WINDOW tw AS (
+                PARTITION BY event_type
+                ORDER BY DATE_DIFF('day', DATE '1970-01-01', event_date)
+                RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
         SELECT event_type, event_date, n_events,
                CASE WHEN n >= 2 AND
                          (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0

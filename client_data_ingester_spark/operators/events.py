@@ -293,22 +293,31 @@ def daily_anomaly_scores(
     The heavy part (daily counts) is one map-side-combined aggregate of
     the raw stream; the windowed statistics then run over the tiny
     (types × days) relation, so the sliding window costs nothing at any
-    corpus size. Variance uses exact integer sums (counts are BIGINTs;
-    Σx and Σx² are exact in double far beyond any daily volume), computed
-    in one fixed expression order so both engines produce bit-identical
-    scores: var = (Σx² − (Σx)²/n) / (n−1), z = (x − mean)/√var,
-    floor-rounded at 4. Windows shorter than 2 days or with zero variance
-    emit NULL z (no evidence of anomaly either way).
+    corpus size. The trailing window is a RANGE frame over the epoch-day
+    number — CALENDAR days, not observed rows — so an event type with
+    gaps in its daily series still compares each day against exactly the
+    previous ``window_days`` calendar days (a ROWS frame would silently
+    stretch across the gaps). Variance uses exact integer sums (counts
+    are BIGINTs; Σx and Σx² are exact in double far beyond any daily
+    volume), computed in one fixed expression order so both engines
+    produce bit-identical scores: var = (Σx² − (Σx)²/n) / (n−1),
+    z = (x − mean)/√var, floor-rounded at 4. Windows with fewer than 2
+    observed days or zero variance emit NULL z (no evidence of anomaly
+    either way).
     """
     daily = (
         events.groupBy(
             "event_type", F.to_date("ts").alias("event_date")
-        ).agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "_day_num", F.datediff("event_date", F.lit("1970-01-01"))
+        )
     )
     w = (
         Window.partitionBy("event_type")
-        .orderBy("event_date")
-        .rowsBetween(-window_days, -1)
+        .orderBy("_day_num")
+        .rangeBetween(-window_days, -1)
     )
     n = F.count(F.col("n_events")).over(w)
     s = F.sum(F.col("n_events")).over(w)

@@ -31,8 +31,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import types as T
+
 from ..operators.sketch import bloom_probe
 from .dedup_stream import DOC_STREAM_SCHEMA
+
+# what lands in clean_dir / quarantine_dir (batch_id is the partition
+# dir). Read the dirs back through read_routed(): a stream that never
+# flagged (or never cleared) a document leaves only empty batch dirs, and
+# schema INFERENCE over those fails — the explicit schema must travel.
+ROUTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_bloom_hits", T.LongType()),
+        T.StructField("flagged", T.BooleanType()),
+        T.StructField("batch_id", T.IntegerType()),
+    ]
+)
+
+
+def read_routed(spark: SparkSession, routed_dir: str) -> DataFrame:
+    """Read a clean/quarantine dir with the explicit routed schema —
+    safe when every batch so far routed zero documents to this side."""
+    return spark.read.schema(ROUTED_SCHEMA).option(
+        "basePath", routed_dir
+    ).parquet(routed_dir)
 
 
 def start_decontam_stream(
@@ -50,8 +75,8 @@ def start_decontam_stream(
     docs to ``quarantine_dir`` (idempotent ``batch_id=N`` shard dirs).
 
     Drive deterministically with ``processAllAvailable()``; read results
-    with ``spark.read.parquet(clean_dir)`` (``batch_id`` is a partition
-    column).
+    with :func:`read_routed` (``batch_id`` is a partition column, and the
+    explicit schema keeps an all-empty side readable).
     """
     bits = eval_bits.cache()  # static side, reused every micro-batch
 
@@ -68,12 +93,18 @@ def start_decontam_stream(
             F.coalesce(F.col("n_bloom_hits"), F.lit(0)).alias("n_bloom_hits"),
             F.coalesce(F.col("dropped"), F.lit(False)).alias("flagged"),
         )
-        routed.filter(~F.col("flagged")).write.mode("overwrite").parquet(
-            f"{clean_dir}/batch_id={batch_id}"
-        )
-        routed.filter(F.col("flagged")).write.mode("overwrite").parquet(
-            f"{quarantine_dir}/batch_id={batch_id}"
-        )
+        # two sinks consume the same probe: persist so the shingle+bloom
+        # work runs once per micro-batch, not once per sink
+        routed.persist()
+        try:
+            routed.filter(~F.col("flagged")).write.mode("overwrite").parquet(
+                f"{clean_dir}/batch_id={batch_id}"
+            )
+            routed.filter(F.col("flagged")).write.mode("overwrite").parquet(
+                f"{quarantine_dir}/batch_id={batch_id}"
+            )
+        finally:
+            routed.unpersist()
 
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)

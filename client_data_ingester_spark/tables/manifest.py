@@ -50,7 +50,13 @@ MANIFEST_SCHEMA = T.StructType(
 
 def list_data_files(table_path: str) -> list[str]:
     """Every parquet data file under ``table_path`` (recursive, sorted —
-    deterministic manifest row order for a given tree)."""
+    deterministic manifest row order for a given tree).
+
+    DRIVER-side walk: bounded by file count, not data size — fine to
+    ~10⁵ files. Beyond that, source the list from the table's own
+    metadata (:func:`build_manifest_for_snapshot` — the snapshot manifest
+    already enumerates every data directory) or list per-directory on the
+    executors (:func:`list_data_files_distributed`)."""
     out = []
     for root, dirs, files in os.walk(table_path):
         dirs.sort()
@@ -60,8 +66,38 @@ def list_data_files(table_path: str) -> list[str]:
     return out
 
 
+def list_data_files_distributed(
+    spark: SparkSession, dirs: list[str]
+) -> list[str]:
+    """List parquet data files under ``dirs`` ON THE EXECUTORS — one walk
+    task per directory, so listing a 10⁶-file table is a parallel metadata
+    pass and the driver only receives the final path list. (Paths must be
+    visible from executors — true for any shared POSIX mount; an object
+    store would swap the walk for its native list API.)"""
+    if not dirs:
+        return []
+
+    def _walk(d: str) -> list[str]:
+        import os as _os
+
+        out = []
+        for root, ds, files in _os.walk(d):
+            ds.sort()
+            for name in sorted(files):
+                if name.endswith(".parquet") and not name.startswith("_"):
+                    out.append(_os.path.join(root, name))
+        return out
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize(sorted(set(dirs)), min(len(set(dirs)), 64))
+    return sorted(set(rdd.flatMap(_walk).collect()))
+
+
 def build_manifest(
-    spark: SparkSession, table_path: str, columns: list[str]
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    files: list[str] | None = None,
 ) -> DataFrame:
     """One manifest row per (data file, column) with file-level min/max.
 
@@ -69,8 +105,12 @@ def build_manifest(
     FOOTERS of its files with pyarrow and folds row-group stats to file
     stats. Numeric and temporal stats land in ``min_num``/``max_num``
     (timestamps as epoch micros), strings in ``min_str``/``max_str``.
+
+    ``files`` overrides the driver-side walk with an explicit list (e.g.
+    sourced from a snapshot manifest or a distributed listing).
     """
-    files = list_data_files(table_path)
+    if files is None:
+        files = list_data_files(table_path)
     if not files:
         raise FileNotFoundError(f"no parquet data files under {table_path}")
     files_df = spark.createDataFrame(
@@ -137,6 +177,31 @@ def write_manifest(
     ).parquet(manifest_path)
 
 
+def build_manifest_for_snapshot(
+    spark: SparkSession, table, columns: list[str]
+) -> DataFrame:
+    """Zone-map manifest for a :class:`SnapshotTable` with NO driver-side
+    walk: the snapshot manifest already enumerates every data directory of
+    the current version, and the per-directory file listing runs on the
+    executors. This is the 100 TB path — the driver handles directory
+    *names* (O(partitions)), never the file tree."""
+    snap = table.current_manifest()
+    dirs = sorted(
+        {
+            os.path.join(table.root, d)
+            for ds in snap.partitions.values()
+            for d in ds
+        }
+    )
+    files = list_data_files_distributed(spark, dirs)
+    if not files:
+        raise FileNotFoundError(
+            f"snapshot at {table.root} (version {snap.version}) has no "
+            "data files"
+        )
+    return build_manifest(spark, table.root, columns, files=files)
+
+
 def prune_files(
     manifest: DataFrame,
     col_name: str,
@@ -172,8 +237,22 @@ def read_pruned(
 ) -> DataFrame:
     """Scan only the files the manifest can't exclude, then re-apply the
     range predicate (authoritative — results match the full scan exactly;
-    zone maps only shrink the file list)."""
+    zone maps only shrink the file list).
+
+    Stale-manifest safety: the manifest is a write-time artifact, so the
+    live tree is cross-checked per read. A data file written AFTER the
+    manifest was built has no stats row — it is treated like a
+    missing-stats file (evidence-based keep, always scanned), never
+    silently excluded; a manifested file that has since been compacted or
+    GC'd away is dropped from the scan list instead of failing the read.
+    """
     files = prune_files(manifest, col_name, lo, hi)
+    live = set(list_data_files(table_path))
+    manifested = {
+        r["file"] for r in manifest.select("file").distinct().collect()
+    }
+    unmanifested = live - manifested  # stale manifest: no evidence -> keep
+    files = sorted((set(files) & live) | unmanifested)
     if not files:
         full = spark.read.parquet(table_path)
         return full.filter(F.lit(False))

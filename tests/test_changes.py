@@ -77,6 +77,71 @@ def test_gc_horizon_raises(spark, versioned_table):
         changed_partitions(versioned_table, 0, 99)
 
 
+def test_change_feed_stream_incremental_versions(spark, tmp_path):
+    """The streaming CDC twin: each published snapshot version reaches a
+    tailing consumer as one micro-batch of classified rows, without any
+    re-diff of already-published versions."""
+    from client_data_ingester_spark.streaming.changes_stream import (
+        ChangeFeedPublisher,
+        read_change_feed_stream,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(
+        spark.createDataFrame(
+            [_row(1, 1, "A", "alpha"), _row(2, 1, "B", "beta")],
+            CLIENT_PRODUCTS_SCHEMA,
+        ),
+        [1],
+    )
+    pub = ChangeFeedPublisher(
+        spark, t, ["client_id", "sku"], str(tmp_path / "feed")
+    )
+    assert pub.poll() == [1]
+    assert pub.poll() == []  # nothing new: no re-diff, no re-emit
+
+    stream = read_change_feed_stream(
+        spark, t, ["client_id", "sku"], str(tmp_path / "feed")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        v1 = spark.sql("select * from cdc_feed").collect()
+        assert {(r["sku"], r["change_type"], r["version"]) for r in v1} == {
+            ("A", "insert", 1),
+            ("B", "insert", 1),
+        }
+
+        # second version: update B, delete A, insert C
+        t.overwrite_partitions(
+            spark.createDataFrame(
+                [_row(2, 1, "B", "beta-renamed"), _row(3, 1, "C", "gamma")],
+                CLIENT_PRODUCTS_SCHEMA,
+            ),
+            [1],
+        )
+        assert pub.poll() == [2]
+        q.processAllAvailable()
+        rows = {
+            (r["sku"], r["version"]): r
+            for r in spark.sql("select * from cdc_feed").collect()
+        }
+        assert rows[("A", 2)]["change_type"] == "delete"
+        assert rows[("B", 2)]["change_type"] == "update"
+        assert rows[("B", 2)]["old_row"]["title"] == "beta"
+        assert rows[("B", 2)]["new_row"]["title"] == "beta-renamed"
+        assert rows[("C", 2)]["change_type"] == "insert"
+        assert len(rows) == 5  # 2 from v1 + 3 from v2, no duplicates
+    finally:
+        q.stop()
+
+
 def test_changes_table_builder_recovers_from_partial_build(spark):
     """If a prior run crashed between the two publishes (cache dir holds
     only v1), the scored-query builder must wipe and rebuild — resuming

@@ -103,3 +103,39 @@ def test_stream_replay_is_idempotent(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(clean).count() == first == 1
+
+
+def test_all_clean_stream_quarantine_readable(spark, tmp_path):
+    """A stream that never flags a document leaves only empty batch dirs
+    in quarantine — schema inference would fail there; read_routed's
+    explicit schema must return an empty, well-typed frame."""
+    from client_data_ingester_spark.streaming.decontam_stream import (
+        ROUTED_SCHEMA,
+        read_routed,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quarantine")
+    _write_docs(
+        src / "b1.json",
+        [{"doc_id": 1, "ts": "2024-01-01T10:00:00.000Z",
+          "text": "plain words only here today"}],
+    )
+    q = start_decontam_stream(
+        spark, str(src), ckpt, clean, quar, _eval_bits(spark),
+        query_name="dc3",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    quarantined = read_routed(spark, quar)
+    assert quarantined.count() == 0
+    assert [f.name for f in quarantined.schema.fields] == [
+        f.name for f in ROUTED_SCHEMA.fields
+    ]
+    assert read_routed(spark, clean).count() == 1

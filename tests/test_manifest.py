@@ -84,3 +84,82 @@ def test_pruning_is_evidence_based_keeps_statless_files(spark, events_by_day):
     manifest = build_manifest(spark, events_by_day, ["no_such_column"])
     kept = prune_files(manifest, "no_such_column", 0.0, 1.0)
     assert sorted(kept) == sorted(list_data_files(events_by_day))
+
+
+def test_stale_manifest_never_loses_new_files(spark, tmp_path):
+    """A data file added AFTER the manifest was built has no stats row;
+    read_pruned must scan it anyway (missing-from-manifest == missing
+    stats == evidence-based keep) so results stay byte-identical to the
+    full scan even against a stale manifest."""
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 50).alias("value")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    manifest = build_manifest(spark, path, ["value"]).cache()
+    manifest.count()
+
+    # late-arriving file whose values sit INSIDE the query range — a
+    # file-list intersection with the manifest would silently drop it
+    spark.range(1000, 1010).select(
+        F.col("id").alias("event_id"), F.lit(20).alias("value")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    lo, hi = 10.0, 30.0
+    pruned = read_pruned(spark, path, manifest, "value", lo, hi)
+    full = spark.read.parquet(path).filter(
+        (F.col("value") >= lo) & (F.col("value") <= hi)
+    )
+    got = sorted(r["event_id"] for r in pruned.collect())
+    want = sorted(r["event_id"] for r in full.collect())
+    assert got == want
+    assert any(e >= 1000 for e in got), "late file's rows missing"
+
+
+def test_stale_manifest_drops_vanished_files(spark, tmp_path):
+    """A manifested file that was compacted/GC'd away must be dropped from
+    the scan list instead of failing the read."""
+    import os
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 50).alias("value")
+    ).repartition(4).write.mode("overwrite").parquet(path)
+    manifest = build_manifest(spark, path, ["value"]).cache()
+    manifest.count()
+    victim = list_data_files(path)[0]
+    os.remove(victim)
+
+    pruned = read_pruned(spark, path, manifest, "value", 0.0, 100.0)
+    full = spark.read.parquet(path)
+    assert pruned.count() == full.count()
+
+
+def test_snapshot_manifest_build_has_no_driver_walk(
+    spark, tmp_path, monkeypatch
+):
+    """build_manifest_for_snapshot sources the file list from the snapshot
+    manifest's directories + an executor-side listing — the driver-side
+    os.walk must never run (pinned by poisoning it)."""
+    from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+    from client_data_ingester_spark.tables import SnapshotTable
+    from client_data_ingester_spark.tables import manifest as mf
+
+    t = SnapshotTable(str(tmp_path / "snap"), CLIENT_PRODUCTS_SCHEMA)
+    rows = [
+        (i, 1, f"S{i}", None, None, f"t{i}", None, i, True, None, None, None)
+        for i in range(20)
+    ]
+    t.overwrite_partitions(
+        spark.createDataFrame(rows, CLIENT_PRODUCTS_SCHEMA), [1]
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side os.walk listing was invoked")
+
+    monkeypatch.setattr(mf, "list_data_files", _boom)
+    m = mf.build_manifest_for_snapshot(spark, t, ["stock_quantity"])
+    rows = m.collect()
+    assert len(rows) > 0
+    assert {r["col_name"] for r in rows} == {"stock_quantity"}
+    assert min(r["min_num"] for r in rows) == 0.0
+    assert max(r["max_num"] for r in rows) == 19.0
