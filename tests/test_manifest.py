@@ -101,7 +101,8 @@ def test_stale_manifest_never_loses_new_files(spark, tmp_path):
     # late-arriving file whose values sit INSIDE the query range — a
     # file-list intersection with the manifest would silently drop it
     spark.range(1000, 1010).select(
-        F.col("id").alias("event_id"), F.lit(20).alias("value")
+        F.col("id").alias("event_id"),
+        F.lit(20).cast("long").alias("value"),
     ).coalesce(1).write.mode("append").parquet(path)
 
     lo, hi = 10.0, 30.0
