@@ -472,8 +472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H keys are uniform (1-7 lines/order), so a row-count
         # threshold would flag none or all; flag a deterministic slice as
         # "hot" so the scored plan exercises BOTH branches (salted hot
-        # keys + plain remainder + union) with the plain-join oracle
-        hot = o_dim.filter(F.col("l_orderkey") % 97 == 0).select("l_orderkey")
+        # keys + plain remainder + union) with the plain-join oracle.
+        # % 997: a realistic hot-set size (~0.1% of keys — hot keys are
+        # FEW by definition; a fat isin list would tax every row of both
+        # branch filters)
+        hot = o_dim.filter(F.col("l_orderkey") % 997 == 0).select("l_orderkey")
         joined = salted_join(li, o_dim, "l_orderkey", salt=8, hot=hot)
         vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
             F.lit(1).cast("decimal(18,2)")

@@ -46,8 +46,48 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     qs = entry.queries()
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches. Not just the scan+agg
+    # shape: a broadcast join, a sort-merge join, and a window run once as
+    # NONCE queries (not scored entries) so whole-stage-codegen compilation
+    # for those operator families is absorbed here instead of being billed
+    # to whichever scored query happens to rotate into first place.
     _force(qs["q1_pricing_summary"](spark, sf_dir))
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from client_data_ingester_spark.sources import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_custkey"
+        )
+        smj = li.join(  # sort-merge join path
+            od.hint("merge"), li.l_orderkey == od.o_orderkey
+        )
+        bhj = li.join(  # broadcast join path
+            F.broadcast(od.limit(1000)), li.l_orderkey == od.o_orderkey
+        )
+        win = od.withColumn(  # window path
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy("o_orderkey")
+            ),
+        )
+        for df in (smj, bhj, win):
+            _force(df)
+        # touch every table once: parquet footer + file-listing caches are
+        # per-table, and the first scored query over an untouched table
+        # would otherwise pay the cold metadata read
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "events", "documents", "embeddings",
+        ):
+            load_table(spark, sf_dir, t).count()
+    except Exception as e:
+        print(f"warmup: nonce queries failed: {e}", file=sys.stderr)
 
     # pre-build the persisted artifacts (IVF/RP indexes, eval bloom, zone
     # map, versioned change snapshot) OUTSIDE the timed region: they are

@@ -336,6 +336,9 @@ def hist_quantiles(
     from pyspark.sql import Window
 
     span = hi - lo
+    # unpartitioned on purpose — runtime's "No Partition Defined" warning
+    # is expected and bounded: both windows run over the aggregated
+    # register relation (<= n_bins rows), never the raw values
     w_cum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

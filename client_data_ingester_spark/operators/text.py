@@ -307,6 +307,9 @@ def pack_sequences(
             in_chunk.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # unpartitioned on purpose — runtime's "No Partition Defined" warning
+    # is expected and bounded: this window runs over the per-chunk TOTALS
+    # relation (n_docs / chunk_size rows, ~corpus/10^5), never the docs
     chunk_w = Window.orderBy("_chunk").rowsBetween(
         Window.unboundedPreceding, -1
     )

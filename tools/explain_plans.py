@@ -39,6 +39,8 @@ DEFAULT = [
     "range_join_follows",
     "profile_lineitem_approx",
     "events_zone_map_scan",
+    "skew_salted_join_revenue",
+    "pipeline_curate_and_pack",
 ]
 
 
