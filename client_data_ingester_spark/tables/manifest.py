@@ -177,6 +177,49 @@ def write_manifest(
     ).parquet(manifest_path)
 
 
+def update_manifest(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    existing: DataFrame,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally refresh a manifest against the live tree: keep the
+    existing stats rows for files still present, footer-read ONLY the
+    files added since the manifest was built, drop rows for vanished
+    files. Appending one file to a 10⁶-file table costs one footer read,
+    not a full metadata pass — the maintenance half of the zone-map
+    story (pair with ``write_manifest`` for the initial build)."""
+    existing_cols = {
+        r["col_name"]
+        for r in existing.select("col_name").distinct().collect()
+    }
+    if set(columns) != existing_cols:
+        raise ValueError(
+            f"column set changed ({sorted(existing_cols)} -> "
+            f"{sorted(columns)}): rebuild the manifest instead of "
+            "updating it, or old files silently lose stats for the new "
+            "columns"
+        )
+    if files is None:
+        files = list_data_files(table_path)
+    live = set(files)
+    manifested = {
+        r["file"] for r in existing.select("file").distinct().collect()
+    }
+    new_files = sorted(live - manifested)
+    # join, not isin: the live-file relation can be large, and a 10⁶-
+    # literal In expression is a planner hazard; the join broadcasts
+    live_df = spark.createDataFrame(
+        [(f,) for f in sorted(live)], "file string"
+    )
+    kept = existing.join(F.broadcast(live_df), "file")
+    if not new_files:
+        return kept
+    fresh = build_manifest(spark, table_path, columns, files=new_files)
+    return kept.unionByName(fresh)
+
+
 def build_manifest_for_snapshot(
     spark: SparkSession, table, columns: list[str]
 ) -> DataFrame:

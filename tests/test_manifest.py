@@ -135,6 +135,52 @@ def test_stale_manifest_drops_vanished_files(spark, tmp_path):
     assert pruned.count() == full.count()
 
 
+def test_update_manifest_incremental(spark, tmp_path):
+    """Incremental refresh: reuse stats rows for unchanged files, footer-
+    read only additions, drop vanished files — result must equal a full
+    rebuild of the live tree."""
+    import os
+
+    from client_data_ingester_spark.tables.manifest import update_manifest
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 50).alias("value")
+    ).repartition(3).write.mode("overwrite").parquet(path)
+    m0 = build_manifest(spark, path, ["value"]).cache()
+    m0.count()
+
+    # add a file and remove one
+    spark.range(1000, 1010).select(
+        F.col("id").alias("event_id"),
+        F.lit(77).cast("long").alias("value"),
+    ).coalesce(1).write.mode("append").parquet(path)
+    os.remove(list_data_files(path)[0])
+
+    updated = update_manifest(spark, path, ["value"], m0)
+    rebuilt = build_manifest(spark, path, ["value"])
+    key = lambda r: (r["file"], r["col_name"])  # noqa: E731
+    assert sorted(map(tuple, updated.collect()), key=lambda t: t[:2]) == \
+        sorted(map(tuple, rebuilt.collect()), key=lambda t: t[:2])
+    assert {r["file"] for r in updated.collect()} == set(
+        list_data_files(path)
+    )
+
+
+def test_update_manifest_rejects_column_change(spark, tmp_path):
+    import pytest
+
+    from client_data_ingester_spark.tables.manifest import update_manifest
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10).select(
+        F.col("id").alias("event_id"), F.col("id").alias("value")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    m0 = build_manifest(spark, path, ["value"])
+    with pytest.raises(ValueError, match="column set changed"):
+        update_manifest(spark, path, ["value", "event_id"], m0)
+
+
 def test_snapshot_manifest_build_has_no_driver_walk(
     spark, tmp_path, monkeypatch
 ):
