@@ -475,8 +475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keys + plain remainder + union) with the plain-join oracle.
         # % 997: a realistic hot-set size (~0.1% of keys — hot keys are
         # FEW by definition; a fat isin list would tax every row of both
-        # branch filters)
-        hot = o_dim.filter(F.col("l_orderkey") % 997 == 0).select("l_orderkey")
+        # branch filters). The <= 997_000 cap keeps the set SF-invariant
+        # (~1000 keys max) so the query never trips salted_join's
+        # MAX_HOT_KEYS guard at large scale factors.
+        hot = o_dim.filter(
+            (F.col("l_orderkey") % 997 == 0)
+            & (F.col("l_orderkey") <= 997_000)
+        ).select("l_orderkey")
         joined = salted_join(li, o_dim, "l_orderkey", salt=8, hot=hot)
         vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
             F.lit(1).cast("decimal(18,2)")

@@ -51,10 +51,14 @@ def _canon_col(name: str, kind: str) -> Column:
     """Canonical string rendering of a value for cross-engine hashing
     (the md5 input must be byte-identical in Spark and DuckDB; raw
     double→string rendering differs between engines at 1e7+, so numerics
-    go through a fixed-scale decimal)."""
+    go through a fixed-scale decimal). Deliberate canonicalization
+    semantics: values equal at 6 decimal places hash identically, and
+    magnitudes beyond DECIMAL(30,6) (|x| >= 1e24, ±inf, NaN) TRY_CAST to
+    NULL in BOTH engines — excluded from the sketch rather than throwing
+    (Spark runs ANSI mode, so a plain cast would abort the profile)."""
     c = F.col(name)
     if kind == "num":
-        return c.cast("decimal(30,6)").cast("string")
+        return F.expr(f"try_cast({name} AS DECIMAL(30,6))").cast("string")
     if kind == "ts":
         return F.date_format(c, TS_FMT)
     return c.cast("string")
@@ -63,7 +67,7 @@ def _canon_col(name: str, kind: str) -> Column:
 def _canon_sql(name: str, kind: str) -> str:
     """DuckDB twin of :func:`_canon_col`."""
     if kind == "num":
-        return f"CAST(CAST({name} AS DECIMAL(30,6)) AS VARCHAR)"
+        return f"CAST(TRY_CAST({name} AS DECIMAL(30,6)) AS VARCHAR)"
     if kind == "ts":
         return f"STRFTIME({name}, '{_TS_FMT_DUCK}')"
     return f"CAST({name} AS VARCHAR)"
@@ -322,6 +326,9 @@ def portable_profile_oracle_sql(
                                              1, {_HEX_DIGITS}))::BIGINT AS h
                       FROM {table_expr} WHERE {cname} IS NOT NULL
                     )
+                    -- canon overflow (TRY_CAST NULL) must not form a NULL
+                    -- register bucket: the engine side drops null hashes
+                    WHERE h IS NOT NULL
                   )
                   GROUP BY bucket
                 )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType as _MapType
 
 SALT_COL = "_salt"
 
@@ -50,7 +51,15 @@ def _salt_expr(df: DataFrame, salt: int, salt_on: list[str] | None):
     spread across buckets as long as they differ in ANY hashed column;
     pass an explicit row-id column for corpora with fully-duplicate rows.
     """
-    cols = salt_on if salt_on else df.columns
+    if salt_on:
+        cols = salt_on
+    else:
+        # xxhash64 rejects MapType; exclude maps from the default mix
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if not isinstance(f.dataType, _MapType)
+        ] or df.columns
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt))
 
 
@@ -110,9 +119,18 @@ def salted_join(
         )
         return joined.drop(SALT_COL)
 
-    hot_vals = [r[0] for r in hot.select(hot.columns[0]).distinct().limit(
-        MAX_HOT_KEYS + 1
-    ).collect()]
+    # drop a NULL hot key before building the isin: `x IN (..., NULL)` is
+    # NULL (never FALSE), which would silently drop every non-hot row from
+    # BOTH branches. Null-keyed rows route through the plain branch below,
+    # which is also the correct skew treatment for them — null never
+    # equi-joins, so salting a null key cannot spread real work.
+    hot_vals = [
+        r[0]
+        for r in hot.select(hot.columns[0]).distinct().limit(
+            MAX_HOT_KEYS + 2
+        ).collect()
+        if r[0] is not None
+    ]
     if len(hot_vals) > MAX_HOT_KEYS:
         raise ValueError(
             f"hot key set exceeds {MAX_HOT_KEYS} values — that is no longer "

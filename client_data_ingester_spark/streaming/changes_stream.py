@@ -10,12 +10,13 @@ Same persisted-artifact pattern as ``decontam_stream``: the expensive step
 (the version diff) is write-time work keyed by version; consumers only
 read.
 
-Exactly-once/crash-safety: each version's rows land in their own
-``version=N`` dir with overwrite mode, and the consumer-visible state file
-advances only AFTER the write — a publisher that crashes mid-emit simply
-re-overwrites the same dir on restart (idempotent), and a feed dir where
-some version never flagged a change stays readable through the explicit
-feed schema.
+Crash-safety: each version's rows land in their own ``version=N`` dir,
+the cursor advances only AFTER the write, and a completed dir (Spark's
+_SUCCESS marker) is never rewritten on replay — so a tailing file-stream
+consumer sees each version's part files once. A crash MID-write leaves an
+uncommitted dir that IS rewritten (new part filenames): consumers needing
+exactly-once dedup on (version, key). A feed dir where some version never
+flagged a change stays readable through the explicit feed schema.
 """
 
 from __future__ import annotations
@@ -85,20 +86,50 @@ class ChangeFeedPublisher:
             json.dump({"last_version": version}, f)
         os.replace(tmp, self._state_path())
 
+    def seed(self, version: int | None = None) -> int:
+        """Initialize (or re-initialize) the feed cursor at ``version``
+        (default: the table's current version) WITHOUT emitting anything.
+        Use when starting a feed on a mature table whose early versions
+        are past the GC horizon, or to recover after :meth:`poll` raised
+        a horizon error — downstream consumers must full-resync from the
+        snapshot itself in that case, since the skipped diffs are gone."""
+        if version is None:
+            version = self.table.current_manifest().version
+        self._advance(version)
+        return version
+
     def poll(self) -> list[int]:
         """Publish every not-yet-emitted version; returns the versions
         emitted this call. Crash-safe: the state file advances only after
-        a version's dir is fully written, so a retried emit overwrites
-        its own dir."""
+        a version's dir is fully written, and a version dir that already
+        carries Spark's _SUCCESS commit marker is skipped on replay (the
+        write completed; only the cursor advance was lost) so a tailing
+        file-stream consumer is not fed duplicate part files. The only
+        remaining at-least-once window is a crash MID-write — the rewrite
+        then produces new part filenames, so consumers that must be
+        exactly-once should dedup on (version, key).
+
+        Raises RuntimeError when the feed has lagged past the snapshot GC
+        horizon (a predecessor manifest is gone): the missing diffs are
+        unrecoverable, so the publisher refuses to skip silently — call
+        :meth:`seed` and have consumers full-resync."""
         current = self.table.current_manifest().version
         emitted = []
         for v in range(self.last_published() + 1, current + 1):
-            feed = changes_between(
-                self.spark, self.table, self.key_cols, v - 1, v
-            )
-            feed.write.mode("overwrite").parquet(
-                os.path.join(self.feed_dir, f"version={v}")
-            )
+            if v - 1 > 0 and self.table._manifest_at(v - 1) is None:
+                raise RuntimeError(
+                    f"change feed lagged past the GC horizon: version "
+                    f"{v - 1} is no longer available (keep_versions="
+                    f"{self.table.keep_versions}). The missing diffs are "
+                    "unrecoverable — seed() the feed at the current "
+                    "version and full-resync downstream consumers."
+                )
+            out_dir = os.path.join(self.feed_dir, f"version={v}")
+            if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+                feed = changes_between(
+                    self.spark, self.table, self.key_cols, v - 1, v
+                )
+                feed.write.mode("overwrite").parquet(out_dir)
             self._advance(v)
             emitted.append(v)
         return emitted

@@ -76,21 +76,12 @@ def list_data_files_distributed(
     store would swap the walk for its native list API.)"""
     if not dirs:
         return []
-
-    def _walk(d: str) -> list[str]:
-        import os as _os
-
-        out = []
-        for root, ds, files in _os.walk(d):
-            ds.sort()
-            for name in sorted(files):
-                if name.endswith(".parquet") and not name.startswith("_"):
-                    out.append(_os.path.join(root, name))
-        return out
-
     sc = spark.sparkContext
     rdd = sc.parallelize(sorted(set(dirs)), min(len(set(dirs)), 64))
-    return sorted(set(rdd.flatMap(_walk).collect()))
+    # one walk task per directory, same predicate as the driver-side
+    # listing (list_data_files is a module-level function, so the closure
+    # ships it by reference — one definition, two execution sites)
+    return sorted(set(rdd.flatMap(list_data_files).collect()))
 
 
 def build_manifest(
@@ -277,6 +268,7 @@ def read_pruned(
     col_name: str,
     lo: float | None = None,
     hi: float | None = None,
+    live_files: list[str] | None = None,
 ) -> DataFrame:
     """Scan only the files the manifest can't exclude, then re-apply the
     range predicate (authoritative — results match the full scan exactly;
@@ -288,9 +280,17 @@ def read_pruned(
     missing-stats file (evidence-based keep, always scanned), never
     silently excluded; a manifested file that has since been compacted or
     GC'd away is dropped from the scan list instead of failing the read.
+
+    ``live_files`` overrides the cross-check's driver-side walk (bounded
+    by file count — fine to ~10⁵ files): at snapshot scale pass the list
+    the table's own metadata already holds (the snapshot manifest dirs +
+    ``list_data_files_distributed``), so a pruned read never pays an
+    O(files) serial listing.
     """
     files = prune_files(manifest, col_name, lo, hi)
-    live = set(list_data_files(table_path))
+    live = set(
+        live_files if live_files is not None else list_data_files(table_path)
+    )
     manifested = {
         r["file"] for r in manifest.select("file").distinct().collect()
     }

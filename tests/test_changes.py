@@ -142,6 +142,53 @@ def test_change_feed_stream_incremental_versions(spark, tmp_path):
         q.stop()
 
 
+def test_change_feed_publisher_replay_and_horizon(spark, tmp_path):
+    """Publisher crash-safety: a version dir whose write completed
+    (_SUCCESS present) is not rewritten when only the cursor advance was
+    lost — the tailing file stream sees each part file once. And a feed
+    that lagged past the snapshot GC horizon refuses to skip silently."""
+    import os
+
+    from client_data_ingester_spark.streaming.changes_stream import (
+        ChangeFeedPublisher,
+    )
+
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA, keep_versions=2
+    )
+    t.overwrite_partitions(
+        spark.createDataFrame([_row(1, 1, "A", "alpha")],
+                              CLIENT_PRODUCTS_SCHEMA), [1]
+    )
+    feed_dir = str(tmp_path / "feed")
+    pub = ChangeFeedPublisher(spark, t, ["client_id", "sku"], feed_dir)
+    assert pub.poll() == [1]
+
+    # simulate "crash after write, before cursor advance": roll the
+    # cursor back; the completed version dir must be reused as-is
+    vdir = os.path.join(feed_dir, "version=1")
+    before = sorted(os.listdir(vdir))
+    os.remove(os.path.join(feed_dir, "_cdc_state.json"))
+    assert pub.poll() == [1]
+    assert sorted(os.listdir(vdir)) == before  # same part files, no rewrite
+
+    # lag past the GC horizon: publish enough versions that version 1's
+    # manifest is GC'd while the feed cursor still points at 1
+    for i in range(2, 6):
+        t.overwrite_partitions(
+            spark.createDataFrame(
+                [_row(1, 1, "A", f"alpha-v{i}")], CLIENT_PRODUCTS_SCHEMA
+            ),
+            [1],
+        )
+    assert t._manifest_at(2) is None  # keep_versions=2: old manifests gone
+    with pytest.raises(RuntimeError, match="GC horizon"):
+        pub.poll()
+    # recovery: seed at current and continue
+    assert pub.seed() == t.current_manifest().version
+    assert pub.poll() == []
+
+
 def test_changes_table_builder_recovers_from_partial_build(spark):
     """If a prior run crashed between the two publishes (cache dir holds
     only v1), the scored-query builder must wipe and rebuild — resuming

@@ -187,6 +187,8 @@ def test_snapshot_manifest_build_has_no_driver_walk(
     """build_manifest_for_snapshot sources the file list from the snapshot
     manifest's directories + an executor-side listing — the driver-side
     os.walk must never run (pinned by poisoning it)."""
+    import os
+
     from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
     from client_data_ingester_spark.tables import SnapshotTable
     from client_data_ingester_spark.tables import manifest as mf
@@ -200,10 +202,18 @@ def test_snapshot_manifest_build_has_no_driver_walk(
         spark.createDataFrame(rows, CLIENT_PRODUCTS_SCHEMA), [1]
     )
 
-    def _boom(*a, **k):
-        raise AssertionError("driver-side os.walk listing was invoked")
+    # the walk legitimately runs on EXECUTORS (the distributed listing
+    # ships list_data_files into the flatMap); only a DRIVER-process call
+    # is the bug being pinned
+    driver_pid = os.getpid()
+    real = mf.list_data_files
 
-    monkeypatch.setattr(mf, "list_data_files", _boom)
+    def _driver_guard(path):
+        if os.getpid() == driver_pid:
+            raise AssertionError("driver-side os.walk listing was invoked")
+        return real(path)
+
+    monkeypatch.setattr(mf, "list_data_files", _driver_guard)
     m = mf.build_manifest_for_snapshot(spark, t, ["stock_quantity"])
     rows = m.collect()
     assert len(rows) > 0

@@ -42,6 +42,13 @@ def frames(spark, tmp_path_factory):
                 None,  # all-null column
             )
         )
+    # canon-overflow values: |x| >= 1e24 and inf TRY_CAST to NULL in both
+    # engines — excluded from the ndv sketch, still counted in
+    # n_rows/min/max
+    rows.append((998, 1e30, "big", datetime.datetime(2024, 2, 1), None))
+    rows.append(
+        (999, float("inf"), "inf", datetime.datetime(2024, 2, 2), None)
+    )
     df = spark.createDataFrame(rows, SCHEMA)
     path = str(tmp_path_factory.mktemp("pp") / "t.parquet")
     df.coalesce(1).write.mode("overwrite").parquet(path)

@@ -123,6 +123,25 @@ def test_salted_join_empty_hot_set_is_plain_join(spark):
     )
 
 
+def test_salted_join_null_hot_key_loses_no_rows(spark):
+    """hot_keys can flag the null-key group (a classic skew source); a
+    NULL inside the isin list would make `x IN (...)` NULL for every
+    non-hot key and silently drop those rows from BOTH branches. Nulls
+    must be stripped from the hot set (null never equi-joins — the plain
+    branch is the correct treatment)."""
+    from collections import Counter
+
+    big, small = _skewed_frames(spark)
+    # a hot frame that includes NULL alongside the real hot key
+    hot = spark.createDataFrame([(None,), (0,)], "k long")
+    for how in ("inner", "left"):
+        plain = big.join(small, "k", how)
+        scoped = salted_join(big, small, "k", salt=8, how=how, hot=hot)
+        assert Counter(map(tuple, plain.collect())) == Counter(
+            map(tuple, scoped.collect())
+        ), how
+
+
 def test_salted_join_hot_set_cap(spark):
     import pytest
 
