@@ -507,6 +507,18 @@ def test_profile_approx_ndv_has_no_expand(spark):
     ] == [(f.name, f.dataType) for f in approx(spark, SF).schema.fields]
 
 
+def test_pipeline_compose_plan_shape(spark):
+    """The end-to-end curation pipeline must stay free of the two
+    structural hazards composition can introduce: a CartesianProduct
+    (a stage joining on the wrong key) and an Expand (an accidental
+    multi-distinct). The small sides (bloom bits, dedup keepers, split
+    ids) should broadcast."""
+    plan = plan_of(spark, "pipeline_curate_and_pack")
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_balanced_sample_window_group_limit(spark):
     """k-per-group sampling must prune to top-k per group BEFORE the full
     per-group sort materializes (WindowGroupLimit), and needs exactly one
