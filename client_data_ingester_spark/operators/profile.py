@@ -25,15 +25,16 @@ Two ndv modes, same output schema:
   against DuckDB).
 
 Third mode, ``ndv_mode="portable"`` — the open-state HLL from
-``operators/sketch.py`` (md5 bucketing, exact integer registers) inlined
-into the same single scan: each column's 64 registers are carried as 64
-conditional-MAX aggregate columns (``MAX(CASE WHEN bucket=b THEN rho)``)
-inside the one wide hash aggregate, so the plan is still scan → project →
-hash-aggregate — no Expand, no second scan, bounded state — but the
-estimate is a deterministic cross-engine formula that a DuckDB oracle
-reproduces bit-exactly (``portable_profile_oracle_sql``). Hash inputs are
-canonicalized per column kind (num → DECIMAL(30,6) string, ts → one
-explicit format, str → as-is) so both engines hash identical text.
+``operators/sketch.py`` (md5 bucketing, exact integer registers) riding
+the same single scan: an explode pivots each row into k per-column
+``(col, bucket, rho, base-stats)`` tuples and two bounded aggregations
+fold them (register relation of k×(m+1) groups, map-side combined), so
+the plan stays scan → project → generate → hash-aggregate — no Expand,
+one scan, bounded state — and the estimate is a deterministic
+cross-engine formula a DuckDB oracle reproduces bit-exactly
+(``portable_profile_oracle_sql``). Hash inputs are canonicalized per
+column kind (num → DECIMAL(30,6) string via TRY_CAST, ts → one explicit
+format, str → as-is) so both engines hash identical text.
 """
 
 from __future__ import annotations
@@ -47,6 +48,18 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+def _bt(name: str) -> str:
+    """Backtick-quoted Spark SQL identifier (column names are data here —
+    they may contain spaces or keywords)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dq(name: str) -> str:
+    """Double-quoted DuckDB identifier."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+
 def _canon_col(name: str, kind: str) -> Column:
     """Canonical string rendering of a value for cross-engine hashing
     (the md5 input must be byte-identical in Spark and DuckDB; raw
@@ -58,7 +71,9 @@ def _canon_col(name: str, kind: str) -> Column:
     (Spark runs ANSI mode, so a plain cast would abort the profile)."""
     c = F.col(name)
     if kind == "num":
-        return F.expr(f"try_cast({name} AS DECIMAL(30,6))").cast("string")
+        return F.expr(f"try_cast({_bt(name)} AS DECIMAL(30,6))").cast(
+            "string"
+        )
     if kind == "ts":
         return F.date_format(c, TS_FMT)
     return c.cast("string")
@@ -67,10 +82,10 @@ def _canon_col(name: str, kind: str) -> Column:
 def _canon_sql(name: str, kind: str) -> str:
     """DuckDB twin of :func:`_canon_col`."""
     if kind == "num":
-        return f"CAST(TRY_CAST({name} AS DECIMAL(30,6)) AS VARCHAR)"
+        return f"CAST(TRY_CAST({_dq(name)} AS DECIMAL(30,6)) AS VARCHAR)"
     if kind == "ts":
-        return f"STRFTIME({name}, '{_TS_FMT_DUCK}')"
-    return f"CAST({name} AS VARCHAR)"
+        return f"STRFTIME({_dq(name)}, '{_TS_FMT_DUCK}')"
+    return f"CAST({_dq(name)} AS VARCHAR)"
 
 
 def profile_table(
@@ -131,12 +146,21 @@ def profile_table(
 
     stack_args = []
     for name, kind in columns:
-        mn_num = f"{name}__min_num" if kind == "num" else "CAST(NULL AS DOUBLE)"
-        mx_num = f"{name}__max_num" if kind == "num" else "CAST(NULL AS DOUBLE)"
-        mn_str = "CAST(NULL AS STRING)" if kind == "num" else f"{name}__min_str"
-        mx_str = "CAST(NULL AS STRING)" if kind == "num" else f"{name}__max_str"
+        mn_num = (
+            _bt(f"{name}__min_num") if kind == "num" else "CAST(NULL AS DOUBLE)"
+        )
+        mx_num = (
+            _bt(f"{name}__max_num") if kind == "num" else "CAST(NULL AS DOUBLE)"
+        )
+        mn_str = (
+            "CAST(NULL AS STRING)" if kind == "num" else _bt(f"{name}__min_str")
+        )
+        mx_str = (
+            "CAST(NULL AS STRING)" if kind == "num" else _bt(f"{name}__max_str")
+        )
         stack_args.append(
-            f"'{name}', __rows, {name}__nulls, {name}__ndv, "
+            f"'{name}', __rows, {_bt(f'{name}__nulls')}, "
+            f"{_bt(f'{name}__ndv')}, "
             f"{mn_num}, {mx_num}, {mn_str}, {mx_str}"
         )
     n = len(columns)
@@ -204,7 +228,7 @@ def _profile_portable(
     for name, kind in columns:
         c = F.col(name)
         h = F.col(f"__h_{name}")
-        w = F.expr(f"__h_{name} DIV {m}")
+        w = F.expr(f"{_bt(f'__h_{name}')} DIV {m}")
         rho = F.when(w == 0, F.lit(scale)).otherwise(
             F.lit(scale) - F.length(F.bin(w))
         )
@@ -290,21 +314,22 @@ def portable_profile_oracle_sql(
     m, scale, _raw, _est = _hll_consts(p)
     selects = []
     for cname, kind in columns:
+        q = _dq(cname)
         if kind == "num":
-            mn = f"CAST(MIN({cname}) AS DOUBLE) AS min_num"
-            mx = f"CAST(MAX({cname}) AS DOUBLE) AS max_num"
+            mn = f"CAST(MIN({q}) AS DOUBLE) AS min_num"
+            mx = f"CAST(MAX({q}) AS DOUBLE) AS max_num"
             ms = "CAST(NULL AS VARCHAR) AS min_str"
             xs = "CAST(NULL AS VARCHAR) AS max_str"
         elif kind == "ts":
             mn = "CAST(NULL AS DOUBLE) AS min_num"
             mx = "CAST(NULL AS DOUBLE) AS max_num"
-            ms = f"STRFTIME(MIN({cname}), '{_TS_FMT_DUCK}') AS min_str"
-            xs = f"STRFTIME(MAX({cname}), '{_TS_FMT_DUCK}') AS max_str"
+            ms = f"STRFTIME(MIN({q}), '{_TS_FMT_DUCK}') AS min_str"
+            xs = f"STRFTIME(MAX({q}), '{_TS_FMT_DUCK}') AS max_str"
         else:
             mn = "CAST(NULL AS DOUBLE) AS min_num"
             mx = "CAST(NULL AS DOUBLE) AS max_num"
-            ms = f"CAST(MIN({cname}) AS VARCHAR) AS min_str"
-            xs = f"CAST(MAX({cname}) AS VARCHAR) AS max_str"
+            ms = f"CAST(MIN({q}) AS VARCHAR) AS min_str"
+            xs = f"CAST(MAX({q}) AS VARCHAR) AS max_str"
         hll = f"""(
             SELECT CAST(FLOOR((CASE WHEN n_used = 0 THEN NULL
                                ELSE {_est} END) + 0.5) AS BIGINT) AS ndv
@@ -324,7 +349,7 @@ def portable_profile_oracle_sql(
                     FROM (
                       SELECT ('0x' || substr(md5({_canon_sql(cname, kind)}),
                                              1, {_HEX_DIGITS}))::BIGINT AS h
-                      FROM {table_expr} WHERE {cname} IS NOT NULL
+                      FROM {table_expr} WHERE {_dq(cname)} IS NOT NULL
                     )
                     -- canon overflow (TRY_CAST NULL) must not form a NULL
                     -- register bucket: the engine side drops null hashes
@@ -336,11 +361,13 @@ def portable_profile_oracle_sql(
             )
         )"""
         selects.append(f"""
-            SELECT '{cname}' AS col_name, b.n_rows, b.n_nulls, h.ndv,
+            SELECT '{cname.replace("'", "''")}' AS col_name,
+                   b.n_rows, b.n_nulls, h.ndv,
                    b.min_num, b.max_num, b.min_str, b.max_str
             FROM (
               SELECT COUNT(*) AS n_rows,
-                     CAST(SUM(CASE WHEN {cname} IS NULL THEN 1 ELSE 0 END)
+                     CAST(SUM(CASE WHEN {_dq(cname)} IS NULL
+                                   THEN 1 ELSE 0 END)
                           AS BIGINT) AS n_nulls,
                      {mn}, {mx}, {ms}, {xs}
               FROM {table_expr}

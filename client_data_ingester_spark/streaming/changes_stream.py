@@ -116,16 +116,29 @@ class ChangeFeedPublisher:
         current = self.table.current_manifest().version
         emitted = []
         for v in range(self.last_published() + 1, current + 1):
-            if v - 1 > 0 and self.table._manifest_at(v - 1) is None:
-                raise RuntimeError(
-                    f"change feed lagged past the GC horizon: version "
-                    f"{v - 1} is no longer available (keep_versions="
-                    f"{self.table.keep_versions}). The missing diffs are "
-                    "unrecoverable — seed() the feed at the current "
-                    "version and full-resync downstream consumers."
-                )
             out_dir = os.path.join(self.feed_dir, f"version={v}")
             if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+                # completed dirs replay for free; only an actual re-diff
+                # needs both manifests, so the horizon check sits INSIDE
+                # the rewrite branch — a lost cursor on a fully-published
+                # feed must not demand a resync
+                missing = next(
+                    (
+                        w
+                        for w in (v - 1, v)
+                        if w > 0 and self.table._manifest_at(w) is None
+                    ),
+                    None,
+                )
+                if missing is not None:
+                    raise RuntimeError(
+                        f"change feed lagged past the GC horizon: version "
+                        f"{missing} is no longer available (keep_versions="
+                        f"{self.table.keep_versions}). The missing diffs "
+                        "are unrecoverable — seed() the feed at the "
+                        "current version and full-resync downstream "
+                        "consumers."
+                    )
                 feed = changes_between(
                     self.spark, self.table, self.key_cols, v - 1, v
                 )

@@ -180,7 +180,12 @@ def update_manifest(
     files added since the manifest was built, drop rows for vanished
     files. Appending one file to a 10⁶-file table costs one footer read,
     not a full metadata pass — the maintenance half of the zone-map
-    story (pair with ``write_manifest`` for the initial build)."""
+    story (pair with ``write_manifest`` for the initial build).
+
+    ``files`` (the live listing) defaults to a driver-side walk — pass
+    the list from ``list_data_files_distributed`` or the table's own
+    metadata at large file counts, same contract as ``build_manifest``.
+    """
     existing_cols = {
         r["col_name"]
         for r in existing.select("col_name").distinct().collect()
@@ -194,17 +199,19 @@ def update_manifest(
         )
     if files is None:
         files = list_data_files(table_path)
-    live = set(files)
-    manifested = {
-        r["file"] for r in existing.select("file").distinct().collect()
-    }
-    new_files = sorted(live - manifested)
-    # join, not isin: the live-file relation can be large, and a 10⁶-
-    # literal In expression is a planner hazard; the join broadcasts
+    # the only driver-side materialization is the ADDITIONS list (what
+    # build_manifest must footer-read); the existing manifest is never
+    # collected — membership runs as joins against the live-file relation
     live_df = spark.createDataFrame(
-        [(f,) for f in sorted(live)], "file string"
+        [(f,) for f in sorted(set(files))], "file string"
     )
-    kept = existing.join(F.broadcast(live_df), "file")
+    new_files = sorted(
+        r["file"]
+        for r in live_df.join(
+            existing.select("file").distinct(), "file", "left_anti"
+        ).collect()
+    )
+    kept = existing.join(live_df, "file")
     if not new_files:
         return kept
     fresh = build_manifest(spark, table_path, columns, files=new_files)

@@ -189,6 +189,35 @@ def test_change_feed_publisher_replay_and_horizon(spark, tmp_path):
     assert pub.poll() == []
 
 
+def test_change_feed_lost_cursor_on_fully_published_feed(spark, tmp_path):
+    """A lost cursor on a feed whose every version dir is complete must
+    replay for free via the _SUCCESS skips — even when the old snapshot
+    manifests are long GC'd (no re-diff is needed, so the horizon doesn't
+    apply)."""
+    import os
+
+    from client_data_ingester_spark.streaming.changes_stream import (
+        ChangeFeedPublisher,
+    )
+
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA, keep_versions=2
+    )
+    feed_dir = str(tmp_path / "feed")
+    pub = ChangeFeedPublisher(spark, t, ["client_id", "sku"], feed_dir)
+    for i in range(1, 6):  # publish + poll in lockstep: every dir lands
+        t.overwrite_partitions(
+            spark.createDataFrame(
+                [_row(1, 1, "A", f"alpha-v{i}")], CLIENT_PRODUCTS_SCHEMA
+            ),
+            [1],
+        )
+        assert pub.poll() == [i]
+    assert t._manifest_at(1) is None  # old manifests GC'd
+    os.remove(os.path.join(feed_dir, "_cdc_state.json"))
+    assert pub.poll() == [1, 2, 3, 4, 5]  # pure replay, no horizon error
+
+
 def test_changes_table_builder_recovers_from_partial_build(spark):
     """If a prior run crashed between the two publishes (cache dir holds
     only v1), the scored-query builder must wipe and rebuild — resuming

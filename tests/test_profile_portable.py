@@ -78,6 +78,36 @@ def test_portable_profile_matches_duckdb_oracle(spark, frames):
         assert (g["min_str"], g["max_str"]) == (w[6], w[7]), c
 
 
+def test_portable_profile_handles_non_identifier_column_names(spark, tmp_path):
+    """Column names are data: spaces/quotes must survive the generated
+    SQL on both engines (backticks Spark-side, double quotes DuckDB-side)."""
+    path = str(tmp_path / "odd.parquet")
+    spark.createDataFrame(
+        [(1.5, "a"), (2.5, "b"), (2.5, None)],
+        "`order key` double, `o'brien` string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    cols = [("order key", "num"), ("o'brien", "str")]
+    got = {
+        r["col_name"]: r
+        for r in profile_table(df, cols, ndv_mode="portable").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(portable_profile_oracle_sql("t", cols)).fetchall()
+    }
+    for c, _ in cols:
+        g, w = got[c], want[c]
+        assert (g["n_rows"], g["n_nulls"], g["ndv"]) == (w[1], w[2], w[3]), c
+        assert (g["min_num"], g["max_num"], g["min_str"], g["max_str"]) == (
+            w[4], w[5], w[6], w[7],
+        ), c
+
+
 def test_portable_ndv_tracks_exact_within_sketch_error(spark, frames):
     df, _ = frames
     portable = {
