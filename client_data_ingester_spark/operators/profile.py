@@ -59,6 +59,12 @@ def _dq(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def _sq(name: str) -> str:
+    """Single-quoted Spark SQL STRING literal (backslashes and quotes
+    escaped — Spark literals process backslash escapes)."""
+    return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 
 def _canon_col(name: str, kind: str) -> Column:
     """Canonical string rendering of a value for cross-engine hashing
@@ -69,7 +75,7 @@ def _canon_col(name: str, kind: str) -> Column:
     magnitudes beyond DECIMAL(30,6) (|x| >= 1e24, ±inf, NaN) TRY_CAST to
     NULL in BOTH engines — excluded from the sketch rather than throwing
     (Spark runs ANSI mode, so a plain cast would abort the profile)."""
-    c = F.col(name)
+    c = F.col(_bt(name))
     if kind == "num":
         return F.expr(f"try_cast({_bt(name)} AS DECIMAL(30,6))").cast(
             "string"
@@ -108,10 +114,10 @@ def profile_table(
     * ``"exact"`` — ``count_distinct`` (Expand ×(k+1); dimension tables).
     * ``"hllpp"`` — ``approx_count_distinct(rsd)`` (engine-native HLL++,
       no oracle).
-    * ``"portable"`` — the open-state md5 HLL (2**p registers/column as
-      conditional-MAX agg columns; deterministic cross-engine estimate,
-      oracle via :func:`portable_profile_oracle_sql`). Still one scan, no
-      Expand.
+    * ``"portable"`` — the open-state md5 HLL (explode into per-column
+      register tuples + two bounded aggregations; deterministic
+      cross-engine estimate, oracle via
+      :func:`portable_profile_oracle_sql`). Still one scan, no Expand.
     """
     if ndv_mode is None:
         ndv_mode = "exact" if exact_ndv else "hllpp"
@@ -119,7 +125,7 @@ def profile_table(
         return _profile_portable(table, columns, p)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for name, kind in columns:
-        c = F.col(name)
+        c = F.col(_bt(name))
         aggs.append(
             F.sum(F.when(c.isNull(), 1).otherwise(0))
             .cast("long")
@@ -159,7 +165,7 @@ def profile_table(
             "CAST(NULL AS STRING)" if kind == "num" else _bt(f"{name}__max_str")
         )
         stack_args.append(
-            f"'{name}', __rows, {_bt(f'{name}__nulls')}, "
+            f"{_sq(name)}, __rows, {_bt(f'{name}__nulls')}, "
             f"{_bt(f'{name}__ndv')}, "
             f"{mn_num}, {mx_num}, {mn_str}, {mx_str}"
         )
@@ -226,8 +232,8 @@ def _profile_portable(
     )
     structs = []
     for name, kind in columns:
-        c = F.col(name)
-        h = F.col(f"__h_{name}")
+        c = F.col(_bt(name))
+        h = F.col(_bt(f"__h_{name}"))
         w = F.expr(f"{_bt(f'__h_{name}')} DIV {m}")
         rho = F.when(w == 0, F.lit(scale)).otherwise(
             F.lit(scale) - F.length(F.bin(w))
@@ -290,12 +296,19 @@ def _profile_portable(
         ).replace("zeros", f"({m} - n_used)")
         + " END) + 0.5) AS BIGINT)"
     )
+    # empty-input parity: an ungrouped-aggregate oracle emits one row per
+    # column even over zero input rows; seed the same rows here (n_rows 0,
+    # everything else NULL — matching SUM/MIN/MAX over an empty relation)
+    seed = table.sparkSession.createDataFrame(
+        [(name,) for name, _ in columns], "col_name string"
+    )
+    per_col = seed.join(per_col, "col_name", "left")
     is_num = {name: kind == "num" for name, kind in columns}
     num_names = [n for n, yes in is_num.items() if yes]
     in_num = F.col("col_name").isin(num_names) if num_names else F.lit(False)
     return per_col.select(
         "col_name",
-        "n_rows",
+        F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
         "n_nulls",
         ndv.alias("ndv"),
         F.when(in_num, F.col("min_num")).alias("min_num"),

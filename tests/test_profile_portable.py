@@ -108,6 +108,46 @@ def test_portable_profile_handles_non_identifier_column_names(spark, tmp_path):
         ), c
 
 
+def test_exact_mode_handles_quoted_column_names(spark):
+    """The stack() literal must escape quotes/backslashes too — exact and
+    hllpp modes crash otherwise on the same names portable now accepts."""
+    df = spark.createDataFrame(
+        [(1.5, "a"), (2.5, "b")], "`order key` double, `o'brien` string"
+    )
+    cols = [("order key", "num"), ("o'brien", "str")]
+    for mode in ("exact", "hllpp"):
+        got = {
+            r["col_name"]: r
+            for r in profile_table(df, cols, ndv_mode=mode).collect()
+        }
+        assert set(got) == {"order key", "o'brien"}, mode
+        assert got["order key"]["ndv"] == 2
+
+
+def test_portable_profile_empty_table_matches_oracle(spark, tmp_path):
+    """An empty drop (exactly what a pre-ingest profiler may see) must
+    still emit one row per column, matching the ungrouped-aggregate
+    oracle: n_rows 0, everything else NULL."""
+    path = str(tmp_path / "empty.parquet")
+    spark.createDataFrame([], SCHEMA).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    got = sorted(
+        map(tuple, profile_table(df, COLS, ndv_mode="portable").collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(portable_profile_oracle_sql("t", COLS)).fetchall()
+    )
+    assert got == want
+    assert len(got) == len(COLS)
+    for row in got:
+        assert row[1] == 0  # n_rows
+
+
 def test_portable_ndv_tracks_exact_within_sketch_error(spark, frames):
     df, _ = frames
     portable = {
