@@ -380,6 +380,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q12_late_shipments"] = lambda s, d: R.late_shipment_priority(
         _t(s, d, "lineitem"), _t(s, d, "orders")
     )
+    q["q21_waiting_suppliers"] = lambda s, d: R.waiting_suppliers(
+        _t(s, d, "lineitem"),
+        _t(s, d, "orders"),
+        _t(s, d, "supplier"),
+        _t(s, d, "nation"),
+    )
+    q["q2_min_cost_supplier"] = lambda s, d: R.min_cost_supplier(
+        _t(s, d, "lineitem"),
+        _t(s, d, "supplier"),
+        _t(s, d, "nation"),
+        _t(s, d, "region"),
+        _t(s, d, "part"),
+    )
+    q["q11_important_parts"] = lambda s, d: R.important_part_values(
+        _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
+    )
+    q["q20_dominant_suppliers"] = lambda s, d: R.dominant_part_suppliers(
+        _t(s, d, "lineitem"),
+        _t(s, d, "part"),
+        _t(s, d, "supplier"),
+        _t(s, d, "nation"),
+    )
 
     # -- the reference's own query surface (search/rank/paginate; ingest
     #    semantics as set-level queries) ------------------------------------
@@ -792,11 +814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # with the reference-parity surface pinned inside every round's window.
 # With N total entries and the guarantee that every windowed entry gets a
 # CORRECTNESS row each round, any entry missed in round R sorts strictly
-# before all of round R's window in round R+1 — so as long as
-# N <= 2*(window - pinned) + pinned, no entry is absent from two
-# consecutive rounds' windows (property pinned by
-# tests/test_driver_window.py). Which entries sat outside the window is
-# recorded per round in the bench JSON (bench.py "window" section).
+# before everything scored in round R — so the N-pinned rotating entries
+# are each scored at least once every ceil((N - pinned)/(window - pinned))
+# consecutive rounds (``coverage_rounds()``; 2 when the inventory fit 96,
+# 3 since it grew past). The bound is derived, recorded per round in the
+# bench JSON (bench.py "window" section), and pinned — including the
+# k-round full-coverage simulation — by tests/test_driver_window.py.
 
 _WINDOW = 50
 
@@ -858,12 +881,28 @@ def _driver_order(
     return {n: d[n] for n in out_names}
 
 
+def coverage_rounds(n_entries: int | None = None) -> int:
+    """Worst-case consecutive rounds before every rotating entry has a
+    CORRECTNESS row: ceil((N - pinned) / (window - pinned))."""
+    import math
+
+    if n_entries is None:
+        n_entries = len(queries())
+    n_pinned = len(_PINNED)
+    return max(1, math.ceil((n_entries - n_pinned) / (_WINDOW - n_pinned)))
+
+
 def window_report(qs: dict | None = None) -> dict:
     """Which entries the driver will score this round vs which wait for
     the next rotation — recorded in the bench JSON so every round's
-    artifact shows what left the window (round-6 ADVICE)."""
+    artifact shows what left the window (round-6 ADVICE), plus the
+    derived worst-case rotation period."""
     names = list(qs if qs is not None else queries())
-    return {"scored": names[:_WINDOW], "deferred": names[_WINDOW:]}
+    return {
+        "scored": names[:_WINDOW],
+        "deferred": names[_WINDOW:],
+        "coverage_rounds": coverage_rounds(len(names)),
+    }
 
 
 _LINEITEM_PROFILE_COLS = [
@@ -1418,6 +1457,85 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """
+
+    o["q21_waiting_suppliers"] = """
+        WITH j AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey),
+        per_order AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+            FROM j GROUP BY l_orderkey)
+        SELECT s_name, n_name AS nation, COUNT(*) AS numwait
+        FROM j JOIN per_order USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE j.is_late = 1 AND per_order.n_supp > 1 AND per_order.n_late = 1
+        GROUP BY s_name, n_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 50
+    """
+
+    o["q2_min_cost_supplier"] = f"""
+        WITH in_region AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN({money('l_extendedprice')}) AS unit_cost
+            FROM lineitem JOIN in_region ON l_suppkey = s_suppkey
+            GROUP BY l_partkey, l_suppkey),
+        best AS (
+            SELECT l_partkey, MIN(unit_cost) AS min_cost
+            FROM cost GROUP BY l_partkey)
+        SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name,
+               n_name AS nation, p_partkey, p_type,
+               CAST(c.unit_cost AS DOUBLE) AS min_cost
+        FROM cost c
+        JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+        JOIN part ON c.l_partkey = p_partkey
+        JOIN in_region ON c.l_suppkey = s_suppkey
+        WHERE p_size <= 15 AND p_type = 'STANDARD'
+        ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+        LIMIT 100
+    """
+
+    o["q11_important_parts"] = f"""
+        WITH v AS (
+            SELECT l_partkey AS partkey, SUM({disc_price}) AS value
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey = 3
+            GROUP BY l_partkey),
+        t AS (SELECT SUM(value) AS total FROM v)
+        SELECT partkey, CAST(value AS DOUBLE) AS value
+        FROM v, t
+        WHERE value * 1000 > total
+        ORDER BY value DESC, partkey
+    """
+
+    o["q20_dominant_suppliers"] = f"""
+        WITH pq AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM({money('l_quantity')}) AS supp_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY l_partkey, l_suppkey),
+        tot AS (
+            SELECT l_partkey, SUM(supp_qty) AS part_qty, COUNT(*) AS n_supp
+            FROM pq GROUP BY l_partkey)
+        SELECT DISTINCT s_name, n_name AS nation
+        FROM pq JOIN tot USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE supp_qty * n_supp > 2 * part_qty
+        ORDER BY s_name
     """
 
     o["products_search_rank"] = f"""

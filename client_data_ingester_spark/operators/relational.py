@@ -902,3 +902,226 @@ def late_shipment_priority(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    late_days: int = 60,
+    limit: int = 50,
+) -> DataFrame:
+    """TPC-H Q21 shape (commit/receipt adapted to ship-lag): suppliers who
+    were the SOLE late shipper in a finished multi-supplier order.
+
+    The classic EXISTS/NOT-EXISTS pair of correlated subqueries is
+    decorrelated into ONE grouped pass: per (order, supplier) fold the
+    late flag, then the per-order supplier/late-supplier counts ride a
+    WINDOW over the already-folded relation partitioned by orderkey (the
+    q15 pattern — no join-back, so the fact table is scanned exactly
+    once even in the static plan), and the qualifying predicate
+    (``is_late AND n_supp > 1 AND n_late = 1``) is a plain filter. The
+    window input is one row per (order, supplier) — orderkey-partitioned,
+    uniform (1-7 suppliers/order), never the fact table. Two shuffles
+    total; the supplier and nation dims broadcast.
+    """
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+    per_os = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("_is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole_late = (
+        per_os.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("_n_late", F.sum("_is_late").over(w))
+        .filter(
+            (F.col("_is_late") == 1)
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late") == 1)
+        )
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            sole_late.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(limit)
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    region_name: str = "EUROPE",
+    max_size: int = 15,
+    part_type: str = "STANDARD",
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape (partsupp adapted to observed sale prices): for each
+    part in a size/type slice, the in-region supplier with the lowest
+    observed sale price.
+
+    The correlated ``= (SELECT MIN(...))`` subquery decorrelates into a
+    per-part MIN window over the region-restricted (part, supplier) cost
+    relation (q15 pattern: no join-back, one fact scan even statically)
+    — ties keep every minimal supplier, exactly like the reference
+    query. Cost is an exact-decimal MIN (portable — no float-order
+    drift, and the min-equality filter can't flake), the region
+    restriction prunes the cost relation BEFORE the fold, the part-slice
+    probe prunes before the min window runs (smaller window input), and
+    supplier/nation/region all broadcast. The only fact-table shuffle is
+    the (partkey, suppkey) cost fold; the window repartitions the
+    folded relation (one row per part-supplier pair) by partkey.
+    """
+    in_region = (
+        supplier.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == region.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    slice_parts = part.filter(
+        (F.col("p_size") <= max_size) & (F.col("p_type") == part_type)
+    ).select("p_partkey", "p_type")
+    cost = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(in_region), F.col("l_suppkey") == in_region.s_suppkey)
+        .join(F.broadcast(slice_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_type")
+        .agg(F.min(_money("l_extendedprice")).alias("_unit_cost"))
+    )
+    best = cost.withColumn(
+        "_min_cost", F.min("_unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("_unit_cost") == F.col("_min_cost"))
+    return (
+        best.join(
+            F.broadcast(in_region), best.l_suppkey == in_region.s_suppkey
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            "p_type",
+            F.col("_unit_cost").cast("double").alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(limit)
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region_key: int = 3,
+    fraction_denom: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11 shape (partsupp value adapted to discounted revenue):
+    parts whose revenue from one region's suppliers exceeds a fixed
+    fraction of that region's total.
+
+    The scalar ``> (SELECT SUM(...) * fraction)`` subquery becomes a
+    whole-relation window SUM over the ALREADY-AGGREGATED per-part
+    relation (the q15 pattern — the fact table is scanned once, not once
+    per subquery), and the threshold test is EXACT decimal arithmetic —
+    ``value * denom > total`` with integer ``denom`` — so the boundary
+    can't flip between engines the way a float multiply could. The
+    single-partition WindowExec input is one (partkey, value) row per
+    part — the part domain, never the fact table. One fact-table shuffle
+    (partkey fold); the region's supplier set broadcasts into the
+    scan-side join.
+    """
+    region_supp = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == region_key)),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .select("s_suppkey")
+    )
+    vol = _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(vol).alias("_value"))
+    )
+    return (
+        per_part.withColumn(
+            "_total", F.sum("_value").over(Window.partitionBy(F.lit(1)))
+        )
+        .filter(F.col("_value") * fraction_denom > F.col("_total"))
+        .select("partkey", F.col("_value").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+def dominant_part_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "widget",
+    share_mult: int = 2,
+) -> DataFrame:
+    """TPC-H Q20 shape (availqty adapted to shipped-quantity share):
+    suppliers that shipped more than ``share_mult``× their fair share of
+    some part in a name slice.
+
+    The nested IN(IN(...)) subquery chain decorrelates into a per-(part,
+    supplier) quantity fold with the per-part total+count riding a
+    partkey-partitioned WINDOW over the folded relation (one fact scan,
+    no join-back), and an exact-decimal dominance test
+    ``supp_qty * n_supp > share_mult * part_qty`` — the fair-share form
+    is scale-free (a fixed percentage would silently go empty as the
+    supplier pool grows with the corpus). The semi-join back to
+    suppliers is the final DISTINCT projection; the name-slice filter
+    prunes part before the fact join.
+    """
+    slice_parts = part.filter(
+        F.col("p_name").contains(name_fragment)
+    ).select("p_partkey")
+    pq = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(slice_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_money("l_quantity")).alias("_supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pq.withColumn("_part_qty", F.sum("_supp_qty").over(w))
+        .withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("_supp_qty") * F.col("_n_supp")
+            > share_mult * F.col("_part_qty")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dominant.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            dominant.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )

@@ -22,16 +22,18 @@ def _names() -> list[str]:
     return list(entry.queries())
 
 
-def test_window_capacity_allows_two_round_coverage():
-    """The rotation guarantee needs every non-pinned entry to fit into two
-    consecutive windows: N_nonpinned <= 2 * (window - pinned)."""
+def test_window_capacity_keeps_rotation_short():
+    """The derived worst-case rotation period must stay small (<= 3
+    rounds): every rotating entry gets a driver CORRECTNESS row at least
+    once per ``coverage_rounds()`` consecutive rounds."""
     names = _names()
     n_pinned = len([n for n in entry._PINNED if n in names])
     assert n_pinned == len(entry._PINNED), "pinned entry missing from queries()"
-    assert len(names) - n_pinned <= 2 * (entry._WINDOW - n_pinned), (
-        f"{len(names)} entries no longer fit a two-round rotation of "
-        f"window={entry._WINDOW} with {n_pinned} pinned; widen the window "
-        "or retire an entry"
+    k = entry.coverage_rounds(len(names))
+    assert k <= 3, (
+        f"{len(names)} entries need {k} rounds to rotate through a "
+        f"window of {entry._WINDOW} with {n_pinned} pinned; widen the "
+        "window or retire entries"
     )
 
 
@@ -55,27 +57,30 @@ def test_never_verified_entries_sort_first():
         )
 
 
-def test_no_entry_absent_from_two_consecutive_windows():
-    """Simulate the next round: every entry in this round's window gets a
-    CORRECTNESS row (the driver writes one per scored entry, pass or
-    fail), then the rotation recomputes. Everything outside this round's
-    window must be inside the next one."""
+def test_every_entry_scored_within_coverage_rounds():
+    """Simulate ``coverage_rounds()`` consecutive rounds: each round every
+    windowed entry gets a CORRECTNESS row (the driver writes one per
+    scored entry, pass or fail), then the rotation recomputes. Every
+    entry in the inventory must be scored at least once across the k
+    simulated rounds — the bound the module comment advertises."""
     qs = entry.queries()
     names = list(qs)
-    window_now = set(names[: entry._WINDOW])
+    k = entry.coverage_rounds(len(names))
 
-    hist = entry._verification_history()
-    next_round = max(hist.values(), default=0) + 1
-    hist_next = dict(hist)
-    for n in window_now:
-        hist_next[n] = next_round
+    hist = dict(entry._verification_history())
+    next_round = max(hist.values(), default=0)
+    scored_at_least_once: set[str] = set()
+    for _ in range(k):
+        next_round += 1
+        ordered = list(entry._driver_order(qs, hist=hist))
+        window = ordered[: entry._WINDOW]
+        scored_at_least_once.update(window)
+        for n in window:
+            hist[n] = next_round
 
-    names_next = list(entry._driver_order(qs, hist=hist_next))
-    window_next = set(names_next[: entry._WINDOW])
-    left_out = set(names) - window_now
-    assert left_out <= window_next, (
-        f"entries absent from two consecutive windows: "
-        f"{sorted(left_out - window_next)}"
+    missed = set(names) - scored_at_least_once
+    assert not missed, (
+        f"entries never scored across {k} simulated rounds: {sorted(missed)}"
     )
 
 
@@ -84,3 +89,4 @@ def test_window_report_partitions_inventory():
     rep = entry.window_report(qs)
     assert rep["scored"] == list(qs)[: entry._WINDOW]
     assert rep["scored"] + rep["deferred"] == list(qs)
+    assert rep["coverage_rounds"] == entry.coverage_rounds(len(qs))

@@ -536,3 +536,53 @@ def test_pmi_reuses_count_exchanges_no_cartesian(spark):
     final = executed_plan_of(spark, "corpus_pmi_bigrams")
     assert final.count("ReusedExchange") >= 2
     assert "CartesianProduct" not in final
+
+
+def test_q21_single_fact_pass_status_pushed_dims_broadcast(spark):
+    """The decorrelated EXISTS/NOT-EXISTS: one lineitem scan feeds the
+    (order, supplier) fold; the finished-order filter reaches the orders
+    scan; supplier/nation broadcast; top-k rides TakeOrderedAndProject."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 4  # lineitem, orders, supplier, nation
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_slice_filters_pushed_and_dims_broadcast(spark):
+    """The decorrelated per-part MIN: part slice predicates reach the part
+    scan, the region-restricted supplier side broadcasts into the fact
+    join, and no join degenerates to a cartesian."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "EqualTo(p_type,STANDARD)" in plan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    # lineitem once; supplier/nation/region broadcast twice (cost fold +
+    # final attach) but the FACT table must never be re-scanned
+    assert tree.count("Scan parquet") <= 8
+
+
+def test_q11_scalar_total_broadcasts(spark):
+    """The scalar-subquery threshold rides a whole-relation window over
+    the aggregated per-part relation (q15 pattern): ONE fact scan, no
+    second aggregation tree, no cartesian; the region's supplier set
+    broadcasts into the fact scan side."""
+    plan = plan_of(spark, "q11_important_parts")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 3  # lineitem, supplier, nation
+    assert "Window" in tree
+
+
+def test_q20_name_slice_pushed_single_fact_scan(spark):
+    plan = plan_of(spark, "q20_dominant_suppliers")
+    assert "StringContains(p_name,widget)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 4  # lineitem, part, supplier, nation
