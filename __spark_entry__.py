@@ -553,6 +553,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprints"] = lambda s, d: X.document_fingerprints(
         _t(s, d, "documents")
     )
+    # PII scrub + per-host provenance stats. The synthetic corpus has no
+    # real PII/URLs, so the scored queries INJECT deterministic spans
+    # derived from doc_id (the _transformer_projection pattern: integer-
+    # derived strings render identically on both engines); the operators
+    # themselves are generic map-side regex passes.
+    q["docs_pii_redaction"] = lambda s, d: X.redact_pii(
+        _pii_synth(_t(s, d, "documents"))
+    )
+    q["docs_url_domains"] = lambda s, d: X.url_domain_stats(
+        _url_synth(_t(s, d, "documents"))
+    )
     q["docs_hash_split"] = lambda s, d: X.hash_split(_t(s, d, "documents"))
     q["docs_quality_stratified"] = lambda s, d: X.quality_stratified_topk(
         _t(s, d, "documents")
@@ -729,6 +740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["semantic_dedup_retained"] = lambda s, d: S.semantic_dedup_retained(
         _t(s, d, "embeddings"), _ivf_index(s, d)
+    )
+    # distributed Lloyd's k-means, the iterative-algorithm family: every
+    # round is int64-exact (quantized vectors, exact distances, integer
+    # centroid means, struct-min argmax ties), so a 3-round run is
+    # hash-identical to the oracle's unrolled-CTE iterations
+    q["kmeans_clusters"] = lambda s, d: S.kmeans_assignments(
+        _t(s, d, "embeddings"), k=8, n_iter=3
     )
 
     # -- events / streaming-shaped ([EXT]) ---------------------------------
@@ -944,6 +962,54 @@ def _hash_probe(spark: SparkSession, probe: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.range(1).select(
         *[F.expr(sql).alias(name) for sql, name in _PROBE_COLS[probe]]
+    )
+
+
+def _pii_synth(docs: DataFrame) -> DataFrame:
+    """documents with deterministic PII spans appended: every doc gets an
+    email, every 3rd a US phone, every 4th an SSN shape — all digits
+    derived from doc_id at fixed width, so both engines render the same
+    text byte-for-byte."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), s(did),
+            F.lit("@mail"), s(did % 5), F.lit(".example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" call ("), s(did % 700 + 200),
+                    F.lit(") 555-"), s(did % 9000 + 1000),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" ssn "), s(did % 900 + 100),
+                    F.lit("-"), s(did % 90 + 10),
+                    F.lit("-"), s(did % 9000 + 1000),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _url_synth(docs: DataFrame) -> DataFrame:
+    """documents with a deterministic leading URL (21 distinct hosts from
+    doc_id mod 3 × mod 7) so the domain histogram is non-trivial."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"), s(did % 3),
+            F.lit(".site"), s(did % 7),
+            F.lit(".example.com/p/"), s(did),
+            F.lit(" "), F.col("text"),
+        ).alias("text"),
     )
 
 
@@ -1799,6 +1865,70 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
 
+    # synthesized-PII twin of _pii_synth + redact_pii; DuckDB regexp_*
+    # use RE2, Spark uses Java regex — the patterns are character-class-
+    # only so both dialects agree; 'g' flag = Spark's replace-all default
+    _pii_text = (
+        "substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        " ' call (' || CAST(doc_id % 700 + 200 AS VARCHAR)"
+        " || ') 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN"
+        " ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+        " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+        " ELSE '' END"
+    )
+    _re_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _re_phone = r"\(\d{3}\) \d{3}-\d{4}"
+    _re_ssn = r"\d{3}-\d{2}-\d{4}"
+    o["docs_pii_redaction"] = (
+        """
+        WITH synth AS (
+            SELECT doc_id, """ + _pii_text + """ AS text FROM documents),
+        red AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '""" + _re_email + """', '[EMAIL]', 'g'),
+                       '""" + _re_phone + """', '[PHONE]', 'g'),
+                       '""" + _re_ssn + """', '[SSN]', 'g') AS clean_text,
+                   LEN(regexp_extract_all(text, '""" + _re_email + """')) AS n_emails,
+                   LEN(regexp_extract_all(text, '""" + _re_phone + """')) AS n_phones,
+                   LEN(regexp_extract_all(text, '""" + _re_ssn + """')) AS n_ssns
+            FROM synth)
+        SELECT doc_id, clean_text,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_phones AS BIGINT) AS n_phones,
+               CAST(n_ssns AS BIGINT) AS n_ssns,
+               MD5(clean_text) AS clean_md5,
+               CAST(LENGTH(clean_text) AS BIGINT) AS clean_len
+        FROM red
+    """
+    )
+
+    o["docs_url_domains"] = r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   'https://sub' || CAST(doc_id % 3 AS VARCHAR)
+                   || '.site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                   || ' ' || text AS text
+            FROM documents),
+        ex AS (
+            SELECT regexp_extract(text, 'https?://([A-Za-z0-9.-]+)/', 1)
+                       AS domain,
+                   LENGTH(text) AS _len
+            FROM synth)
+        SELECT domain, COUNT(*) AS n_docs,
+               CAST(SUM(_len) AS BIGINT) AS total_chars
+        FROM ex
+        WHERE domain <> ''
+        GROUP BY domain
+        ORDER BY n_docs DESC, domain
+    """
+
     o["docs_hash_split"] = """
         SELECT doc_id,
                CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -2541,6 +2671,60 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
         WHERE d.vec_id IS NULL
     """
+
+    # Lloyd's k-means, iterations UNROLLED into a CTE chain (k=8, 3
+    # rounds = 2 centroid updates + final assignment). Every step is
+    # int64-exact — quantized components, integer squared distances,
+    # floor-integer centroid means — so the chain is hash-identical to
+    # the Spark operator's lazy broadcast-join rounds.
+    _km_dist = (
+        "list_aggregate(list_transform(list_zip(q.qv, {c}.cv), "
+        "s -> (s[1]-s[2])*(s[1]-s[2])), 'sum')"
+    )
+
+    def _km_assign(name: str, cents: str) -> str:
+        d = _km_dist.format(c=cents)
+        return f"""{name} AS (
+            SELECT vec_id, qv, c, d FROM (
+                SELECT vec_id, qv, c, d,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d, c) AS rn
+                FROM (SELECT q.vec_id, q.qv, {cents}.c,
+                             CAST({d} AS BIGINT) AS d
+                      FROM q, {cents}))
+            WHERE rn = 1)"""
+
+    def _km_update(assign: str, cents_out: str) -> str:
+        return f"""{cents_out} AS (
+            SELECT c, LIST(m ORDER BY pos) AS cv FROM (
+                SELECT c, pos,
+                       CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                            AS BIGINT) AS m
+                FROM (SELECT c, generate_subscripts(qv, 1) AS pos,
+                             unnest(qv) AS v
+                      FROM {assign})
+                GROUP BY c, pos)
+            GROUP BY c)"""
+
+    _km_ctes = [
+        """q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS qv
+            FROM embeddings)""",
+        "c0 AS (SELECT CAST(vec_id AS INTEGER) AS c, qv AS cv "
+        "FROM q WHERE vec_id < 8)",
+    ]
+    for _i in range(2):  # n_iter - 1 update rounds
+        _km_ctes.append(_km_assign(f"a{_i}", f"c{_i}"))
+        _km_ctes.append(_km_update(f"a{_i}", f"c{_i + 1}"))
+    _km_ctes.append(_km_assign("afinal", "c2"))
+    o["kmeans_clusters"] = (
+        "WITH "
+        + ",\n        ".join(_km_ctes)
+        + "\n        SELECT vec_id, c AS cluster, d AS dist_sq FROM afinal"
+    )
 
     _q_band_keys = "\n            UNION ALL\n            ".join(
         f"SELECT vec_id AS query_id, {band} AS band, "

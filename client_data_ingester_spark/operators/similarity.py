@@ -593,3 +593,103 @@ def semantic_dedup_retained(
     return ranked.join(dropped, id_col, "left_anti").select(
         id_col, "cell", "cent_sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed k-means (Lloyd's iterations)
+# ---------------------------------------------------------------------------
+
+def _quantize_vec(vec: Column) -> Column:
+    """array<float> -> array<long> at 1e-6 — ALL downstream k-means math is
+    int64-exact (distances, argmin ties, centroid means), so iterations are
+    bit-stable across engines, partitionings, and retries. float->double
+    widening and the 1e6 product round identically under IEEE on any
+    engine; everything after is integer."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance between two quantized vectors.
+    Bound: (2*10^6)^2 * dim = 4*10^12 * dim — safe under 2^63 up to
+    dim ~2*10^6."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assignments(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, fully deterministic:
+    (vec_id, cluster, dist_sq) after ``n_iter`` assignment/update rounds.
+
+    Spark-first iterative-algorithm shape:
+    - init: the ``k`` lowest-id vectors seed the centroids (no RNG);
+    - assign: broadcast the k quantized centroids against the corpus,
+      exact-int64 squared distance, argmin via ``min(struct(dist, c))``
+      — lexicographic struct ordering makes ties break on the lower
+      cluster id, identically everywhere;
+    - update: per-(cluster, position) integer mean ``floor(Σq / n)`` (the
+      ivf_centroids arithmetic) rebuilt into centroid arrays.
+
+    The whole chain is LAZY — no driver-side collect between rounds; each
+    round's centroid relation (k rows) broadcasts into the next, so the
+    physical plan reads the corpus exactly ``n_iter`` times (linear, not
+    exponential — every round's centroids have exactly one consumer).
+    At 100 TB each round is one scan + one k×dim-bounded aggregate, the
+    textbook distributed Lloyd's cost. For large ``n_iter`` checkpoint
+    the centroid relation every few rounds to cap lineage depth.
+    """
+    q = corpus.select(
+        F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_q")
+    )
+    centroids = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("_c"), F.col("_q").alias("_cvec")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            "_q",
+            F.struct(
+                _sq_dist(F.col("_q"), F.col("_cvec")).alias("d"),
+                F.col("_c").alias("c"),
+            ).alias("_dc"),
+        )
+        best = scored.groupBy(id_col, "_q").agg(F.min("_dc").alias("_best"))
+        return best.select(
+            F.col(id_col),
+            "_q",
+            F.col("_best.c").alias("cluster"),
+            F.col("_best.d").alias("dist_sq"),
+        )
+
+    for _ in range(n_iter - 1):
+        assigned = assign(centroids)
+        per_pos = assigned.select(
+            F.col("cluster"), F.posexplode("_q").alias("pos", "v")
+        ).groupBy("cluster", "pos").agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("m")
+        )
+        centroids = (
+            per_pos.groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+            )
+            .select(
+                F.col("cluster").alias("_c"),
+                F.transform(F.col("_pm"), lambda s: s["m"]).alias("_cvec"),
+            )
+        )
+
+    return assign(centroids).select(id_col, "cluster", "dist_sq")

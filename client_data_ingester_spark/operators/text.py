@@ -446,3 +446,77 @@ def balanced_sample(
         )
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / URL-domain extraction (privacy + provenance scrubbing)
+# ---------------------------------------------------------------------------
+
+# Character-class-only regexes: identical semantics under Java regex (Spark)
+# and RE2 (DuckDB) — no backrefs, no lookaround, no \b.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\(\d{3}\) \d{3}-\d{4}", "[PHONE]"),
+    "ssn": (r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+}
+
+_URL_DOMAIN = r"https?://([A-Za-z0-9.-]+)/"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails / US-phone / SSN-shaped spans from the text column:
+    (id, clean_text, n_emails, n_phones, n_ssns, clean_md5, clean_len).
+
+    Pure JVM column expressions — counts come from one
+    ``regexp_extract_all`` per pattern over the ORIGINAL text, the
+    redaction chains ``regexp_replace`` email→phone→ssn (the patterns
+    are shape-disjoint, so chain order can't change counts), and
+    ``clean_md5`` gives an engine-portable fingerprint of the scrubbed
+    text without shipping it around. Embarrassingly parallel — no
+    shuffle at all; at 100 TB this is a map-only pass whose cost is the
+    regex engine, which is exactly where it should be.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    clean = t
+    for pat, repl in PII_PATTERNS.values():
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        counts["email"].cast("long").alias("n_emails"),
+        counts["phone"].cast("long").alias("n_phones"),
+        counts["ssn"].cast("long").alias("n_ssns"),
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
+def url_domain_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus stats from the first URL in each document:
+    (domain, n_docs, total_chars) — the provenance histogram a crawl
+    curation pipeline reports per host.
+
+    One ``regexp_extract`` per row (map-side), then a single aggregate
+    on the domain key. Domain cardinality is bounded by the host space,
+    so the shuffle is tiny relative to the corpus; no-URL docs group
+    under the empty domain and are filtered before the aggregate.
+    """
+    domain = F.regexp_extract(F.col(text_col), _URL_DOMAIN, 1)
+    return (
+        docs.select(domain.alias("domain"), F.length(F.col(text_col)).alias("_len"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").cast("long").alias("total_chars"),
+        )
+        .orderBy(F.desc("n_docs"), "domain")
+    )

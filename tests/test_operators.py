@@ -874,3 +874,64 @@ def test_daily_anomaly_flags_spike_nulls_constant(spark):
     assert spike["z_score"] is not None and spike["z_score"] > 3.0
     # first day has no trailing history at all
     assert out[("spiky", "2024-01-01")]["z_score"] is None
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    """Integer-exact Lloyd's: the same corpus under different partition
+    layouts must produce IDENTICAL assignments and distances (float
+    k-means can't promise this; the quantized form must)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = S.kmeans_assignments(emb, k=4, n_iter=3).collect()
+    b = S.kmeans_assignments(emb.repartition(7), k=4, n_iter=3).collect()
+    key = lambda rows: sorted((r.vec_id, r.cluster, r.dist_sq) for r in rows)  # noqa: E731
+    assert key(a) == key(b)
+    assert len(a) == emb.count()
+    assert {r.cluster for r in a} <= set(range(4))
+
+
+def test_kmeans_iterations_reduce_total_distance(spark):
+    """More Lloyd's rounds can only improve (or keep) the objective —
+    sum of squared distances is non-increasing round over round."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d1 = S.kmeans_assignments(emb, k=4, n_iter=1).agg(
+        F.sum("dist_sq")
+    ).collect()[0][0]
+    d3 = S.kmeans_assignments(emb, k=4, n_iter=3).agg(
+        F.sum("dist_sq")
+    ).collect()[0][0]
+    assert d3 <= d1
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith@corp.example.com and (212) 555-0186 now"),
+            (2, "ssn 123-45-6789 twice 987-65-4321"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in X.redact_pii(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1 and out[1].n_ssns == 0
+    assert out[1].clean_text == "mail [EMAIL] and [PHONE] now"
+    assert out[2].n_ssns == 2
+    assert out[2].clean_text == "ssn [SSN] twice [SSN]"
+    assert out[3].clean_text == "no pii here at all"
+    assert out[3].n_emails == out[3].n_phones == out[3].n_ssns == 0
+    assert out[3].clean_len == len("no pii here at all")
+
+
+def test_url_domain_stats_groups_by_host(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.example.com/x for details"),
+            (2, "https://a.example.com/y more"),
+            (3, "http://b.example.org/z"),
+            (4, "no url"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.domain: r for r in X.url_domain_stats(df).collect()}
+    assert set(rows) == {"a.example.com", "b.example.org"}
+    assert rows["a.example.com"].n_docs == 2
+    assert rows["b.example.org"].n_docs == 1

@@ -586,3 +586,32 @@ def test_q20_name_slice_pushed_single_fact_scan(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
     assert tree.count("Scan parquet") == 4  # lineitem, part, supplier, nation
+
+
+def test_kmeans_rounds_are_linear_in_corpus_scans(spark):
+    """Three Lloyd's rounds = exactly four corpus scans (one per round
+    plus the k-row seed read; each round's centroids have one consumer —
+    lineage is linear, not exponential), and the k-row centroid side
+    always broadcasts (never a shuffled or cartesian join)."""
+    plan = plan_of(spark, "kmeans_clusters")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 4  # n_iter passes + seed scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pii_redaction_is_map_only(spark):
+    """The scrub pass must be embarrassingly parallel: no Exchange
+    anywhere in the plan — one scan, one projection."""
+    plan = plan_of(spark, "docs_pii_redaction")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert tree.count("Scan parquet") == 1
+
+
+def test_url_domains_single_aggregate_shuffle(spark):
+    plan = plan_of(spark, "docs_url_domains")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    # partial agg before the shuffle: the exchange carries domains only
+    assert tree.count("HashAggregate") >= 2
