@@ -545,6 +545,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_daily_anomaly"] = lambda s, d: E.daily_anomaly_scores(
         _t(s, d, "events")
     )
+    # hypertable-style locf gap filling: the deterministic hour filter
+    # PUNCHES real gaps into the series so the carry-forward path is
+    # exercised (the raw 2-day testdata stream has none)
+    q["events_gap_fill"] = lambda s, d: E.gap_fill(
+        _t(s, d, "events").filter(F.hour("ts") % 5 != 2), unit="hour"
+    )
+    # cumulative distinct users per hour via first-seen folding (no
+    # per-bucket distinct state)
+    q["events_cumulative_users"] = lambda s, d: E.cumulative_unique_users(
+        _t(s, d, "events"), unit="hour"
+    )
 
     # -- text analysis ([EXT]) ---------------------------------------------
     q["text_langid"] = lambda s, d: X.identify_language(_t(s, d, "documents"))
@@ -2353,6 +2364,46 @@ def oracle_sql() -> dict[str, str]:
                          * 10000 + 0.5) / 10000 AS DOUBLE)
                END AS z_score
         FROM win
+    """
+
+    o["events_gap_fill"] = """
+        WITH per_bucket AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS bucket_value
+            FROM events
+            WHERE DATE_PART('hour', ts) % 5 <> 2
+            GROUP BY 1, 2),
+        cal AS (
+            SELECT event_type,
+                   UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+            FROM (SELECT event_type, MIN(bucket) AS t0, MAX(bucket) AS t1
+                  FROM per_bucket GROUP BY 1)),
+        j AS (
+            SELECT c.event_type, c.bucket, p.bucket_value
+            FROM cal c LEFT JOIN per_bucket p USING (event_type, bucket))
+        SELECT event_type, bucket,
+               CAST(LAST_VALUE(bucket_value IGNORE NULLS) OVER (
+                        PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS filled_value,
+               bucket_value IS NULL AS was_gap
+        FROM j
+        ORDER BY event_type, bucket
+    """
+
+    o["events_cumulative_users"] = """
+        WITH fs AS (
+            SELECT user_id, MIN(DATE_TRUNC('hour', ts)) AS _first
+            FROM events GROUP BY 1),
+        pb AS (
+            SELECT _first AS bucket, COUNT(*) AS new_users
+            FROM fs GROUP BY 1)
+        SELECT bucket, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users
+        FROM pb
+        ORDER BY bucket
     """
 
     o["snapshot_change_feed"] = """

@@ -337,3 +337,81 @@ def daily_anomaly_scores(
         F.when((n >= 2) & (var > 0), dec4(mean)).alias("trailing_mean"),
         F.when((n >= 2) & (var > 0), dec4(z)).alias("z_score"),
     )
+
+
+def gap_fill(
+    events: DataFrame, unit: str = "hour", value_col: str = "value"
+) -> DataFrame:
+    """Calendar gap-filling with last-observation-carried-forward: each
+    event type's per-``unit`` value series is densified onto its own
+    [min, max] calendar, missing buckets are flagged and filled with the
+    most recent observed total (the hypertable ``locf`` shape).
+
+    Plan: one fact fold to (type, bucket) totals, a per-type span
+    aggregate whose calendar EXPLODES into (type, bucket) rows (|types|
+    × |buckets| — the output domain, never fact-sized), a left join
+    back, and one type-partitioned ordered window for the carry-forward.
+    All shuffles key on the tiny (type, bucket) relation; at 100 TB only
+    the first fold touches the corpus.
+    """
+    bucket = F.date_trunc(unit, F.col("ts")).alias("bucket")
+    per_bucket = events.groupBy(F.col("event_type"), bucket).agg(
+        F.sum(F.col(value_col).cast(D182)).alias("_bucket_value")
+    )
+    cal = (
+        per_bucket.groupBy("event_type")
+        .agg(F.min("bucket").alias("_t0"), F.max("bucket").alias("_t1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr(f"interval 1 {unit}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(per_bucket, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.last("_bucket_value", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("filled_value"),
+            F.col("_bucket_value").isNull().alias("was_gap"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def cumulative_unique_users(
+    events: DataFrame, unit: str = "hour"
+) -> DataFrame:
+    """Cumulative distinct-user curve per calendar ``unit`` WITHOUT a
+    per-bucket distinct blowup: fold each user to their first-seen
+    bucket (one user-keyed shuffle), count arrivals per bucket, and run
+    one cumulative sum over the bucket domain.
+
+    The naive form — COUNT(DISTINCT user) OVER (ORDER BY bucket) —
+    holds per-bucket user sets; this form's state after the first fold
+    is one row per USER, then one row per BUCKET. The final window is a
+    global ordered sum over the calendar domain (bounded: |buckets| rows
+    — tens of thousands even for a decade of hourly data), the
+    documented bounded-global-window pattern.
+    """
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc(unit, F.col("ts"))).alias("_first")
+    )
+    per_bucket = first_seen.groupBy(F.col("_first").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("bucket")

@@ -935,3 +935,39 @@ def test_url_domain_stats_groups_by_host(spark):
     assert set(rows) == {"a.example.com", "b.example.org"}
     assert rows["a.example.com"].n_docs == 2
     assert rows["b.example.org"].n_docs == 1
+
+
+def test_gap_fill_locf_and_flags(spark):
+    from client_data_ingester_spark.operators import events as E
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 02:20:00", 5.0),  # hour 1 missing
+            ("b", "2024-01-01 03:00:00", 2.0),
+        ],
+        ["event_type", "ts_s", "value"],
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rows = E.gap_fill(df, unit="hour").collect()
+    a = [(r.bucket.hour, r.filled_value, r.was_gap)
+         for r in rows if r.event_type == "a"]
+    assert a == [(0, 1.0, False), (1, 1.0, True), (2, 5.0, False)]
+    b = [r for r in rows if r.event_type == "b"]
+    assert len(b) == 1 and b[0].was_gap is False  # single-bucket span
+
+
+def test_cumulative_unique_users_counts_first_seen_once(spark):
+    from client_data_ingester_spark.operators import events as E
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00"),
+            (1, "2024-01-01 02:05:00"),  # returning user: not recounted
+            (2, "2024-01-01 00:30:00"),
+            (3, "2024-01-01 02:00:00"),
+        ],
+        ["user_id", "ts_s"],
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = E.cumulative_unique_users(df, unit="hour").collect()
+    got = [(r.bucket.hour, r.new_users, r.cum_users) for r in rows]
+    assert got == [(0, 2, 2), (2, 1, 3)]
