@@ -1899,16 +1899,26 @@ def oracle_sql() -> dict[str, str]:
         """
         WITH synth AS (
             SELECT doc_id, """ + _pii_text + """ AS text FROM documents),
+        s1 AS (
+            SELECT doc_id, text,
+                   regexp_replace(text,
+                       '""" + _re_email + """', '[EMAIL]', 'g') AS t1
+            FROM synth),
+        s2 AS (
+            SELECT doc_id, text, t1,
+                   regexp_replace(t1,
+                       '""" + _re_phone + """', '[PHONE]', 'g') AS t2
+            FROM s1),
         red AS (
+            -- staged counts: each pattern counted on the text its stage
+            -- sees, mirroring the operator's marker-exact semantics
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                       '""" + _re_email + """', '[EMAIL]', 'g'),
-                       '""" + _re_phone + """', '[PHONE]', 'g'),
+                   regexp_replace(t2,
                        '""" + _re_ssn + """', '[SSN]', 'g') AS clean_text,
                    LEN(regexp_extract_all(text, '""" + _re_email + """')) AS n_emails,
-                   LEN(regexp_extract_all(text, '""" + _re_phone + """')) AS n_phones,
-                   LEN(regexp_extract_all(text, '""" + _re_ssn + """')) AS n_ssns
-            FROM synth)
+                   LEN(regexp_extract_all(t1, '""" + _re_phone + """')) AS n_phones,
+                   LEN(regexp_extract_all(t2, '""" + _re_ssn + """')) AS n_ssns
+            FROM s2)
         SELECT doc_id, clean_text,
                CAST(n_emails AS BIGINT) AS n_emails,
                CAST(n_phones AS BIGINT) AS n_phones,
@@ -1928,7 +1938,8 @@ def oracle_sql() -> dict[str, str]:
                    || ' ' || text AS text
             FROM documents),
         ex AS (
-            SELECT regexp_extract(text, 'https?://([A-Za-z0-9.-]+)/', 1)
+            SELECT regexp_extract(text,
+                       'https?://([A-Za-z0-9.-]+)(?::[0-9]+)?(?:[/\s]|$)', 1)
                        AS domain,
                    LENGTH(text) AS _len
             FROM synth)
@@ -2397,12 +2408,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1),
         pb AS (
             SELECT _first AS bucket, COUNT(*) AS new_users
-            FROM fs GROUP BY 1)
-        SELECT bucket, new_users,
+            FROM fs GROUP BY 1),
+        cal AS (
+            SELECT UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR))
+                       AS bucket
+            FROM (SELECT MIN(bucket) AS t0, MAX(bucket) AS t1 FROM pb)),
+        dense AS (
+            SELECT c.bucket, COALESCE(p.new_users, 0) AS new_users
+            FROM cal c LEFT JOIN pb p USING (bucket))
+        SELECT bucket, CAST(new_users AS BIGINT) AS new_users,
                CAST(SUM(new_users) OVER (ORDER BY bucket
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS cum_users
-        FROM pb
+        FROM dense
         ORDER BY bucket
     """
 
@@ -2764,8 +2782,8 @@ def oracle_sql() -> dict[str, str]:
                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
                                  AS BIGINT)) AS qv
             FROM embeddings)""",
-        "c0 AS (SELECT CAST(vec_id AS INTEGER) AS c, qv AS cv "
-        "FROM q WHERE vec_id < 8)",
+        "c0 AS (SELECT CAST(vec_id AS BIGINT) AS c, qv AS cv "
+        "FROM q ORDER BY vec_id LIMIT 8)",
     ]
     for _i in range(2):  # n_iter - 1 update rounds
         _km_ctes.append(_km_assign(f"a{_i}", f"c{_i}"))

@@ -169,9 +169,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build_costs": build_costs,
         # the driver's correctness gate scores only the first 50 entries;
-        # record which entries rotated out this round (they return to the
-        # window next round — tests/test_driver_window.py pins the
-        # two-round coverage guarantee)
+        # record which entries rotated out this round. Every entry is
+        # scored at least once per window_report's "coverage_rounds"
+        # consecutive rounds (tests/test_driver_window.py simulates the
+        # bound)
         "window": entry.window_report(qs),
     }
     if repeats > 1:

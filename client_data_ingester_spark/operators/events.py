@@ -398,20 +398,33 @@ def cumulative_unique_users(
 
     The naive form — COUNT(DISTINCT user) OVER (ORDER BY bucket) —
     holds per-bucket user sets; this form's state after the first fold
-    is one row per USER, then one row per BUCKET. The final window is a
-    global ordered sum over the calendar domain (bounded: |buckets| rows
-    — tens of thousands even for a decade of hourly data), the
-    documented bounded-global-window pattern.
+    is one row per USER, then one row per BUCKET. The curve is DENSE:
+    arrival buckets join onto the full [min, max] calendar, so buckets
+    with activity but no new users still emit a (bucket, 0, running
+    total) row instead of a silent hole. The final window is a global
+    ordered sum over the calendar domain (bounded: |buckets| rows —
+    tens of thousands even for a decade of hourly data), the documented
+    bounded-global-window pattern.
     """
     first_seen = events.groupBy("user_id").agg(
         F.min(F.date_trunc(unit, F.col("ts"))).alias("_first")
     )
-    per_bucket = first_seen.groupBy(F.col("_first").alias("bucket")).agg(
+    arrivals = first_seen.groupBy(F.col("_first").alias("bucket")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
+    cal = arrivals.agg(
+        F.min("bucket").alias("_t0"), F.max("bucket").alias("_t1")
+    ).select(
+        F.explode(
+            F.sequence("_t0", "_t1", F.expr(f"interval 1 {unit}"))
+        ).alias("bucket")
+    )
+    dense = cal.join(arrivals, "bucket", "left").select(
+        "bucket", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return per_bucket.select(
+    return dense.select(
         "bucket",
-        "new_users",
+        F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("bucket")

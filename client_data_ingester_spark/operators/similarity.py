@@ -632,7 +632,10 @@ def kmeans_assignments(
     (vec_id, cluster, dist_sq) after ``n_iter`` assignment/update rounds.
 
     Spark-first iterative-algorithm shape:
-    - init: the ``k`` lowest-id vectors seed the centroids (no RNG);
+    - init: the ``k`` lowest-id vectors seed the centroids (no RNG;
+      an ascending top-k — TakeOrderedAndProject, scale-safe — so any
+      id space works: sparse, non-zero-based, whatever. Cluster labels
+      ARE the seed ids);
     - assign: broadcast the k quantized centroids against the corpus,
       exact-int64 squared distance, argmin via ``min(struct(dist, c))``
       — lexicographic struct ordering makes ties break on the lower
@@ -651,8 +654,12 @@ def kmeans_assignments(
     q = corpus.select(
         F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_q")
     )
-    centroids = q.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("_c"), F.col("_q").alias("_cvec")
+    centroids = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("_c"), F.col("_q").alias("_cvec")
+        )
     )
 
     def assign(cents: DataFrame) -> DataFrame:

@@ -460,7 +460,11 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     "ssn": (r"\d{3}-\d{2}-\d{4}", "[SSN]"),
 }
 
-_URL_DOMAIN = r"https?://([A-Za-z0-9.-]+)/"
+# host capture tolerates an optional :port and doesn't require a path —
+# 'https://example.com today' and 'https://h.example.com:8080/x' both
+# yield their host (non-capturing groups work identically in Java regex
+# and RE2)
+_URL_DOMAIN = r"https?://([A-Za-z0-9.-]+)(?::[0-9]+)?(?:[/\s]|$)"
 
 
 def redact_pii(
@@ -469,23 +473,25 @@ def redact_pii(
     """Scrub emails / US-phone / SSN-shaped spans from the text column:
     (id, clean_text, n_emails, n_phones, n_ssns, clean_md5, clean_len).
 
-    Pure JVM column expressions — counts come from one
-    ``regexp_extract_all`` per pattern over the ORIGINAL text, the
-    redaction chains ``regexp_replace`` email→phone→ssn (the patterns
-    are shape-disjoint, so chain order can't change counts), and
-    ``clean_md5`` gives an engine-portable fingerprint of the scrubbed
-    text without shipping it around. Embarrassingly parallel — no
-    shuffle at all; at 100 TB this is a map-only pass whose cost is the
-    regex engine, which is exactly where it should be.
+    Pure JVM column expressions. The redaction chains ``regexp_replace``
+    email→phone→ssn, and each count is taken on the text AS THAT STAGE
+    SEES IT (email count on the original, phone count after emails are
+    gone, ...) — so the counts are exactly the number of ``[EMAIL]`` /
+    ``[PHONE]`` / ``[SSN]`` markers placed, even when spans overlap
+    across patterns (an SSN-shaped local part inside an email is counted
+    once, as the email that consumed it — an audit reading counts vs
+    markers can't desync). ``clean_md5`` gives an engine-portable
+    fingerprint of the scrubbed text without shipping it around.
+    Embarrassingly parallel — no shuffle at all; at 100 TB this is a
+    map-only pass whose cost is the regex engine, which is exactly where
+    it should be.
     """
-    t = F.col(text_col)
-    counts = {
-        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
-        for name, (pat, _) in PII_PATTERNS.items()
-    }
-    clean = t
-    for pat, repl in PII_PATTERNS.values():
-        clean = F.regexp_replace(clean, pat, repl)
+    stage = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for name, (pat, repl) in PII_PATTERNS.items():
+        counts[name] = F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0)))
+        stage = F.regexp_replace(stage, pat, repl)
+    clean = stage
     return docs.select(
         F.col(id_col),
         clean.alias("clean_text"),
