@@ -409,6 +409,15 @@ def cumulative_unique_users(
     first_seen = events.groupBy("user_id").agg(
         F.min(F.date_trunc(unit, F.col("ts"))).alias("_first")
     )
+    return cumulative_from_first_seen(first_seen, unit)
+
+
+def cumulative_from_first_seen(
+    first_seen: DataFrame, unit: str = "hour"
+) -> DataFrame:
+    """The curve tail shared by the batch operator and the streaming
+    merge-on-read path (streaming/users_stream.py): (user_id, _first)
+    → dense (bucket, new_users, cum_users)."""
     arrivals = first_seen.groupBy(F.col("_first").alias("bucket")).agg(
         F.count(F.lit(1)).alias("new_users")
     )

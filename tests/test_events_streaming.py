@@ -4,6 +4,8 @@ the watermark is dropped; windows emit once the watermark passes them
 
 import json
 
+from pyspark.sql import functions as F
+
 from client_data_ingester_spark.streaming.events_stream import (
     start_windowed_event_stream,
 )
@@ -133,3 +135,82 @@ def test_hopping_windowed_stream(spark, tmp_path):
                    for r in clicks)
     finally:
         q.stop()
+
+
+def test_streaming_cumulative_users_matches_batch_across_restart(
+    spark, tmp_path
+):
+    """The merged first-seen curve must equal the batch operator over the
+    union of everything streamed — across micro-batches and a restart —
+    and shard replays must be harmless (MIN-merge idempotence)."""
+    import json as _json
+
+    from client_data_ingester_spark.operators.events import (
+        cumulative_unique_users,
+    )
+    from client_data_ingester_spark.streaming.users_stream import (
+        read_cumulative_users,
+        start_first_seen_stream,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    shards = str(tmp_path / "first_seen")
+
+    def _write(name, id0, pairs):
+        with open(src / name, "w") as f:
+            for i, (u, hour) in enumerate(pairs):
+                f.write(_json.dumps({
+                    "event_id": id0 + i,
+                    "ts": f"2024-01-01T{hour:02d}:15:00.000Z",
+                    "user_id": u,
+                    "event_type": "click",
+                }) + "\n")
+
+    all_pairs = []
+
+    def _batch_curve():
+        df = spark.createDataFrame(
+            [(u, f"2024-01-01 {h:02d}:15:00") for u, h in all_pairs],
+            ["user_id", "ts_s"],
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        return [tuple(r) for r in cumulative_unique_users(df, "hour").collect()]
+
+    b1 = [(1, 0), (2, 0), (1, 2), (3, 3)]
+    all_pairs += b1
+    _write("b1.json", 0, b1)
+    q = start_first_seen_stream(spark, str(src), ckpt, shards)
+    try:
+        q.processAllAvailable()
+        # batch 2: returning user 1 earlier in the day than batch 1 saw
+        # it is impossible (time moves forward), but a LATE event for
+        # user 2 at hour 1 must not move its first-seen back... it
+        # should: MIN-merge takes the earliest observed bucket. Include
+        # a genuinely-new user too.
+        b2 = [(2, 1), (4, 5)]
+        all_pairs += b2
+        _write("b2.json", 100, b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = [tuple(r) for r in read_cumulative_users(spark, shards).collect()]
+    assert live == _batch_curve()
+
+    # restart from the checkpoint: only the new file is processed
+    b3 = [(5, 4), (1, 6)]
+    all_pairs += b3
+    _write("b3.json", 200, b3)
+    q2 = start_first_seen_stream(spark, str(src), ckpt, shards)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    live2 = [tuple(r) for r in read_cumulative_users(spark, shards).collect()]
+    assert live2 == _batch_curve()
+    # dense curve invariants: consecutive hourly buckets, monotone totals
+    hours = [b.hour for b, _, _ in live2]
+    assert hours == list(range(hours[0], hours[-1] + 1))
+    totals = [c for _, _, c in live2]
+    assert totals == sorted(totals)
