@@ -675,6 +675,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_composition"] = lambda s, d: C.corpus_composition(
         _t(s, d, "documents")
     )
+    # weight-proportional A-ES sample: md5-seeded u, ln quantized to
+    # micro-nats (the unigram_logprob float discipline), integer top-n
+    q["docs_weighted_sample"] = lambda s, d: X.weighted_sample(
+        _t(s, d, "documents"), weight_col="n_chars", n=100
+    )
+
+    # ANN eval harness: recall@k of the IVF probe against the exact
+    # brute-force ranking — composes the two scored similarity paths and
+    # guards their relative drift (a broken index shows up as recall<1
+    # here even when both standalone queries stay self-consistent)
+    def _recall_scored(s, d):
+        emb = _t(s, d, "embeddings")
+        qs_df = (
+            emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        bf = S.brute_force_topk(emb, qs_df, k=5)
+        ivf = S.ivf_topk(
+            emb, qs_df, k=5, nprobe=3, centroids=_ivf_index(s, d)
+        )
+        hits = (
+            bf.select("query_id", "neighbor_id")
+            .join(
+                ivf.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_n_hits"))
+        )
+        per_q = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+        n_hits = F.coalesce(F.col("_n_hits"), F.lit(0))
+        return per_q.join(hits, "query_id", "left").select(
+            "query_id",
+            n_hits.cast("long").alias("n_hits"),
+            F.col("_k").cast("long").alias("k"),
+            (
+                F.floor(
+                    n_hits.cast("double") / F.col("_k") * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).cast("double").alias("recall"),
+        )
+
+    q["similarity_recall_at_k"] = _recall_scored
+
     q["docs_balanced_sample"] = lambda s, d: X.balanced_sample(
         _t(s, d, "documents")
     )
@@ -2485,6 +2530,21 @@ def oracle_sql() -> dict[str, str]:
         FROM g CROSS JOIN t
     """
 
+    o["docs_weighted_sample"] = """
+        WITH pri AS (
+            SELECT doc_id, n_chars,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 13))
+                            ::BIGINT + 1 AS DOUBLE)
+                       / 4503599627370496.0 AS u
+            FROM documents)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST(FLOOR(LN(u) / CAST(n_chars AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS key_micro
+        FROM pri
+        ORDER BY key_micro DESC, doc_id
+        LIMIT 100
+    """
+
     o["docs_balanced_sample"] = """
         SELECT doc_id, source, sample_key, rnk FROM (
             SELECT doc_id, source, sample_key,
@@ -2876,6 +2936,28 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         SELECT query_id, neighbor_id, rank, CAST(score AS DOUBLE) AS score
         FROM ranked WHERE rank <= 5
+    """
+
+    # recall@k composes the two similarity oracles verbatim as subqueries
+    # (DuckDB allows WITH inside a derived table) — one source of truth
+    # for both ranking definitions
+    o["similarity_recall_at_k"] = f"""
+        WITH bf AS (SELECT * FROM ({o["embedding_cosine_topk"]})),
+        iv AS (SELECT * FROM ({o["similarity_ivf_topk"]})),
+        hits AS (
+            SELECT bf.query_id, COUNT(*) AS n_hits
+            FROM bf JOIN iv
+              ON bf.query_id = iv.query_id
+             AND bf.neighbor_id = iv.neighbor_id
+            GROUP BY bf.query_id),
+        per_q AS (
+            SELECT query_id, COUNT(*) AS k FROM bf GROUP BY query_id)
+        SELECT p.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(p.k AS BIGINT) AS k,
+               CAST(FLOOR(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.k
+                          * 10000 + 0.5) / 10000 AS DOUBLE) AS recall
+        FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
     """
 
     # -- events -------------------------------------------------------------

@@ -526,3 +526,41 @@ def url_domain_stats(
         )
         .orderBy(F.desc("n_docs"), "domain")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    n: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``n`` docs
+    (Efraimidis-Spirakis A-ES): rank by ``u^(1/w)`` with ``u`` drawn from
+    the doc id's md5 — heavier docs win more often, yet the draw is a
+    pure function of the id, so resampling the same corpus version is
+    reproducible and both engines agree row-for-row.
+
+    Float discipline (the unigram_logprob recipe): ``u`` is a dyadic
+    rational from the top 52 md5 bits (exactly representable), the only
+    transcendental — ``ln(u)/w`` — is quantized to integer micro-nats
+    immediately, and selection is an integer top-n with id tie-break
+    riding TakeOrderedAndProject (no global sort materialization).
+    Map-only until the bounded top-n — at 100 TB the cost is one scan.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        + 1
+    ).cast("double") / F.lit(float(1 << 52))
+    key_micro = F.floor(
+        F.log(u) / F.col(weight_col).cast("double") * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            key_micro.alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), id_col)
+        .limit(n)
+    )

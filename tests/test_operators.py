@@ -992,3 +992,33 @@ def test_cumulative_unique_users_counts_first_seen_once(spark):
     # DENSE curve: hour 1 (activity from a returning user only) still
     # emits a row with 0 arrivals and the carried total
     assert got == [(0, 2, 2), (1, 0, 2), (2, 1, 3)]
+
+
+def test_weighted_sample_prefers_heavy_docs_and_is_deterministic(spark):
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 5000).otherwise(5).alias("n_chars"),
+    )
+    out = X.weighted_sample(df, weight_col="n_chars", n=60)
+    rows = out.collect()
+    assert len(rows) == 60
+    heavy = sum(1 for r in rows if r.weight == 5000)
+    # weight ratio 1000:1 — the heavy class must dominate the sample
+    assert heavy > 50
+    again = X.weighted_sample(df.repartition(7), weight_col="n_chars", n=60)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in rows
+    )
+
+
+def test_similarity_recall_query_bounds(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["similarity_recall_at_k"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.k == 5 and 0 <= r.n_hits <= r.k
+        assert 0.0 <= r.recall <= 1.0
