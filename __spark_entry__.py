@@ -720,6 +720,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["similarity_recall_at_k"] = _recall_scored
 
+    # kmeans-derived IVF: when a corpus ships with NO precomputed cell
+    # column, the deterministic k-means model supplies both the cell
+    # assignment and the coarse quantizer — the two similarity pieces
+    # compose end-to-end (cluster → probe → rerank), all oracle-exact
+    def _kmeans_ivf_scored(s, d):
+        emb = _t(s, d, "embeddings")
+        assigns, cents = S.kmeans_model(emb, k=8, n_iter=3)
+        corpus = emb.select("vec_id", "embedding").join(
+            assigns.select("vec_id", F.col("cluster").alias("label")),
+            "vec_id",
+        )
+        qs_df = (
+            emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        return S.ivf_topk(
+            corpus,
+            qs_df,
+            k=5,
+            nprobe=3,
+            centroids=cents.select(
+                F.col("cluster").alias("label"), "centroid"
+            ),
+        )
+
+    q["similarity_kmeans_ivf_topk"] = _kmeans_ivf_scored
+
     q["docs_balanced_sample"] = lambda s, d: X.balanced_sample(
         _t(s, d, "documents")
     )
@@ -2853,6 +2880,59 @@ def oracle_sql() -> dict[str, str]:
         "WITH "
         + ",\n        ".join(_km_ctes)
         + "\n        SELECT vec_id, c AS cluster, d AS dist_sq FROM afinal"
+    )
+
+    # kmeans-derived IVF probe: the SAME unrolled kmeans CTEs supply the
+    # cell assignment (afinal) and quantizer (c2 → doubles), then the
+    # standard probe/rerank runs against them — mirrors kmeans_model +
+    # ivf_topk composed on the Spark side
+    o["similarity_kmeans_ivf_topk"] = (
+        "WITH "
+        + ",\n        ".join(_km_ctes)
+        + f""",
+        centd AS (
+            SELECT c AS label,
+                   list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000.0)
+                       AS centroid
+            FROM c2),
+        corpus2 AS (
+            SELECT e.vec_id, e.embedding, af.c AS label
+            FROM embeddings e JOIN afinal af ON e.vec_id = af.vec_id),
+        qq AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 3),
+        probed AS (
+            SELECT query_id, label FROM (
+                SELECT a.query_id, b.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.query_id
+                           ORDER BY FLOOR((
+                               LIST_DOT_PRODUCT(
+                                   CAST(a.embedding AS DOUBLE[]), b.centroid)
+                               / (SQRT(LIST_DOT_PRODUCT(
+                                       CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[])))
+                                  * SQRT(LIST_DOT_PRODUCT(
+                                        b.centroid, b.centroid)))
+                           ) * 1000000 + 0.5) / 1000000 DESC,
+                           b.label) AS crank
+                FROM qq a CROSS JOIN centd b)
+            WHERE crank <= 3),
+        scored AS (
+            SELECT p.query_id, b.vec_id AS neighbor_id,
+                   FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS score
+            FROM probed p
+            JOIN corpus2 b ON b.label = p.label
+            JOIN embeddings a ON a.vec_id = p.query_id
+            WHERE b.vec_id <> p.query_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id)
+                       AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, CAST(score AS DOUBLE) AS score
+        FROM ranked WHERE rank <= 5
+    """
     )
 
     _q_band_keys = "\n            UNION ALL\n            ".join(

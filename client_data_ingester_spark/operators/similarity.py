@@ -621,15 +621,19 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_assignments(
+def kmeans_model(
     corpus: DataFrame,
     k: int = 8,
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means over the embedding corpus, fully deterministic:
-    (vec_id, cluster, dist_sq) after ``n_iter`` assignment/update rounds.
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means, returning BOTH halves of the model: the
+    assignments ``(id, cluster, dist_sq)`` and the final centroids
+    ``(cluster, centroid array<double>)`` — the latter drops into
+    ``ivf_topk(..., centroids=...)`` as a coarse quantizer, so a corpus
+    with no precomputed cell column can still get cell-probed ANN
+    (see the kmeans-IVF scored query).
 
     Spark-first iterative-algorithm shape:
     - init: the ``k`` lowest-id vectors seed the centroids (no RNG;
@@ -699,4 +703,23 @@ def kmeans_assignments(
             )
         )
 
-    return assign(centroids).select(id_col, "cluster", "dist_sq")
+    assignments = assign(centroids).select(id_col, "cluster", "dist_sq")
+    centroids_d = centroids.select(
+        F.col("_c").alias("cluster"),
+        F.transform(
+            F.col("_cvec"), lambda x: x.cast("double") / 1000000.0
+        ).alias("centroid"),
+    )
+    return assignments, centroids_d
+
+
+def kmeans_assignments(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Just the (id, cluster, dist_sq) half of ``kmeans_model``."""
+    assignments, _ = kmeans_model(corpus, k, n_iter, id_col, vec_col)
+    return assignments

@@ -1022,3 +1022,25 @@ def test_similarity_recall_query_bounds(spark):
     for r in rows:
         assert r.k == 5 and 0 <= r.n_hits <= r.k
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_kmeans_model_centroids_drive_ivf(spark):
+    """kmeans_model's centroid half must slot directly into ivf_topk as a
+    coarse quantizer for a corpus with no precomputed cell column."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigns, cents = S.kmeans_model(emb, k=4, n_iter=2)
+    crows = cents.collect()
+    assert len(crows) == 4
+    dim = len(emb.first().embedding)
+    assert all(len(r.centroid) == dim for r in crows)
+    corpus = emb.select("vec_id", "embedding").join(
+        assigns.select("vec_id", F.col("cluster").alias("label")), "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivf_topk(
+        corpus, q, k=3, nprobe=2,
+        centroids=cents.select(F.col("cluster").alias("label"), "centroid"),
+    ).collect()
+    assert len(out) == 3
