@@ -347,42 +347,46 @@ def gap_fill(
     [min, max] calendar, missing buckets are flagged and filled with the
     most recent observed total (the hypertable ``locf`` shape).
 
-    Plan: one fact fold to (type, bucket) totals, a per-type span
-    aggregate whose calendar EXPLODES into (type, bucket) rows (|types|
-    × |buckets| — the output domain, never fact-sized), a left join
-    back, and one type-partitioned ordered window for the carry-forward.
-    All shuffles key on the tiny (type, bucket) relation; at 100 TB only
-    the first fold touches the corpus.
+    Plan: one fact fold to (type, bucket) totals, then a LAG window over
+    that folded relation generates the missing buckets between adjacent
+    observations directly — each gap row already knows its carry-forward
+    value (the lag row's total), so there is no calendar join-back and
+    no second locf window. ONE fact scan even statically (the join-back
+    formulation computed the fold twice: column pruning makes the span
+    subtree differ from the join subtree, which defeats ReuseExchange),
+    one fold shuffle, one window over the tiny (type, bucket) relation.
     """
+    step = F.expr(f"interval 1 {unit}")
     bucket = F.date_trunc(unit, F.col("ts")).alias("bucket")
     per_bucket = events.groupBy(F.col("event_type"), bucket).agg(
-        F.sum(F.col(value_col).cast(D182)).alias("_bucket_value")
+        F.sum(F.col(value_col).cast(D182)).alias("_v")
     )
-    cal = (
-        per_bucket.groupBy("event_type")
-        .agg(F.min("bucket").alias("_t0"), F.max("bucket").alias("_t1"))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("_t0", "_t1", F.expr(f"interval 1 {unit}"))
-            ).alias("bucket"),
-        )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    with_prev = per_bucket.select(
+        "event_type",
+        "bucket",
+        "_v",
+        F.lag("bucket").over(w).alias("_prev_b"),
+        F.lag("_v").over(w).alias("_prev_v"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # each observed row emits [prev+step .. itself] in ONE explode — its
+    # gap predecessors (carrying the lag row's value) plus itself — so
+    # there is no observed/gaps union whose asymmetric branches would
+    # re-fold the fact table
+    start = F.coalesce(F.col("_prev_b") + step, F.col("bucket"))
+    filled = F.explode(
+        F.sequence(start, F.col("bucket"), step)
+    ).alias("_fill_b")
     return (
-        cal.join(per_bucket, ["event_type", "bucket"], "left")
+        with_prev.select("event_type", "bucket", "_v", "_prev_v", filled)
         .select(
             "event_type",
-            "bucket",
-            F.last("_bucket_value", ignorenulls=True)
-            .over(w)
+            F.col("_fill_b").alias("bucket"),
+            F.when(F.col("_fill_b") == F.col("bucket"), F.col("_v"))
+            .otherwise(F.col("_prev_v"))
             .cast("double")
             .alias("filled_value"),
-            F.col("_bucket_value").isNull().alias("was_gap"),
+            (F.col("_fill_b") != F.col("bucket")).alias("was_gap"),
         )
         .orderBy("event_type", "bucket")
     )

@@ -615,3 +615,30 @@ def test_url_domains_single_aggregate_shuffle(spark):
     assert tree.count("Scan parquet") == 1
     # partial agg before the shuffle: the exchange carries domains only
     assert tree.count("HashAggregate") >= 2
+
+
+def test_gap_fill_single_fact_scan_lag_generator(spark):
+    """The LAG-based gap generator keeps ONE fact lineage: no calendar
+    join-back, no second fold of the fact table, no locf window."""
+    plan = plan_of(spark, "events_gap_fill")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cumulative_users_reuses_arrivals_exchange(spark):
+    """The dense-calendar join consumes the same arrivals relation the
+    span aggregate does; the shuffle must be computed once at runtime."""
+    final = executed_plan_of(spark, "events_cumulative_users")
+    assert final.count("ReusedExchange") >= 1
+    assert "CartesianProduct" not in final
+
+
+def test_weighted_sample_is_map_plus_takeordered(spark):
+    """A-ES selection must be one scan into a bounded top-n: zero
+    shuffles, no global sort materialization."""
+    plan = plan_of(spark, "docs_weighted_sample")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree
