@@ -214,7 +214,14 @@ class SnapshotTable:
         ``version`` time-travels to an older snapshot (within the
         ``keep_versions`` retention horizon — the same property that makes
         in-flight readers safe across a publish makes historical reads
-        free: the manifest for version N still names N's directories)."""
+        free: the manifest for version N still names N's directories).
+
+        Additive schema evolution: constructing the table with a WIDENED
+        schema (new nullable columns appended) reads every version — the
+        explicit-schema parquet read resolves columns by name, so files
+        written before the widening fill the new columns with NULL, time
+        travel included; reading under a narrower schema prunes the extra
+        columns (contract pinned by tests/test_schema_evolution.py)."""
         if version is not None:
             path = self._manifest_path(version)
             if not os.path.exists(path):
