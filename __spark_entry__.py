@@ -620,6 +620,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_bloom_decontaminate"] = _bloom_probe_scored
 
+    # span-level decontamination: gaps-and-islands over bloom-hit shingle
+    # POSITIONS — where the eval overlap sits inside each flagged doc,
+    # so a surgical pipeline can cut spans instead of dropping docs
+    def _bloom_spans_scored(s, d):
+        from client_data_ingester_spark.operators.corpus import hash_split
+
+        docs = _t(s, d, "documents")
+        train = docs.join(
+            hash_split(docs, train_pct=80)
+            .filter(F.col("split") == "train")
+            .select("doc_id"),
+            "doc_id",
+        )
+        return K.contaminated_spans(train, _bloom_index(s, d))
+
+    q["corpus_contaminated_spans"] = _bloom_spans_scored
+
     # end-to-end curation pipeline ([EXT]): exact dedup -> train split ->
     # bloom decontaminate (persisted eval bloom) -> quality filter ->
     # sequence packing — one scored entry proving the operator families
@@ -2207,6 +2224,52 @@ def oracle_sql() -> dict[str, str]:
                    AS dropped
         FROM per_sh GROUP BY doc_id
     """.format(shingles=shingles)
+
+    # positioned (non-distinct) shingles for the span-level screen: same
+    # construction as {shingles} minus DISTINCT, with the 0-based offset
+    _pos_shingles = f"""
+        SELECT doc_id, T.i - 1 AS pos,
+               ARRAY_TO_STRING(W.w[T.i:T.i+2], ' ') AS sh
+        FROM documents,
+        LATERAL (SELECT {words} AS w) W,
+        UNNEST(RANGE(1, GREATEST(LEN(W.w) - 2, 1) + 1)) AS T(i)
+    """
+    o["corpus_contaminated_spans"] = f"""
+        WITH psh AS ({_pos_shingles}),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 < 80
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM documents),
+        ks AS (SELECT * FROM (VALUES (0), (1), (2)) t(r)),
+        ev_bits AS (
+            SELECT DISTINCT ('0x' || substr(md5(s.sh), 1 + 10 * ks.r, 10))::BIGINT
+                   % 65536 AS bit
+            FROM ({shingles}) s JOIN sp ON sp.doc_id = s.doc_id CROSS JOIN ks
+            WHERE sp.split = 'eval'),
+        probes AS (
+            SELECT p.doc_id, p.pos,
+                   ('0x' || substr(md5(p.sh), 1 + 10 * ks.r, 10))::BIGINT
+                   % 65536 AS bit
+            FROM psh p JOIN sp ON sp.doc_id = p.doc_id CROSS JOIN ks
+            WHERE sp.split = 'train'),
+        hits AS (
+            SELECT doc_id, pos
+            FROM probes p LEFT JOIN ev_bits b USING (bit)
+            GROUP BY doc_id, pos
+            HAVING COUNT(b.bit) = 3),
+        isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS g
+            FROM hits)
+        SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+               COUNT(*) AS n_shingles
+        FROM isl
+        GROUP BY doc_id, g
+        ORDER BY doc_id, start_pos
+    """
 
     # the end-to-end curation pipeline: composes the dedup / split / bloom
     # / quality / packing oracles already proven above, in the same stage

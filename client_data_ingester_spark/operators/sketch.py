@@ -505,3 +505,79 @@ def bloom_decontaminate(
         split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
     return bloom_probe(train_docs, eval_bits, text_col, shingle_k, m_bits, k)
+
+
+def contaminated_spans(
+    train_docs: DataFrame,
+    eval_bits: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Span-level decontamination: WHERE inside each flagged document the
+    eval overlap sits — contiguous runs of bloom-hit shingle positions as
+    (doc_id, start_pos, end_pos, n_shingles) islands.
+
+    Doc-level screens (``bloom_probe``) answer drop-or-keep; a surgical
+    pipeline instead removes just the overlapping spans and keeps the
+    rest of the document. Positioned (non-distinct) shingles probe the
+    same broadcast bloom (k digest-slice joins, map-side), then the
+    classic gaps-and-islands fold groups consecutive hit positions:
+    ``pos - row_number() over (doc, pos)`` is constant within a
+    contiguous run, so one doc-keyed aggregate emits the spans. The only
+    shuffle is the hit relation keyed by doc — bounded by the flagged
+    sliver, not the corpus; one-sidedness still holds (a span is a
+    SUPERSET hint: every shingle in it bloom-hit, so unflagged text is
+    proven clean).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import words_expr
+
+    staged = train_docs.select(
+        "doc_id", words_expr(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(ws) - shingle_k, F.lit(0))
+    )
+    sh_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i + 1, shingle_k), " ")
+    )
+    pos_sh = (
+        staged.select(
+            "doc_id", F.posexplode_outer(sh_arr).alias("pos", "sh")
+        )
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", "pos", F.md5(F.col("sh")).alias("d"))
+    )
+    bit_cols = _digest_bits(m_bits, k)
+    probed = pos_sh.select(
+        "doc_id", "pos", *[bit_cols[j].alias(f"_b{j}") for j in range(k)]
+    )
+    hit = F.lit(True)
+    for j in range(k):
+        probed = probed.join(
+            F.broadcast(
+                eval_bits.select(
+                    F.col("bit").alias(f"_b{j}"), F.lit(1).alias(f"_s{j}")
+                )
+            ),
+            f"_b{j}",
+            "left",
+        )
+        hit = hit & F.col(f"_s{j}").isNotNull()
+    hits = probed.filter(hit).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("_g", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select("doc_id", "start_pos", "end_pos", "n_shingles")
+        .orderBy("doc_id", "start_pos")
+    )

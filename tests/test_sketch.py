@@ -217,3 +217,37 @@ def test_bloom_screen_is_one_sided_superset_of_exact(spark):
         assert n_hits <= n_sh
         if n_exact > 0:
             assert dropped  # truly contaminated docs always flagged
+
+
+def test_contaminated_spans_islands(spark):
+    """Consecutive bloom-hit shingle positions must merge into one span;
+    gaps split spans; zero-hit docs emit nothing."""
+    from pyspark.sql import functions as F
+
+    from client_data_ingester_spark.operators.dedup import exploded_shingles
+    from client_data_ingester_spark.operators.sketch import (
+        bloom_registers,
+        contaminated_spans,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # "alpha beta gamma delta" shingles at pos 0-1; then noise;
+            # then the same overlap again later -> two islands
+            (1, "alpha beta gamma delta xx yy zz qq alpha beta gamma delta"),
+            (2, "totally unrelated words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bits = bloom_registers(exploded_shingles(eval_docs), "sh")
+    rows = contaminated_spans(train, bits).collect()
+    assert {r.doc_id for r in rows} == {1}
+    spans = [(r.start_pos, r.end_pos, r.n_shingles) for r in rows]
+    assert len(spans) == 2
+    assert spans[0][0] == 0 and spans[0][1] >= 1
+    assert spans[1][0] > spans[0][1] + 1  # separated by a gap
+    for s, e, n in spans:
+        assert n == e - s + 1  # contiguous island
