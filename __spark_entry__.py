@@ -352,6 +352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["balance_quantiles"] = lambda s, d: R.balance_quantiles(
         _t(s, d, "customer")
     )
+    # outlier-robust aggregation: clamp to exact per-segment [p05, p95]
+    # in decimal arithmetic, then re-aggregate (winsorizing)
+    q["winsorized_balances"] = lambda s, d: R.winsorized_balance_stats(
+        _t(s, d, "customer")
+    )
     q["parts_above_brand_avg"] = lambda s, d: R.parts_above_brand_avg(
         _t(s, d, "part")
     )
@@ -1515,6 +1520,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(QUANTILE_CONT(c_acctbal, 0.9) * 10000 + 0.5) / 10000
                     AS DOUBLE) AS p90_bal
         FROM customer GROUP BY c_mktsegment
+    """
+
+    o["winsorized_balances"] = f"""
+        WITH b AS (
+            SELECT c_mktsegment,
+                   CAST(FLOOR(QUANTILE_CONT(c_acctbal, 0.05) * 100 + 0.5)
+                        / 100 AS {DEC}) AS _lo,
+                   CAST(FLOOR(QUANTILE_CONT(c_acctbal, 0.95) * 100 + 0.5)
+                        / 100 AS {DEC}) AS _hi
+            FROM customer GROUP BY c_mktsegment),
+        cl AS (
+            -- CASE, not LEAST/GREATEST: DuckDB's LEAST promotes DECIMAL
+            -- args to DOUBLE, which turns the exact re-aggregation into
+            -- an order-dependent float sum
+            SELECT c.c_mktsegment,
+                   CASE WHEN {money('c_acctbal')} < _lo THEN _lo
+                        WHEN {money('c_acctbal')} > _hi THEN _hi
+                        ELSE {money('c_acctbal')} END AS _cl,
+                   CASE WHEN {money('c_acctbal')} < _lo THEN 1 ELSE 0 END
+                       AS _is_lo,
+                   CASE WHEN {money('c_acctbal')} > _hi THEN 1 ELSE 0 END
+                       AS _is_hi
+            FROM customer c JOIN b USING (c_mktsegment))
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(_cl) AS DOUBLE) AS winsorized_sum,
+               CAST(FLOOR(CAST(SUM(_cl) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+                    / 10000 AS DOUBLE) AS winsorized_mean,
+               CAST(SUM(_is_lo) AS BIGINT) AS n_clamped_lo,
+               CAST(SUM(_is_hi) AS BIGINT) AS n_clamped_hi
+        FROM cl GROUP BY c_mktsegment
     """
 
     o["parts_above_brand_avg"] = f"""

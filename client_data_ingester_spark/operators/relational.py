@@ -1125,3 +1125,44 @@ def dominant_part_suppliers(
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
     )
+
+
+def winsorized_balance_stats(
+    customer: DataFrame, lo_q: float = 0.05, hi_q: float = 0.95
+) -> DataFrame:
+    """Outlier-robust per-segment account stats: clamp balances to the
+    segment's exact [p05, p95] (winsorizing) before aggregating, plus the
+    clamp tallies — the data-prep step that keeps a few extreme rows from
+    dominating a mean.
+
+    Numeric discipline: the percentile bounds are computed in double
+    (exact sort-based percentile — portable, see balance_quantiles),
+    floor-rounded at 2 decimals and cast to DECIMAL so the clamp and the
+    re-aggregation run ENTIRELY in exact decimal arithmetic (clamping
+    doubles then summing would be partition-order-dependent). Scale note:
+    exact percentile buffers each group's values — right for
+    dimension-scale relations like customer; for fact-scale winsorizing
+    use the mergeable histogram sketch (sketch.hist_quantiles) to pick
+    bounds instead.
+    """
+    r2dec = lambda c: (  # noqa: E731
+        F.floor(c * 100 + F.lit(0.5)) / 100
+    ).cast(D182)
+    bounds = customer.groupBy("c_mktsegment").agg(
+        r2dec(F.expr(f"percentile(c_acctbal, {lo_q})")).alias("_lo"),
+        r2dec(F.expr(f"percentile(c_acctbal, {hi_q})")).alias("_hi"),
+    )
+    bal = _money("c_acctbal")
+    clamped = customer.join(F.broadcast(bounds), "c_mktsegment").select(
+        "c_mktsegment",
+        F.least(F.greatest(bal, F.col("_lo")), F.col("_hi")).alias("_cl"),
+        (bal < F.col("_lo")).cast("int").alias("_is_lo"),
+        (bal > F.col("_hi")).cast("int").alias("_is_hi"),
+    )
+    return clamped.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_cl").cast("double").alias("winsorized_sum"),
+        _avg4(F.sum("_cl"), F.count(F.lit(1))).alias("winsorized_mean"),
+        F.sum("_is_lo").cast("long").alias("n_clamped_lo"),
+        F.sum("_is_hi").cast("long").alias("n_clamped_hi"),
+    )
