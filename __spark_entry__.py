@@ -908,6 +908,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         500.0,
         200,
     )
+    # per-group quantiles from the same one-pass register family: the
+    # cumulative windows partition by the group key (≤ n_bins rows each)
+    q["sketch_grouped_quantiles"] = lambda s, d: K.hist_quantiles(
+        K.hist_registers(
+            _t(s, d, "events"), "value", 0.0, 500.0, 200,
+            group_cols=["event_type"],
+        ),
+        [0.5, 0.95],
+        0.0,
+        500.0,
+        200,
+        group_cols=["event_type"],
+    )
 
     # -- multimodal plumbing ([EXT]) ---------------------------------------
     q["multimodal_features"] = lambda s, d: M.extract_features(
@@ -3304,6 +3317,31 @@ def oracle_sql() -> dict[str, str]:
             FROM c CROSS JOIN qs
             WHERE cum >= q * total GROUP BY q)
         SELECT q, 0.0 + ((bin + 1) * 500.0) / 200 AS est_value
+        FROM hit
+    """
+
+    o["sketch_grouped_quantiles"] = """
+        WITH regs AS (
+            SELECT event_type,
+                   CAST(LEAST(GREATEST(
+                       FLOOR((value - 0.0) / 500.0 * 200), 0), 199)
+                       AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        c AS (
+            SELECT event_type, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS total
+            FROM regs),
+        qs AS (
+            SELECT CAST(q AS DOUBLE) AS q
+            FROM (VALUES (0.5), (0.95)) t(q)),
+        hit AS (
+            SELECT event_type, q, MIN(bin) AS bin
+            FROM c CROSS JOIN qs
+            WHERE cum >= q * total GROUP BY event_type, q)
+        SELECT event_type, q, 0.0 + ((bin + 1) * 500.0) / 200 AS est_value
         FROM hit
     """
 

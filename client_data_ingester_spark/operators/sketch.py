@@ -293,17 +293,22 @@ def hist_registers(
     lo: float,
     hi: float,
     n_bins: int = 200,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
-    """Histogram register table ``(bin, cnt)`` over a FIXED domain.
+    """Histogram register table ``(*group_cols, bin, cnt)`` over a FIXED
+    domain.
 
     The third mergeable-sketch family: registers merge by SUM (like CMS),
-    state is ≤ ``n_bins`` rows however large the input, and quantile
-    estimates are deterministic bin edges — no rank shuffle of raw values.
-    The domain is fixed up front (not derived from the data) precisely so
-    register tables from different days/slices share bin boundaries and
-    stay mergeable; at 100 TB you know your metric's domain, and outliers
-    clamp into the edge bins (bounded error, never lost rows).
+    state is ≤ ``n_bins`` rows per group however large the input, and
+    quantile estimates are deterministic bin edges — no rank shuffle of
+    raw values. The domain is fixed up front (not derived from the data)
+    precisely so register tables from different days/slices share bin
+    boundaries and stay mergeable; at 100 TB you know your metric's
+    domain, and outliers clamp into the edge bins (bounded error, never
+    lost rows). ``group_cols`` keys the registers (like the HLL/CMS
+    families) for per-group quantiles from one pass.
     """
+    group_cols = list(group_cols or [])
     span = hi - lo
     v = F.col(value_col).cast("double")
     bin_expr = F.least(
@@ -312,8 +317,8 @@ def hist_registers(
     )
     return (
         df.filter(v.isNotNull())
-        .select(bin_expr.alias("bin"))
-        .groupBy("bin")
+        .select(*group_cols, bin_expr.alias("bin"))
+        .groupBy(*group_cols, "bin")
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -324,25 +329,26 @@ def hist_quantiles(
     lo: float,
     hi: float,
     n_bins: int = 200,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
-    """Quantile estimates from a register table: for each q, the upper edge
-    of the first bin whose cumulative count reaches ``q * total``.
+    """Quantile estimates from a register table: for each (group, q), the
+    upper edge of the first bin whose cumulative count reaches
+    ``q * total``.
 
     Estimate error is one bin width — the classic accuracy/state trade.
-    The cumulative window runs over the AGGREGATED relation (≤ n_bins
-    rows), so the single-partition sort is bounded and constant, never
-    data-sized.
+    The cumulative windows run over the AGGREGATED relation (≤ n_bins
+    rows per group), so the window sort is bounded and constant, never
+    data-sized; ungrouped registers use the documented bounded global
+    window (runtime's "No Partition Defined" warning is expected there).
     """
     from pyspark.sql import Window
 
+    group_cols = list(group_cols or [])
     span = hi - lo
-    # unpartitioned on purpose — runtime's "No Partition Defined" warning
-    # is expected and bounded: both windows run over the aggregated
-    # register relation (<= n_bins rows), never the raw values
-    w_cum = Window.orderBy("bin").rowsBetween(
+    w_cum = Window.partitionBy(*group_cols).orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.rowsBetween(
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     c = registers.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
@@ -355,11 +361,11 @@ def hist_quantiles(
     hit = (
         c.crossJoin(F.broadcast(qdf))
         .filter(F.col("cum") >= F.col("q") * F.col("total"))
-        .groupBy("q")
+        .groupBy(*group_cols, "q")
         .agg(F.min("bin").alias("bin"))
     )
     est = F.lit(lo) + ((F.col("bin") + 1) * F.lit(span)) / F.lit(n_bins)
-    return hit.select("q", est.alias("est_value"))
+    return hit.select(*group_cols, "q", est.alias("est_value"))
 
 
 # ---------------------------------------------------------------------------
