@@ -441,6 +441,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_dedup(
         _t(s, d, "documents"), num_perm=4, bands=2, threshold=0.2
     )
+    # asymmetric containment over the same LSH candidates — the quote
+    # detector Jaccard dilutes away (short doc inside a long one)
+    q["dedup_containment"] = lambda s, d: D.containment_pairs(
+        _t(s, d, "documents"),
+        D.lsh_candidate_pairs(_t(s, d, "documents"), num_perm=4, bands=2),
+        threshold=0.2,
+    )
     q["dedup_simhash"] = lambda s, d: D.simhash_duplicate_groups(
         _t(s, d, "documents")
     )
@@ -1930,6 +1937,44 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = p.doc_b
         WHERE CAST(FLOOR(COALESCE(i.c, 0) * 1.0 /
                          (sa.n + sb.n - COALESCE(i.c, 0)) * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.2
+    """
+
+    # asymmetric containment over the same LSH candidates: |∩|/|A| and
+    # |∩|/|B| (quote detection — a short doc inside a long one)
+    o["dedup_containment"] = f"""
+        WITH sh AS ({shingles}),
+        sigs AS (
+            SELECT doc_id, {minhash_cols}
+            FROM sh GROUP BY doc_id),
+        buckets AS (
+            SELECT doc_id, 0 AS band, MD5(minhash_0 || '|' || minhash_1) AS key FROM sigs
+            UNION ALL
+            SELECT doc_id, 1 AS band, MD5(minhash_2 || '|' || minhash_3) AS key FROM sigs),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            GROUP BY p.doc_a, p.doc_b),
+        scored AS (
+            SELECT p.doc_a, p.doc_b,
+                   CAST(FLOOR(COALESCE(i.c, 0) * 1.0 / sa.n * 10000 + 0.5)
+                        / 10000 AS DOUBLE) AS containment_a,
+                   CAST(FLOOR(COALESCE(i.c, 0) * 1.0 / sb.n * 10000 + 0.5)
+                        / 10000 AS DOUBLE) AS containment_b
+            FROM pairs p
+            LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN sizes sa ON sa.doc_id = p.doc_a
+            JOIN sizes sb ON sb.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, containment_a, containment_b,
+               GREATEST(containment_a, containment_b) AS containment_max
+        FROM scored
+        WHERE GREATEST(containment_a, containment_b) >= 0.2
     """
 
     bit_votes = ",\n".join(

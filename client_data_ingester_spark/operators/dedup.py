@@ -637,3 +637,53 @@ def chunk_dedup_stats(
             .alias("dup_chunk_ratio"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT for candidate pairs — the asymmetric
+    near-dup measure Jaccard misses: a short document quoted wholesale
+    inside a long one has containment ≈ 1 from the short side while
+    Jaccard stays tiny (|∩|/|∪| is diluted by the long side). Emits both
+    directions per pair (``containment_a`` = |∩|/|A|, ``containment_b`` =
+    |∩|/|B|) plus the max, filtered at ``threshold`` on the max.
+
+    Same O(candidates) shape as ``jaccard_pairs``: shingle ARRAYS join
+    onto the bounded candidate pairs, never a corpus self-join.
+    """
+    sh = shingle_arrays(docs, text_col, shingle_k)
+    j = (
+        pairs.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "sh", "sh_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    r4 = lambda c: (  # noqa: E731
+        F.floor(c * 10000 + F.lit(0.5)) / 10000
+    ).cast("double")
+    cont_a = r4(inter.cast("double") / F.size("sh_a").cast("double"))
+    cont_b = r4(inter.cast("double") / F.size("sh_b").cast("double"))
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+            F.greatest(cont_a, cont_b).alias("containment_max"),
+        )
+        .filter(F.col("containment_max") >= threshold)
+    )

@@ -1044,3 +1044,19 @@ def test_kmeans_model_centroids_drive_ivf(spark):
         centroids=cents.select(F.col("cluster").alias("label"), "centroid"),
     ).collect()
     assert len(out) == 3
+
+
+def test_containment_detects_quoted_subset(spark):
+    """A short doc wholly quoted inside a long one: containment from the
+    short side ~1.0 while Jaccard is diluted by the long side."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    c = D.containment_pairs(docs, pairs).collect()[0]
+    assert c.containment_a == 1.0  # every short-doc shingle is in long
+    assert c.containment_max == 1.0
+    jac = D.jaccard_pairs(docs, pairs).collect()[0]
+    assert jac.jaccard < 0.2  # the symmetric measure misses it
