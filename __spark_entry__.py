@@ -724,24 +724,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf = S.ivf_topk(
             emb, qs_df, k=5, nprobe=3, centroids=_ivf_index(s, d)
         )
-        hits = (
-            bf.select("query_id", "neighbor_id")
-            .join(
-                ivf.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("_n_hits"))
+        # ONE bf consumption: the left join marks IVF hits on the bf
+        # relation and a single aggregate yields both k and the hit
+        # count — two pruning-asymmetric bf subtrees (hits join + per-q
+        # count) would defeat ReuseExchange and run the expensive
+        # brute-force scoring twice (the gap_fill lesson; plan-pinned)
+        marked = bf.select("query_id", "neighbor_id").join(
+            ivf.select("query_id", "neighbor_id", F.lit(1).alias("_m")),
+            ["query_id", "neighbor_id"],
+            "left",
         )
-        per_q = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
-        n_hits = F.coalesce(F.col("_n_hits"), F.lit(0))
-        return per_q.join(hits, "query_id", "left").select(
+        agg = marked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("_n_hits"),
+        )
+        return agg.select(
             "query_id",
-            n_hits.cast("long").alias("n_hits"),
+            F.col("_n_hits").cast("long").alias("n_hits"),
             F.col("_k").cast("long").alias("k"),
             (
                 F.floor(
-                    n_hits.cast("double") / F.col("_k") * 10000 + F.lit(0.5)
+                    F.col("_n_hits").cast("double") / F.col("_k") * 10000
+                    + F.lit(0.5)
                 )
                 / 10000
             ).cast("double").alias("recall"),

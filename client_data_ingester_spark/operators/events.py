@@ -362,31 +362,41 @@ def gap_fill(
         F.sum(F.col(value_col).cast(D182)).alias("_v")
     )
     w = Window.partitionBy("event_type").orderBy("bucket")
+    # _carry = last NON-NULL total strictly before this bucket: an
+    # observed bucket whose values were all NULL still carries the
+    # previous real total forward (true locf), matching the oracle's
+    # LAST_VALUE ... IGNORE NULLS — a plain lag would propagate the NULL
     with_prev = per_bucket.select(
         "event_type",
         "bucket",
         "_v",
         F.lag("bucket").over(w).alias("_prev_b"),
-        F.lag("_v").over(w).alias("_prev_v"),
+        F.last("_v", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("_carry"),
     )
     # each observed row emits [prev+step .. itself] in ONE explode — its
-    # gap predecessors (carrying the lag row's value) plus itself — so
-    # there is no observed/gaps union whose asymmetric branches would
+    # gap predecessors (carrying the last non-null total) plus itself —
+    # so there is no observed/gaps union whose asymmetric branches would
     # re-fold the fact table
     start = F.coalesce(F.col("_prev_b") + step, F.col("bucket"))
     filled = F.explode(
         F.sequence(start, F.col("bucket"), step)
     ).alias("_fill_b")
     return (
-        with_prev.select("event_type", "bucket", "_v", "_prev_v", filled)
+        with_prev.select("event_type", "bucket", "_v", "_carry", filled)
         .select(
             "event_type",
             F.col("_fill_b").alias("bucket"),
-            F.when(F.col("_fill_b") == F.col("bucket"), F.col("_v"))
-            .otherwise(F.col("_prev_v"))
+            F.when(
+                F.col("_fill_b") == F.col("bucket"),
+                F.coalesce(F.col("_v"), F.col("_carry")),
+            )
+            .otherwise(F.col("_carry"))
             .cast("double")
             .alias("filled_value"),
-            (F.col("_fill_b") != F.col("bucket")).alias("was_gap"),
+            ((F.col("_fill_b") != F.col("bucket")) | F.col("_v").isNull())
+            .alias("was_gap"),
         )
         .orderBy("event_type", "bucket")
     )

@@ -1153,11 +1153,18 @@ def winsorized_balance_stats(
         r2dec(F.expr(f"percentile(c_acctbal, {hi_q})")).alias("_hi"),
     )
     bal = _money("c_acctbal")
+    # CASE-shaped clamp, not least/greatest: Spark's greatest/least SKIP
+    # null arguments, so a NULL balance would clamp to the lower bound
+    # and pollute the sum; the when-chain keeps NULL as NULL (excluded
+    # from SUM in both engines, still counted in n)
     clamped = customer.join(F.broadcast(bounds), "c_mktsegment").select(
         "c_mktsegment",
-        F.least(F.greatest(bal, F.col("_lo")), F.col("_hi")).alias("_cl"),
-        (bal < F.col("_lo")).cast("int").alias("_is_lo"),
-        (bal > F.col("_hi")).cast("int").alias("_is_hi"),
+        F.when(bal < F.col("_lo"), F.col("_lo"))
+        .when(bal > F.col("_hi"), F.col("_hi"))
+        .otherwise(bal)
+        .alias("_cl"),
+        F.coalesce((bal < F.col("_lo")).cast("int"), F.lit(0)).alias("_is_lo"),
+        F.coalesce((bal > F.col("_hi")).cast("int"), F.lit(0)).alias("_is_hi"),
     )
     return clamped.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),

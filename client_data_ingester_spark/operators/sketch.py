@@ -375,6 +375,40 @@ def hist_quantiles(
 BLOOM_K = 3
 
 
+def _probe_bloom_membership(
+    probed: DataFrame, eval_bits: DataFrame, m_bits: int, k: int
+) -> DataFrame:
+    """Append ``maybe_eval`` to a relation carrying a STAGED md5 digest
+    column ``d`` (every other column passes through untouched).
+
+    Membership = k broadcast LEFT joins, one per digest slice — no
+    explode, no per-key groupBy: each join is map-side against the
+    bounded bit set (distinct, so it can never duplicate probe rows).
+    Shared by the doc-level screen (:func:`bloom_probe`) and the
+    span-level screen (:func:`contaminated_spans`) so the digest-slice
+    scheme can never desynchronize between them.
+    """
+    bit_cols = _digest_bits(m_bits, k)
+    carry = [c for c in probed.columns if c != "d"]
+    probed = probed.select(
+        *carry, *[bit_cols[j].alias(f"_b{j}") for j in range(k)]
+    )
+    hit = F.lit(True)
+    for j in range(k):
+        probed = probed.join(
+            F.broadcast(
+                eval_bits.select(
+                    F.col("bit").alias(f"_b{j}"),
+                    F.lit(1).alias(f"_s{j}"),
+                )
+            ),
+            f"_b{j}",
+            "left",
+        )
+        hit = hit & F.col(f"_s{j}").isNotNull()
+    return probed.select(*carry, hit.alias("maybe_eval"))
+
+
 def _digest_bits(m_bits: int, k: int) -> "list[Column]":
     """The k bloom positions as expressions, sliced from ONE md5 digest
     (column ``d``): position j = 40-bit int from hex chars [1+10j, 10+10j]
@@ -449,32 +483,11 @@ def bloom_probe(
     """
     from .dedup import exploded_shingles
 
-    # membership = k broadcast LEFT joins, one per digest slice — no
-    # explode, no per-shingle groupBy: each join is map-side against the
-    # bounded bit set (distinct, so it can never duplicate probe rows),
-    # and the ONLY shuffle in the whole screen is the final doc_id fold
-    bit_cols = _digest_bits(m_bits, k)
     probed = exploded_shingles(train_docs, text_col, shingle_k).select(
         "doc_id", F.md5(F.col("sh")).alias("d")
     )
-    probed = probed.select(
-        "doc_id", *[bit_cols[j].alias(f"_b{j}") for j in range(k)]
-    )
-    hit = F.lit(True)
-    for j in range(k):
-        probed = probed.join(
-            F.broadcast(
-                eval_bits.select(
-                    F.col("bit").alias(f"_b{j}"),
-                    F.lit(1).alias(f"_s{j}"),
-                )
-            ),
-            f"_b{j}",
-            "left",
-        )
-        hit = hit & F.col(f"_s{j}").isNotNull()
     return (
-        probed.select("doc_id", hit.alias("maybe_eval"))
+        _probe_bloom_membership(probed, eval_bits, m_bits, k)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -558,23 +571,11 @@ def contaminated_spans(
         .filter(F.col("sh").isNotNull())
         .select("doc_id", "pos", F.md5(F.col("sh")).alias("d"))
     )
-    bit_cols = _digest_bits(m_bits, k)
-    probed = pos_sh.select(
-        "doc_id", "pos", *[bit_cols[j].alias(f"_b{j}") for j in range(k)]
+    hits = (
+        _probe_bloom_membership(pos_sh, eval_bits, m_bits, k)
+        .filter(F.col("maybe_eval"))
+        .select("doc_id", "pos")
     )
-    hit = F.lit(True)
-    for j in range(k):
-        probed = probed.join(
-            F.broadcast(
-                eval_bits.select(
-                    F.col("bit").alias(f"_b{j}"), F.lit(1).alias(f"_s{j}")
-                )
-            ),
-            f"_b{j}",
-            "left",
-        )
-        hit = hit & F.col(f"_s{j}").isNotNull()
-    hits = probed.filter(hit).select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         hits.withColumn("_g", F.col("pos") - F.row_number().over(w))

@@ -198,8 +198,12 @@ def test_streaming_cumulative_users_matches_batch_across_restart(
     live = [tuple(r) for r in read_cumulative_users(spark, shards).collect()]
     assert live == _batch_curve()
 
-    # restart from the checkpoint: only the new file is processed
-    b3 = [(5, 4), (1, 6)]
+    # restart from the checkpoint: only the new file is processed. b3
+    # includes a genuine BACKFILL: user 4 (first seen at hour 5 in b2)
+    # arrives out-of-order at hour 2 — MIN-merge must move its
+    # first-seen EARLIER, which a last-write-wins or MAX merge would
+    # silently miss
+    b3 = [(5, 4), (1, 6), (4, 2)]
     all_pairs += b3
     _write("b3.json", 200, b3)
     q2 = start_first_seen_stream(spark, str(src), ckpt, shards)

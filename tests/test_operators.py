@@ -1014,9 +1014,7 @@ def test_weighted_sample_prefers_heavy_docs_and_is_deterministic(spark):
 def test_similarity_recall_query_bounds(spark):
     import __spark_entry__ as entry
 
-    df = entry.queries()["similarity_recall_at_k"](
-        spark, "/root/testdata/sf0.001"
-    )
+    df = entry.queries()["similarity_recall_at_k"](spark, SF_DIR)
     rows = df.collect()
     assert len(rows) == 3
     for r in rows:
@@ -1060,3 +1058,31 @@ def test_containment_detects_quoted_subset(spark):
     assert c.containment_max == 1.0
     jac = D.jaccard_pairs(docs, pairs).collect()[0]
     assert jac.jaccard < 0.2  # the symmetric measure misses it
+
+
+def test_gap_fill_all_null_bucket_carries_last_real_value(spark):
+    """An observed bucket whose values are all NULL is a was_gap bucket
+    that carries the LAST NON-NULL total forward (true locf) — a plain
+    lag would propagate the NULL into the following gap rows."""
+    from client_data_ingester_spark.operators import events as E
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 3.0),
+            ("a", "2024-01-01 01:20:00", None),  # observed, all-NULL
+            ("a", "2024-01-01 03:30:00", 7.0),  # hour 2 is a pure gap
+        ],
+        ["event_type", "ts_s", "value"],
+    ).select(
+        "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    rows = {
+        r.bucket.hour: (r.filled_value, r.was_gap)
+        for r in E.gap_fill(df, unit="hour").collect()
+    }
+    assert rows[0] == (3.0, False)
+    assert rows[1] == (3.0, True)  # NULL bucket: carried value, flagged
+    assert rows[2] == (3.0, True)  # pure gap after the NULL bucket
+    assert rows[3] == (7.0, False)

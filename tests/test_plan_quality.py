@@ -642,3 +642,14 @@ def test_weighted_sample_is_map_plus_takeordered(spark):
     assert tree.count("Scan parquet") == 1
     assert "TakeOrderedAndProject" in tree
     assert "Exchange" not in tree
+
+
+def test_recall_consumes_brute_force_once(spark):
+    """The recall eval marks IVF hits on ONE brute-force relation (left
+    join + single aggregate): 5 scans total (bf corpus+queries, ivf
+    corpus+queries, centroid table) — the two-subtree formulation
+    recomputed the expensive brute-force scoring and showed 7."""
+    plan = plan_of(spark, "similarity_recall_at_k")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 5
+    assert "CartesianProduct" not in plan
