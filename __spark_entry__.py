@@ -135,6 +135,28 @@ def _rp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_rp_index(spark, path)
 
 
+def _kmeans_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-corpus k-means model for
+    ``similarity_kmeans_ivf_topk`` — the persisted-artifact pattern the
+    IVF/RP/bloom indexes use. Training (3 Lloyd's rounds ≈ 4 corpus
+    scans) is a write-time job; the scored compose query PROBES the
+    persisted model (k-row centroid table + assignment join) instead of
+    retraining per query batch — at 100× scale the inline retrain is the
+    difference between a probe and a training job. Returns
+    ``(assignments, centroids)``."""
+    from client_data_ingester_spark.operators.similarity import (
+        build_kmeans_index,
+        load_kmeans_index,
+    )
+
+    path = _index_cache_path(sf_dir, "kmeans")
+    if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+        build_kmeans_index(
+            _t(spark, sf_dir, "embeddings"), path, k=8, n_iter=3
+        )
+    return load_kmeans_index(spark, path)
+
+
 def _bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once-per-eval-set bloom register table for
     ``corpus_bloom_decontaminate`` — the same persisted-index pattern as
@@ -756,10 +778,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kmeans-derived IVF: when a corpus ships with NO precomputed cell
     # column, the deterministic k-means model supplies both the cell
     # assignment and the coarse quantizer — the two similarity pieces
-    # compose end-to-end (cluster → probe → rerank), all oracle-exact
+    # compose end-to-end (cluster → probe → rerank), all oracle-exact.
+    # The model comes from the PERSISTED build artifact (_kmeans_index):
+    # the probe reads the k-row centroid table + assignment join instead
+    # of retraining (4 corpus scans) inside every query batch. The model
+    # is bit-deterministic, so the oracle (which unrolls the training CTE
+    # chain) still hash-matches the persisted-model probe.
     def _kmeans_ivf_scored(s, d):
         emb = _t(s, d, "embeddings")
-        assigns, cents = S.kmeans_model(emb, k=8, n_iter=3)
+        assigns, cents = _kmeans_index(s, d)
         corpus = emb.select("vec_id", "embedding").join(
             assigns.select("vec_id", F.col("cluster").alias("label")),
             "vec_id",
@@ -2723,7 +2750,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 13))
                             ::BIGINT + 1 AS DOUBLE)
                        / 4503599627370496.0 AS u
-            FROM documents)
+            FROM documents
+            WHERE n_chars > 0)
         SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
                CAST(FLOOR(LN(u) / CAST(n_chars AS DOUBLE) * 1000000 + 0.5)
                     AS BIGINT) AS key_micro
@@ -3026,7 +3054,8 @@ def oracle_sql() -> dict[str, str]:
         """q AS (
             SELECT vec_id,
                    list_transform(embedding,
-                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                       x -> CAST(GREATEST(-2000000, LEAST(2000000,
+                                FLOOR(CAST(x AS DOUBLE) * 1000000)))
                                  AS BIGINT)) AS qv
             FROM embeddings)""",
         "c0 AS (SELECT CAST(vec_id AS BIGINT) AS c, qv AS cv "

@@ -340,7 +340,10 @@ def daily_anomaly_scores(
 
 
 def gap_fill(
-    events: DataFrame, unit: str = "hour", value_col: str = "value"
+    events: DataFrame,
+    unit: str = "hour",
+    value_col: str = "value",
+    max_gap: int | None = None,
 ) -> DataFrame:
     """Calendar gap-filling with last-observation-carried-forward: each
     event type's per-``unit`` value series is densified onto its own
@@ -355,6 +358,16 @@ def gap_fill(
     formulation computed the fold twice: column pruning makes the span
     subtree differ from the join subtree, which defeats ReuseExchange),
     one fold shuffle, one window over the tiny (type, bucket) relation.
+
+    MEMORY BOUND: each inter-observation gap materializes as ONE
+    ``sequence()`` array on one row before the explode, so an event type
+    dormant for years at hour granularity would build a multi-million-
+    element array in a single task (memory spike; Spark also caps
+    sequence length). ``max_gap`` bounds that: when set, at most the
+    ``max_gap`` most recent missing buckets before each observation are
+    filled (older ones are skipped entirely), capping every per-row
+    array at ``max_gap + 1`` elements. Default ``None`` preserves the
+    dense-calendar contract for well-behaved series.
     """
     step = F.expr(f"interval 1 {unit}")
     bucket = F.date_trunc(unit, F.col("ts")).alias("bucket")
@@ -380,6 +393,9 @@ def gap_fill(
     # so there is no observed/gaps union whose asymmetric branches would
     # re-fold the fact table
     start = F.coalesce(F.col("_prev_b") + step, F.col("bucket"))
+    if max_gap is not None:
+        floor_b = F.col("bucket") - F.expr(f"interval {int(max_gap)} {unit}")
+        start = F.greatest(start, floor_b)
     filled = F.explode(
         F.sequence(start, F.col("bucket"), step)
     ).alias("_fill_b")

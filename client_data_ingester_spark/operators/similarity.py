@@ -604,9 +604,23 @@ def _quantize_vec(vec: Column) -> Column:
     int64-exact (distances, argmin ties, centroid means), so iterations are
     bit-stable across engines, partitionings, and retries. float->double
     widening and the 1e6 product round identically under IEEE on any
-    engine; everything after is integer."""
+    engine; everything after is integer.
+
+    Quantized components are clamped to ±2*10^6 (magnitude ≤ 2.0) so the
+    ``_sq_dist`` int64 bound holds BY CONSTRUCTION for any input: without
+    the clamp, an unnormalized vector overflows long arithmetic, which
+    Spark silently wraps (non-ANSI) while DuckDB raises — a silent
+    cross-engine divergence instead of a loud failure. Embeddings are
+    expected in [-1,1]; the clamp is a no-op on valid data."""
     return F.transform(
-        vec, lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+        vec,
+        lambda x: F.greatest(
+            F.lit(-2000000).cast("long"),
+            F.least(
+                F.lit(2000000).cast("long"),
+                F.floor(x.cast("double") * 1000000).cast("long"),
+            ),
+        ),
     )
 
 
@@ -723,3 +737,34 @@ def kmeans_assignments(
     """Just the (id, cluster, dist_sq) half of ``kmeans_model``."""
     assignments, _ = kmeans_model(corpus, k, n_iter, id_col, vec_col)
     return assignments
+
+
+def build_kmeans_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD STEP: persist BOTH halves of the deterministic k-means model
+    (assignments under ``path/assignments``, centroids under
+    ``path/centroids``) — the same write-time-artifact pattern as the
+    IVF/RP/bloom indexes. Training is ``n_iter + 1`` full corpus scans;
+    at 100 TB that is a training JOB, never a per-query-batch expense.
+    A probe (cluster → cell-probe → rerank) then reads the k-row centroid
+    table and joins the persisted assignments instead of retraining.
+    ``kmeans_model`` is bit-deterministic (int64-exact rounds), so the
+    persisted model is value-identical to an inline recompute."""
+    assignments, centroids = kmeans_model(corpus, k, n_iter, id_col, vec_col)
+    assignments.write.mode("overwrite").parquet(f"{path}/assignments")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_kmeans_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read a persisted k-means model written by ``build_kmeans_index``:
+    returns ``(assignments, centroids)``."""
+    return (
+        spark.read.parquet(f"{path}/assignments"),
+        spark.read.parquet(f"{path}/centroids"),
+    )

@@ -546,7 +546,13 @@ def weighted_sample(
     immediately, and selection is an integer top-n with id tie-break
     riding TakeOrderedAndProject (no global sort materialization).
     Map-only until the bounded top-n — at 100 TB the cost is one scan.
+
+    Rows with non-positive (or NULL) weights are excluded up front:
+    ``ln(u)/0`` is ±inf/NaN, which Spark's non-ANSI long cast folds to a
+    NULL/extreme while DuckDB errors on ``CAST(FLOOR(-inf) AS BIGINT)`` —
+    filtering keeps dirty data engine-convergent instead of divergent.
     """
+    docs = docs.filter(F.col(weight_col) > 0)
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
         .cast("long")

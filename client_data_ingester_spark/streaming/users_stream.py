@@ -66,7 +66,17 @@ def start_first_seen_stream(
 
 def merged_first_seen(spark: SparkSession, shard_dir: str) -> DataFrame:
     """All shards folded to one (user_id, _first) registry
-    (merge-on-read; MIN is associative and replay-idempotent)."""
+    (merge-on-read; MIN is associative and replay-idempotent).
+
+    Before the stream's first micro-batch commits a shard the directory
+    does not exist yet; readers polling early get an EMPTY registry (the
+    correct zero-users state) instead of a path-not-found error."""
+    import os
+
+    if not os.path.isdir(shard_dir):
+        return spark.createDataFrame(
+            [], "user_id long, _first timestamp"
+        )
     return (
         spark.read.parquet(shard_dir)
         .groupBy("user_id")

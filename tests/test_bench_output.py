@@ -1,0 +1,63 @@
+"""Pin the driver contract on bench.py's final stdout line.
+
+The driver keeps only the last ~2000 chars of bench stdout and parses
+them as JSON. Rounds 5-7 emitted a ~5-6 KB single-line record and every
+one of them recorded ``parsed: null`` — the perf half of the contract was
+invisible for three rounds. These tests guarantee the compact line stays
+parseable no matter how large the query inventory grows.
+"""
+
+import json
+
+import bench
+
+
+def _fake_out(n_queries: int, name_len: int = 60) -> dict:
+    queries = {
+        f"query_{'x' * name_len}_{i:04d}": round(0.1 * i, 3)
+        for i in range(n_queries)
+    }
+    # sprinkle failures to exercise the failed list
+    for i in range(0, n_queries, 7):
+        queries[f"query_{'x' * name_len}_{i:04d}"] = -1.0
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": queries,
+        "build_costs": {f"artifact_{i}": {"sec": 1.0, "cached": False} for i in range(20)},
+        "window": {"scored": list(queries), "deferred": [], "coverage_rounds": 3},
+    }
+
+
+def test_compact_line_under_driver_cap():
+    # far beyond the 142-entry rotation capacity, with pathological names
+    for n in (10, 50, 150, 400):
+        line = json.dumps(bench.compact_line(_fake_out(n)))
+        assert len(line) < bench.MAX_LINE_BYTES, (n, len(line))
+
+
+def test_compact_line_fields():
+    out = _fake_out(100)
+    line = bench.compact_line(out)
+    assert line["metric"] == out["metric"]
+    assert line["value"] == out["value"]
+    assert line["n_queries"] == 100
+    assert line["n_failed"] == len([v for v in out["queries"].values() if v < 0])
+    assert len(line["failed"]) <= 5
+    assert len(line["slowest"]) <= 8
+    # slowest excludes failures and is sorted descending
+    vals = list(line["slowest"].values())
+    assert all(v >= 0 for v in vals)
+    assert vals == sorted(vals, reverse=True)
+    # round-trips through json
+    assert json.loads(json.dumps(line)) == line
+
+
+def test_compact_line_empty_inventory():
+    line = bench.compact_line(
+        {"metric": "m", "value": 0.0, "unit": "sec", "sf": 0.001, "queries": {}}
+    )
+    assert line["n_queries"] == 0 and line["n_failed"] == 0
+    assert len(json.dumps(line)) < bench.MAX_LINE_BYTES

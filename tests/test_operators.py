@@ -1086,3 +1086,51 @@ def test_gap_fill_all_null_bucket_carries_last_real_value(spark):
     assert rows[1] == (3.0, True)  # NULL bucket: carried value, flagged
     assert rows[2] == (3.0, True)  # pure gap after the NULL bucket
     assert rows[3] == (7.0, False)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, -5), (4, None), (5, 100)],
+        "doc_id long, n_chars long",
+    )
+    rows = X.weighted_sample(df, weight_col="n_chars", n=10).collect()
+    # zero / negative / NULL weights never enter the draw (ln(u)/0 would
+    # be engine-divergent: Spark folds ±inf to NULL, DuckDB errors)
+    assert sorted(r.doc_id for r in rows) == [1, 5]
+    assert all(r.key_micro is not None for r in rows)
+
+
+def test_gap_fill_max_gap_bounds_fill(spark):
+    from client_data_ingester_spark.operators import events as E
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-03 00:00:00", 9.0)],
+        ["event_type", "ts_s", "value"],
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    # 47 missing hours between the two observations; cap at 3
+    rows = E.gap_fill(df, unit="hour", max_gap=3).collect()
+    assert len(rows) == 1 + 3 + 1  # first obs + 3 capped gaps + second obs
+    gaps = [r for r in rows if r.was_gap]
+    assert len(gaps) == 3
+    assert all(r.filled_value == 1.0 for r in gaps)
+    # uncapped behavior unchanged
+    assert len(E.gap_fill(df, unit="hour").collect()) == 49
+
+
+def test_quantize_vec_clamps_out_of_range_components(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -3.0, 1e12])], "vec_id long, embedding array<double>"
+    )
+    q = df.select(S._quantize_vec(F.col("embedding")).alias("q")).first().q
+    assert q == [500000, -2000000, 2000000]
+
+
+def test_merged_first_seen_before_first_commit_is_empty(spark, tmp_path):
+    from client_data_ingester_spark.streaming import users_stream as U
+
+    missing = str(tmp_path / "never_written")
+    df = U.merged_first_seen(spark, missing)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["user_id", "_first"]
+    # the cumulative reader built on it also returns an empty curve
+    assert U.read_cumulative_users(spark, missing, unit="hour").count() == 0

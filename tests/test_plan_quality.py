@@ -653,3 +653,17 @@ def test_recall_consumes_brute_force_once(spark):
     tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
     assert tree.count("Scan parquet") <= 5
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_ivf_probe_reads_persisted_model(spark):
+    """The compose query must PROBE the persisted k-means model (k-row
+    centroid table + assignment join from the build artifact), never
+    retrain inside the query: 4 scans total (corpus + queries from
+    embeddings, assignments + centroids from the model cache). The
+    inline-retrain shape showed 8+ scans — at 100× that is a training
+    job billed to every query batch."""
+    plan = plan_of(spark, "similarity_kmeans_ivf_topk")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert "kmeans_index_" in plan  # scans the persisted model, not a retrain
+    assert tree.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in plan
