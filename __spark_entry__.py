@@ -964,6 +964,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = lambda s, d: M.extract_features(
         M.attach_media_columns(_t(s, d, "documents")), decode_stub=True
     )
+    # REAL codec end-to-end (decode_stub=False for this format): synthesize
+    # genuine 24-bit BMP bytes per doc from a closed-form pixel generator,
+    # decode them back with the dependency-free parser (header walk,
+    # bottom-up rows, BGR order, 4-byte row padding), and emit exact
+    # integer channel sums. The oracle evaluates the SAME generator
+    # analytically over a generate_series pixel grid — a wrong stride,
+    # ignored pad, or channel swap in the decoder breaks the value hash.
+    q["multimodal_bmp_stats"] = lambda s, d: M.bmp_pixel_stats(
+        M.synth_bmp_media(_t(s, d, "documents"), width=5, height=4)
+    )
 
     # -- hash-probe diagnostics --------------------------------------------
     # One-row, single-type-family probes. If the driver's value-hash ever
@@ -3437,6 +3447,27 @@ def oracle_sql() -> dict[str, str]:
                ({feat_terms}) / (255.0 * 8) AS feat_mean,
                8 AS feat_dim
         FROM documents
+    """
+
+    # analytic twin of the real BMP encode→decode round-trip: the pixel
+    # generator B=(7d+3x+5y)%256, G=(d+x+y)%256, R=(13d+x+2y)%256 is
+    # summed over the 5x4 grid directly — no codec on the oracle side
+    o["multimodal_bmp_stats"] = """
+        SELECT d.doc_id AS media_id,
+               CAST(5 AS INTEGER) AS width,
+               CAST(4 AS INTEGER) AS height,
+               CAST(20 AS INTEGER) AS n_pixels,
+               CAST(SUM((7 * d.doc_id + 3 * gx.x + 5 * gy.y) % 256)
+                    AS BIGINT) AS sum_b,
+               CAST(SUM((d.doc_id + gx.x + gy.y) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM((13 * d.doc_id + gx.x + 2 * gy.y) % 256)
+                    AS BIGINT) AS sum_r,
+               CAST(SUM((13 * d.doc_id + gx.x + 2 * gy.y) % 256)
+                    * 1000 // 20 AS BIGINT) AS mean_r_milli
+        FROM documents d,
+             generate_series(0, 4) gx(x),
+             generate_series(0, 3) gy(y)
+        GROUP BY d.doc_id
     """
 
     # -- hash-probe diagnostics --------------------------------------------

@@ -2,11 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct alongside. The Spark-side plumbing — schema, partition-sized
-Arrow batches through ``mapInPandas``, UDF signatures — is real and tested;
-the actual media decoding is STUBBED (Pillow/librosa/av are not in this
-container): ``decode_stub=True`` computes deterministic fake features from
-the bytes, ``decode_stub=False`` raises NotImplementedError where the codec
-call would go.
+Arrow batches through ``mapInPandas``, UDF signatures — is real and tested.
+Decoding: uncompressed 24-bit BMP decodes FOR REAL (dependency-free header
+walk + pixel stats, see :func:`decode_bmp`, scored end-to-end by
+``multimodal_bmp_stats``); formats that genuinely need codec libraries
+(Pillow/librosa/av, not in this container) stay stubbed —
+``decode_stub=True`` computes deterministic fake features from the bytes,
+``decode_stub=False`` raises NotImplementedError where the codec call
+would go.
 
 At scale: payloads live in parquet binary columns (or object-store pointers
 for >~1 MB blobs); mapInPandas streams Arrow batches so an executor never
@@ -74,11 +77,151 @@ def attach_media_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_real(kind: str, payload: bytes) -> list[float]:
+    """REAL decode path. Uncompressed 24-bit BMP is decoded natively (no
+    codec library needed — see :func:`decode_bmp`); every other format
+    still raises, honestly marking the external-codec boundary."""
+    if payload and payload[:2] == b"BM":
+        w, h, sums = decode_bmp(payload)
+        n = w * h
+        # 3-dim feature: per-channel mean scaled to [0,1] (B, G, R)
+        return [s / (255.0 * n) for s in sums]
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries "
         "(Pillow/librosa/av) not present in this environment; "
-        "run with decode_stub=True for the deterministic fake path"
+        "run with decode_stub=True for the deterministic fake path "
+        "(uncompressed 24-bit BMP payloads decode for real)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real codec: uncompressed 24-bit BMP (dependency-free)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, bgr_rows: "np.ndarray") -> bytes:
+    """Serialize an (height, width, 3) uint8 BGR array as a standard
+    bottom-up, uncompressed 24-bit BMP (BITMAPINFOHEADER), including the
+    4-byte row padding real files carry."""
+    import struct
+
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        body += bgr_rows[y].tobytes() + b"\x00" * pad
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
+    """Parse an uncompressed 24-bit BMP and return
+    ``(width, height, (sum_b, sum_g, sum_r))`` with EXACT integer channel
+    sums — the real header walk (magic, pixel-array offset, dims, bpp,
+    compression), bottom-up row order, BGR byte order, and per-row 4-byte
+    padding are all honored, so a wrong stride or ignored pad shows up as
+    a value mismatch against the analytic oracle."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, width, height) = struct.unpack_from("<Iii", payload, 14)
+    (planes, bpp) = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={compression}")
+    if height <= 0 or width <= 0:
+        raise ValueError("top-down or degenerate BMP not supported")
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    import numpy as np
+
+    sums = np.zeros(3, dtype=np.int64)
+    for y in range(height):
+        off = pix_offset + y * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=row_bytes, offset=off)
+        sums += row.reshape(width, 3).sum(axis=0, dtype=np.int64)
+    return width, height, (int(sums[0]), int(sums[1]), int(sums[2]))
+
+
+def synth_bmp_media(
+    docs: DataFrame,
+    width: int = 5,
+    height: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic REAL BMP payloads, one per doc: pixel (x, y) of image
+    ``d`` is ``B=(7d+3x+5y)%256, G=(d+x+y)%256, R=(13d+x+2y)%256`` — a
+    closed-form generator the DuckDB oracle can evaluate analytically, so
+    the scored query exercises true bytes-level encode→decode while the
+    oracle never needs a codec. Width 5 forces a nonzero row pad (15 →
+    16 bytes), keeping the padding logic under test.
+
+    Arrow-batched generation: blob construction is per-row Python/numpy
+    inside ``mapInPandas`` (the honest shape for binary synthesis; at
+    scale real payloads arrive from the lake, not a generator)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys, xs = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                bgr = np.stack(
+                    [
+                        (7 * d + 3 * xs + 5 * ys) % 256,
+                        (d + xs + ys) % 256,
+                        (13 * d + xs + 2 * ys) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(width, height, bgr))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+BMP_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels int, "
+    "sum_b long, sum_g long, sum_r long, mean_r_milli long"
+)
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL end-to-end decode: parse each BMP payload (header + padded
+    bottom-up pixel rows) and emit exact integer channel sums plus a
+    floor-quantized mean — all-integer output, so the value hash against
+    the analytic oracle is bit-exact. 1:1 row contract, Arrow-batched;
+    decode parallelism == partition count (repartition by a content-hash
+    prefix upstream when blob sizes are skewed)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, (sb, sg, sr) = decode_bmp(p)
+                n = w * h
+                rows.append(
+                    (mid, w, h, n, sb, sg, sr, (sr * 1000) // n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "sum_b", "sum_g", "sum_r", "mean_r_milli",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=BMP_STATS_SCHEMA)
 
 
 def _decode_fake(kind: str, payload: bytes) -> list[float]:
