@@ -379,6 +379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winsorized_balances"] = lambda s, d: R.winsorized_balance_stats(
         _t(s, d, "customer")
     )
+    # the FACT-scale winsorizing route: clamp bounds come from the
+    # mergeable histogram sketch (register state ≤ n_bins rows/group),
+    # never an exact percentile's per-group value buffer
+    q["winsorized_fact_prices"] = lambda s, d: R.winsorized_fact_stats(
+        _t(s, d, "lineitem")
+    )
     q["parts_above_brand_avg"] = lambda s, d: R.parts_above_brand_avg(
         _t(s, d, "part")
     )
@@ -1611,6 +1617,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(_is_lo) AS BIGINT) AS n_clamped_lo,
                CAST(SUM(_is_hi) AS BIGINT) AS n_clamped_hi
         FROM cl GROUP BY c_mktsegment
+    """
+
+    o["winsorized_fact_prices"] = f"""
+        WITH regs AS (
+            SELECT l_returnflag,
+                   CAST(LEAST(GREATEST(
+                       FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                             / 110000.0 * 220), 0), 219)
+                       AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1, 2),
+        c AS (
+            SELECT l_returnflag, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+            FROM regs),
+        qs AS (
+            SELECT CAST(q AS DOUBLE) AS q
+            FROM (VALUES (0.05), (0.95)) t(q)),
+        hit AS (
+            SELECT l_returnflag, q, MIN(bin) AS bin
+            FROM c CROSS JOIN qs
+            WHERE cum >= q * total
+            GROUP BY 1, 2),
+        b AS (
+            SELECT l_returnflag,
+                   MAX(CASE WHEN q = 0.05 THEN
+                       CAST(FLOOR((0.0 + (bin + 1) * 110000.0 / 220) * 100
+                                  + 0.5) / 100 AS {DEC}) END) AS _lo,
+                   MAX(CASE WHEN q = 0.95 THEN
+                       CAST(FLOOR((0.0 + (bin + 1) * 110000.0 / 220) * 100
+                                  + 0.5) / 100 AS {DEC}) END) AS _hi
+            FROM hit GROUP BY 1),
+        cl AS (
+            SELECT l.l_returnflag,
+                   CASE WHEN {money('l_extendedprice')} < _lo THEN _lo
+                        WHEN {money('l_extendedprice')} > _hi THEN _hi
+                        ELSE {money('l_extendedprice')} END AS _cl,
+                   CASE WHEN {money('l_extendedprice')} < _lo THEN 1 ELSE 0
+                       END AS _is_lo,
+                   CASE WHEN {money('l_extendedprice')} > _hi THEN 1 ELSE 0
+                       END AS _is_hi
+            FROM lineitem l JOIN b USING (l_returnflag))
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(_cl) AS DOUBLE) AS winsorized_sum,
+               CAST(FLOOR(CAST(SUM(_cl) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+                    / 10000 AS DOUBLE) AS winsorized_mean,
+               CAST(SUM(_is_lo) AS BIGINT) AS n_clamped_lo,
+               CAST(SUM(_is_hi) AS BIGINT) AS n_clamped_hi
+        FROM cl GROUP BY l_returnflag
     """
 
     o["parts_above_brand_avg"] = f"""

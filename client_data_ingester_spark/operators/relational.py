@@ -1173,3 +1173,66 @@ def winsorized_balance_stats(
         F.sum("_is_lo").cast("long").alias("n_clamped_lo"),
         F.sum("_is_hi").cast("long").alias("n_clamped_hi"),
     )
+
+
+def winsorized_fact_stats(
+    lineitem: DataFrame,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    domain_lo: float = 0.0,
+    domain_hi: float = 110000.0,
+    n_bins: int = 220,
+) -> DataFrame:
+    """FACT-SCALE winsorizing — the route ``winsorized_balance_stats``'s
+    docstring recommends beyond dimension scale, now scored: clamp
+    ``l_extendedprice`` per returnflag to bounds read from the MERGEABLE
+    HISTOGRAM SKETCH (``sketch.hist_registers``) instead of an exact
+    percentile. Sketch state is ≤ ``n_bins`` register rows per group no
+    matter how many fact rows exist — no per-group buffering of raw
+    values anywhere in the plan (exact ``percentile`` holds every value
+    of a group in one aggregation buffer; at 100 TB that's an executor
+    OOM, and a sort-based exact rank is a full fact shuffle).
+
+    Plan shape: two fact scans — one map-side-combined register build
+    (shuffle carries ≤ groups × n_bins rows), one clamp+re-aggregate with
+    the tiny bounds relation broadcast. Bound values are deterministic
+    bin edges (error ≤ one bin width — the sketch trade), floor-rounded
+    to 2 decimals and cast to DECIMAL so the clamp and the re-aggregation
+    run in exact decimal arithmetic like the dimension-scale variant.
+    """
+    from .sketch import hist_quantiles, hist_registers
+
+    regs = hist_registers(
+        lineitem, "l_extendedprice", domain_lo, domain_hi, n_bins,
+        group_cols=["l_returnflag"],
+    )
+    q_bounds = hist_quantiles(
+        regs, [lo_q, hi_q], domain_lo, domain_hi, n_bins,
+        group_cols=["l_returnflag"],
+    )
+    r2dec = (
+        F.floor(F.col("est_value") * 100 + F.lit(0.5)) / 100
+    ).cast(D182)
+    bounds = q_bounds.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("q") == F.lit(float(lo_q)), r2dec)).alias("_lo"),
+        F.max(F.when(F.col("q") == F.lit(float(hi_q)), r2dec)).alias("_hi"),
+    )
+    price = _money("l_extendedprice")
+    # CASE-shaped clamp (not least/greatest) for the same NULL reason as
+    # the dimension-scale variant
+    clamped = lineitem.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.when(price < F.col("_lo"), F.col("_lo"))
+        .when(price > F.col("_hi"), F.col("_hi"))
+        .otherwise(price)
+        .alias("_cl"),
+        F.coalesce((price < F.col("_lo")).cast("int"), F.lit(0)).alias("_is_lo"),
+        F.coalesce((price > F.col("_hi")).cast("int"), F.lit(0)).alias("_is_hi"),
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_cl").cast("double").alias("winsorized_sum"),
+        _avg4(F.sum("_cl"), F.count(F.lit(1))).alias("winsorized_mean"),
+        F.sum("_is_lo").cast("long").alias("n_clamped_lo"),
+        F.sum("_is_hi").cast("long").alias("n_clamped_hi"),
+    )

@@ -667,3 +667,17 @@ def test_kmeans_ivf_probe_reads_persisted_model(spark):
     assert "kmeans_index_" in plan  # scans the persisted model, not a retrain
     assert tree.count("Scan parquet") <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_fact_winsorizing_is_register_bounded(spark):
+    """The fact-scale clamp must take its bounds from the histogram
+    sketch: no exact-percentile (per-group value buffer) and no
+    collect_list anywhere; exactly two fact scans (register build +
+    clamp/re-aggregate) with the bounds relation broadcast."""
+    plan = plan_of(spark, "winsorized_fact_prices")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert "percentile" not in plan.lower()
+    assert "collect_list" not in plan.lower()
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
