@@ -157,6 +157,66 @@ def _kmeans_index(spark: SparkSession, sf_dir: str):
     return load_kmeans_index(spark, path)
 
 
+def _pipeline_curated(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
+    """End-to-end curation pipeline: exact-dedup keepers → train split →
+    bloom majority-overlap quarantine → quality filter → sequence pack.
+
+    ``checkpoint`` picks the materialization strategy at the natural
+    stage boundary (after the decontaminated ``clean`` slice, before the
+    quality/pack family):
+
+    - ``False`` (the shape the scored query pins): fully lazy — Catalyst
+      sees the whole graph, but pruning-asymmetric consumers re-scan
+      ``documents`` per family (cheap at bench scale, measured ~3 s).
+    - ``True``: eagerly materialize the curated slice via
+      ``localCheckpoint`` — downstream families read the (much smaller)
+      curated rows from memory/disk instead of re-scanning the source.
+      At 100 TB this is the right shape: the curated slice is a fraction
+      of the corpus and every later family re-uses it; in production
+      you'd snapshot it to a table (the tables/ layer) rather than a
+      session-lifetime checkpoint. Trade recorded in PLANS.md;
+      tests/test_plan_quality.py distinguishes the two plans.
+
+    Values are IDENTICAL either way (checkpointing changes the physical
+    plan only), so both variants hash-match the same DuckDB oracle.
+    """
+    from client_data_ingester_spark.operators.corpus import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = D.exact_duplicates(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    train_ids = (
+        hash_split(docs, train_pct=80)
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    train = docs.join(keep, "doc_id").join(train_ids, "doc_id")
+    # majority-overlap quarantine (2*hits > shingles), not the any-hit
+    # rule: this synthetic corpus is templated, so nearly every doc
+    # shares SOME shingle with the eval split — any-hit would empty
+    # the pipeline. Integer comparison: no float ratio to disagree on.
+    flagged = (
+        K.bloom_probe(train, _bloom_index(spark, sf_dir))
+        .filter(F.col("n_bloom_hits") * 2 > F.col("n_shingles"))
+        .select("doc_id")
+    )
+    clean = train.join(flagged, "doc_id", "left_anti")
+    if checkpoint:
+        clean = clean.localCheckpoint(eager=True)
+    good = (
+        clean.join(
+            X.quality_scores(clean).select("doc_id", "quality_score"),
+            "doc_id",
+        )
+        .filter(F.col("quality_score") >= 0.95)
+        .select(*docs.columns)
+    )
+    return X.pack_sequences(good, budget_tokens=512)
+
+
 def _bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once-per-eval-set bloom register table for
     ``corpus_bloom_decontaminate`` — the same persisted-index pattern as
@@ -683,41 +743,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # COMPOSE (schema drift between any two stages breaks this row).
     # Every stage is the same operator the standalone scored queries use;
     # the only driver-side values are the two literals (split pct,
-    # quality threshold).
-    def _pipeline_scored(s, d):
-        from client_data_ingester_spark.operators.corpus import hash_split
-
-        docs = _t(s, d, "documents")
-        keep = D.exact_duplicates(docs).select(
-            F.col("keeper_id").alias("doc_id")
-        )
-        train_ids = (
-            hash_split(docs, train_pct=80)
-            .filter(F.col("split") == "train")
-            .select("doc_id")
-        )
-        train = docs.join(keep, "doc_id").join(train_ids, "doc_id")
-        # majority-overlap quarantine (2*hits > shingles), not the any-hit
-        # rule: this synthetic corpus is templated, so nearly every doc
-        # shares SOME shingle with the eval split — any-hit would empty
-        # the pipeline. Integer comparison: no float ratio to disagree on.
-        flagged = (
-            K.bloom_probe(train, _bloom_index(s, d))
-            .filter(F.col("n_bloom_hits") * 2 > F.col("n_shingles"))
-            .select("doc_id")
-        )
-        clean = train.join(flagged, "doc_id", "left_anti")
-        good = (
-            clean.join(
-                X.quality_scores(clean).select("doc_id", "quality_score"),
-                "doc_id",
-            )
-            .filter(F.col("quality_score") >= 0.95)
-            .select(*docs.columns)
-        )
-        return X.pack_sequences(good, budget_tokens=512)
-
-    q["pipeline_curate_and_pack"] = _pipeline_scored
+    # quality threshold). The scored entry is PINNED to the lazy
+    # (checkpoint=False) shape — see _pipeline_curated for the
+    # materialization boundary and tests/test_plan_quality.py for the
+    # test distinguishing the two plans.
+    q["pipeline_curate_and_pack"] = lambda s, d: _pipeline_curated(
+        s, d, checkpoint=False
+    )
     q["tfidf_top_terms"] = lambda s, d: C.tfidf_top_terms(
         _t(s, d, "documents")
     )

@@ -681,3 +681,32 @@ def test_fact_winsorizing_is_register_bounded(spark):
     assert tree.count("Scan parquet") == 2
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_checkpoint_boundary_changes_plan_shape(spark):
+    """The curation pipeline's two materialization strategies must stay
+    distinguishable: the scored entry pins the lazy shape (pure parquet
+    lineage, no checkpoint scan); checkpoint=True replaces every
+    downstream re-scan of the source with reads of the materialized
+    curated slice (ExistingRDD), the 100 TB deployment shape."""
+    lazy = entry._pipeline_curated(spark, SF, checkpoint=False)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lazy.explain("formatted")
+    lazy_tree = buf.getvalue().split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert lazy_tree.count("Scan parquet") > 0
+    assert "ExistingRDD" not in lazy_tree
+
+    cp = entry._pipeline_curated(spark, SF, checkpoint=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cp.explain("formatted")
+    cp_tree = buf.getvalue().split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert cp_tree.count("ExistingRDD") >= 1
+    # downstream of the boundary nothing re-reads the source corpus
+    assert cp_tree.count("Scan parquet") == 0
+    # same values either way: the checkpoint changes the plan only
+    assert sorted(map(tuple, cp.collect())) == sorted(map(tuple, lazy.collect()))
