@@ -651,6 +651,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_gap_fill"] = lambda s, d: E.gap_fill(
         _t(s, d, "events").filter(F.hour("ts") % 5 != 2), unit="hour"
     )
+    # the BOUNDED-fill variant: hours with h%6<3 are punched out (3-hour
+    # gaps), max_gap=2 fills only the 2 most recent missing buckets per
+    # gap — the memory-bound path for dormant series (a years-dormant
+    # type would otherwise build one multi-million-element sequence
+    # array in a single task)
+    q["events_gap_fill_capped"] = lambda s, d: E.gap_fill(
+        _t(s, d, "events").filter(F.hour("ts") % 6 >= 3),
+        unit="hour",
+        max_gap=2,
+    )
     # cumulative distinct users per hour via first-seen folding (no
     # per-bucket distinct state)
     q["events_cumulative_users"] = lambda s, d: E.cumulative_unique_users(
@@ -749,6 +759,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test distinguishing the two plans.
     q["pipeline_curate_and_pack"] = lambda s, d: _pipeline_curated(
         s, d, checkpoint=False
+    )
+    # the 100 TB deployment shape: same pipeline, curated slice
+    # materialized at the stage boundary (0 downstream parquet re-scans;
+    # see test_pipeline_checkpoint_boundary_changes_plan_shape). Values
+    # are identical by construction, so it shares the composed oracle —
+    # a driver row proving the materialized variant stays hash-exact.
+    q["pipeline_curate_checkpointed"] = lambda s, d: _pipeline_curated(
+        s, d, checkpoint=True
     )
     q["tfidf_top_terms"] = lambda s, d: C.tfidf_top_terms(
         _t(s, d, "documents")
@@ -2539,6 +2557,9 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY shard_id ORDER BY doc_id) AS INTEGER) AS pos
         FROM shd
     """
+    # the checkpointed variant changes only the physical plan — identical
+    # values, identical oracle
+    o["pipeline_curate_checkpointed"] = o["pipeline_curate_and_pack"]
 
     o["tfidf_top_terms"] = f"""
         WITH w AS ({word_occ}),
@@ -2758,6 +2779,43 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS filled_value,
                bucket_value IS NULL AS was_gap
         FROM j
+        ORDER BY event_type, bucket
+    """
+
+    # capped variant: fill only gap buckets within max_gap=2 hours of the
+    # NEXT observation (locf computed over the full calendar first, so
+    # dropped buckets cannot perturb the carried value)
+    o["events_gap_fill_capped"] = """
+        WITH per_bucket AS (
+            SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS bucket_value
+            FROM events
+            WHERE DATE_PART('hour', ts) % 6 >= 3
+            GROUP BY 1, 2),
+        cal AS (
+            SELECT event_type,
+                   UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+            FROM (SELECT event_type, MIN(bucket) AS t0, MAX(bucket) AS t1
+                  FROM per_bucket GROUP BY 1)),
+        j AS (
+            SELECT c.event_type, c.bucket, p.bucket_value
+            FROM cal c LEFT JOIN per_bucket p USING (event_type, bucket)),
+        locf AS (
+            SELECT event_type, bucket, bucket_value,
+                   CAST(LAST_VALUE(bucket_value IGNORE NULLS) OVER (
+                            PARTITION BY event_type ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS filled_value,
+                   bucket_value IS NULL AS was_gap,
+                   MIN(CASE WHEN bucket_value IS NOT NULL THEN bucket END)
+                       OVER (PARTITION BY event_type ORDER BY bucket
+                             ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS next_obs
+            FROM j)
+        SELECT event_type, bucket, filled_value, was_gap
+        FROM locf
+        WHERE bucket_value IS NOT NULL
+           OR DATE_DIFF('hour', bucket, next_obs) <= 2
         ORDER BY event_type, bucket
     """
 

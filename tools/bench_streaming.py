@@ -1,0 +1,183 @@
+"""Streaming-path throughput smoke (VERDICT r7 ask #7).
+
+The streaming twins are pytest-verified for semantics; this records their
+THROUGHPUT next to the batch medians so the streaming story has numbers,
+not just green tests. Three paths, each driven with availableNow triggers
+over real landing files at the configured scale factor:
+
+- ingest:   lineitem-derived products CSV (~600k rows at sf0.1) split into
+            4 landing files, merged into a snapshot table by
+            ``start_ingest_stream`` (validate + last-write-wins fold +
+            full-outer merge per micro-batch, epoch-transactional).
+- dedup:    documents replicated 20x with distinct ids + 25% literal
+            duplicates, streamed as JSON through the watermarked
+            first-seen dedup into an idempotent parquet sink.
+- cdc_feed: two-version snapshot table (part-derived); the publisher
+            diffs manifests per version and the feed is tailed back as a
+            file-source stream (rows/s = published change rows / wall).
+
+Prints ONE JSON line (rows/sec per path). Numbers are single-run wall
+times on a shared box — same machine-variance caveat as bench.py; treat
+them as order-of-magnitude, and compare only 3-repeat medians.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/bench_streaming.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from client_data_ingester_spark.ingestion import ParserConfig  # noqa: E402
+from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA  # noqa: E402
+from client_data_ingester_spark.session import get_spark  # noqa: E402
+from client_data_ingester_spark.streaming import start_ingest_stream  # noqa: E402
+from client_data_ingester_spark.streaming.changes_stream import (  # noqa: E402
+    ChangeFeedPublisher,
+)
+from client_data_ingester_spark.streaming.dedup_stream import (  # noqa: E402
+    start_dedup_stream_to_parquet,
+)
+from client_data_ingester_spark.tables import SnapshotTable  # noqa: E402
+
+CFG = ParserConfig(
+    "csv",
+    {
+        "sku": ("sku", "text"),
+        "title": ("title", "text"),
+        "qty": ("stock_quantity", "integer"),
+        "price": ("max_price", "decimal"),
+        "active": ("active", "boolean"),
+    },
+)
+
+
+def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = li.select(
+        F.concat(
+            F.lit("L"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("sku"),
+        F.concat(F.lit("Item "), F.col("l_partkey").cast("string")).alias("title"),
+        F.col("l_quantity").cast("int").cast("string").alias("qty"),
+        F.concat(F.lit("$"), F.col("l_extendedprice").cast("string")).alias("price"),
+        F.when(F.col("l_returnflag") == "R", "0").otherwise("1").alias("active"),
+    )
+    n_rows = src.count()
+    n_keys = src.select("sku").distinct().count()
+    landing = os.path.join(work, "landing")
+    # 4 files -> the file source has multiple inputs to batch over
+    src.repartition(4).write.option("header", True).mode("overwrite").csv(landing)
+    table = SnapshotTable(
+        os.path.join(work, "products"), CLIENT_PRODUCTS_SCHEMA
+    )
+    t0 = time.time()
+    q = start_ingest_stream(
+        spark,
+        table,
+        landing,
+        os.path.join(work, "ckpt_ingest"),
+        CFG,
+        client_id=1,
+        source_columns=["sku", "title", "qty", "price", "active"],
+    )
+    q.awaitTermination(600)
+    wall = time.time() - t0
+    merged = table.read(spark, 1).count()
+    assert merged == n_keys, (merged, n_keys)  # last-write-wins per sku
+    return {
+        "rows": n_rows,
+        "merged_rows": merged,
+        "sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+    }
+
+
+def bench_dedup_stream(spark, sf_dir: str, work: str) -> dict:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # 20 distinct-id replicas, 25% of which carry a DUPLICATE text of
+    # replica 0 (same digest -> dropped by first-seen state)
+    rep = spark.range(20).select(F.col("id").alias("_r"))
+    feed = docs.crossJoin(F.broadcast(rep)).select(
+        (F.col("doc_id") * 100 + F.col("_r")).alias("doc_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        F.when(F.col("_r") % 4 == 0, F.col("text"))  # literal duplicate
+        .otherwise(F.concat(F.col("text"), F.lit(" r"), F.col("_r")))
+        .alias("text"),
+    )
+    n_rows = feed.count()
+    src = os.path.join(work, "docs_json")
+    feed.repartition(4).write.mode("overwrite").json(src)
+    out = os.path.join(work, "deduped")
+    t0 = time.time()
+    q = start_dedup_stream_to_parquet(
+        spark, src, os.path.join(work, "ckpt_dedup"), out
+    )
+    # continuous query (no availableNow trigger): drain then stop
+    q.processAllAvailable()
+    wall = time.time() - t0
+    q.stop()
+    kept = spark.read.parquet(out).count()
+    return {
+        "rows": n_rows,
+        "kept_rows": kept,
+        "sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+    }
+
+
+def bench_cdc_feed(spark, sf_dir: str, work: str) -> dict:
+    import __spark_entry__ as entry
+
+    # the two-version part-derived snapshot (build-once cache; build cost
+    # is recorded by bench.py as changes_snapshot, not billed here)
+    table = entry._changes_table(spark, sf_dir)
+    feed_dir = os.path.join(work, "feed")
+    pub = ChangeFeedPublisher(spark, table, ["client_id", "sku"], feed_dir)
+    t0 = time.time()
+    emitted = pub.poll()  # publishes version 1 and the 1->2 diff
+    wall = time.time() - t0
+    published = spark.read.option("basePath", feed_dir).parquet(
+        feed_dir + "/version=*"
+    )
+    n_rows = published.count()
+    return {
+        "versions": emitted,
+        "change_rows": n_rows,
+        "sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench-streaming", cpus=cpus)
+    work = tempfile.mkdtemp(prefix="bench_streaming_")
+    try:
+        out = {
+            "metric": "streaming_throughput",
+            "unit": "rows/sec",
+            "sf_dir": sf_dir,
+            "ingest": bench_ingest_stream(spark, sf_dir, work),
+            "dedup": bench_dedup_stream(spark, sf_dir, work),
+            "cdc_feed": bench_cdc_feed(spark, sf_dir, work),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
