@@ -1030,6 +1030,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_bmp_stats"] = lambda s, d: M.bmp_pixel_stats(
         M.synth_bmp_media(_t(s, d, "documents"), width=5, height=4)
     )
+    # second real codec, same analytic oracle: P6 PPM carries the SAME
+    # pixel generator in the structurally opposite container (top-down
+    # unpadded RGB vs bottom-up padded BGR) — both decoders must agree
+    # with the closed form AND therefore with each other
+    q["multimodal_ppm_stats"] = lambda s, d: M.image_pixel_stats(
+        M.synth_ppm_media(_t(s, d, "documents"), width=5, height=4)
+    )
 
     # -- hash-probe diagnostics --------------------------------------------
     # One-row, single-type-family probes. If the driver's value-hash ever
@@ -3617,6 +3624,8 @@ def oracle_sql() -> dict[str, str]:
              generate_series(0, 3) gy(y)
         GROUP BY d.doc_id
     """
+    # PPM carries the same generator in a different container: one oracle
+    o["multimodal_ppm_stats"] = o["multimodal_bmp_stats"]
 
     # -- hash-probe diagnostics --------------------------------------------
     # DuckDB twin of each per-type probe (VARCHAR is DuckDB's string type;

@@ -80,8 +80,8 @@ def _decode_real(kind: str, payload: bytes) -> list[float]:
     """REAL decode path. Uncompressed 24-bit BMP is decoded natively (no
     codec library needed — see :func:`decode_bmp`); every other format
     still raises, honestly marking the external-codec boundary."""
-    if payload and payload[:2] == b"BM":
-        w, h, sums = decode_bmp(payload)
+    if payload and (payload[:2] == b"BM" or payload[:2] == b"P6"):
+        w, h, sums = decode_image(payload)
         n = w * h
         # 3-dim feature: per-channel mean scaled to [0,1] (B, G, R)
         return [s / (255.0 * n) for s in sums]
@@ -148,6 +148,68 @@ def decode_bmp(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
     return width, height, (int(sums[0]), int(sums[1]), int(sums[2]))
 
 
+def encode_ppm(width: int, height: int, rgb_rows: "np.ndarray") -> bytes:
+    """Serialize an (height, width, 3) uint8 RGB array as a binary PPM
+    (P6): ASCII header, then raw top-down RGB triplets — no padding, the
+    structural opposite of BMP's padded bottom-up BGR, which is exactly
+    why decoding BOTH against one oracle is a strong codec test."""
+    return f"P6\n{width} {height}\n255\n".encode() + rgb_rows.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
+    """Parse a binary PPM (P6) and return ``(width, height,
+    (sum_b, sum_g, sum_r))`` — same exact-integer-sums contract as
+    :func:`decode_bmp` so the two codecs are interchangeable downstream.
+    The header scanner handles the format's whitespace rules and
+    ``#`` comments; only maxval 255 (1 byte/sample) is supported."""
+    import numpy as np
+
+    if len(payload) < 9 or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # token scanner: after 'P6', read 3 whitespace-separated integers,
+    # skipping '#' comments; pixel data starts after ONE whitespace byte
+    # following maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PPM dimensions")
+    pos += 1  # the single whitespace after maxval
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)  # R, G, B
+    return width, height, (int(sums[2]), int(sums[1]), int(sums[0]))
+
+
+def decode_image(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
+    """Magic-byte dispatch over the natively-decodable image formats."""
+    if payload and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload and payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise ValueError("payload is neither BMP nor P6 PPM")
+
+
 def synth_bmp_media(
     docs: DataFrame,
     width: int = 5,
@@ -196,9 +258,9 @@ BMP_STATS_SCHEMA = (
 )
 
 
-def bmp_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL end-to-end decode: parse each BMP payload (header + padded
-    bottom-up pixel rows) and emit exact integer channel sums plus a
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL end-to-end decode: parse each image payload (BMP or P6 PPM,
+    dispatched on magic bytes) and emit exact integer channel sums plus a
     floor-quantized mean — all-integer output, so the value hash against
     the analytic oracle is bit-exact. 1:1 row contract, Arrow-batched;
     decode parallelism == partition count (repartition by a content-hash
@@ -208,7 +270,7 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, (sb, sg, sr) = decode_bmp(p)
+                w, h, (sb, sg, sr) = decode_image(p)
                 n = w * h
                 rows.append(
                     (mid, w, h, n, sb, sg, sr, (sr * 1000) // n)
@@ -222,6 +284,47 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=BMP_STATS_SCHEMA)
+
+
+# original name, kept for BMP-only call sites
+bmp_pixel_stats = image_pixel_stats
+
+
+def synth_ppm_media(
+    docs: DataFrame,
+    width: int = 5,
+    height: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic REAL P6 PPM payloads from the SAME closed-form pixel
+    generator as :func:`synth_bmp_media` — identical channel values in
+    the structurally opposite container (top-down unpadded RGB vs
+    bottom-up padded BGR), so both codecs score against one shared
+    analytic oracle and must agree with each other."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys, xs = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                rgb = np.stack(
+                    [
+                        (13 * d + xs + 2 * ys) % 256,
+                        (d + xs + ys) % 256,
+                        (7 * d + 3 * xs + 5 * ys) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_ppm(width, height, rgb))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
 
 
 def _decode_fake(kind: str, payload: bytes) -> list[float]:

@@ -1201,3 +1201,44 @@ def test_real_decode_handles_bmp_but_raises_elsewhere(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_ppm_codec_roundtrip_and_comment_handling():
+    import numpy as np
+
+    w, h = 5, 4
+    ys, xs = np.mgrid[0:h, 0:w]
+    d = 42
+    rgb = np.stack(
+        [(13 * d + xs + 2 * ys) % 256,
+         (d + xs + ys) % 256,
+         (7 * d + 3 * xs + 5 * ys) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    payload = M.encode_ppm(w, h, rgb)
+    assert payload[:2] == b"P6"
+    got = M.decode_ppm(payload)
+    # decode returns (sum_b, sum_g, sum_r): channels cross the container
+    want = (
+        w, h,
+        (int(rgb[..., 2].sum()), int(rgb[..., 1].sum()), int(rgb[..., 0].sum())),
+    )
+    assert got == want
+    # header comments are legal PPM; the scanner must skip them
+    commented = b"P6\n# a comment\n5 4\n# another\n255\n" + rgb.tobytes()
+    assert M.decode_ppm(commented) == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.decode_ppm(payload[: len(payload) - 5])  # truncated pixels
+    with _pytest.raises(ValueError):
+        M.decode_ppm(b"P6\n5 4\n65535\n" + b"\x00" * 120)  # 16-bit maxval
+
+
+def test_bmp_and_ppm_decoders_agree(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    bmp = M.image_pixel_stats(M.synth_bmp_media(docs)).collect()
+    ppm = M.image_pixel_stats(M.synth_ppm_media(docs)).collect()
+    assert sorted(map(tuple, bmp), key=lambda t: t[0]) == sorted(
+        map(tuple, ppm), key=lambda t: t[0]
+    )
