@@ -1037,6 +1037,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_ppm_stats"] = lambda s, d: M.image_pixel_stats(
         M.synth_ppm_media(_t(s, d, "documents"), width=5, height=4)
     )
+    # third real codec, hardest container: zlib-deflated PNG scanlines
+    # with the per-row filter cycling through all five types (height 6 →
+    # None/Sub/Up/Average/Paeth each on the scored path); same pixel
+    # generator, so the oracle stays a pure closed-form sum
+    q["multimodal_png_stats"] = lambda s, d: M.image_pixel_stats(
+        M.synth_png_media(_t(s, d, "documents"), width=5, height=6)
+    )
+    # first real AUDIO decode: RIFF/WAVE 16-bit mono PCM with closed-form
+    # samples; exact integer amplitude stats incl. a lag-dependent
+    # zero-crossing count the oracle derives from the same closed form
+    q["multimodal_wav_stats"] = lambda s, d: M.audio_sample_stats(
+        M.synth_wav_media(_t(s, d, "documents"), n_samples=40,
+                          sample_rate=8000)
+    )
 
     # -- hash-probe diagnostics --------------------------------------------
     # One-row, single-type-family probes. If the driver's value-hash ever
@@ -3626,6 +3640,51 @@ def oracle_sql() -> dict[str, str]:
     """
     # PPM carries the same generator in a different container: one oracle
     o["multimodal_ppm_stats"] = o["multimodal_bmp_stats"]
+    # PNG: same generator over a 5x6 grid (height 6 cycles the scanline
+    # filter through all five types on the Spark side; the oracle is
+    # still codec-free closed-form sums)
+    o["multimodal_png_stats"] = """
+        SELECT d.doc_id AS media_id,
+               CAST(5 AS INTEGER) AS width,
+               CAST(6 AS INTEGER) AS height,
+               CAST(30 AS INTEGER) AS n_pixels,
+               CAST(SUM((7 * d.doc_id + 3 * gx.x + 5 * gy.y) % 256)
+                    AS BIGINT) AS sum_b,
+               CAST(SUM((d.doc_id + gx.x + gy.y) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM((13 * d.doc_id + gx.x + 2 * gy.y) % 256)
+                    AS BIGINT) AS sum_r,
+               CAST(SUM((13 * d.doc_id + gx.x + 2 * gy.y) % 256)
+                    * 1000 // 30 AS BIGINT) AS mean_r_milli
+        FROM documents d,
+             generate_series(0, 4) gx(x),
+             generate_series(0, 5) gy(y)
+        GROUP BY d.doc_id
+    """
+    # WAV: closed-form int16 samples s(i) = ((2741 d + 4099 i) % 65536)
+    # - 32768; the lagged product term makes the zero-crossing count an
+    # order-sensitive stat the oracle still gets analytically
+    o["multimodal_wav_stats"] = """
+        WITH s AS (
+            SELECT d.doc_id,
+                   g.i,
+                   ((2741 * d.doc_id + 4099 * g.i) % 65536) - 32768 AS amp,
+                   CASE WHEN g.i > 0 THEN
+                       ((2741 * d.doc_id + 4099 * (g.i - 1)) % 65536) - 32768
+                   END AS prev_amp
+            FROM documents d, generate_series(0, 39) g(i)
+        )
+        SELECT doc_id AS media_id,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(40 AS INTEGER) AS n_samples,
+               CAST(5000 AS BIGINT) AS duration_micros,
+               CAST(SUM(amp) AS BIGINT) AS sum_amp,
+               CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs,
+               CAST(MAX(ABS(amp)) AS BIGINT) AS peak_abs,
+               CAST(COALESCE(SUM(CASE WHEN prev_amp * amp < 0 THEN 1 END), 0)
+                    AS BIGINT) AS zero_crossings
+        FROM s
+        GROUP BY doc_id
+    """
 
     # -- hash-probe diagnostics --------------------------------------------
     # DuckDB twin of each per-type probe (VARCHAR is DuckDB's string type;

@@ -1242,3 +1242,146 @@ def test_bmp_and_ppm_decoders_agree(spark):
     assert sorted(map(tuple, bmp), key=lambda t: t[0]) == sorted(
         map(tuple, ppm), key=lambda t: t[0]
     )
+
+
+def test_png_codec_roundtrip_every_filter():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    w, h = 7, 5
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    want = (
+        w, h,
+        (int(rgb[..., 2].sum()), int(rgb[..., 1].sum()), int(rgb[..., 0].sum())),
+    )
+    # each filter type alone, then the cycling default, must all invert
+    for filters in [[ft] * h for ft in range(5)] + [None]:
+        payload = M.encode_png(w, h, rgb, filters=filters)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert M.decode_png(payload) == want
+
+    import pytest as _pytest
+
+    good = M.encode_png(w, h, rgb)
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(corrupt))
+    with _pytest.raises(ValueError):
+        M.decode_png(good[:30])  # truncated chunk
+    with _pytest.raises(ValueError):
+        M.decode_png(b"\x89PNG\r\n\x1a\nnot chunks")
+
+
+def test_png_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # grayscale (color type 0) is a legal PNG this decoder must refuse
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    gray = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG variant"):
+        M.decode_png(gray)
+
+
+def test_all_three_image_decoders_agree(spark):
+    # same pixel generator, three containers (padded bottom-up BGR /
+    # unpadded top-down RGB / deflated+filtered scanlines): identical
+    # channel sums via the magic-dispatched decode_image
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    dims = dict(width=5, height=4)
+    bmp = M.image_pixel_stats(M.synth_bmp_media(docs, **dims)).collect()
+    ppm = M.image_pixel_stats(M.synth_ppm_media(docs, **dims)).collect()
+    png = M.image_pixel_stats(M.synth_png_media(docs, **dims)).collect()
+    key = lambda rows: sorted(map(tuple, rows), key=lambda t: t[0])
+    assert key(bmp) == key(ppm) == key(png)
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    s = np.array([0, 5, -3, 0, 0, 7, -1, -2, 4], dtype=np.int16)
+    payload = M.encode_wav(8000, s)
+    rate, n, (sa, sab, pk, zc) = M.decode_wav(payload)
+    assert (rate, n) == (8000, 9)
+    assert (sa, sab, pk) == (10, 22, 7)
+    # strict sign changes: 5/-3, 7/-1, -2/4 — zeros break runs (0,5 and
+    # -3,0 and 0,0 and 0,7 do NOT count)
+    assert zc == 3
+
+    # an extra odd-length LIST chunk before data exercises word-aligned
+    # skipping in the chunk walk
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    padded = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert M.decode_wav(padded) == (rate, n, (sa, sab, pk, zc))
+
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        M.decode_wav(b"OggS" + payload[4:])
+    with _pytest.raises(ValueError, match="truncated RIFF"):
+        M.decode_wav(payload[:-4])
+    # stereo must be refused, not mis-summed
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    sb = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with _pytest.raises(ValueError, match="unsupported WAV variant"):
+        M.decode_wav(b"RIFF" + struct.pack("<I", len(sb)) + sb)
+    # empty data chunk is a legal zero-sample file
+    eb = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert M.decode_wav(b"RIFF" + struct.pack("<I", len(eb)) + eb) == (
+        8000, 0, (0, 0, 0, 0)
+    )
+
+
+def test_wav_sample_stats_end_to_end(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    media = M.synth_wav_media(docs, n_samples=40, sample_rate=8000)
+    rows = {r.media_id: r for r in M.audio_sample_stats(media).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    idx = np.arange(40, dtype=np.int64)
+    for d, r in rows.items():
+        s = (2741 * d + 4099 * idx) % 65536 - 32768
+        assert r.sample_rate == 8000 and r.n_samples == 40
+        assert r.duration_micros == 5000
+        assert r.sum_amp == int(s.sum())
+        assert r.sum_abs == int(np.abs(s).sum())
+        assert r.peak_abs == int(np.abs(s).max())
+        assert r.zero_crossings == int(np.count_nonzero(s[:-1] * s[1:] < 0))
+
+
+def test_real_decode_covers_wav(spark):
+    import numpy as np
+
+    wav = M.encode_wav(8000, np.array([16384, -16384], dtype=np.int16))
+    feats = M._decode_real("audio", wav)
+    assert len(feats) == 3
+    assert feats[0] == 0.0  # symmetric samples: zero mean
+    assert abs(feats[2] - 16384 / 32768.0) < 1e-12
