@@ -1051,6 +1051,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         M.synth_wav_media(_t(s, d, "documents"), n_samples=40,
                           sample_rate=8000)
     )
+    # first real VIDEO decode: RIFF/AVI container walk with 'DIB ' frames
+    # (bottom-up padded BGR), frame-sampled every 2nd frame → one row per
+    # (doc, sampled frame); frame 0's generator IS the BMP generator, so
+    # the two codecs cross-check each other through their shared oracle
+    q["multimodal_avi_frames"] = lambda s, d: M.video_frame_stats(
+        M.synth_avi_media(_t(s, d, "documents"), width=5, height=4,
+                          n_frames=6),
+        every_n=2,
+    )
 
     # -- hash-probe diagnostics --------------------------------------------
     # One-row, single-type-family probes. If the driver's value-hash ever
@@ -3684,6 +3693,27 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS zero_crossings
         FROM s
         GROUP BY doc_id
+    """
+    # AVI: the BMP pixel generator extended with a frame term, summed per
+    # (doc, sampled frame) — the WHERE clause mirrors every_n=2 sampling
+    o["multimodal_avi_frames"] = """
+        SELECT d.doc_id AS media_id,
+               CAST(5 AS INTEGER) AS width,
+               CAST(4 AS INTEGER) AS height,
+               CAST(6 AS INTEGER) AS n_frames,
+               CAST(gf.f AS INTEGER) AS frame_idx,
+               CAST(SUM((7 * d.doc_id + 3 * gx.x + 5 * gy.y + 11 * gf.f)
+                        % 256) AS BIGINT) AS sum_b,
+               CAST(SUM((d.doc_id + gx.x + gy.y + gf.f) % 256)
+                    AS BIGINT) AS sum_g,
+               CAST(SUM((13 * d.doc_id + gx.x + 2 * gy.y + 3 * gf.f)
+                        % 256) AS BIGINT) AS sum_r
+        FROM documents d,
+             generate_series(0, 4) gx(x),
+             generate_series(0, 3) gy(y),
+             generate_series(0, 5) gf(f)
+        WHERE gf.f % 2 = 0
+        GROUP BY d.doc_id, gf.f
     """
 
     # -- hash-probe diagnostics --------------------------------------------

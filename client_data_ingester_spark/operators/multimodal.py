@@ -3,12 +3,15 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct alongside. The Spark-side plumbing — schema, partition-sized
 Arrow batches through ``mapInPandas``, UDF signatures — is real and tested.
-Decoding: four formats decode FOR REAL, dependency-free — uncompressed
-24-bit BMP (:func:`decode_bmp`), binary P6 PPM (:func:`decode_ppm`),
-8-bit truecolor PNG with full zlib inflate + all five scanline filters
-(:func:`decode_png`), and 16-bit mono PCM WAV (:func:`decode_wav`) —
-each scored end-to-end against an analytic oracle
-(``multimodal_{bmp,ppm,png,wav}_stats``); formats that genuinely need
+Decoding: five formats decode FOR REAL, dependency-free — one per
+modality family: uncompressed 24-bit BMP (:func:`decode_bmp`), binary P6
+PPM (:func:`decode_ppm`), 8-bit truecolor PNG with full zlib inflate +
+all five scanline filters (:func:`decode_png`), 16-bit mono PCM WAV
+audio (:func:`decode_wav`), and uncompressed RIFF/AVI video with frame
+sampling (:func:`decode_avi`) — each scored end-to-end against an
+analytic oracle
+(``multimodal_{bmp,ppm,png,wav}_stats`` / ``multimodal_avi_frames``);
+formats that genuinely need
 codec libraries (Pillow/librosa/av, not in this container) stay stubbed —
 ``decode_stub=True`` computes deterministic fake features from the bytes,
 ``decode_stub=False`` raises NotImplementedError where the codec call
@@ -91,6 +94,12 @@ def _decode_real(kind: str, payload: bytes) -> list[float]:
         # 3-dim feature: per-channel mean scaled to [0,1] (B, G, R)
         return [s / (255.0 * n) for s in sums]
     if payload and payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            w, h, n, frames = decode_avi(payload)
+            px = w * h * n
+            # 3-dim feature: per-channel mean over ALL frames (B, G, R)
+            totals = [sum(fr[c] for fr in frames) for c in range(3)]
+            return [t / (255.0 * px) for t in totals]
         rate, n, stats = decode_wav(payload)
         # 3-dim feature: mean amplitude, mean |amplitude|, peak — scaled
         return [
@@ -102,7 +111,8 @@ def _decode_real(kind: str, payload: bytes) -> list[float]:
         f"media decode for kind={kind!r} requires codec libraries "
         "(Pillow/librosa/av) not present in this environment; "
         "run with decode_stub=True for the deterministic fake path "
-        "(BMP/PPM/PNG images and 16-bit PCM WAV audio decode for real)"
+        "(BMP/PPM/PNG images, 16-bit PCM WAV audio, and uncompressed "
+        "AVI video decode for real)"
     )
 
 
@@ -555,6 +565,232 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec: uncompressed RIFF/AVI video ('DIB ' frames, dependency-free)
+# ---------------------------------------------------------------------------
+
+def encode_avi(
+    width: int,
+    height: int,
+    bgr_frames: "np.ndarray",
+    fps: int = 10,
+) -> bytes:
+    """Serialize an (n_frames, height, width, 3) uint8 BGR array as a
+    standard uncompressed AVI: RIFF('AVI ') → LIST('hdrl') with a real
+    56-byte ``avih`` main header and a LIST('strl') carrying the
+    ``strh`` ('vids'/'DIB ') stream header + ``strf`` BITMAPINFOHEADER,
+    then LIST('movi') with one ``00db`` chunk per frame of bottom-up,
+    4-byte-row-padded BGR pixels (the DIB layout BMP uses). Every chunk
+    is RIFF word-aligned, so odd-sized frames exercise the decoder's
+    alignment skip."""
+    import struct
+
+    n_frames = len(bgr_frames)
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    frame_size = (row_bytes + pad) * height
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            tag + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) % 2 else b"")
+        )
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0,                 # dwFlags
+        n_frames,          # dwTotalFrames
+        0,                 # dwInitialFrames
+        1,                 # dwStreams
+        frame_size,        # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,        # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,            # dwScale / dwRate → fps
+        0, n_frames,       # dwStart / dwLength
+        frame_size, 0, 0,  # dwSuggestedBufferSize / quality / sampleSize
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, frame_size * 1, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    for f in range(n_frames):
+        body = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up DIB rows
+            body += bgr_frames[f, y].tobytes() + b"\x00" * pad
+        movi_body += chunk(b"00db", bytes(body))
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(
+    payload: bytes,
+) -> tuple[int, int, int, list[tuple[int, int, int]]]:
+    """Parse an uncompressed AVI and return ``(width, height, n_frames,
+    [(sum_b, sum_g, sum_r) per frame])`` with exact integer channel sums.
+    A real container walk: RIFF form check, nested LIST traversal with
+    word-aligned chunk skipping (JUNK/INFO chunks pass through), ``avih``
+    geometry, ``strf`` validated as 24-bit uncompressed, and one
+    bottom-up padded BGR DIB decode per ``00db`` frame chunk; compressed
+    ``00dc`` frames are rejected rather than misread."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError("truncated RIFF payload")
+
+    avih = None
+    strf = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal avih, strf
+        while pos + 8 <= end:
+            tag = payload[pos:pos + 4]
+            (length,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if body_start + length > end:
+                raise ValueError(f"truncated AVI chunk {tag!r}")
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + length)  # skip form fourcc
+            elif tag == b"avih":
+                avih = struct.unpack_from("<14I", payload, body_start)
+            elif tag == b"strf":
+                strf = struct.unpack_from("<IiiHHI", payload, body_start)
+            elif tag == b"00db":
+                frames.append(payload[body_start:body_start + length])
+            elif tag == b"00dc":
+                raise ValueError(
+                    "compressed AVI frames (00dc) are not supported"
+                )
+            pos = body_start + length + (length % 2)  # word alignment
+
+    walk(12, 8 + riff_size)
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    n_frames, width, height = avih[4], avih[8], avih[9]
+    if strf is not None:
+        _, _, _, _, bpp, compression = strf
+        if bpp != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported AVI frame format: bpp={bpp} comp={compression}"
+            )
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate AVI dimensions")
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"AVI frame count mismatch: header says {n_frames}, "
+            f"movi carries {len(frames)}"
+        )
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    out = []
+    for data in frames:
+        if len(data) < stride * height:
+            raise ValueError("truncated AVI frame data")
+        sums = np.zeros(3, dtype=np.int64)
+        for y in range(height):
+            row = np.frombuffer(
+                data, dtype=np.uint8, count=row_bytes, offset=y * stride
+            )
+            sums += row.reshape(width, 3).sum(axis=0, dtype=np.int64)
+        out.append((int(sums[0]), int(sums[1]), int(sums[2])))
+    return width, height, n_frames, out
+
+
+def synth_avi_media(
+    docs: DataFrame,
+    width: int = 5,
+    height: int = 4,
+    n_frames: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic REAL AVI payloads, one per doc: pixel (x, y) of
+    frame ``f`` of doc ``d`` is ``B=(7d+3x+5y+11f)%256,
+    G=(d+x+y+f)%256, R=(13d+x+2y+3f)%256`` — the BMP generator extended
+    with a frame term (frame 0 IS the BMP image, a free cross-codec
+    check), closed-form so the DuckDB oracle evaluates it over a
+    3-D ``generate_series`` without touching a codec."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fs, ys, xs = np.mgrid[0:n_frames, 0:height, 0:width]
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                bgr = np.stack(
+                    [
+                        (7 * d + 3 * xs + 5 * ys + 11 * fs) % 256,
+                        (d + xs + ys + fs) % 256,
+                        (13 * d + xs + 2 * ys + 3 * fs) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_avi(width, height, bgr))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
+FRAME_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, frame_idx int, "
+    "sum_b long, sum_g long, sum_r long"
+)
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL end-to-end video decode with frame sampling: parse each AVI
+    payload once, keep every ``every_n``-th frame, and FAN OUT to one
+    output row per sampled frame with exact integer channel sums —
+    the decode-then-explode shape :func:`frame_sample` stubs, made real.
+    Arrow-batched; output rows per input row = ceil(n_frames/every_n),
+    bounded by the container's own frame count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, n, frames = decode_avi(p)
+                for f in range(0, n, every_n):
+                    sb, sg, sr = frames[f]
+                    rows.append((mid, w, h, n, f, sb, sg, sr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames", "frame_idx",
+                    "sum_b", "sum_g", "sum_r",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
 
 
 def synth_bmp_media(

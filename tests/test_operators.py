@@ -1385,3 +1385,105 @@ def test_real_decode_covers_wav(spark):
     assert len(feats) == 3
     assert feats[0] == 0.0  # symmetric samples: zero mean
     assert abs(feats[2] - 16384 / 32768.0) < 1e-12
+
+
+def test_avi_codec_roundtrip_and_rejections():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(13)
+    w, h, n = 5, 4, 6  # width 5 → nonzero row pad, odd chunk sizes possible
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    payload = M.encode_avi(w, h, frames)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    gw, gh, gn, sums = M.decode_avi(payload)
+    assert (gw, gh, gn) == (w, h, n)
+    for f in range(n):
+        want = tuple(int(frames[f, :, :, c].sum()) for c in range(3))
+        assert sums[f] == want
+
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        M.decode_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_avi(payload[:60])
+    # header/movi frame-count disagreement must be caught
+    tampered = bytearray(payload)
+    # dwTotalFrames lives 16 bytes into avih; find its chunk body
+    avih_at = payload.index(b"avih") + 8
+    struct.pack_into("<I", tampered, avih_at + 16, n + 1)
+    with _pytest.raises(ValueError, match="frame count mismatch"):
+        M.decode_avi(bytes(tampered))
+    # compressed frames are rejected, not misread
+    comp = payload.replace(b"00db", b"00dc", 1)
+    with _pytest.raises(ValueError, match="00dc"):
+        M.decode_avi(comp)
+
+
+def test_avi_word_alignment_with_junk_chunk():
+    """A JUNK chunk of ODD length inside the movi list must be skipped via
+    RIFF word alignment without desyncing the frame walk."""
+    import struct
+
+    import numpy as np
+
+    frames = np.zeros((2, 2, 2, 3), dtype=np.uint8)
+    frames[1, :, :, :] = 7
+    payload = M.encode_avi(2, 2, frames)
+    movi_at = payload.index(b"movi")
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xy" + b"z\x00"  # odd len + pad
+    patched = payload[: movi_at + 4] + junk + payload[movi_at + 4:]
+    # fix the two enclosing sizes (LIST movi body and RIFF total)
+    patched = bytearray(patched)
+    list_at = movi_at - 8
+    (old_list,) = struct.unpack_from("<I", payload, list_at + 4)
+    struct.pack_into("<I", patched, list_at + 4, old_list + len(junk))
+    (old_riff,) = struct.unpack_from("<I", payload, 4)
+    struct.pack_into("<I", patched, 4, old_riff + len(junk))
+    w, h, n, sums = M.decode_avi(bytes(patched))
+    assert (w, h, n) == (2, 2, 2)
+    assert sums == [(0, 0, 0), (28, 28, 28)]
+
+
+def test_avi_frame_zero_matches_bmp_generator(spark):
+    """synth_avi_media frame 0 uses the BMP generator verbatim — the two
+    codecs must agree through their shared closed form."""
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    bmp = {
+        r.media_id: (r.sum_b, r.sum_g, r.sum_r)
+        for r in M.image_pixel_stats(M.synth_bmp_media(docs)).collect()
+    }
+    avi = {
+        r.media_id: (r.sum_b, r.sum_g, r.sum_r)
+        for r in M.video_frame_stats(
+            M.synth_avi_media(docs), every_n=2
+        ).collect()
+        if r.frame_idx == 0
+    }
+    assert bmp == avi
+
+
+def test_video_frame_stats_sampling_fanout(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    rows = M.video_frame_stats(
+        M.synth_avi_media(docs, n_frames=6), every_n=2
+    ).collect()
+    # 2 docs × frames {0, 2, 4}
+    assert len(rows) == 6
+    assert {(r.media_id, r.frame_idx) for r in rows} == {
+        (d, f) for d in (1, 2) for f in (0, 2, 4)
+    }
+    assert all(r.n_frames == 6 and r.width == 5 and r.height == 4
+               for r in rows)
+
+
+def test_real_decode_covers_avi():
+    import numpy as np
+
+    frames = np.full((2, 2, 2, 3), 51, dtype=np.uint8)  # 51/255 = 0.2
+    payload = M.encode_avi(2, 2, frames)
+    feats = M._decode_real("video", payload)
+    assert len(feats) == 3
+    for v in feats:
+        assert abs(v - 0.2) < 1e-12
