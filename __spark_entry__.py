@@ -157,6 +157,27 @@ def _kmeans_index(spark: SparkSession, sf_dir: str):
     return load_kmeans_index(spark, path)
 
 
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-corpus product-quantization model for
+    ``similarity_pq_topk`` — same persisted-artifact pattern as the
+    IVF/RP/kmeans indexes. Encoding (per-subspace Lloyd's + the n x m
+    code assignment) is the write-time scan; the scored query reads the
+    compact codes table + the m x k codebook and never touches raw
+    corpus vectors. Returns ``(codes, codebooks)``."""
+    from client_data_ingester_spark.operators.similarity import (
+        build_pq_index,
+        load_pq_index,
+    )
+
+    path = _index_cache_path(sf_dir, "pq")
+    if not os.path.exists(os.path.join(path, "codebooks", "_SUCCESS")):
+        build_pq_index(
+            _t(spark, sf_dir, "embeddings"), path,
+            dim=64, m=4, k=4, n_iter=2,
+        )
+    return load_pq_index(spark, path)
+
+
 def _pipeline_curated(
     spark: SparkSession, sf_dir: str, checkpoint: bool = False
 ) -> DataFrame:
@@ -862,6 +883,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["similarity_kmeans_ivf_topk"] = _kmeans_ivf_scored
+
+    # product quantization: the memory-bounded ANN scan — the corpus side
+    # of the query is the persisted n x m codes table (64x smaller than
+    # the raw vectors), scored via a broadcast per-query ADC lookup table;
+    # int64-exact throughout so ranks are bit-stable across engines
+    def _pq_scored(s, d):
+        emb = _t(s, d, "embeddings")
+        codes, codebooks = _pq_index(s, d)
+        qs_df = (
+            emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        return S.pq_topk(qs_df, codes, codebooks, dim=64, k=5)
+
+    q["similarity_pq_topk"] = _pq_scored
 
     q["docs_balanced_sample"] = lambda s, d: X.balanced_sample(
         _t(s, d, "documents")
@@ -3309,6 +3345,78 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         SELECT query_id, neighbor_id, rank, CAST(score AS DOUBLE) AS score
         FROM ranked WHERE rank <= 5
+    """
+    )
+
+    # product quantization: the SAME Lloyd-round unrolling as the kmeans
+    # oracle, with `sub` as an extra grouping key (per-subspace codebooks
+    # over list_slice windows of the shared quantized relation `q`), then
+    # the ADC join — codes x per-query LUT summed per (query, vector)
+    _pq_dist = (
+        "list_aggregate(list_transform(list_zip(s.qs, c.cv), "
+        "z -> (z[1]-z[2])*(z[1]-z[2])), 'sum')"
+    )
+
+    def _pq_assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, sub, qs, c AS code, d FROM (
+                SELECT vec_id, sub, qs, c, d,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d, c) AS rn
+                FROM (SELECT s.vec_id, s.sub, s.qs, c.c,
+                             CAST({_pq_dist} AS BIGINT) AS d
+                      FROM sv s JOIN {cents} c ON s.sub = c.sub))
+            WHERE rn = 1)"""
+
+    def _pq_update(assign: str, cents_out: str) -> str:
+        return f"""{cents_out} AS (
+            SELECT sub, c, LIST(m ORDER BY pos) AS cv FROM (
+                SELECT sub, c, pos,
+                       CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                            AS BIGINT) AS m
+                FROM (SELECT sub, code AS c,
+                             generate_subscripts(qs, 1) AS pos,
+                             unnest(qs) AS v
+                      FROM {assign})
+                GROUP BY sub, c, pos)
+            GROUP BY sub, c)"""
+
+    _pq_ctes = [
+        _km_ctes[0],  # the shared 1e-6-quantized, clamped vector relation
+        """sv AS (
+            SELECT q.vec_id, g.sub,
+                   list_slice(q.qv, g.sub * 16 + 1, g.sub * 16 + 16) AS qs
+            FROM q, generate_series(0, 3) g(sub))""",
+        """p0 AS (
+            SELECT sub, CAST(vec_id AS BIGINT) AS c, qs AS cv FROM sv
+            WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 4))""",
+        _pq_assign("pa0", "p0"),
+        _pq_update("pa0", "p1"),
+        _pq_assign("pfinal", "p1"),
+        """lut AS (
+            SELECT s.vec_id AS query_id, s.sub, c.c AS code,
+                   CAST(list_aggregate(list_transform(list_zip(s.qs, c.cv),
+                        z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS BIGINT) AS d
+            FROM sv s JOIN p1 c ON s.sub = c.sub
+            WHERE s.vec_id < 3)""",
+        """adc AS (
+            SELECT l.query_id, f.vec_id,
+                   CAST(SUM(l.d) AS BIGINT) AS adc_dist
+            FROM pfinal f JOIN lut l
+              ON l.sub = f.sub AND l.code = f.code
+            WHERE f.vec_id <> l.query_id
+            GROUP BY l.query_id, f.vec_id)""",
+    ]
+    o["similarity_pq_topk"] = (
+        "WITH "
+        + ",\n        ".join(_pq_ctes)
+        + """
+        SELECT query_id, vec_id AS neighbor_id, rn AS rank, adc_dist
+        FROM (SELECT query_id, vec_id, adc_dist,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist, vec_id) AS rn
+              FROM adc)
+        WHERE rn <= 5
     """
     )
 

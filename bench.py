@@ -153,6 +153,12 @@ def main() -> None:
             os.path.join("centroids", "_SUCCESS"),
         ),
         (
+            "pq_model",
+            entry._pq_index,
+            ("pq", "embeddings"),
+            os.path.join("codebooks", "_SUCCESS"),
+        ),
+        (
             "zone_map",
             entry._zone_mapped_events,
             ("zonemap", "events"),

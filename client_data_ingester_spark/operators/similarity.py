@@ -768,3 +768,209 @@ def load_kmeans_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/assignments"),
         spark.read.parquet(f"{path}/centroids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + ADC top-k
+# ---------------------------------------------------------------------------
+
+def _subvectors(
+    q: DataFrame, dim: int, m: int, id_col: str
+) -> DataFrame:
+    """Fan a quantized-vector relation out to ``m`` rows per vector —
+    ``(id, sub, _qs)`` with ``_qs`` the contiguous dim/m slice for
+    subspace ``sub``. Pure map-side (an array of slices + posexplode):
+    no shuffle, no UDF."""
+    sd = dim // m
+    slices = F.array(
+        *[F.slice(F.col("_q"), s * sd + 1, sd) for s in range(m)]
+    )
+    return q.select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "_qs")
+    )
+
+
+def pq_model(
+    corpus: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization model: per-subspace Lloyd's k-means over the
+    ``m`` contiguous dim/m slices of each vector, returning
+    ``codes (id, sub, code)`` and ``codebooks (sub, code, _cvec)``
+    (quantized-int64 centroid subvectors).
+
+    This is THE memory-bounded ANN representation at 100 TB: the encoded
+    corpus is ``n x m`` small integers (m bytes/vector at k<=256) instead
+    of ``n x dim`` floats — a 64-dim float corpus compresses 64x, so the
+    scan side of a query fits in a fraction of the executor memory the
+    raw vectors need, and the ADC scan reads ONLY the codes table.
+
+    All arithmetic reuses the int64-exact k-means machinery
+    (:func:`_quantize_vec` / :func:`_sq_dist`, floor-integer centroid
+    means, lexicographic tie-breaks), with ``sub`` as an extra grouping
+    key — every subspace trains in the SAME distributed jobs (one scan
+    per Lloyd round for all m codebooks, not m separate trainings), and
+    the whole chain is lazy with no driver collects. Seeds are the ``k``
+    lowest-id vectors' slices (cluster labels ARE seed ids), identical
+    across engines."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    q = corpus.select(
+        F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_q")
+    )
+    sv = _subvectors(q, dim, m, id_col)
+    seeds = q.orderBy(id_col).limit(k)
+    codebooks = _subvectors(seeds, dim, m, id_col).select(
+        "sub", F.col(id_col).cast("long").alias("_c"),
+        F.col("_qs").alias("_cvec"),
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = sv.join(F.broadcast(cents), on="sub").select(
+            F.col(id_col),
+            "sub",
+            "_qs",
+            F.struct(
+                _sq_dist(F.col("_qs"), F.col("_cvec")).alias("d"),
+                F.col("_c").alias("c"),
+            ).alias("_dc"),
+        )
+        best = scored.groupBy(id_col, "sub", "_qs").agg(
+            F.min("_dc").alias("_best")
+        )
+        return best.select(
+            F.col(id_col),
+            "sub",
+            "_qs",
+            F.col("_best.c").alias("code"),
+            F.col("_best.d").alias("dist_sq"),
+        )
+
+    for _ in range(n_iter - 1):
+        assigned = assign(codebooks)
+        per_pos = assigned.select(
+            "sub", F.col("code"), F.posexplode("_qs").alias("pos", "v")
+        ).groupBy("sub", "code", "pos").agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("m")
+        )
+        codebooks = (
+            per_pos.groupBy("sub", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+            )
+            .select(
+                "sub",
+                F.col("code").alias("_c"),
+                F.transform(F.col("_pm"), lambda s: s["m"]).alias("_cvec"),
+            )
+        )
+
+    codes = assign(codebooks).select(id_col, "sub", "code")
+    return codes, codebooks.select(
+        "sub", F.col("_c").alias("code"), F.col("_cvec")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
+    ``(query_id, neighbor_id, rank, adc_dist)`` with the approximate
+    squared L2 ``sum over subspaces of ||q_sub - centroid[sub, code]||^2``
+    — the query side stays EXACT (uncompressed), only the corpus is
+    quantized, which is what makes ADC beat symmetric distance at equal
+    memory.
+
+    Plan shape at scale: the per-query lookup table (m x k distances,
+    tiny) broadcasts into a single map-side join + partial-aggregated
+    sum over the codes table — ONE scan of n x m small ints per query
+    batch, no shuffle of raw vectors anywhere. The full-corpus scan is
+    PQ's contract (memory-bounded, not candidate-pruned); compose with
+    the IVF cell probe upstream when 100 TB needs pruning too, exactly
+    as the kmeans->IVF compose query does for raw vectors. adc_dist is
+    int64-exact, so ranks are bit-stable across engines."""
+    qv = queries.select(
+        F.col(query_id_col), _quantize_vec(F.col(vec_col)).alias("_q")
+    )
+    n_sub = codebooks.groupBy().agg(
+        (F.max("sub") + 1).alias("m")
+    )  # tiny; only used to slice query vectors identically to training
+    # slice with the codebook's own subspace count (broadcast 1-row join)
+    qsv = (
+        qv.crossJoin(F.broadcast(n_sub))
+        .select(
+            F.col(query_id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, m - 1), "
+                    f"s -> slice(_q, s * ({dim} div m) + 1, {dim} div m))"
+                )
+            ).alias("sub", "_qs"),
+        )
+    )
+    lut = qsv.join(F.broadcast(codebooks), on="sub").select(
+        F.col(query_id_col),
+        "sub",
+        "code",
+        _sq_dist(F.col("_qs"), F.col("_cvec")).alias("d"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), on=["sub", "code"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", F.col(id_col))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.col("adc_dist"),
+        )
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD STEP: persist both halves of the PQ model (``path/codes``,
+    ``path/codebooks``) — the same write-time-artifact pattern as the
+    IVF/RP/kmeans indexes. Encoding is the expensive scan (n x m
+    assignments); a query batch then reads the m-x-k codebook plus the
+    compact codes table and never touches raw vectors."""
+    codes, codebooks = pq_model(corpus, dim, m, k, n_iter, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read a persisted PQ model written by ``build_pq_index``: returns
+    ``(codes, codebooks)``."""
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebooks"),
+    )

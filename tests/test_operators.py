@@ -1487,3 +1487,65 @@ def test_real_decode_covers_avi():
     assert len(feats) == 3
     for v in feats:
         assert abs(v - 0.2) < 1e-12
+
+
+def _pq_toy_corpus(spark, n=10, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_model_shapes_and_determinism(spark):
+    corpus = _pq_toy_corpus(spark)
+    codes, books = S.pq_model(corpus, dim=8, m=2, k=3, n_iter=2)
+    c = codes.collect()
+    assert len(c) == 10 * 2  # one code per (vector, subspace)
+    b = books.collect()
+    assert {r.sub for r in b} == {0, 1}
+    assert all(len(r._cvec) == 4 for r in b)  # dim/m subvector centroids
+    # codes reference existing codebook entries only
+    keys = {(r.sub, r.code) for r in b}
+    assert all((r.sub, r.code) in keys for r in c)
+    # bit-stable across runs (int64-exact rounds)
+    codes2, _ = S.pq_model(corpus, dim=8, m=2, k=3, n_iter=2)
+    assert sorted(map(tuple, c)) == sorted(map(tuple, codes2.collect()))
+
+
+def test_pq_adc_exact_when_codebook_is_corpus(spark):
+    """With n_iter=1 and k=n the codebooks ARE the corpus subvectors, so
+    every vector's code reconstructs it exactly and ADC == the true
+    int64-quantized squared distance — pinning the ADC arithmetic
+    against brute force with zero quantization slack."""
+    corpus = _pq_toy_corpus(spark, n=4)
+    codes, books = S.pq_model(corpus, dim=8, m=2, k=4, n_iter=1)
+    queries = corpus.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in S.pq_topk(queries, codes, books, dim=8, k=3).collect()
+    }
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.clip(
+            np.floor(np.asarray(r.embedding, dtype=np.float64) * 1e6),
+            -2e6, 2e6,
+        ).astype(np.int64)
+        for r in corpus.collect()
+    }
+    for (qid, nid), adc in got.items():
+        d = vecs[qid] - vecs[nid]
+        assert adc == int((d * d).sum())
+
+
+def test_pq_model_rejects_bad_split():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.pq_model(None, dim=10, m=4)

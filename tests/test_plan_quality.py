@@ -710,3 +710,16 @@ def test_pipeline_checkpoint_boundary_changes_plan_shape(spark):
     assert cp_tree.count("Scan parquet") == 0
     # same values either way: the checkpoint changes the plan only
     assert sorted(map(tuple, cp.collect())) == sorted(map(tuple, lazy.collect()))
+
+
+def test_pq_probe_scans_codes_not_raw_corpus_vectors(spark):
+    """The PQ scored query's corpus side must be the persisted codes
+    table (n x m small ints) + the m x k codebook — never the raw
+    embedding vectors (queries aside): that asymmetry IS product
+    quantization's memory contract. LUT and codebook sides broadcast."""
+    plan = plan_of(spark, "similarity_pq_topk")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert "pq_index_" in plan  # probes the persisted model, no retrain
+    # scans: codes + codebooks (x2: the subspace-count read) + query rows
+    assert tree.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in plan
