@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from client_data_ingester_spark.operators import corpus as C  # noqa: E402
 from client_data_ingester_spark.operators import dedup as D  # noqa: E402
 from client_data_ingester_spark.operators import events as E  # noqa: E402
+from client_data_ingester_spark.operators import export as EX  # noqa: E402
 from client_data_ingester_spark.operators import multimodal as M  # noqa: E402
 from client_data_ingester_spark.operators import profile as P  # noqa: E402
 from client_data_ingester_spark.operators import relational as R  # noqa: E402
@@ -799,6 +800,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")
     )
     q["docs_oov_rate"] = lambda s, d: C.oov_rate(_t(s, d, "documents"))
+    # model-based filter: multinomial NB language classifier trained on
+    # the corpus's own labels, scored back over it — micro-nat ln on the
+    # reduced class tables only, exact BIGINT per-doc sums
+    q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
+        _t(s, d, "documents")
+    )
+    # export layout: deterministic md5 sharding + the per-shard manifest
+    # an orchestrator verifies an export against (writer in
+    # operators/export.write_shards, pytest-verified)
+    q["corpus_shard_manifest"] = lambda s, d: EX.shard_manifest(
+        _t(s, d, "documents"), n_shards=16
+    )
     # mixture statistics per (lang, source) slice — the data-card report
     q["corpus_composition"] = lambda s, d: C.corpus_composition(
         _t(s, d, "documents")
@@ -2666,6 +2679,69 @@ def oracle_sql() -> dict[str, str]:
                           / n_tokens / 100.0 + 0.5) / 10000.0
                     AS DOUBLE) AS neg_logprob
         FROM pd CROSS JOIN tot
+    """
+
+    # NB language classifier: ln only on the reduced class tables
+    # (per-(lang, word) smoothed logprob, per-lang default + prior), each
+    # micro-nat-quantized at the source; per-doc scores are exact BIGINT
+    # sums, argmax ties break on (score DESC, lang ASC) in both engines
+    o["docs_nb_langid"] = f"""
+        WITH w AS ({word_occ}),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        dl AS (SELECT doc_id, lang FROM documents),
+        cc AS (SELECT dl.lang, tf.w, SUM(tf.tf) AS cnt
+               FROM tf JOIN dl USING (doc_id) GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(cnt) AS tot FROM cc GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w) AS v FROM cc),
+        pri AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        cls AS (
+            SELECT t.lang,
+                   CAST(FLOOR(LN(1.0 / CAST(t.tot + v.v AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS lp0,
+                   CAST(FLOOR(LN(CAST(p.nd AS DOUBLE)
+                                 / CAST(nn.n AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS prior
+            FROM tot t JOIN pri p USING (lang) CROSS JOIN v CROSS JOIN nn),
+        lp AS (
+            SELECT cc.lang, cc.w,
+                   CAST(FLOOR(LN(CAST(cc.cnt + 1 AS DOUBLE)
+                                 / CAST(t.tot + v.v AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS lp
+            FROM cc JOIN tot t USING (lang) CROSS JOIN v),
+        sc AS (
+            SELECT tf.doc_id, c.lang, c.prior,
+                   SUM(tf.tf * COALESCE(lp.lp, c.lp0)) AS s
+            FROM tf CROSS JOIN cls c
+            LEFT JOIN lp ON lp.lang = c.lang AND lp.w = tf.w
+            GROUP BY tf.doc_id, c.lang, c.prior),
+        r AS (
+            SELECT doc_id, lang, CAST(s + prior AS BIGINT) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY s + prior DESC, lang) AS rn
+            FROM sc)
+        SELECT r.doc_id, r.lang AS pred_lang, r.score AS score_micro,
+               (r.lang = dl.lang) AS is_correct
+        FROM r JOIN dl ON dl.doc_id = r.doc_id
+        WHERE rn = 1
+    """
+
+    o["corpus_shard_manifest"] = """
+        WITH a AS (
+            SELECT doc_id, n_chars,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 13))
+                            ::BIGINT % 16 AS INTEGER) AS shard_id
+            FROM documents),
+        per AS (
+            SELECT shard_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM a GROUP BY shard_id),
+        nn AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT shard_id, n_docs, total_bytes, min_id, max_id,
+               CAST(FLOOR(ABS(n_docs * 16 - nn.n) * 1000.0 / nn.n)
+                    AS BIGINT) AS skew_permille
+        FROM per CROSS JOIN nn
     """
 
     o["corpus_pmi_bigrams"] = f"""

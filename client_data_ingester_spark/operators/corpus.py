@@ -472,3 +472,107 @@ def corpus_composition(
             ),
         )
     )
+
+
+def nb_language_scores(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained ON the corpus
+    and applied back to it — the distributed shape of the model-based
+    quality/language filters real curation pipelines run (CCNet/FineWeb
+    style): a train step that reduces the corpus to a per-(class, word)
+    count table, then a score step that is one join against that table.
+    Returns ``(doc_id, pred_lang, score_micro, is_correct)``.
+
+    Float discipline (the :func:`unigram_logprob` recipe): ``ln`` runs
+    ONLY on the reduced class-conditional tables — Laplace-smoothed
+    ``ln((cnt+1)/(tot+V))`` per (class, word), the unseen-word default
+    ``ln(1/(tot+V))`` and the class prior ``ln(n_c/N)`` per class — each
+    quantized to integer micro-nats at the source. Per-document scoring
+    is then an exact BIGINT sum, so executor order can't drift a score
+    and argmax ties break identically everywhere (higher score, then
+    lexicographic class).
+
+    Scale shape: training is two vocabulary-sized aggregates (tf →
+    class counts); scoring joins the per-(doc, word) tf relation —
+    document length already folded out — against the class table on
+    ``w``, with the tiny per-class row (prior, default) broadcast. The
+    only row multiplier is n_classes (a handful), applied to the tf
+    relation, never to raw occurrences. At 100 TB: one corpus scan to
+    tf, vocab-bounded shuffles after."""
+    tf = word_rows(docs, text_col).groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    doc_lang = docs.select("doc_id", F.col(label_col).alias("_lang"))
+    cc = (
+        tf.join(doc_lang, "doc_id")
+        .groupBy("_lang", "w")
+        .agg(F.sum("_tf").alias("_cnt"))
+    )
+    tot = cc.groupBy("_lang").agg(F.sum("_cnt").alias("_tot"))
+    vocab = cc.agg(F.countDistinct("w").alias("_v"))
+    priors = docs.groupBy(F.col(label_col).alias("_lang")).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+
+    def _micro(x: F.Column) -> F.Column:
+        return F.floor(F.log(x) * 1000000.0 + F.lit(0.5)).cast("long")
+
+    classes = (
+        tot.join(priors, "_lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_lang",
+            "_tot",
+            "_v",
+            _micro(
+                F.lit(1.0) / (F.col("_tot") + F.col("_v")).cast("double")
+            ).alias("_lp0"),
+            _micro(
+                F.col("_nd").cast("double") / F.col("_n").cast("double")
+            ).alias("_prior"),
+        )
+    )
+    lp = cc.join(classes.select("_lang", "_tot", "_v"), "_lang").select(
+        "_lang",
+        "w",
+        _micro(
+            (F.col("_cnt") + 1).cast("double")
+            / (F.col("_tot") + F.col("_v")).cast("double")
+        ).alias("_lp"),
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(classes.select("_lang", "_lp0", "_prior")))
+        .join(lp, ["_lang", "w"], "left")
+        .groupBy("doc_id", "_lang", "_prior")
+        .agg(
+            F.sum(
+                F.col("_tf") * F.coalesce(F.col("_lp"), F.col("_lp0"))
+            ).alias("_s")
+        )
+        .select(
+            "doc_id",
+            "_lang",
+            (F.col("_s") + F.col("_prior")).alias("_score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("_score"), F.col("_lang")
+    )
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("_lang").alias("pred_lang"),
+            F.col("_score").cast("long").alias("score_micro"),
+        )
+    )
+    return pred.join(doc_lang, "doc_id").select(
+        "doc_id",
+        "pred_lang",
+        "score_micro",
+        (F.col("pred_lang") == F.col("_lang")).alias("is_correct"),
+    )

@@ -1549,3 +1549,87 @@ def test_pq_model_rejects_bad_split():
 
     with _pytest.raises(ValueError, match="not divisible"):
         S.pq_model(None, dim=10, m=4)
+
+
+def test_nb_langid_separable_corpus(spark):
+    from client_data_ingester_spark.operators import corpus as C
+
+    rows = [
+        (1, "der hund und die katze", "de"),
+        (2, "die katze und der vogel", "de"),
+        (3, "the dog and the cat", "en"),
+        (4, "the cat and the bird", "en"),
+        (5, "der hund und der vogel", "de"),
+        (6, "the bird and the dog", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in C.nb_language_scores(docs).collect()}
+    assert len(got) == 6
+    # fully separable vocab: every prediction must match the label
+    assert all(r.is_correct for r in got.values())
+    assert got[1].pred_lang == "de" and got[3].pred_lang == "en"
+    # deterministic: same scores on a second run
+    again = {r.doc_id: r.score_micro
+             for r in C.nb_language_scores(docs).collect()}
+    assert again == {d: r.score_micro for d, r in got.items()}
+
+
+def test_nb_langid_unseen_word_uses_default(spark):
+    """A doc whose words never occur in the other class must still get a
+    finite score for that class (the lp0 unseen default), and prefer its
+    own class."""
+    from client_data_ingester_spark.operators import corpus as C
+
+    rows = [
+        (1, "aaa bbb aaa", "x"),
+        (2, "ccc ddd ccc", "y"),
+        (3, "aaa aaa bbb", "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in C.nb_language_scores(docs).collect()}
+    assert out[2].pred_lang == "y"
+    assert out[1].pred_lang == "x" and out[3].pred_lang == "x"
+
+
+def test_shard_assignment_is_pure_function_of_id(spark):
+    from client_data_ingester_spark.operators import export as EX
+
+    docs = spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "doc_id long, n_chars long"
+    )
+    a = {r.doc_id: r.shard_id for r in EX.shard_assignments(docs, 16).collect()}
+    # same ids through a different partitioning → identical shards
+    b = {
+        r.doc_id: r.shard_id
+        for r in EX.shard_assignments(docs.repartition(7), 16).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(16))
+    m = {r.shard_id: r for r in EX.shard_manifest(docs, 16).collect()}
+    assert sum(r.n_docs for r in m.values()) == 200
+    assert all(r.skew_permille < 1000 for r in m.values())
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    from client_data_ingester_spark.operators import export as EX
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", i * 3) for i in range(100)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = str(tmp_path / "shards")
+    EX.write_shards(docs, out, n_shards=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    # membership on disk matches the declared assignment
+    want = {r.doc_id: r.shard_id for r in EX.shard_assignments(docs, 8).collect()}
+    got = {r.doc_id: r.shard_id for r in back.collect()}
+    assert got == want
+    # one file group per shard: no shard dir holds more than a couple files
+    import os
+
+    for d in os.listdir(out):
+        if d.startswith("shard_id="):
+            files = [f for f in os.listdir(os.path.join(out, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
