@@ -806,6 +806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
         _t(s, d, "documents")
     )
+    # curriculum binning: quality quartiles whose boundaries come from the
+    # histogram sketch (register-bounded state), then one map-side tiering
+    # pass — the staged-training-mix compose
+    q["docs_quality_curriculum"] = lambda s, d: X.quality_curriculum(
+        _t(s, d, "documents")
+    )
     # export layout: deterministic md5 sharding + the per-shard manifest
     # an orchestrator verifies an export against (writer in
     # operators/export.write_shards, pytest-verified)
@@ -2284,6 +2290,57 @@ def oracle_sql() -> dict[str, str]:
                      + 0.3 * (1.0 - punct_ratio * 4)
                      + 0.2 * (1.0 - digit_ratio * 4))) * 10000 + 0.5) / 10000 AS DOUBLE) AS quality_score
         FROM r
+    """
+
+    # curriculum binning: the text_quality relation re-used as a CTE, the
+    # SAME fixed-domain register/cumulative/min-bin arithmetic as the
+    # hist sketch (bin 40ths of [0,1], est = (bin+1)/40), strict-< tier
+    # edges, and integer 4-dec accumulation for the per-tier mean
+    o["docs_quality_curriculum"] = f"""
+        WITH tq AS ({o['text_quality']}),
+        s AS (SELECT doc_id, n_words, quality_score FROM tq),
+        regs AS (
+            SELECT LEAST(GREATEST(FLOOR((quality_score - 0.0) / 1.0 * 40),
+                                  0), 39) AS bin,
+                   COUNT(*) AS cnt
+            FROM s GROUP BY 1),
+        c AS (
+            SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER () AS total
+            FROM regs),
+        hit AS (
+            SELECT v.q, MIN(bin) AS bin
+            FROM c CROSS JOIN (VALUES (0.25), (0.50), (0.75)) v(q)
+            WHERE cum >= v.q * total GROUP BY v.q),
+        b AS (
+            SELECT MAX(CASE WHEN q = 0.25
+                            THEN 0.0 + (bin + 1) * 1.0 / 40 END) AS b25,
+                   MAX(CASE WHEN q = 0.50
+                            THEN 0.0 + (bin + 1) * 1.0 / 40 END) AS b50,
+                   MAX(CASE WHEN q = 0.75
+                            THEN 0.0 + (bin + 1) * 1.0 / 40 END) AS b75
+            FROM hit),
+        t AS (
+            SELECT CASE WHEN quality_score < b25 THEN 0
+                        WHEN quality_score < b50 THEN 1
+                        WHEN quality_score < b75 THEN 2
+                        ELSE 3 END AS tier,
+                   n_words,
+                   CAST(FLOOR(quality_score * 10000 + 0.5) AS BIGINT) AS q4,
+                   b25, b50, b75
+            FROM s CROSS JOIN b)
+        SELECT CAST(tier AS INTEGER) AS tier,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(FLOOR(CAST(SUM(q4) AS DOUBLE) / COUNT(*) + 0.5)
+                    / 10000.0 AS DOUBLE) AS mean_quality,
+               CAST(CASE WHEN tier = 0 THEN MAX(b25)
+                         WHEN tier = 1 THEN MAX(b50)
+                         WHEN tier = 2 THEN MAX(b75)
+                         ELSE 1.0 END AS DOUBLE) AS tier_hi
+        FROM t GROUP BY tier
     """
 
     # synthesized-PII twin of _pii_synth + redact_pii; DuckDB regexp_*

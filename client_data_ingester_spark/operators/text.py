@@ -570,3 +570,77 @@ def weighted_sample(
         .orderBy(F.desc("key_micro"), id_col)
         .limit(n)
     )
+
+
+def quality_curriculum(docs: DataFrame, n_bins: int = 40) -> DataFrame:
+    """Curriculum binning: split the corpus into quality quartiles whose
+    boundaries come from the HISTOGRAM SKETCH, not an exact rank — the
+    composed shape a 100 TB pipeline uses to build staged training mixes
+    (low→high quality ordering) without ever rank-shuffling raw scores.
+
+    Compose: :func:`quality_scores` → ``sketch.hist_registers`` over the
+    fixed [0,1] quality domain (state ≤ n_bins rows) →
+    ``sketch.hist_quantiles`` for the 25/50/75 edges → a broadcast
+    3-value bound row tiers every doc in one map-side pass → per-tier
+    aggregate. Two corpus scans total (register build + tiering); the
+    quantile estimate error is one bin width, which for curriculum
+    bucketing is exactly the tolerable kind of approximate.
+
+    Float discipline: per-tier mean quality is summed as exact integer
+    4-dec units (``floor(score·1e4+0.5)`` recovers the quantized score's
+    integer numerator), one double division at the end — no
+    order-dependent float accumulation."""
+    from .sketch import hist_quantiles, hist_registers
+
+    scores = quality_scores(docs).select(
+        "doc_id", "n_words", "quality_score"
+    )
+    regs = hist_registers(scores, "quality_score", 0.0, 1.0, n_bins)
+    qs = hist_quantiles(regs, [0.25, 0.5, 0.75], 0.0, 1.0, n_bins)
+    bounds = qs.agg(
+        F.max(F.when(F.col("q") == 0.25, F.col("est_value"))).alias("_b25"),
+        F.max(F.when(F.col("q") == 0.50, F.col("est_value"))).alias("_b50"),
+        F.max(F.when(F.col("q") == 0.75, F.col("est_value"))).alias("_b75"),
+    )
+    s = F.col("quality_score")
+    tier = (
+        F.when(s < F.col("_b25"), 0)
+        .when(s < F.col("_b50"), 1)
+        .when(s < F.col("_b75"), 2)
+        .otherwise(3)
+    )
+    q4 = F.floor(s * 10000 + F.lit(0.5)).cast("long")
+    tiered = scores.crossJoin(F.broadcast(bounds)).select(
+        tier.cast("int").alias("tier"),
+        F.col("n_words"),
+        q4.alias("_q4"),
+        "_b25",
+        "_b50",
+        "_b75",
+    )
+    per_tier = tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("_q4").alias("_sq4"),
+        F.max("_b25").alias("_b25"),
+        F.max("_b50").alias("_b50"),
+        F.max("_b75").alias("_b75"),
+    )
+    tier_hi = (
+        F.when(F.col("tier") == 0, F.col("_b25"))
+        .when(F.col("tier") == 1, F.col("_b50"))
+        .when(F.col("tier") == 2, F.col("_b75"))
+        .otherwise(F.lit(1.0))
+    )
+    return per_tier.select(
+        "tier",
+        "n_docs",
+        "total_words",
+        (
+            F.floor(
+                F.col("_sq4").cast("double") / F.col("n_docs") + F.lit(0.5)
+            )
+            / 10000.0
+        ).cast("double").alias("mean_quality"),
+        tier_hi.cast("double").alias("tier_hi"),
+    )

@@ -1633,3 +1633,22 @@ def test_write_shards_roundtrip(spark, tmp_path):
             files = [f for f in os.listdir(os.path.join(out, d))
                      if f.endswith(".parquet")]
             assert len(files) == 1
+
+
+def test_quality_curriculum_partitions_whole_corpus(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    tiers = {r.tier: r for r in X.quality_curriculum(docs).collect()}
+    n = docs.count()
+    # every doc lands in exactly one tier
+    assert sum(r.n_docs for r in tiers.values()) == n
+    assert set(tiers) <= {0, 1, 2, 3}
+    # tier ceilings are monotonically non-decreasing and end at 1.0
+    his = [tiers[t].tier_hi for t in sorted(tiers)]
+    assert his == sorted(his)
+    assert max(tiers) == 3 and tiers[max(tiers)].tier_hi == 1.0
+    # mean quality rises with the tier (that's the curriculum)
+    means = [tiers[t].mean_quality for t in sorted(tiers)]
+    assert means == sorted(means)
