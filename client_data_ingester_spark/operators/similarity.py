@@ -974,3 +974,46 @@ def load_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/codes"),
         spark.read.parquet(f"{path}/codebooks"),
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against FIXED codebooks — the incremental path:
+    new corpus arrivals get ``(id, sub, code)`` rows without retraining
+    (exactly how a production PQ index absorbs appends between periodic
+    re-trainings). Same int64-exact assignment arithmetic as
+    :func:`pq_model`'s final round, so encoding the training corpus
+    against its own codebooks reproduces the persisted codes
+    bit-for-bit. One map-side broadcast join per batch; no shuffle of
+    vector data."""
+    q = corpus.select(
+        F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_q")
+    )
+    sv = _subvectors(q, dim, m, id_col)
+    cents = codebooks.select(
+        "sub", F.col("code").alias("_c"), F.col("_cvec")
+    )
+    scored = sv.join(F.broadcast(cents), on="sub").select(
+        F.col(id_col),
+        "sub",
+        F.struct(
+            _sq_dist(F.col("_qs"), F.col("_cvec")).alias("d"),
+            F.col("_c").alias("c"),
+        ).alias("_dc"),
+    )
+    return (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min("_dc").alias("_best"))
+        .select(
+            F.col(id_col),
+            "sub",
+            F.col("_best.c").alias("code"),
+            F.col("_best.d").alias("dist_sq"),
+        )
+    )

@@ -160,6 +160,42 @@ def bench_cdc_feed(spark, sf_dir: str, work: str) -> dict:
     }
 
 
+def bench_pq_encode_stream(spark, sf_dir: str, work: str) -> dict:
+    import __spark_entry__ as entry
+    from client_data_ingester_spark.streaming.pq_stream import (
+        read_codes,
+        start_pq_encode_stream,
+    )
+
+    # arrivals = the embeddings corpus replayed with fresh ids; codebooks
+    # come from the persisted PQ artifact (build billed as pq_model)
+    _, books = entry._pq_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        "embedding",
+    )
+    n_rows = feed.count()
+    src = os.path.join(work, "vecs_json")
+    feed.repartition(4).write.mode("overwrite").json(src)
+    codes_dir = os.path.join(work, "pq_codes")
+    t0 = time.time()
+    q = start_pq_encode_stream(
+        spark, src, os.path.join(work, "ckpt_pq"), codes_dir, books
+    )
+    q.processAllAvailable()
+    wall = time.time() - t0
+    q.stop()
+    encoded = read_codes(spark, codes_dir).count()
+    return {
+        "rows": n_rows,
+        "code_rows": encoded,
+        "sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -173,6 +209,7 @@ def main() -> None:
             "ingest": bench_ingest_stream(spark, sf_dir, work),
             "dedup": bench_dedup_stream(spark, sf_dir, work),
             "cdc_feed": bench_cdc_feed(spark, sf_dir, work),
+            "pq_encode": bench_pq_encode_stream(spark, sf_dir, work),
         }
         print(json.dumps(out))
     finally:
