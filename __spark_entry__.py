@@ -1158,10 +1158,20 @@ _PINNED = (
 
 
 def _verification_history() -> dict[str, int]:
-    """Query name -> latest round with a driver CORRECTNESS row (absent =
-    never scored). Read from the CORRECTNESS_r*.json files the round
-    driver leaves in the repo root; a fresh checkout (no files) degrades
-    to the declaration order of ``queries()``."""
+    """Query name -> latest round with a HASH-VERIFIED driver CORRECTNESS
+    row (absent = never fully verified). Read from the CORRECTNESS_r*.json
+    files the round driver leaves in the repo root; a fresh checkout (no
+    files) degrades to the declaration order of ``queries()``.
+
+    Only rows with ``hash_match: true`` (or a clean rows-only pass for a
+    genuinely oracle-less op: ``hash_match`` null AND ``err`` null) count:
+    a row that errored or was recorded ``no_oracle`` is NOT verification,
+    so the entry re-prioritizes into the next round's window instead of
+    waiting out a full rotation — e.g. the portable-HLL profile, whose
+    only driver row was r6's ``no_oracle``, must head the next window.
+    Every current entry has a DuckDB oracle (asserted in
+    tests/test_driver_window.py), so nothing can starve the rotation by
+    permanently re-prioritizing."""
     import glob
     import json
     import re
@@ -1179,7 +1189,14 @@ def _verification_history() -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(data, dict):
-            for name in data:
+            for name, row in data.items():
+                if isinstance(row, dict):
+                    verified = row.get("hash_match") is True or (
+                        row.get("hash_match") is None
+                        and row.get("err") is None
+                    )
+                    if not verified:
+                        continue
                 hist[name] = max(hist.get(name, 0), rnd)
     return hist
 

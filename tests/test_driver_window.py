@@ -90,3 +90,39 @@ def test_window_report_partitions_inventory():
     assert rep["scored"] == list(qs)[: entry._WINDOW]
     assert rep["scored"] + rep["deferred"] == list(qs)
     assert rep["coverage_rounds"] == entry.coverage_rounds(len(qs))
+
+
+def test_unverified_rows_do_not_count_as_history():
+    """A CORRECTNESS row that errored or was recorded ``no_oracle`` is
+    NOT verification: the entry must re-prioritize like a never-scored
+    one (this is how the portable-HLL profile re-entered the r8 window
+    after its only driver row was r6's ``no_oracle``)."""
+    hist = entry._verification_history()
+    # r6 recorded profile_lineitem_approx with err=no_oracle and r7
+    # rotated it out — with hash-verified-only history it has no entry
+    # (or only a later hash-green round), never the weak r6 row alone
+    import glob
+    import json
+    import os as _os
+
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    weak_only = True
+    for p in glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            row = json.load(open(p)).get("profile_lineitem_approx")
+        except Exception:
+            continue
+        if isinstance(row, dict) and row.get("hash_match") is True:
+            weak_only = False
+    if weak_only and hist:
+        assert "profile_lineitem_approx" not in hist
+        assert _names().index("profile_lineitem_approx") < entry._WINDOW
+
+
+def test_every_entry_has_an_oracle():
+    """The hash-verified-only history refinement cannot starve the
+    rotation only because every entry CAN be hash-verified — pin that."""
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    missing = [n for n in qs if n not in oracles]
+    assert not missing, f"entries without a DuckDB oracle: {missing}"
