@@ -504,17 +504,26 @@ def nb_language_scores(
         F.count(F.lit(1)).alias("_tf")
     )
     doc_lang = docs.select("doc_id", F.col(label_col).alias("_lang"))
+    # the TRAINED MODEL is vocab x n_classes rows — persist it so its
+    # three consumers (class totals, vocab size, smoothed logprobs) share
+    # one derivation instead of each re-scanning the corpus through the
+    # tf chain (16 scans -> 2 column-pruned scans + 2 tf derivations;
+    # the cached relation is the reduced model, never raw data, so the
+    # memory bound is the model size at any corpus scale)
     cc = (
         tf.join(doc_lang, "doc_id")
         .groupBy("_lang", "w")
         .agg(F.sum("_tf").alias("_cnt"))
+        .persist()
     )
     tot = cc.groupBy("_lang").agg(F.sum("_cnt").alias("_tot"))
     vocab = cc.agg(F.countDistinct("w").alias("_v"))
-    priors = docs.groupBy(F.col(label_col).alias("_lang")).agg(
+    # priors from the doc->label projection (column-pruned), corpus total
+    # derived from the priors — no extra corpus aggregate
+    priors = doc_lang.groupBy("_lang").agg(
         F.count(F.lit(1)).alias("_nd")
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    ).persist()
+    n_docs = priors.agg(F.sum("_nd").alias("_n"))
 
     def _micro(x: F.Column) -> F.Column:
         return F.floor(F.log(x) * 1000000.0 + F.lit(0.5)).cast("long")
