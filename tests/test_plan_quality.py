@@ -723,3 +723,34 @@ def test_pq_probe_scans_codes_not_raw_corpus_vectors(spark):
     # scans: codes + codebooks (x2: the subspace-count read) + query rows
     assert tree.count("Scan parquet") <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_pq_topk_prunes_topk_before_shuffle(spark):
+    """The final per-query rank must ride WindowGroupLimit: each input
+    partition keeps only its local top-k before the window shuffle, so
+    the exchange carries O(partitions x k), not the full ADC relation."""
+    plan = plan_of(spark, "similarity_pq_topk")
+    assert "WindowGroupLimit" in plan
+
+
+def test_shard_manifest_is_bounded_aggregate(spark):
+    """Export manifest = one n_shards-group partial aggregate + a
+    broadcast 1-row total: two column-pruned scans, no wide state."""
+    plan = plan_of(spark, "corpus_shard_manifest")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert tree.count("HashAggregate") >= 2  # map-side partial before shuffle
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+
+
+def test_quality_curriculum_two_corpus_scans(spark):
+    """Register build + map-side tiering pass: exactly two scans of
+    documents, bounds ride a broadcast, no rank shuffle of raw scores
+    (no global sort, no percentile/collect buffering)."""
+    plan = plan_of(spark, "docs_quality_curriculum")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "percentile" not in plan.lower()
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
