@@ -475,7 +475,10 @@ def corpus_composition(
 
 
 def nb_language_scores(
-    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    cache_model: bool = True,
 ) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained ON the corpus
     and applied back to it — the distributed shape of the model-based
@@ -509,20 +512,23 @@ def nb_language_scores(
     # one derivation instead of each re-scanning the corpus through the
     # tf chain (16 scans -> 2 column-pruned scans + 2 tf derivations;
     # the cached relation is the reduced model, never raw data, so the
-    # memory bound is the model size at any corpus scale)
+    # memory bound is the model size at any corpus scale). The cache
+    # lives until the session ends — a long-lived session calling this
+    # repeatedly should pass cache_model=False (or persist the trained
+    # tables itself, the build-artifact pattern) so entries don't
+    # accumulate in the storage pool.
     cc = (
         tf.join(doc_lang, "doc_id")
         .groupBy("_lang", "w")
         .agg(F.sum("_tf").alias("_cnt"))
-        .persist()
     )
+    priors = doc_lang.groupBy("_lang").agg(F.count(F.lit(1)).alias("_nd"))
+    if cache_model:
+        cc = cc.persist()
+        priors = priors.persist()
     tot = cc.groupBy("_lang").agg(F.sum("_cnt").alias("_tot"))
     vocab = cc.agg(F.countDistinct("w").alias("_v"))
-    # priors from the doc->label projection (column-pruned), corpus total
-    # derived from the priors — no extra corpus aggregate
-    priors = doc_lang.groupBy("_lang").agg(
-        F.count(F.lit(1)).alias("_nd")
-    ).persist()
+    # corpus total derives from the priors — no extra corpus aggregate
     n_docs = priors.agg(F.sum("_nd").alias("_n"))
 
     def _micro(x: F.Column) -> F.Column:

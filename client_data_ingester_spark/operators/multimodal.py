@@ -83,9 +83,13 @@ def attach_media_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_real(kind: str, payload: bytes) -> list[float]:
-    """REAL decode path. Uncompressed 24-bit BMP is decoded natively (no
-    codec library needed — see :func:`decode_bmp`); every other format
-    still raises, honestly marking the external-codec boundary."""
+    """REAL decode path for the five dependency-free formats (see module
+    docstring); everything else — including RIFF forms that are neither
+    WAVE nor AVI, e.g. WEBP — raises NotImplementedError, honestly
+    marking the external-codec boundary (never a misleading
+    'malformed payload' error for a merely-unsupported container).
+    Legal-but-empty media (zero-sample WAV, zero-frame AVI) yield a
+    zero feature vector: their means are vacuously zero, not a crash."""
     if payload and (
         payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_SIG
     ):
@@ -93,14 +97,18 @@ def _decode_real(kind: str, payload: bytes) -> list[float]:
         n = w * h
         # 3-dim feature: per-channel mean scaled to [0,1] (B, G, R)
         return [s / (255.0 * n) for s in sums]
-    if payload and payload[:4] == b"RIFF":
-        if payload[8:12] == b"AVI ":
-            w, h, n, frames = decode_avi(payload)
-            px = w * h * n
-            # 3-dim feature: per-channel mean over ALL frames (B, G, R)
-            totals = [sum(fr[c] for fr in frames) for c in range(3)]
-            return [t / (255.0 * px) for t in totals]
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        w, h, n, frames = decode_avi(payload)
+        px = w * h * n
+        if px == 0:
+            return [0.0, 0.0, 0.0]
+        # 3-dim feature: per-channel mean over ALL frames (B, G, R)
+        totals = [sum(fr[c] for fr in frames) for c in range(3)]
+        return [t / (255.0 * px) for t in totals]
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, n, stats = decode_wav(payload)
+        if n == 0:
+            return [0.0, 0.0, 0.0]
         # 3-dim feature: mean amplitude, mean |amplitude|, peak — scaled
         return [
             stats[0] / (32768.0 * n),
@@ -341,6 +349,8 @@ def decode_png(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PNG dimensions")
     raw = zlib.decompress(bytes(idat))
     stride = width * 3
     if len(raw) != height * (stride + 1):
@@ -382,41 +392,66 @@ def decode_png(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
     return width, height, (int(sums[2]), int(sums[1]), int(sums[0]))
 
 
+def _gen_bgr(d: int, xs, ys, fs=0):
+    """THE closed-form pixel generator — the single source of truth every
+    image/video synthesizer AND every multimodal DuckDB oracle encode:
+    pixel (x, y) of frame ``f`` of doc ``d`` is ``B=(7d+3x+5y+11f)%256,
+    G=(d+x+y+f)%256, R=(13d+x+2y+3f)%256`` (frame term 0 for stills).
+    Returns a uint8 array with a trailing BGR channel axis. Kept in one
+    place so a coefficient edit cannot silently break the cross-codec
+    agreement invariant (BMP==PPM==PNG sums; AVI frame 0 == BMP)."""
+    import numpy as np
+
+    return np.stack(
+        [
+            (7 * d + 3 * xs + 5 * ys + 11 * fs) % 256,
+            (d + xs + ys + fs) % 256,
+            (13 * d + xs + 2 * ys + 3 * fs) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _synth_media(docs: DataFrame, id_col: str, make_payload) -> DataFrame:
+    """Shared Arrow-batched synthesis scaffold: one ``(media_id,
+    payload)`` row per doc, ``make_payload(doc_id) -> bytes``. Blob
+    construction is per-row Python/numpy inside ``mapInPandas`` (the
+    honest shape for binary synthesis; at scale real payloads arrive
+    from the lake, not a generator)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [make_payload(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="media_id long, payload binary"
+    )
+
+
 def synth_png_media(
     docs: DataFrame,
     width: int = 5,
     height: int = 6,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Deterministic REAL PNG payloads from the SAME closed-form pixel
-    generator as :func:`synth_bmp_media` / :func:`synth_ppm_media`, in a
-    third structurally different container (zlib-deflated, per-row
-    filtered scanlines). Default height 6 cycles the per-row filter
-    ``y % 5`` through all five types with a repeat, so every defilter
-    branch of :func:`decode_png` is on the scored path."""
+    """Deterministic REAL PNG payloads from the shared :func:`_gen_bgr`
+    generator, in a third structurally different container
+    (zlib-deflated, per-row filtered scanlines). Default height 6 cycles
+    the per-row filter ``y % 5`` through all five types with a repeat,
+    so every defilter branch of :func:`decode_png` is on the scored
+    path."""
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys, xs = np.mgrid[0:height, 0:width]
-        for pdf in batches:
-            payloads = []
-            for d in pdf[id_col]:
-                d = int(d)
-                rgb = np.stack(
-                    [
-                        (13 * d + xs + 2 * ys) % 256,
-                        (d + xs + ys) % 256,
-                        (7 * d + 3 * xs + 5 * ys) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                payloads.append(encode_png(width, height, rgb))
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col], "payload": payloads}
-            )
-
-    return docs.select(id_col).mapInPandas(
-        run, schema="media_id long, payload binary"
+    ys, xs = np.mgrid[0:height, 0:width]
+    return _synth_media(
+        docs,
+        id_col,
+        lambda d: encode_png(width, height, _gen_bgr(d, xs, ys)[..., ::-1]),
     )
 
 
@@ -469,14 +504,20 @@ def decode_wav(payload: bytes) -> tuple[int, int, tuple[int, int, int, int]]:
     (riff_size,) = struct.unpack_from("<I", payload, 4)
     if riff_size + 8 > len(payload):
         raise ValueError("truncated RIFF payload")
+    # walk exactly the declared RIFF extent (8 + riff_size), like
+    # decode_avi — block-padded files carry trailing bytes past it that
+    # are NOT chunks and must not be parsed as one
+    end = 8 + riff_size
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         tag = payload[pos:pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 8 + length > end:
             raise ValueError(f"truncated WAV chunk {tag!r}")
         if tag == b"fmt ":
+            if length < 16:
+                raise ValueError("short WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif tag == b"data":
             data = body
@@ -489,6 +530,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, tuple[int, int, int, int]]:
             f"unsupported WAV variant: fmt={audio_fmt} ch={channels} "
             f"bits={bits} (only 16-bit mono PCM)"
         )
+    if rate <= 0:
+        raise ValueError("invalid WAV sample rate 0")
     if len(data) % 2:
         raise ValueError("odd PCM data length")
     s = np.frombuffer(data, dtype="<i2").astype(np.int64)
@@ -517,19 +560,14 @@ def synth_wav_media(
     bytes-level encode→decode while the oracle never touches a codec."""
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx = np.arange(n_samples, dtype=np.int64)
-        for pdf in batches:
-            payloads = []
-            for d in pdf[id_col]:
-                s = ((2741 * int(d) + 4099 * idx) % 65536) - 32768
-                payloads.append(encode_wav(sample_rate, s.astype(np.int16)))
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col], "payload": payloads}
-            )
-
-    return docs.select(id_col).mapInPandas(
-        run, schema="media_id long, payload binary"
+    idx = np.arange(n_samples, dtype=np.int64)
+    return _synth_media(
+        docs,
+        id_col,
+        lambda d: encode_wav(
+            sample_rate,
+            (((2741 * d + 4099 * idx) % 65536) - 32768).astype(np.int16),
+        ),
     )
 
 
@@ -677,8 +715,12 @@ def decode_avi(
             if tag == b"LIST":
                 walk(body_start + 4, body_start + length)  # skip form fourcc
             elif tag == b"avih":
+                if length < 56:  # declared size must cover the unpack
+                    raise ValueError("short AVI avih chunk")
                 avih = struct.unpack_from("<14I", payload, body_start)
             elif tag == b"strf":
+                if length < 20:
+                    raise ValueError("short AVI strf chunk")
                 strf = struct.unpack_from("<IiiHHI", payload, body_start)
             elif tag == b"00db":
                 frames.append(payload[body_start:body_start + length])
@@ -736,27 +778,11 @@ def synth_avi_media(
     3-D ``generate_series`` without touching a codec."""
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fs, ys, xs = np.mgrid[0:n_frames, 0:height, 0:width]
-        for pdf in batches:
-            payloads = []
-            for d in pdf[id_col]:
-                d = int(d)
-                bgr = np.stack(
-                    [
-                        (7 * d + 3 * xs + 5 * ys + 11 * fs) % 256,
-                        (d + xs + ys + fs) % 256,
-                        (13 * d + xs + 2 * ys + 3 * fs) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                payloads.append(encode_avi(width, height, bgr))
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col], "payload": payloads}
-            )
-
-    return docs.select(id_col).mapInPandas(
-        run, schema="media_id long, payload binary"
+    fs, ys, xs = np.mgrid[0:n_frames, 0:height, 0:width]
+    return _synth_media(
+        docs,
+        id_col,
+        lambda d: encode_avi(width, height, _gen_bgr(d, xs, ys, fs)),
     )
 
 
@@ -806,32 +832,15 @@ def synth_bmp_media(
     oracle never needs a codec. Width 5 forces a nonzero row pad (15 →
     16 bytes), keeping the padding logic under test.
 
-    Arrow-batched generation: blob construction is per-row Python/numpy
-    inside ``mapInPandas`` (the honest shape for binary synthesis; at
-    scale real payloads arrive from the lake, not a generator)."""
+    Generation rides the shared :func:`_synth_media` scaffold over the
+    shared :func:`_gen_bgr` generator."""
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys, xs = np.mgrid[0:height, 0:width]
-        for pdf in batches:
-            payloads = []
-            for d in pdf[id_col]:
-                d = int(d)
-                bgr = np.stack(
-                    [
-                        (7 * d + 3 * xs + 5 * ys) % 256,
-                        (d + xs + ys) % 256,
-                        (13 * d + xs + 2 * ys) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                payloads.append(encode_bmp(width, height, bgr))
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col], "payload": payloads}
-            )
-
-    return docs.select(id_col).mapInPandas(
-        run, schema="media_id long, payload binary"
+    ys, xs = np.mgrid[0:height, 0:width]
+    return _synth_media(
+        docs,
+        id_col,
+        lambda d: encode_bmp(width, height, _gen_bgr(d, xs, ys)),
     )
 
 
@@ -886,27 +895,11 @@ def synth_ppm_media(
     analytic oracle and must agree with each other."""
     import numpy as np
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys, xs = np.mgrid[0:height, 0:width]
-        for pdf in batches:
-            payloads = []
-            for d in pdf[id_col]:
-                d = int(d)
-                rgb = np.stack(
-                    [
-                        (13 * d + xs + 2 * ys) % 256,
-                        (d + xs + ys) % 256,
-                        (7 * d + 3 * xs + 5 * ys) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                payloads.append(encode_ppm(width, height, rgb))
-            yield pd.DataFrame(
-                {"media_id": pdf[id_col], "payload": payloads}
-            )
-
-    return docs.select(id_col).mapInPandas(
-        run, schema="media_id long, payload binary"
+    ys, xs = np.mgrid[0:height, 0:width]
+    return _synth_media(
+        docs,
+        id_col,
+        lambda d: encode_ppm(width, height, _gen_bgr(d, xs, ys)[..., ::-1]),
     )
 
 

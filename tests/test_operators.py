@@ -1652,3 +1652,84 @@ def test_quality_curriculum_partitions_whole_corpus(spark):
     # mean quality rises with the tier (that's the curriculum)
     means = [tiers[t].mean_quality for t in sorted(tiers)]
     assert means == sorted(means)
+
+
+def test_codec_malformed_inputs_raise_valueerror_not_crash():
+    """Round-8 review findings: every malformed-container path must raise
+    ValueError (the decoder contract), never ZeroDivisionError or
+    struct.error escaping from an unpack past a short chunk."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    # degenerate 0x0 PNG: IHDR declares 0x0, empty deflated IDAT
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+    png0 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="degenerate"):
+        M.decode_png(png0)
+
+    # AVI with an avih chunk shorter than the 56-byte header it declares
+    frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    good = M.encode_avi(2, 2, frames)
+    avih_at = good.index(b"avih")
+    short = bytearray(good)
+    struct.pack_into("<I", short, avih_at + 4, 8)  # declared length 8
+    with _pytest.raises(ValueError, match="short AVI avih"):
+        M.decode_avi(bytes(short))
+
+    # WAV with sample rate 0
+    fmt0 = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+        + b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    )
+    with _pytest.raises(ValueError, match="sample rate"):
+        M.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_trailing_padding_is_tolerated():
+    """Block-padded files carry bytes past the declared RIFF extent; the
+    chunk walk must stop at 8+riff_size (like decode_avi) instead of
+    parsing the pad as a chunk."""
+    import numpy as np
+
+    wav = M.encode_wav(8000, np.array([100, -100, 50], dtype=np.int16))
+    padded = wav + b"\x00" * 16  # trailing block padding
+    assert M.decode_wav(padded) == M.decode_wav(wav)
+
+
+def test_decode_real_empty_media_and_unknown_riff():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    # legal zero-sample WAV -> zero feature vector, not ZeroDivisionError
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    eb = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    wav0 = b"RIFF" + struct.pack("<I", len(eb)) + eb
+    assert M._decode_real("audio", wav0) == [0.0, 0.0, 0.0]
+
+    # legal zero-frame AVI -> zero feature vector
+    avi0 = M.encode_avi(2, 2, np.zeros((0, 2, 2, 3), dtype=np.uint8))
+    assert M._decode_real("video", avi0) == [0.0, 0.0, 0.0]
+
+    # RIFF form that is neither WAVE nor AVI (e.g. WEBP): the honest
+    # codec-boundary error, not a misleading 'malformed' ValueError
+    webp = b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 " + b"\x00" * 4
+    with _pytest.raises(NotImplementedError):
+        M._decode_real("image", webp)
