@@ -365,6 +365,8 @@ def pmi_bigrams(
         F.col("c_y").cast("long").alias("c_y"),
         _dec4(pmi_raw).alias("pmi"),
     )
+    # bounded global window: ranks the thresholded BIGRAM-TYPE relation
+    # (c_xy >= min_count survivors, vocabulary-scale), never occurrences
     rnk = F.row_number().over(
         Window.partitionBy(F.lit(1)).orderBy(
             F.desc("pmi"), F.col("w1"), F.col("w2")
@@ -396,6 +398,8 @@ def oov_rate(
     vocab = (
         wc.withColumn(
             "_r",
+            # bounded global window over the WORD-COUNT relation
+            # (vocabulary-sized) — not document occurrences
             F.row_number().over(
                 Window.partitionBy(F.lit(1)).orderBy(
                     F.desc("_cnt"), F.col("w")

@@ -461,6 +461,9 @@ def cumulative_from_first_seen(
     dense = cal.join(arrivals, "bucket", "left").select(
         "bucket", F.coalesce("new_users", F.lit(0)).alias("new_users")
     )
+    # bounded global window: runs over the dense CALENDAR relation
+    # (buckets between corpus min/max ts, never events) — the expected
+    # "No Partition Defined" warning is this bounded fold
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return dense.select(
         "bucket",

@@ -475,6 +475,8 @@ def top_revenue_suppliers(
         ).alias("_rev")
     )
     top = rev.withColumn(
+        # bounded global window: over the per-SUPPLIER aggregate
+        # (|suppliers| rows), not lineitem
         "_mx", F.max("_rev").over(Window.partitionBy(F.lit(1)))
     ).filter(F.col("_rev") == F.col("_mx"))
     return (
@@ -1066,6 +1068,8 @@ def important_part_values(
     )
     return (
         per_part.withColumn(
+            # bounded global window: over the per-PARTKEY aggregate
+            # (|parts in the nation's stock| rows), not the fact table
             "_total", F.sum("_value").over(Window.partitionBy(F.lit(1)))
         )
         .filter(F.col("_value") * fraction_denom > F.col("_total"))
