@@ -806,6 +806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
         _t(s, d, "documents")
     )
+    # Gopher-style hard rule filter: per-doc keep/drop verdict with a
+    # bitmask audit of which rules failed — map-only, no shuffle
+    q["docs_gopher_rules"] = lambda s, d: X.gopher_rule_filter(
+        _t(s, d, "documents")
+    )
     # curriculum binning: quality quartiles whose boundaries come from the
     # histogram sketch (register-bounded state), then one map-side tiering
     # pass — the staged-training-mix compose
@@ -2307,6 +2312,60 @@ def oracle_sql() -> dict[str, str]:
                      + 0.3 * (1.0 - punct_ratio * 4)
                      + 0.2 * (1.0 - digit_ratio * 4))) * 10000 + 0.5) / 10000 AS DOUBLE) AS quality_score
         FROM r
+    """
+
+    # Gopher rules: same staged-feature CTE shape as text_quality, plus
+    # the alphabetic-word count; verdicts are integer CASE sums, so the
+    # bitmask and kept flag hash exactly
+    _en_list = ", ".join(repr(w) for w in LANG_STOPWORDS["en"])
+    o["docs_gopher_rules"] = f"""
+        WITH f AS (
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars,
+                   LEN({toks}) AS n_words,
+                   LIST_SUM(LIST_TRANSFORM({toks}, x -> LENGTH(x)))
+                       AS sum_wlen,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]',
+                                                        '', 'g')) AS n_punct,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]',
+                                                        '', 'g')) AS n_digit,
+                   LEN(LIST_FILTER({toks}, x -> x IN ({_en_list})))
+                       AS hits_en,
+                   LEN(LIST_FILTER({toks}, x -> REGEXP_MATCHES(x, '[a-z]')))
+                       AS n_alpha
+            FROM documents),
+        r AS (
+            SELECT doc_id, n_words, hits_en,
+                   CASE WHEN n_words > 0
+                        THEN CAST(sum_wlen AS DOUBLE) / n_words
+                        ELSE 0.0 END AS mwl,
+                   CASE WHEN n_words > 0
+                        THEN CAST(n_alpha AS DOUBLE) / n_words
+                        ELSE 0.0 END AS af,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_digit AS DOUBLE) / n_chars
+                        ELSE 0.0 END AS dr,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars
+                        ELSE 0.0 END AS pr
+            FROM f),
+        v AS (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words < 10 OR n_words > 100000
+                        THEN 1 ELSE 0 END AS v0,
+                   CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS v1,
+                   CASE WHEN hits_en < 2 THEN 1 ELSE 0 END AS v2,
+                   CASE WHEN af < 0.8 THEN 1 ELSE 0 END AS v3,
+                   CASE WHEN dr > 0.2 THEN 1 ELSE 0 END AS v4,
+                   CASE WHEN pr > 0.3 THEN 1 ELSE 0 END AS v5
+            FROM r)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(v0 + 2*v1 + 4*v2 + 8*v3 + 16*v4 + 32*v5 AS INTEGER)
+                   AS failed_mask,
+               CAST(v0 + v1 + v2 + v3 + v4 + v5 AS INTEGER) AS n_failed,
+               (v0 + v1 + v2 + v3 + v4 + v5 = 0) AS kept
+        FROM v
     """
 
     # curriculum binning: the text_quality relation re-used as a CTE, the

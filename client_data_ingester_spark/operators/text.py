@@ -644,3 +644,82 @@ def quality_curriculum(docs: DataFrame, n_bins: int = 40) -> DataFrame:
         ).cast("double").alias("mean_quality"),
         tier_hi.cast("double").alias("tier_hi"),
     )
+
+
+def gopher_rule_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style hard quality rules (Rae et al. 2021's heuristic
+    filter family, thresholds adapted to short-doc corpora): per-doc
+    keep/drop verdict with a BITMASK audit of which rules failed — the
+    auditable shape a curation pipeline needs (aggregate the mask and
+    you have the per-rule rejection report; filter on ``kept`` and you
+    have the surviving corpus). Bit i set = rule i violated:
+
+      0: word count outside [10, 100000]
+      1: mean word length outside [3, 10]
+      2: fewer than 2 English stopword hits
+      3: alphabetic-word fraction < 0.8
+      4: digit character ratio > 0.2
+      5: punctuation character ratio > 0.3
+
+    Map-only: one staged tokenize projection → one verdict projection;
+    no shuffle, no UDF, no window — embarrassingly parallel at any
+    scale. All ratios are double quotients of exact integers, so the
+    threshold comparisons are engine-identical."""
+    t = F.col(text_col)
+    s1 = docs.select("doc_id", t.alias("_t"), tokens(t).alias("_toks"))
+    tt, toks = F.col("_t"), F.col("_toks")
+    staged = s1.select(
+        "doc_id",
+        F.length(tt).alias("n_chars"),
+        F.size(toks).alias("n_words"),
+        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).alias(
+            "_sum_wlen"
+        ),
+        (
+            F.length(tt) - F.length(F.regexp_replace(tt, r"[^\w\s]", ""))
+        ).alias("_n_punct"),
+        (F.length(tt) - F.length(F.regexp_replace(tt, r"[0-9]", ""))).alias(
+            "_n_digit"
+        ),
+        F.size(F.filter(toks, _isin_fn(LANG_STOPWORDS["en"]))).alias(
+            "_hits_en"
+        ),
+        F.size(
+            F.filter(toks, lambda w: w.rlike("[a-z]"))
+        ).alias("_n_alpha_words"),
+    )
+    n_chars, n_words = F.col("n_chars"), F.col("n_words")
+    mean_wlen = F.when(
+        n_words > 0, F.col("_sum_wlen").cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0, F.col("_n_alpha_words").cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0, F.col("_n_digit").cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, F.col("_n_punct").cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    violations = [
+        (n_words < 10) | (n_words > 100000),
+        (mean_wlen < 3.0) | (mean_wlen > 10.0),
+        F.col("_hits_en") < 2,
+        alpha_frac < 0.8,
+        digit_ratio > 0.2,
+        punct_ratio > 0.3,
+    ]
+    mask = None
+    n_failed = None
+    for i, v in enumerate(violations):
+        bit = F.when(v, F.lit(1 << i)).otherwise(F.lit(0))
+        one = F.when(v, F.lit(1)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+        n_failed = one if n_failed is None else n_failed + one
+    return staged.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mask.cast("int").alias("failed_mask"),
+        n_failed.cast("int").alias("n_failed"),
+        (mask == 0).alias("kept"),
+    )

@@ -1733,3 +1733,38 @@ def test_decode_real_empty_media_and_unknown_riff():
     webp = b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 " + b"\x00" * 4
     with _pytest.raises(NotImplementedError):
         M._decode_real("image", webp)
+
+
+def test_gopher_rules_bitmask_audit(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "keeps on running through the field with great joy today"),
+        (2, "tiny doc"),                       # too few words
+        (3, "!!! ??? ***  ###  $$$ %%% ^^^ &&& @@@ ~~~ ||| +++"),  # symbols
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.gopher_rule_filter(docs).collect()}
+    assert got[1].kept and got[1].failed_mask == 0 and got[1].n_failed == 0
+    assert not got[2].kept
+    assert got[2].failed_mask & 1  # rule 0: word count
+    assert not got[3].kept
+    assert got[3].failed_mask & 8   # rule 3: alpha-word fraction
+    assert got[3].failed_mask & 32  # rule 5: punctuation ratio
+    # mask and n_failed agree
+    for r in got.values():
+        assert bin(r.failed_mask).count("1") == r.n_failed
+        assert r.kept == (r.failed_mask == 0)
+
+
+def test_gopher_rules_is_map_only(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = X.gopher_rule_filter(docs)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert tree.count("Scan parquet") == 1
