@@ -179,6 +179,30 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return load_pq_index(spark, path)
 
 
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-corpus IVF-PQ residual index for
+    ``similarity_ivfpq_topk``: residuals against the persisted k-means
+    cells, product-quantized with one shared codebook family. The full
+    query-time artifact set is (codes, codebooks) here plus the k-means
+    model's (assignments, centroids) — none of it raw vectors. Returns
+    ``(codes, codebooks)``."""
+    from client_data_ingester_spark.operators.similarity import (
+        ivfpq_encode,
+        load_pq_index,
+    )
+
+    path = _index_cache_path(sf_dir, "ivfpq")
+    if not os.path.exists(os.path.join(path, "codebooks", "_SUCCESS")):
+        assigns, cents = _kmeans_index(spark, sf_dir)
+        codes, books = ivfpq_encode(
+            _t(spark, sf_dir, "embeddings"), assigns, cents,
+            dim=64, m=4, k_codes=4, n_iter=2,
+        )
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
+        books.write.mode("overwrite").parquet(f"{path}/codebooks")
+    return load_pq_index(spark, path)
+
+
 def _pipeline_curated(
     spark: SparkSession, sf_dir: str, checkpoint: bool = False
 ) -> DataFrame:
@@ -922,6 +946,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.pq_topk(qs_df, codes, codebooks, dim=64, k=5)
 
     q["similarity_pq_topk"] = _pq_scored
+
+    # IVF-PQ: the faiss-standard composition — coarse-cell pruning AND
+    # residual-PQ memory bounding in one query; scan side is
+    # nprobe/num_cells of a 64x-compressed codes table
+    def _ivfpq_scored(s, d):
+        emb = _t(s, d, "embeddings")
+        assigns, cents = _kmeans_index(s, d)
+        codes, books = _ivfpq_index(s, d)
+        qs_df = (
+            emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        return S.ivfpq_topk(
+            qs_df, assigns, cents, codes, books,
+            dim=64, m=4, k=5, nprobe=3,
+        )
+
+    q["similarity_ivfpq_topk"] = _ivfpq_scored
 
     q["docs_balanced_sample"] = lambda s, d: X.balanced_sample(
         _t(s, d, "documents")
@@ -3566,7 +3608,7 @@ def oracle_sql() -> dict[str, str]:
         "z -> (z[1]-z[2])*(z[1]-z[2])), 'sum')"
     )
 
-    def _pq_assign(name: str, cents: str) -> str:
+    def _pq_assign(name: str, cents: str, src: str = "sv") -> str:
         return f"""{name} AS (
             SELECT vec_id, sub, qs, c AS code, d FROM (
                 SELECT vec_id, sub, qs, c, d,
@@ -3574,7 +3616,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY d, c) AS rn
                 FROM (SELECT s.vec_id, s.sub, s.qs, c.c,
                              CAST({_pq_dist} AS BIGINT) AS d
-                      FROM sv s JOIN {cents} c ON s.sub = c.sub))
+                      FROM {src} s JOIN {cents} c ON s.sub = c.sub))
             WHERE rn = 1)"""
 
     def _pq_update(assign: str, cents_out: str) -> str:
@@ -3625,6 +3667,73 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY query_id
                                         ORDER BY adc_dist, vec_id) AS rn
               FROM adc)
+        WHERE rn <= 5
+    """
+    )
+
+    # IVF-PQ: the kmeans unroll supplies cells (afinal) + integer
+    # centroids (c2); residuals feed the SAME per-subspace Lloyd unroll
+    # over a different source relation; the probe is int64
+    # nearest-centroid, the ADC is cell-scoped via the candidate's cell
+    _ivfpq_dist_q_cc = (
+        "list_aggregate(list_transform(list_zip(s.qv, cc.cv), "
+        "z -> (z[1]-z[2])*(z[1]-z[2])), 'sum')"
+    )
+    _ivfpq_ctes = _km_ctes + [
+        """rres AS (
+            SELECT af.vec_id, af.c AS cell,
+                   list_transform(list_zip(af.qv, cc.cv), z -> z[1]-z[2])
+                       AS rv
+            FROM afinal af JOIN c2 cc ON cc.c = af.c)""",
+        """rsv AS (
+            SELECT r.vec_id, g.sub,
+                   list_slice(r.rv, g.sub * 16 + 1, g.sub * 16 + 16) AS qs
+            FROM rres r, generate_series(0, 3) g(sub))""",
+        """rp0 AS (
+            SELECT sub, CAST(vec_id AS BIGINT) AS c, qs AS cv FROM rsv
+            WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 4))""",
+        _pq_assign("rpa0", "rp0", src="rsv"),
+        _pq_update("rpa0", "rp1"),
+        _pq_assign("rpfinal", "rp1", src="rsv"),
+        f"""probes AS (
+            SELECT query_id, cell, rq FROM (
+                SELECT s.vec_id AS query_id, cc.c AS cell,
+                       list_transform(list_zip(s.qv, cc.cv),
+                                      z -> z[1]-z[2]) AS rq,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY CAST({_ivfpq_dist_q_cc} AS BIGINT),
+                                    cc.c) AS pr
+                FROM (SELECT vec_id, qv FROM q WHERE vec_id < 3) s
+                CROSS JOIN c2 cc)
+            WHERE pr <= 3)""",
+        """plut AS (
+            SELECT p.query_id, p.cell, b.sub, b.c AS code,
+                   CAST(list_aggregate(list_transform(
+                       list_zip(list_slice(p.rq, b.sub * 16 + 1,
+                                           b.sub * 16 + 16), b.cv),
+                       z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS BIGINT)
+                       AS d
+            FROM probes p, rp1 b)""",
+        """padc AS (
+            SELECT l.query_id, f.vec_id,
+                   CAST(SUM(l.d) AS BIGINT) AS adc_dist
+            FROM rpfinal f
+            JOIN afinal a ON a.vec_id = f.vec_id
+            JOIN plut l ON l.cell = a.c AND l.sub = f.sub
+                       AND l.code = f.code
+            WHERE f.vec_id <> l.query_id
+            GROUP BY l.query_id, f.vec_id)""",
+    ]
+    o["similarity_ivfpq_topk"] = (
+        "WITH "
+        + ",\n        ".join(_ivfpq_ctes)
+        + """
+        SELECT query_id, vec_id AS neighbor_id, rn AS rank, adc_dist
+        FROM (SELECT query_id, vec_id, adc_dist,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist, vec_id) AS rn
+              FROM padc)
         WHERE rn <= 5
     """
     )

@@ -159,6 +159,12 @@ def main() -> None:
             os.path.join("codebooks", "_SUCCESS"),
         ),
         (
+            "ivfpq_model",
+            entry._ivfpq_index,
+            ("ivfpq", "embeddings"),
+            os.path.join("codebooks", "_SUCCESS"),
+        ),
+        (
             "zone_map",
             entry._zone_mapped_events,
             ("zonemap", "events"),

@@ -775,18 +775,20 @@ def load_kmeans_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
 # ---------------------------------------------------------------------------
 
 def _subvectors(
-    q: DataFrame, dim: int, m: int, id_col: str
+    q: DataFrame, dim: int, m: int, id_col: "str | list[str]"
 ) -> DataFrame:
     """Fan a quantized-vector relation out to ``m`` rows per vector —
-    ``(id, sub, _qs)`` with ``_qs`` the contiguous dim/m slice for
-    subspace ``sub``. Pure map-side (an array of slices + posexplode):
-    no shuffle, no UDF."""
+    ``(*keys, sub, _qs)`` with ``_qs`` the contiguous dim/m slice for
+    subspace ``sub``. ``id_col`` may be a list to carry extra keys (the
+    IVF-PQ query side keys by (query, cell)). Pure map-side (an array
+    of slices + posexplode): no shuffle, no UDF."""
+    keys = [id_col] if isinstance(id_col, str) else list(id_col)
     sd = dim // m
     slices = F.array(
         *[F.slice(F.col("_q"), s * sd + 1, sd) for s in range(m)]
     )
     return q.select(
-        F.col(id_col), F.posexplode(slices).alias("sub", "_qs")
+        *[F.col(k) for k in keys], F.posexplode(slices).alias("sub", "_qs")
     )
 
 
@@ -798,6 +800,7 @@ def pq_model(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization model: per-subspace Lloyd's k-means over the
     ``m`` contiguous dim/m slices of each vector, returning
@@ -820,9 +823,14 @@ def pq_model(
     across engines."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    q = corpus.select(
-        F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_q")
+    # pre_quantized: the vectors are already int64 arrays (e.g. IVF-PQ
+    # residuals) — skip the 1e-6 quantize+clamp
+    vec = (
+        F.col(vec_col)
+        if pre_quantized
+        else _quantize_vec(F.col(vec_col))
     )
+    q = corpus.select(F.col(id_col), vec.alias("_q"))
     sv = _subvectors(q, dim, m, id_col)
     seeds = q.orderBy(id_col).limit(k)
     codebooks = _subvectors(seeds, dim, m, id_col).select(
@@ -1015,5 +1023,137 @@ def pq_encode(
             "sub",
             F.col("_best.c").alias("code"),
             F.col("_best.d").alias("dist_sq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual product quantization (the faiss-standard
+# composition — candidate pruning AND memory-bounded scoring together)
+# ---------------------------------------------------------------------------
+
+def _centroids_as_int(centroids: DataFrame) -> DataFrame:
+    """Recover the exact int64 quantized centroids from the persisted
+    double form: each component is an integer/10^6 whose double rendering
+    has absolute error far below 0.5e-6, so ``floor(x*1e6 + 0.5)``
+    round-trips exactly — and identically in DuckDB."""
+    return centroids.select(
+        F.col("cluster"),
+        F.transform(
+            F.col("centroid"),
+            lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("_cq"),
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Residual PQ over a k-means-partitioned corpus: each vector's
+    RESIDUAL against its cell centroid (int64-exact subtraction) is
+    product-quantized with ONE shared codebook set across cells (the
+    faiss IVF-PQ layout — residuals are centered, so one codebook
+    family fits all cells). Returns ``(codes, codebooks)``; the index a
+    query needs is codes + codebooks + the k-row centroid table + the
+    cell assignment — all persisted artifacts, none of them raw
+    vectors. Residual components are bounded by ±4e6, so the int64
+    distance bound still holds by construction."""
+    cq = _centroids_as_int(centroids)
+    res = (
+        corpus.select(
+            F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_qv")
+        )
+        .join(assignments.select(id_col, "cluster"), id_col)
+        .join(F.broadcast(cq), "cluster")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.col("_qv"), F.col("_cq"), lambda a, b: a - b
+            ).alias("_res"),
+        )
+    )
+    return pq_model(
+        res, dim, m, k_codes, n_iter, id_col, "_res", pre_quantized=True
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` int64-nearest cells, then ADC
+    over ONLY those cells' codes with a per-(query, cell) residual
+    lookup table. This composes the two approximations — candidate
+    pruning (IVF) bounds how much of the codes table a query touches,
+    residual PQ bounds the bytes per candidate — which is the shape a
+    100 TB vector corpus actually serves: the scan side is
+    ``nprobe/num_cells`` of an already-64x-compressed table.
+
+    Plan: centroids broadcast twice (probe + residual), LUT broadcast
+    into a map-side join against the cell-pruned codes⋈assignments
+    relation, partial-aggregated sum, WindowGroupLimit top-k. All
+    integer; ranks bit-stable."""
+    cq = _centroids_as_int(centroids)
+    qv = queries.select(
+        F.col(query_id_col), _quantize_vec(F.col(vec_col)).alias("_q")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy("_pd", "cluster")
+    probes = (
+        qv.crossJoin(F.broadcast(cq))
+        .withColumn("_pd", _sq_dist(F.col("_q"), F.col("_cq")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            query_id_col,
+            "cluster",
+            F.zip_with(
+                F.col("_q"), F.col("_cq"), lambda a, b: a - b
+            ).alias("_q"),  # per-(query, cell) residual
+        )
+    )
+    qsv = _subvectors(probes, dim, m, [query_id_col, "cluster"])
+    lut = qsv.join(F.broadcast(codebooks), on="sub").select(
+        F.col(query_id_col),
+        "cluster",
+        "sub",
+        "code",
+        _sq_dist(F.col("_qs"), F.col("_cvec")).alias("d"),
+    )
+    cand = codes.join(assignments.select(id_col, "cluster"), id_col)
+    adc = (
+        cand.join(
+            F.broadcast(lut), on=["cluster", "sub", "code"]
+        )
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", F.col(id_col))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.col("adc_dist"),
         )
     )

@@ -1768,3 +1768,54 @@ def test_gopher_rules_is_map_only(spark):
     tree = buf.getvalue().split("== Physical Plan ==")[1].split("\n\n")[0]
     assert "Exchange" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_ivfpq_exact_when_codebook_saturated(spark):
+    """With one Lloyd round and k_codes = n the residual codebooks ARE
+    the residuals, so for any candidate in a probed cell the ADC equals
+    the exact int64 quantized distance ||q - v||^2 — the residual
+    algebra (q-c) - (v-c) = q - v pins both the encode and the probe
+    arithmetic against brute force with zero quantization slack."""
+    import numpy as np
+
+    corpus = _pq_toy_corpus(spark, n=6)
+    assigns, cents = S.kmeans_model(corpus, k=2, n_iter=2)
+    codes, books = S.ivfpq_encode(
+        corpus, assigns, cents, dim=8, m=2, k_codes=6, n_iter=1
+    )
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in S.ivfpq_topk(
+            queries, assigns, cents, codes, books,
+            dim=8, m=2, k=5, nprobe=2,  # nprobe = all cells
+        ).collect()
+    }
+    assert got  # every query has neighbors (all cells probed)
+    vecs = {
+        r.vec_id: np.clip(
+            np.floor(np.asarray(r.embedding, dtype=np.float64) * 1e6),
+            -2e6, 2e6,
+        ).astype(np.int64)
+        for r in corpus.collect()
+    }
+    for (qid, nid), adc in got.items():
+        d = vecs[qid] - vecs[nid]
+        assert adc == int((d * d).sum())
+
+
+def test_ivfpq_candidates_come_from_probed_cells_only(spark):
+    corpus = _pq_toy_corpus(spark, n=12)
+    assigns, cents = S.kmeans_model(corpus, k=4, n_iter=2)
+    codes, books = S.ivfpq_encode(corpus, assigns, cents, dim=8, m=2)
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivfpq_topk(
+        queries, assigns, cents, codes, books, dim=8, m=2, k=12, nprobe=1
+    ).collect()
+    cell_of = {r.vec_id: r.cluster for r in assigns.collect()}
+    for r in out:
+        # with nprobe=1 every neighbor must share the query's own cell
+        # (the query is a corpus member, so its nearest cell is its own)
+        assert cell_of[r.neighbor_id] == cell_of[r.query_id]

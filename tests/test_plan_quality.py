@@ -754,3 +754,14 @@ def test_quality_curriculum_two_corpus_scans(spark):
     assert "percentile" not in plan.lower()
     assert "collect_list" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_probe_reads_persisted_artifacts(spark):
+    """IVF-PQ queries must read the persisted residual codes + codebooks
+    and the k-means model — never raw corpus vectors (queries aside) and
+    never an inline re-encode."""
+    plan = plan_of(spark, "similarity_ivfpq_topk")
+    assert "ivfpq_index_" in plan
+    assert "kmeans_index_" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
