@@ -965,6 +965,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["similarity_ivfpq_topk"] = _ivfpq_scored
 
+    # recall@k for the PQ family: how much of the exact cosine top-k the
+    # compressed-domain ADC ranking recovers — the eval a pipeline runs
+    # before swapping raw-vector search for codes. Same single-bf-
+    # consumption shape as similarity_recall_at_k.
+    def _pq_recall_scored(s, d):
+        emb = _t(s, d, "embeddings")
+        qs_df = (
+            emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        bf = S.brute_force_topk(emb, qs_df, k=5)
+        codes, books = _pq_index(s, d)
+        pq = S.pq_topk(qs_df, codes, books, dim=64, k=5)
+        marked = bf.select("query_id", "neighbor_id").join(
+            pq.select("query_id", "neighbor_id", F.lit(1).alias("_m")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        agg = marked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("_n_hits"),
+        )
+        return agg.select(
+            "query_id",
+            F.col("_n_hits").cast("long").alias("n_hits"),
+            F.col("_k").cast("long").alias("k"),
+            (
+                F.floor(
+                    F.col("_n_hits").cast("double") / F.col("_k") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).cast("double").alias("recall"),
+        )
+
+    q["similarity_pq_recall"] = _pq_recall_scored
+
     q["docs_balanced_sample"] = lambda s, d: X.balanced_sample(
         _t(s, d, "documents")
     )
@@ -3670,6 +3707,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn <= 5
     """
     )
+
+    o["similarity_pq_recall"] = f"""
+        WITH bf AS (SELECT * FROM ({o["embedding_cosine_topk"]})),
+        pq AS (SELECT * FROM ({o["similarity_pq_topk"]})),
+        hits AS (
+            SELECT bf.query_id, COUNT(*) AS n_hits
+            FROM bf JOIN pq
+              ON bf.query_id = pq.query_id
+             AND bf.neighbor_id = pq.neighbor_id
+            GROUP BY bf.query_id),
+        per_q AS (
+            SELECT query_id, COUNT(*) AS k FROM bf GROUP BY query_id)
+        SELECT p.query_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(p.k AS BIGINT) AS k,
+               CAST(FLOOR(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.k
+                          * 10000 + 0.5) / 10000 AS DOUBLE) AS recall
+        FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
+    """
 
     # IVF-PQ: the kmeans unroll supplies cells (afinal) + integer
     # centroids (c2); residuals feed the SAME per-subspace Lloyd unroll
