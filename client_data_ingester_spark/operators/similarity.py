@@ -6,16 +6,22 @@ UDF in the scoring loop. Scores are rounded to 6 decimals *before* ranking so
 that top-k boundaries are stable across engines/summation orders, and emitted
 as DOUBLE (floor-rounded — one canonical rendering for the value hash).
 
-Two paths:
+The search paths, cheapest-scan first:
 - brute-force top-k: broadcast the (small) query set against the corpus —
   the exact baseline. One shuffle (the per-query top-k window).
-- IVF-style cell-probed search: restrict the scan to the query's nearest
-  coarse cells. Here the corpus's ``label`` column acts as the cell
-  assignment (in a real pipeline: k-means centroid ids); centroids are the
-  per-cell mean embedding, the probe picks the ``nprobe`` nearest centroids,
-  and only those cells are scanned — at 100 TB this is the difference between
-  a full scan and reading ~nprobe/num_cells of the table (cells are the
-  partition key).
+- IVF cell-probed search: restrict the scan to the query's ``nprobe``
+  nearest coarse cells (label column or the k-means model) — reads
+  ~nprobe/num_cells of the table when cells are the partition key.
+- RP-LSH band probe: signature-bucket candidates, exact rerank.
+- PQ / ADC: the corpus side is an n×m code table (64× smaller than the
+  vectors); one map-side broadcast-LUT join scores a query batch.
+- IVF-PQ: residual PQ inside the k-means cells — candidate pruning AND
+  compression compose (the faiss-standard serving shape at 100 TB).
+Plus: deterministic distributed k-means (int64-exact rounds), SemDeDup
+semantic dedup, embedding near-dup pairs, and recall@k eval harnesses
+for the IVF and PQ paths. Every index (IVF centroids, RP bands, k-means
+model, PQ/IVF-PQ codes+codebooks) is a persisted build artifact probed
+by queries, never retrained inline.
 """
 
 from __future__ import annotations
