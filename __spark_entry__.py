@@ -861,23 +861,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # brute-force ranking — composes the two scored similarity paths and
     # guards their relative drift (a broken index shows up as recall<1
     # here even when both standalone queries stay self-consistent)
-    def _recall_scored(s, d):
-        emb = _t(s, d, "embeddings")
-        qs_df = (
-            emb.filter(F.col("vec_id") < 3)
-            .select(F.col("vec_id").alias("query_id"), "embedding")
-        )
-        bf = S.brute_force_topk(emb, qs_df, k=5)
-        ivf = S.ivf_topk(
-            emb, qs_df, k=5, nprobe=3, centroids=_ivf_index(s, d)
-        )
-        # ONE bf consumption: the left join marks IVF hits on the bf
-        # relation and a single aggregate yields both k and the hit
-        # count — two pruning-asymmetric bf subtrees (hits join + per-q
-        # count) would defeat ReuseExchange and run the expensive
-        # brute-force scoring twice (the gap_fill lesson; plan-pinned)
+    def _recall_of(bf, approx):
+        """recall@k of an approximate ranking vs the exact one. ONE bf
+        consumption: the left join marks approx hits on the bf relation
+        and a single aggregate yields both k and the hit count — two
+        pruning-asymmetric bf subtrees (hits join + per-q count) would
+        defeat ReuseExchange and run the expensive brute-force scoring
+        twice (the gap_fill lesson; plan-pinned). Shared by the IVF and
+        PQ recall entries so the rounding and join shape cannot
+        diverge."""
         marked = bf.select("query_id", "neighbor_id").join(
-            ivf.select("query_id", "neighbor_id", F.lit(1).alias("_m")),
+            approx.select("query_id", "neighbor_id", F.lit(1).alias("_m")),
             ["query_id", "neighbor_id"],
             "left",
         )
@@ -897,6 +891,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 / 10000
             ).cast("double").alias("recall"),
         )
+
+    def _recall_scored(s, d):
+        emb = _t(s, d, "embeddings")
+        qs_df = (
+            emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        bf = S.brute_force_topk(emb, qs_df, k=5)
+        ivf = S.ivf_topk(
+            emb, qs_df, k=5, nprobe=3, centroids=_ivf_index(s, d)
+        )
+        return _recall_of(bf, ivf)
 
     q["similarity_recall_at_k"] = _recall_scored
 
@@ -978,27 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bf = S.brute_force_topk(emb, qs_df, k=5)
         codes, books = _pq_index(s, d)
         pq = S.pq_topk(qs_df, codes, books, dim=64, k=5)
-        marked = bf.select("query_id", "neighbor_id").join(
-            pq.select("query_id", "neighbor_id", F.lit(1).alias("_m")),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        agg = marked.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("_k"),
-            F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("_n_hits"),
-        )
-        return agg.select(
-            "query_id",
-            F.col("_n_hits").cast("long").alias("n_hits"),
-            F.col("_k").cast("long").alias("k"),
-            (
-                F.floor(
-                    F.col("_n_hits").cast("double") / F.col("_k") * 10000
-                    + F.lit(0.5)
-                )
-                / 10000
-            ).cast("double").alias("recall"),
-        )
+        return _recall_of(bf, pq)
 
     q["similarity_pq_recall"] = _pq_recall_scored
 
@@ -3708,14 +3694,17 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
-    o["similarity_pq_recall"] = f"""
+    def _recall_sql(approx_sql: str) -> str:
+        """recall@k oracle template — the DuckDB twin of ``_recall_of``,
+        shared by the IVF and PQ recall entries."""
+        return f"""
         WITH bf AS (SELECT * FROM ({o["embedding_cosine_topk"]})),
-        pq AS (SELECT * FROM ({o["similarity_pq_topk"]})),
+        ap AS (SELECT * FROM ({approx_sql})),
         hits AS (
             SELECT bf.query_id, COUNT(*) AS n_hits
-            FROM bf JOIN pq
-              ON bf.query_id = pq.query_id
-             AND bf.neighbor_id = pq.neighbor_id
+            FROM bf JOIN ap
+              ON bf.query_id = ap.query_id
+             AND bf.neighbor_id = ap.neighbor_id
             GROUP BY bf.query_id),
         per_q AS (
             SELECT query_id, COUNT(*) AS k FROM bf GROUP BY query_id)
@@ -3726,6 +3715,8 @@ def oracle_sql() -> dict[str, str]:
                           * 10000 + 0.5) / 10000 AS DOUBLE) AS recall
         FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
     """
+
+    o["similarity_pq_recall"] = _recall_sql(o["similarity_pq_topk"])
 
     # IVF-PQ: the kmeans unroll supplies cells (afinal) + integer
     # centroids (c2); residuals feed the SAME per-subspace Lloyd unroll
@@ -3880,24 +3871,7 @@ def oracle_sql() -> dict[str, str]:
     # recall@k composes the two similarity oracles verbatim as subqueries
     # (DuckDB allows WITH inside a derived table) — one source of truth
     # for both ranking definitions
-    o["similarity_recall_at_k"] = f"""
-        WITH bf AS (SELECT * FROM ({o["embedding_cosine_topk"]})),
-        iv AS (SELECT * FROM ({o["similarity_ivf_topk"]})),
-        hits AS (
-            SELECT bf.query_id, COUNT(*) AS n_hits
-            FROM bf JOIN iv
-              ON bf.query_id = iv.query_id
-             AND bf.neighbor_id = iv.neighbor_id
-            GROUP BY bf.query_id),
-        per_q AS (
-            SELECT query_id, COUNT(*) AS k FROM bf GROUP BY query_id)
-        SELECT p.query_id,
-               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-               CAST(p.k AS BIGINT) AS k,
-               CAST(FLOOR(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / p.k
-                          * 10000 + 0.5) / 10000 AS DOUBLE) AS recall
-        FROM per_q p LEFT JOIN hits h ON p.query_id = h.query_id
-    """
+    o["similarity_recall_at_k"] = _recall_sql(o["similarity_ivf_topk"])
 
     # -- events -------------------------------------------------------------
     o["events_window_agg"] = """

@@ -42,7 +42,12 @@ def lang_scores(c: Column) -> dict[str, Column]:
     }
 
 
-def _staged_text_features(docs: DataFrame, text_col: str) -> DataFrame:
+def _staged_text_features(
+    docs: DataFrame,
+    text_col: str,
+    langs: "list[str] | None" = None,
+    with_alpha: bool = False,
+) -> DataFrame:
     """Tokenize ONCE, then compute every heavy per-doc text feature exactly
     once, each landing as a named attribute behind a projection boundary.
 
@@ -53,10 +58,26 @@ def _staged_text_features(docs: DataFrame, text_col: str) -> DataFrame:
     ~600 µs/row on the stratified query — a 3.4 s scan of 5 k docs, i.e.
     catastrophic at corpus scale). Catalyst's CollapseProject keeps these
     boundaries because every staged column is non-trivial and referenced
-    more than once downstream."""
+    more than once downstream.
+
+    ``langs`` restricts the stopword-hit columns (default: all);
+    ``with_alpha`` adds ``_n_alpha_words`` (tokens containing an
+    alphabetic char) — the extra feature the Gopher rules need. One
+    staged projection serves every text operator so the feature
+    expressions (tokenizer, punct/digit regexes, word-length fold) have
+    exactly ONE definition to keep oracle-portable."""
     t = F.col(text_col)
     s1 = docs.select("doc_id", t.alias("_t"), tokens(t).alias("_toks"))
     tt, toks = F.col("_t"), F.col("_toks")
+    extra = (
+        [
+            F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).alias(
+                "_n_alpha_words"
+            )
+        ]
+        if with_alpha
+        else []
+    )
     return s1.select(
         "doc_id",
         F.length(tt).alias("n_chars"),
@@ -74,8 +95,9 @@ def _staged_text_features(docs: DataFrame, text_col: str) -> DataFrame:
             F.size(F.filter(toks, _isin_fn(LANG_STOPWORDS[lang]))).alias(
                 f"hits_{lang}"
             )
-            for lang in sorted(LANG_STOPWORDS)
+            for lang in sorted(langs if langs is not None else LANG_STOPWORDS)
         ],
+        *extra,
     )
 
 
@@ -661,32 +683,13 @@ def gopher_rule_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
       4: digit character ratio > 0.2
       5: punctuation character ratio > 0.3
 
-    Map-only: one staged tokenize projection → one verdict projection;
-    no shuffle, no UDF, no window — embarrassingly parallel at any
-    scale. All ratios are double quotients of exact integers, so the
-    threshold comparisons are engine-identical."""
-    t = F.col(text_col)
-    s1 = docs.select("doc_id", t.alias("_t"), tokens(t).alias("_toks"))
-    tt, toks = F.col("_t"), F.col("_toks")
-    staged = s1.select(
-        "doc_id",
-        F.length(tt).alias("n_chars"),
-        F.size(toks).alias("n_words"),
-        F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)).alias(
-            "_sum_wlen"
-        ),
-        (
-            F.length(tt) - F.length(F.regexp_replace(tt, r"[^\w\s]", ""))
-        ).alias("_n_punct"),
-        (F.length(tt) - F.length(F.regexp_replace(tt, r"[0-9]", ""))).alias(
-            "_n_digit"
-        ),
-        F.size(F.filter(toks, _isin_fn(LANG_STOPWORDS["en"]))).alias(
-            "_hits_en"
-        ),
-        F.size(
-            F.filter(toks, lambda w: w.rlike("[a-z]"))
-        ).alias("_n_alpha_words"),
+    Map-only: one staged tokenize projection (the SHARED
+    :func:`_staged_text_features`, with the alpha-word extra) → one
+    verdict projection; no shuffle, no UDF, no window — embarrassingly
+    parallel at any scale. All ratios are double quotients of exact
+    integers, so the threshold comparisons are engine-identical."""
+    staged = _staged_text_features(
+        docs, text_col, langs=["en"], with_alpha=True
     )
     n_chars, n_words = F.col("n_chars"), F.col("n_words")
     mean_wlen = F.when(
@@ -704,7 +707,7 @@ def gopher_rule_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     violations = [
         (n_words < 10) | (n_words > 100000),
         (mean_wlen < 3.0) | (mean_wlen > 10.0),
-        F.col("_hits_en") < 2,
+        F.col("hits_en") < 2,
         alpha_frac < 0.8,
         digit_ratio > 0.2,
         punct_ratio > 0.3,
