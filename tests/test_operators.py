@@ -1819,3 +1819,59 @@ def test_ivfpq_candidates_come_from_probed_cells_only(spark):
         # with nprobe=1 every neighbor must share the query's own cell
         # (the query is a corpus member, so its nearest cell is its own)
         assert cell_of[r.neighbor_id] == cell_of[r.query_id]
+
+
+def test_png_every_single_byte_corruption_is_detected():
+    """CRC32 verification must catch EVERY single-byte corruption — the
+    decoder may never silently return wrong sums for a damaged file
+    (BMP/PPM have no integrity field, which is exactly why PNG's CRC
+    walk is worth its cost)."""
+    import numpy as np
+    import pytest as _pytest
+
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    good = M.encode_png(2, 2, rgb)
+    want = M.decode_png(good)
+    for i in range(len(good)):
+        bad = bytearray(good)
+        bad[i] ^= 0x5A
+        try:
+            got = M.decode_png(bytes(bad))
+        except ValueError:
+            continue  # detected — the contract
+        # a flip the walk tolerates must not change the decoded values
+        assert got == want, f"undetected corruption at byte {i}"
+
+
+def test_pq_saturated_identity_across_shapes(spark):
+    """The ADC == exact-distance identity (k_codes = n, n_iter = 1) must
+    hold for every (dim, m) split, pinning the slicing arithmetic."""
+    import numpy as np
+
+    for dim, m in [(4, 1), (8, 4), (12, 3)]:
+        rows = [
+            (i, [(((7 * i + 3 * d) % 19) - 9) / 10.0 for d in range(dim)])
+            for i in range(5)
+        ]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        codes, books = S.pq_model(corpus, dim=dim, m=m, k=5, n_iter=1)
+        queries = corpus.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {
+            (r.query_id, r.neighbor_id): r.adc_dist
+            for r in S.pq_topk(
+                queries, codes, books, dim=dim, k=4
+            ).collect()
+        }
+        vecs = {
+            r.vec_id: np.floor(
+                np.asarray(r.embedding, dtype=np.float64) * 1e6
+            ).astype(np.int64)
+            for r in corpus.collect()
+        }
+        for (qid, nid), adc in got.items():
+            d = vecs[qid] - vecs[nid]
+            assert adc == int((d * d).sum()), (dim, m, qid, nid)
