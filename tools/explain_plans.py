@@ -41,6 +41,13 @@ DEFAULT = [
     "events_zone_map_scan",
     "skew_salted_join_revenue",
     "pipeline_curate_and_pack",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "docs_nb_langid",
+    "docs_gopher_rules",
+    "docs_quality_curriculum",
+    "corpus_shard_manifest",
+    "multimodal_avi_frames",
 ]
 
 
