@@ -1185,6 +1185,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           n_frames=6),
         every_n=2,
     )
+    # real resize loop: decode -> nearest-neighbor resample -> re-encode;
+    # the integer sampling rule (sx = ox*5 div 3, sy = oy*4 div 2) keeps
+    # the resized sums analytic for the oracle
+    q["multimodal_resize_stats"] = lambda s, d: M.resize_images_real(
+        M.synth_bmp_media(_t(s, d, "documents"), width=5, height=4),
+        out_width=3, out_height=2,
+    ).select(
+        "media_id", "out_width", "out_height", "sum_b", "sum_g", "sum_r"
+    )
 
     # -- hash-probe diagnostics --------------------------------------------
     # One-row, single-type-family probes. If the driver's value-hash ever
@@ -4150,6 +4159,27 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         GROUP BY doc_id
     """
+    # resize: sum the BMP generator AT THE SAMPLED COORDINATES — the
+    # nearest-neighbor rule is integer division, so the oracle evaluates
+    # the resized image without ever materializing pixels
+    o["multimodal_resize_stats"] = """
+        SELECT d.doc_id AS media_id,
+               CAST(3 AS INTEGER) AS out_width,
+               CAST(2 AS INTEGER) AS out_height,
+               CAST(SUM((7 * d.doc_id + 3 * ((gx.ox * 5) // 3)
+                         + 5 * ((gy.oy * 4) // 2)) % 256)
+                    AS BIGINT) AS sum_b,
+               CAST(SUM((d.doc_id + ((gx.ox * 5) // 3)
+                         + ((gy.oy * 4) // 2)) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM((13 * d.doc_id + ((gx.ox * 5) // 3)
+                         + 2 * ((gy.oy * 4) // 2)) % 256)
+                    AS BIGINT) AS sum_r
+        FROM documents d,
+             generate_series(0, 2) gx(ox),
+             generate_series(0, 1) gy(oy)
+        GROUP BY d.doc_id
+    """
+
     # AVI: the BMP pixel generator extended with a frame term, summed per
     # (doc, sampled frame) — the WHERE clause mirrors every_n=2 sampling
     o["multimodal_avi_frames"] = """
