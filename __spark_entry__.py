@@ -830,6 +830,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
         _t(s, d, "documents")
     )
+    # dataset-shift audit: per-(lang, source) slice shares of the train
+    # vs eval split in permille + the absolute drift between them
+    q["corpus_split_drift"] = lambda s, d: C.split_drift_report(
+        _t(s, d, "documents")
+    )
     # Gopher-style hard rule filter: per-doc keep/drop verdict with a
     # bitmask audit of which rules failed — map-only, no shuffle
     q["docs_gopher_rules"] = lambda s, d: X.gopher_rule_filter(
@@ -2576,6 +2581,34 @@ def oracle_sql() -> dict[str, str]:
                          % 100 < 80
                     THEN 'train' ELSE 'eval' END AS split
         FROM documents
+    """
+
+    # split-drift: the hash_split oracle reused as a CTE; integer
+    # permille shares against broadcast-style 2-value totals
+    o["corpus_split_drift"] = f"""
+        WITH sp AS ({o["docs_hash_split"]}),
+        slice AS (
+            SELECT d.lang, d.source,
+                   SUM(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END)
+                       AS n_train,
+                   SUM(CASE WHEN sp.split = 'eval' THEN 1 ELSE 0 END)
+                       AS n_eval
+            FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+            GROUP BY d.lang, d.source),
+        tot AS (
+            SELECT SUM(n_train) AS t_train, SUM(n_eval) AS t_eval
+            FROM slice)
+        SELECT s.lang, s.source,
+               CAST(s.n_train AS BIGINT) AS n_train,
+               CAST(s.n_eval AS BIGINT) AS n_eval,
+               CAST(FLOOR(CAST(s.n_train AS DOUBLE) * 1000 / t.t_train)
+                    AS BIGINT) AS train_share_permille,
+               CAST(FLOOR(CAST(s.n_eval AS DOUBLE) * 1000 / t.t_eval)
+                    AS BIGINT) AS eval_share_permille,
+               CAST(ABS(FLOOR(CAST(s.n_train AS DOUBLE) * 1000 / t.t_train)
+                        - FLOOR(CAST(s.n_eval AS DOUBLE) * 1000 / t.t_eval))
+                    AS BIGINT) AS drift_permille
+        FROM slice s CROSS JOIN tot t
     """
 
     # compose the langid + quality oracles as subqueries (both are

@@ -595,3 +595,51 @@ def nb_language_scores(
         "score_micro",
         (F.col("pred_lang") == F.col("_lang")).alias("is_correct"),
     )
+
+
+def split_drift_report(
+    docs: DataFrame,
+    group_cols: "list[str] | None" = None,
+    train_pct: int = 80,
+) -> DataFrame:
+    """Dataset-shift check on the deterministic train/eval split: per
+    (lang, source) slice, each side's share of its split in permille and
+    the absolute drift between the shares — the data-card number that
+    catches a skewed holdout (a hash split should drift only by sampling
+    noise; a systematic gap means the id space correlates with the
+    slice). One corpus scan, one slice-sized aggregate; the per-split
+    totals ride a broadcast join of a 2-row relation."""
+    group_cols = list(group_cols or ["lang", "source"])
+    tagged = docs.join(
+        hash_split(docs, train_pct=train_pct).select("doc_id", "split"),
+        "doc_id",
+    )
+    per_slice = tagged.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "_n_train"
+        ),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).alias(
+            "_n_eval"
+        ),
+    )
+    totals = per_slice.agg(
+        F.sum("_n_train").alias("_t_train"), F.sum("_n_eval").alias("_t_eval")
+    )
+    share = lambda n, t: F.floor(  # noqa: E731
+        n.cast("double") * 1000 / t
+    ).cast("long")
+    return per_slice.crossJoin(F.broadcast(totals)).select(
+        *group_cols,
+        F.col("_n_train").cast("long").alias("n_train"),
+        F.col("_n_eval").cast("long").alias("n_eval"),
+        share(F.col("_n_train"), F.col("_t_train")).alias(
+            "train_share_permille"
+        ),
+        share(F.col("_n_eval"), F.col("_t_eval")).alias(
+            "eval_share_permille"
+        ),
+        F.abs(
+            share(F.col("_n_train"), F.col("_t_train"))
+            - share(F.col("_n_eval"), F.col("_t_eval"))
+        ).cast("long").alias("drift_permille"),
+    )
