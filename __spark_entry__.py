@@ -852,6 +852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_shard_manifest"] = lambda s, d: EX.shard_manifest(
         _t(s, d, "documents"), n_shards=16
     )
+    # export validation: XOR-of-digests checksum per shard —
+    # order-independent, incrementally maintainable
+    q["corpus_shard_checksums"] = lambda s, d: EX.shard_checksums(
+        _t(s, d, "documents"), n_shards=16
+    )
     # mixture statistics per (lang, source) slice — the data-card report
     q["corpus_composition"] = lambda s, d: C.corpus_composition(
         _t(s, d, "documents")
@@ -2601,12 +2606,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.lang, s.source,
                CAST(s.n_train AS BIGINT) AS n_train,
                CAST(s.n_eval AS BIGINT) AS n_eval,
-               CAST(FLOOR(CAST(s.n_train AS DOUBLE) * 1000 / t.t_train)
-                    AS BIGINT) AS train_share_permille,
-               CAST(FLOOR(CAST(s.n_eval AS DOUBLE) * 1000 / t.t_eval)
-                    AS BIGINT) AS eval_share_permille,
-               CAST(ABS(FLOOR(CAST(s.n_train AS DOUBLE) * 1000 / t.t_train)
-                        - FLOOR(CAST(s.n_eval AS DOUBLE) * 1000 / t.t_eval))
+               CAST(CASE WHEN t.t_train > 0 THEN
+                        FLOOR(CAST(s.n_train AS DOUBLE) * 1000 / t.t_train)
+                        ELSE 0 END AS BIGINT) AS train_share_permille,
+               CAST(CASE WHEN t.t_eval > 0 THEN
+                        FLOOR(CAST(s.n_eval AS DOUBLE) * 1000 / t.t_eval)
+                        ELSE 0 END AS BIGINT) AS eval_share_permille,
+               CAST(ABS(CASE WHEN t.t_train > 0 THEN
+                            FLOOR(CAST(s.n_train AS DOUBLE) * 1000
+                                  / t.t_train) ELSE 0 END
+                        - CASE WHEN t.t_eval > 0 THEN
+                            FLOOR(CAST(s.n_eval AS DOUBLE) * 1000
+                                  / t.t_eval) ELSE 0 END)
                     AS BIGINT) AS drift_permille
         FROM slice s CROSS JOIN tot t
     """
@@ -2982,6 +2993,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(ABS(n_docs * 16 - nn.n) * 1000.0 / nn.n)
                     AS BIGINT) AS skew_permille
         FROM per CROSS JOIN nn
+    """
+
+    o["corpus_shard_checksums"] = """
+        SELECT CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 13))
+                        ::BIGINT % 16 AS INTEGER) AS shard_id,
+               COUNT(*) AS n_docs,
+               BIT_XOR(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                                           || '|' || text), 1, 15))::BIGINT)
+                   AS checksum
+        FROM documents
+        GROUP BY 1
     """
 
     o["corpus_pmi_bigrams"] = f"""

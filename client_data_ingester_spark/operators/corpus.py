@@ -625,9 +625,11 @@ def split_drift_report(
     totals = per_slice.agg(
         F.sum("_n_train").alias("_t_train"), F.sum("_n_eval").alias("_t_eval")
     )
-    share = lambda n, t: F.floor(  # noqa: E731
-        n.cast("double") * 1000 / t
-    ).cast("long")
+    # t=0 guard: a degenerate corpus whose eval (or train) side is empty
+    # must report share 0, not inf (Spark) vs a division error (DuckDB)
+    share = lambda n, t: F.when(  # noqa: E731
+        t > 0, F.floor(n.cast("double") * 1000 / t)
+    ).otherwise(F.lit(0)).cast("long")
     return per_slice.crossJoin(F.broadcast(totals)).select(
         *group_cols,
         F.col("_n_train").cast("long").alias("n_train"),

@@ -103,3 +103,45 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def shard_checksums(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Order-independent per-shard content checksum: XOR of the 60-bit
+    md5 of ``id || '|' || content`` over each shard's rows. XOR is
+    associative/commutative, so the checksum is partition- and
+    order-independent AND incrementally maintainable (a late-arriving
+    row folds in with one XOR; a removed row folds OUT with the same
+    XOR). This is the export-validation primitive: re-export the corpus
+    anywhere and compare n_shards numbers instead of re-reading the
+    data."""
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("|"),
+                    F.col(content_col),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            shard_id_expr(id_col, n_shards).alias("shard_id"),
+            digest.alias("_d"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("bit_xor(_d)").alias("checksum"),
+        )
+    )

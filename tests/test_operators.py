@@ -1902,3 +1902,35 @@ def test_resize_real_roundtrip_and_identity(spark):
         assert (same[d].sum_b, same[d].sum_g, same[d].sum_r) == (
             orig[d].sum_b, orig[d].sum_g, orig[d].sum_r
         )
+
+
+def test_shard_checksums_order_independent_and_incremental(spark):
+    from client_data_ingester_spark.operators import export as EX
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], "doc_id long, text string"
+    )
+    a = {r.shard_id: (r.n_docs, r.checksum)
+         for r in EX.shard_checksums(docs, 8).collect()}
+    # partitioning/order independence
+    b = {r.shard_id: (r.n_docs, r.checksum)
+         for r in EX.shard_checksums(docs.repartition(5), 8).collect()}
+    assert a == b
+    # incremental maintenance: removing a doc folds its term OUT — the
+    # checksum of the remainder equals full-recompute of the remainder
+    rest = docs.filter(F.col("doc_id") != 7)
+    c = {r.shard_id: (r.n_docs, r.checksum)
+         for r in EX.shard_checksums(rest, 8).collect()}
+    changed = {s for s in a if a[s] != c.get(s, (0, 0))}
+    assert len(changed) == 1  # only doc 7's shard moved
+    # content sensitivity: a one-char edit changes exactly its shard
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 9, F.lit("text 9!")).otherwise(
+            F.col("text")
+        ),
+    )
+    d = {r.shard_id: (r.n_docs, r.checksum)
+         for r in EX.shard_checksums(edited, 8).collect()}
+    diff = {s for s in a if a[s] != d[s]}
+    assert len(diff) == 1
