@@ -830,6 +830,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
         _t(s, d, "documents")
     )
+    # corpus-health power-law fit: least squares of ln(freq) on ln(rank)
+    # over the top-100 words — exact int64 moments of micro-nat points
+    q["corpus_zipf_slope"] = lambda s, d: C.zipf_slope(
+        _t(s, d, "documents")
+    )
     # dataset-shift audit: per-(lang, source) slice shares of the train
     # vs eval split in permille + the absolute drift between them
     q["corpus_split_drift"] = lambda s, d: C.split_drift_report(
@@ -2993,6 +2998,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(ABS(n_docs * 16 - nn.n) * 1000.0 / nn.n)
                     AS BIGINT) AS skew_permille
         FROM per CROSS JOIN nn
+    """
+
+    # Zipf: ln only on the ranked top-100 count table (micro-nats); all
+    # least-squares moments are exact integer sums, two double divisions
+    # render slope/intercept at 4 decimals
+    o["corpus_zipf_slope"] = f"""
+        WITH w AS ({word_occ}),
+        wc AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1),
+        rk AS (SELECT cnt,
+                      ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r
+               FROM wc),
+        pts AS (
+            SELECT CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS x,
+                   CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS y
+            FROM rk WHERE r <= 100),
+        m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM pts)
+        SELECT CAST(n AS BIGINT) AS n_points,
+               CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                          * 10000 + 0.5) / 10000 AS DOUBLE) AS slope,
+               CAST(FLOOR((CAST(sy AS DOUBLE)
+                           - CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * 1000000.0)
+                          * 10000 + 0.5) / 10000 AS DOUBLE)
+                   AS intercept_ln
+        FROM m
     """
 
     o["corpus_shard_checksums"] = """

@@ -645,3 +645,64 @@ def split_drift_report(
             - share(F.col("_n_eval"), F.col("_t_eval"))
         ).cast("long").alias("drift_permille"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Zipf power-law fit over the top-``top_n`` word frequencies: the
+    least-squares slope of ln(freq) on ln(rank) — the corpus-health
+    number reviewers eyeball (natural text sits near -1; template spam
+    and vocabulary collapse bend it). One row out: slope, intercept, n.
+
+    Float discipline: ln runs only on the ranked top-N count table and
+    is quantized to integer micro-nats there; all least-squares moments
+    (Σx, Σy, Σxy, Σx²) accumulate as exact int64 products of micro
+    values (bounded: top_n ≤ ~200 keeps n·Σxy < 2^63), and the final
+    slope/intercept are two double divisions rendered at 4 decimals.
+    The rank window is bounded global (vocabulary-sized input, top-N
+    output) — the documented 'No Partition Defined' fold."""
+    wc = word_rows(docs, text_col).groupBy("w").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # bounded global window: ranks the WORD-COUNT relation (vocabulary-
+    # sized) and keeps top_n rows
+    ranked = (
+        wc.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.desc("_cnt"), F.col("w")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= top_n)
+    )
+    micro = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    pts = ranked.select(
+        micro(F.col("_r")).alias("_x"), micro(F.col("_cnt")).alias("_y")
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = num.cast("double") / den.cast("double")
+    # intercept in micro-nats back to nats: (Σy - slope·Σx) / (n·1e6)
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / (F.col("_n").cast("double") * 1000000.0)
+    dec4 = lambda c: (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast(  # noqa: E731
+        "double"
+    )
+    return mom.select(
+        F.col("_n").cast("long").alias("n_points"),
+        dec4(slope).alias("slope"),
+        dec4(intercept).alias("intercept_ln"),
+    )

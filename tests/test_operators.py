@@ -1934,3 +1934,27 @@ def test_shard_checksums_order_independent_and_incremental(spark):
          for r in EX.shard_checksums(edited, 8).collect()}
     diff = {s for s in a if a[s] != d[s]}
     assert len(diff) == 1
+
+
+def test_zipf_slope_recovers_planted_power_law(spark):
+    """A corpus whose word frequencies are an exact power law freq(r) =
+    C / r must fit slope -1 (within the micro-nat quantization)."""
+    from client_data_ingester_spark.operators import corpus as C
+
+    rows = []
+    doc_id = 0
+    # word_r appears floor(1200 / r) times, r = 1..30
+    words = []
+    for r in range(1, 31):
+        words += [f"w{r:02d}"] * (1200 // r)
+    # chunk into docs of 50 words
+    for i in range(0, len(words), 50):
+        rows.append((doc_id, " ".join(words[i:i + 50])))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.zipf_slope(docs, top_n=30).collect()[0]
+    assert out.n_points == 30
+    assert abs(out.slope - (-1.0)) < 0.02  # floor(1200/r) ~ 1200/r
+    # deterministic across partitionings
+    again = C.zipf_slope(docs.repartition(7), top_n=30).collect()[0]
+    assert (again.slope, again.intercept_ln) == (out.slope, out.intercept_ln)
