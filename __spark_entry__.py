@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from client_data_ingester_spark.operators import corpus as C  # noqa: E402
 from client_data_ingester_spark.operators import dedup as D  # noqa: E402
 from client_data_ingester_spark.operators import events as E  # noqa: E402
+from client_data_ingester_spark.operators import dq as DQ  # noqa: E402
 from client_data_ingester_spark.operators import export as EX  # noqa: E402
 from client_data_ingester_spark.operators import multimodal as M  # noqa: E402
 from client_data_ingester_spark.operators import profile as P  # noqa: E402
@@ -830,6 +831,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
         _t(s, d, "documents")
     )
+    # -- data-quality audits ([EXT]) ----------------------------------------
+    # arithmetic integrity: exact-decimal recomputation of o_totalprice,
+    # classified per order status (match/mismatch/childless)
+    q["dq_orders_totalprice"] = lambda s, d: DQ.orders_totalprice_audit(
+        _t(s, d, "orders"), _t(s, d, "lineitem")
+    )
+    # referential integrity: orphan counts per declared FK relation
+    q["dq_referential_integrity"] = lambda s, d: (
+        DQ.referential_integrity_audit(
+            {
+                t: _t(s, d, t)
+                for t in (
+                    "lineitem", "orders", "part", "supplier",
+                    "customer", "nation", "region",
+                )
+            }
+        )
+    )
+
     # corpus-health power-law fit: least squares of ln(freq) on ln(rank)
     # over the top-100 words — exact int64 moments of micro-nat points
     q["corpus_zipf_slope"] = lambda s, d: C.zipf_slope(
@@ -2999,6 +3019,59 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS skew_permille
         FROM per CROSS JOIN nn
     """
+
+    # DQ audits: exact-decimal identity + per-relation orphan counts
+    o["dq_orders_totalprice"] = """
+        WITH rec AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(4,2))
+                          - CAST(l_discount AS DECIMAL(4,2)))
+                       * (CAST(1 AS DECIMAL(4,2))
+                          + CAST(l_tax AS DECIMAL(4,2)))) AS s
+            FROM lineitem GROUP BY l_orderkey),
+        cl AS (
+            SELECT o.o_orderstatus,
+                   CASE WHEN rec.s IS NULL THEN 'childless'
+                        WHEN CAST(o.o_totalprice AS DECIMAL(12,2)) = rec.s
+                             THEN 'match'
+                        ELSE 'mismatch' END AS c
+            FROM orders o LEFT JOIN rec ON rec.l_orderkey = o.o_orderkey)
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN c = 'match' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match,
+               CAST(SUM(CASE WHEN c = 'mismatch' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mismatch,
+               CAST(SUM(CASE WHEN c = 'childless' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_childless
+        FROM cl GROUP BY o_orderstatus
+    """
+
+    _fk_sqls = [
+        f"""SELECT '{label}' AS relation,
+                   (SELECT COUNT(*) FROM {child}) AS n_child,
+                   (SELECT COUNT(*) FROM {child} c
+                    WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                      WHERE p.{pk} = c.{fk}))
+                       AS n_orphans"""
+        for label, child, fk, parent, pk in (
+            ("lineitem->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+            ("orders->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+            ("customer->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+            ("supplier->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+            ("nation->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+        )
+    ]
+    o["dq_referential_integrity"] = "\nUNION ALL\n".join(_fk_sqls)
 
     # Zipf: ln only on the ranked top-100 count table (micro-nats); all
     # least-squares moments are exact integer sums, two double divisions

@@ -1,0 +1,107 @@
+"""Data-quality audits ([EXT]): the dbt-style tests a lake runs at scale.
+
+Two families:
+- arithmetic integrity: recompute a derived column from its source rows
+  in EXACT decimal and classify agreement (the TPC-H
+  ``o_totalprice == SUM(extprice * (1-disc) * (1+tax))`` identity);
+- referential integrity: orphan counts per FK relation via left-anti
+  joins (no row multiplication; shuffle on the key only).
+
+Both emit AUDIT REPORTS, not assertions — a 100 TB lake wants the
+mismatch counts on a dashboard, not a job failure on the first bad row.
+All arithmetic is exact DECIMAL (never float), so match/mismatch
+classification is engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PRICE = "decimal(12,2)"
+_RATE = "decimal(4,2)"
+
+
+def orders_totalprice_audit(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Per order status: does the stored ``o_totalprice`` equal the
+    exact-decimal recomputation ``SUM(l_extendedprice * (1 - l_discount)
+    * (1 + l_tax))`` over the order's lineitems? Orders with no
+    lineitems are classified separately (``n_childless``) — NULL never
+    silently counts as a match or mismatch.
+
+    Shape: one partial-aggregated shuffle on ``l_orderkey`` folds the
+    fact side to per-order sums BEFORE the join (the fact table never
+    joins raw), then one equi-join and a status-sized aggregate.
+    Decimal casts are (12,2) x (4,2) so the product precision stays
+    inside both engines' 38-digit bound."""
+    recomputed = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+            * (F.lit(1).cast(_RATE) + F.col("l_tax").cast(_RATE))
+        ).alias("_s")
+    )
+    joined = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(_PRICE).alias("_stored"),
+    ).join(recomputed, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    cls = (
+        F.when(F.col("_s").isNull(), F.lit("childless"))
+        .when(F.col("_stored") == F.col("_s"), F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return (
+        joined.select("o_orderstatus", cls.alias("_c"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("_c") == "match", 1).otherwise(0))
+            .cast("long").alias("n_match"),
+            F.sum(F.when(F.col("_c") == "mismatch", 1).otherwise(0))
+            .cast("long").alias("n_mismatch"),
+            F.sum(F.when(F.col("_c") == "childless", 1).otherwise(0))
+            .cast("long").alias("n_childless"),
+        )
+    )
+
+
+# (relation label, child table, child FK col, parent table, parent PK col)
+FK_RELATIONS = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def referential_integrity_audit(
+    tables: "dict[str, DataFrame]",
+) -> DataFrame:
+    """Orphan counts for every declared FK relation: one row per
+    relation with the child row count and how many child rows reference
+    a missing parent (left-anti join — shuffle on the key, zero row
+    multiplication; small parents broadcast automatically). NULL FKs
+    count as orphans: a fact row that cannot be attributed is exactly
+    what the audit exists to surface."""
+    reports = []
+    for label, child, fk, parent, pk in FK_RELATIONS:
+        c = tables[child].select(F.col(fk).alias("_fk"))
+        p = tables[parent].select(F.col(pk).alias("_pk"))
+        orphans = c.join(p, F.col("_fk") == F.col("_pk"), "left_anti")
+        reports.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(label).alias("relation"), "n_child", "n_orphans"
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1958,3 +1958,65 @@ def test_zipf_slope_recovers_planted_power_law(spark):
     # deterministic across partitionings
     again = C.zipf_slope(docs.repartition(7), top_n=30).collect()[0]
     assert (again.slope, again.intercept_ln) == (out.slope, out.intercept_ln)
+
+
+def test_dq_totalprice_audit_classifies_all_three_ways(spark):
+    from client_data_ingester_spark.operators import dq as DQ
+
+    orders = spark.createDataFrame(
+        [
+            (1, "O", 220.00),   # matches: 2 items below
+            (2, "F", 999.99),   # mismatch
+            (3, "P", 50.00),    # childless
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.10),   # 100 * 1.0 * 1.10 = 110
+            (1, 100.0, 0.0, 0.10),   # + 110 = 220
+            (2, 10.0, 0.5, 0.00),    # 5 != 999.99
+        ],
+        "l_orderkey long, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    )
+    got = {
+        r.o_orderstatus: r
+        for r in DQ.orders_totalprice_audit(orders, lineitem).collect()
+    }
+    assert got["O"].n_match == 1 and got["O"].n_mismatch == 0
+    assert got["F"].n_mismatch == 1
+    assert got["P"].n_childless == 1
+
+
+def test_dq_referential_audit_counts_orphans(spark):
+    from client_data_ingester_spark.operators import dq as DQ
+
+    tables = {
+        "nation": spark.createDataFrame(
+            [(0, 0), (1, 0)], "n_nationkey long, n_regionkey long"
+        ),
+        "region": spark.createDataFrame([(0,)], "r_regionkey long"),
+        "customer": spark.createDataFrame(
+            [(10, 0), (11, 9), (12, None)],  # 9 missing; NULL is an orphan
+            "c_custkey long, c_nationkey long",
+        ),
+        "supplier": spark.createDataFrame(
+            [(20, 1)], "s_suppkey long, s_nationkey long"
+        ),
+        "orders": spark.createDataFrame(
+            [(30, 10)], "o_orderkey long, o_custkey long"
+        ),
+        "part": spark.createDataFrame([(40,)], "p_partkey long"),
+        "lineitem": spark.createDataFrame(
+            [(30, 40, 20), (31, 40, 20)],  # order 31 missing
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        ),
+    }
+    got = {
+        r.relation: (r.n_child, r.n_orphans)
+        for r in DQ.referential_integrity_audit(tables).collect()
+    }
+    assert got["customer->nation"] == (3, 2)  # key 9 + NULL
+    assert got["lineitem->orders"] == (2, 1)
+    assert got["nation->region"] == (2, 0)
