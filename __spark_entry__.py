@@ -842,10 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         DQ.referential_integrity_audit(
             {
                 t: _t(s, d, t)
-                for t in (
-                    "lineitem", "orders", "part", "supplier",
-                    "customer", "nation", "region",
-                )
+                for rel in DQ.FK_RELATIONS
+                for t in (rel[1], rel[3])
             }
         )
     )
@@ -3048,6 +3046,9 @@ def oracle_sql() -> dict[str, str]:
         FROM cl GROUP BY o_orderstatus
     """
 
+    # the SAME relation list the Spark operator audits (DQ.FK_RELATIONS)
+    # — one source of truth, so the two engines can never audit
+    # different FK sets
     _fk_sqls = [
         f"""SELECT '{label}' AS relation,
                    (SELECT COUNT(*) FROM {child}) AS n_child,
@@ -3055,21 +3056,7 @@ def oracle_sql() -> dict[str, str]:
                     WHERE NOT EXISTS (SELECT 1 FROM {parent} p
                                       WHERE p.{pk} = c.{fk}))
                        AS n_orphans"""
-        for label, child, fk, parent, pk in (
-            ("lineitem->orders", "lineitem", "l_orderkey",
-             "orders", "o_orderkey"),
-            ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
-            ("lineitem->supplier", "lineitem", "l_suppkey",
-             "supplier", "s_suppkey"),
-            ("orders->customer", "orders", "o_custkey",
-             "customer", "c_custkey"),
-            ("customer->nation", "customer", "c_nationkey",
-             "nation", "n_nationkey"),
-            ("supplier->nation", "supplier", "s_nationkey",
-             "nation", "n_nationkey"),
-            ("nation->region", "nation", "n_regionkey",
-             "region", "r_regionkey"),
-        )
+        for label, child, fk, parent, pk in DQ.FK_RELATIONS
     ]
     o["dq_referential_integrity"] = "\nUNION ALL\n".join(_fk_sqls)
 
@@ -3092,16 +3079,19 @@ def oracle_sql() -> dict[str, str]:
                      SUM(x * y) AS sxy, SUM(x * x) AS sxx
               FROM pts)
         SELECT CAST(n AS BIGINT) AS n_points,
-               CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
-                          / CAST(n * sxx - sx * sx AS DOUBLE)
-                          * 10000 + 0.5) / 10000 AS DOUBLE) AS slope,
-               CAST(FLOOR((CAST(sy AS DOUBLE)
-                           - CAST(n * sxy - sx * sy AS DOUBLE)
-                             / CAST(n * sxx - sx * sx AS DOUBLE)
-                             * CAST(sx AS DOUBLE))
-                          / (CAST(n AS DOUBLE) * 1000000.0)
-                          * 10000 + 0.5) / 10000 AS DOUBLE)
-                   AS intercept_ln
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)
+                              * 10000 + 0.5) / 10000 AS DOUBLE)
+               END AS slope,
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   CAST(FLOOR((CAST(sy AS DOUBLE)
+                               - CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(sx AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * 1000000.0)
+                              * 10000 + 0.5) / 10000 AS DOUBLE)
+               END AS intercept_ln
         FROM m
     """
 

@@ -607,12 +607,15 @@ def split_drift_report(
     the absolute drift between the shares — the data-card number that
     catches a skewed holdout (a hash split should drift only by sampling
     noise; a systematic gap means the id space correlates with the
-    slice). One corpus scan, one slice-sized aggregate; the per-split
-    totals ride a broadcast join of a 2-row relation."""
+    slice). One corpus scan — the split decision is ``text.split_expr``,
+    a map-only expression in the same projection, never a self-join —
+    then one slice-sized aggregate; the per-split totals ride a
+    broadcast join of a 2-row relation."""
+    from .text import split_expr
+
     group_cols = list(group_cols or ["lang", "source"])
-    tagged = docs.join(
-        hash_split(docs, train_pct=train_pct).select("doc_id", "split"),
-        "doc_id",
+    tagged = docs.select(
+        *group_cols, split_expr(train_pct=train_pct).alias("split")
     )
     per_slice = tagged.groupBy(*group_cols).agg(
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
@@ -622,15 +625,19 @@ def split_drift_report(
             "_n_eval"
         ),
     )
-    totals = per_slice.agg(
-        F.sum("_n_train").alias("_t_train"), F.sum("_n_eval").alias("_t_eval")
-    )
+    # bounded global window: totals over the per-SLICE aggregate
+    # (|lang x source| rows, never documents) — deriving them via a
+    # second agg would re-scan the corpus (two consumers of per_slice)
+    w_all = Window.partitionBy(F.lit(1))
+    with_tot = per_slice.withColumn(
+        "_t_train", F.sum("_n_train").over(w_all)
+    ).withColumn("_t_eval", F.sum("_n_eval").over(w_all))
     # t=0 guard: a degenerate corpus whose eval (or train) side is empty
     # must report share 0, not inf (Spark) vs a division error (DuckDB)
     share = lambda n, t: F.when(  # noqa: E731
         t > 0, F.floor(n.cast("double") * 1000 / t)
     ).otherwise(F.lit(0)).cast("long")
-    return per_slice.crossJoin(F.broadcast(totals)).select(
+    return with_tot.select(
         *group_cols,
         F.col("_n_train").cast("long").alias("n_train"),
         F.col("_n_eval").cast("long").alias("n_eval"),
@@ -661,7 +668,18 @@ def zipf_slope(
     values (bounded: top_n ≤ ~200 keeps n·Σxy < 2^63), and the final
     slope/intercept are two double divisions rendered at 4 decimals.
     The rank window is bounded global (vocabulary-sized input, top-N
-    output) — the documented 'No Partition Defined' fold."""
+    output) — the documented 'No Partition Defined' fold.
+
+    ``top_n`` is ENFORCED <= 200 (not just documented): beyond it the
+    int64 moment ``n * Σxy`` can exceed 2^63, which Spark's non-ANSI
+    long arithmetic wraps SILENTLY while DuckDB promotes to HUGEINT —
+    a garbage slope plus a cross-engine divergence. A degenerate corpus
+    (fewer than two distinct ranked points) yields NULL slope/intercept
+    in both engines rather than an engine-dependent 0/0."""
+    if top_n > 200:
+        raise ValueError(
+            f"top_n={top_n} exceeds the int64-exact moment bound (200)"
+        )
     wc = word_rows(docs, text_col).groupBy("w").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
@@ -701,8 +719,9 @@ def zipf_slope(
     dec4 = lambda c: (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast(  # noqa: E731
         "double"
     )
-    return mom.select(
+    guard = lambda c: F.when(F.col("_den") != 0, dec4(c))  # noqa: E731
+    return mom.withColumn("_den", den).select(
         F.col("_n").cast("long").alias("n_points"),
-        dec4(slope).alias("slope"),
-        dec4(intercept).alias("intercept_ln"),
+        guard(slope).alias("slope"),
+        guard(intercept).alias("intercept_ln"),
     )

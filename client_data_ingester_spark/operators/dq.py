@@ -85,20 +85,58 @@ def referential_integrity_audit(
 ) -> DataFrame:
     """Orphan counts for every declared FK relation: one row per
     relation with the child row count and how many child rows reference
-    a missing parent (left-anti join — shuffle on the key, zero row
-    multiplication; small parents broadcast automatically). NULL FKs
-    count as orphans: a fact row that cannot be attributed is exactly
-    what the audit exists to surface."""
-    reports = []
+    a missing parent. NULL FKs count as orphans: a fact row that cannot
+    be attributed is exactly what the audit exists to surface.
+
+    Scale shape: ONE scan per child table — all of a child's FK
+    relations ride the same pass as chained left joins (lineitem's three
+    FKs = one lineitem scan, not three), then a single aggregate counts
+    rows once and null-parent hits per relation, exploded back into
+    per-relation report rows. Joins stay key-only projections so every
+    shuffle carries two columns; small parents broadcast via AQE.
+    Parents are assumed PK-unique (definitional for a primary key — a
+    duplicate parent would multiply child rows and distort every count;
+    auditing PK uniqueness itself is a one-line groupBy/HAVING check)."""
+    by_child: "dict[str, list]" = {}
     for label, child, fk, parent, pk in FK_RELATIONS:
-        c = tables[child].select(F.col(fk).alias("_fk"))
-        p = tables[parent].select(F.col(pk).alias("_pk"))
-        orphans = c.join(p, F.col("_fk") == F.col("_pk"), "left_anti")
+        by_child.setdefault(child, []).append((label, fk, parent, pk))
+    reports = []
+    for child, rels in by_child.items():
+        j = tables[child].select(
+            *[
+                F.col(fk).alias(f"_fk{i}")
+                for i, (_, fk, _, _) in enumerate(rels)
+            ]
+        )
+        for i, (_, _, parent, pk) in enumerate(rels):
+            p = tables[parent].select(F.col(pk).alias(f"_pk{i}"))
+            j = j.join(p, F.col(f"_fk{i}") == F.col(f"_pk{i}"), "left")
+        agg = j.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(
+                    F.when(F.col(f"_pk{i}").isNull(), 1).otherwise(0)
+                ).alias(f"_o{i}")
+                for i in range(len(rels))
+            ],
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("relation"),
+                    F.col(f"_o{i}").cast("long").alias("n_orphans"),
+                )
+                for i, (label, _, _, _) in enumerate(rels)
+            ]
+        )
         reports.append(
-            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            agg.select(
+                F.col("_n").cast("long").alias("n_child"),
+                F.explode(pairs).alias("_r"),
             ).select(
-                F.lit(label).alias("relation"), "n_child", "n_orphans"
+                F.col("_r.relation").alias("relation"),
+                "n_child",
+                F.col("_r.n_orphans").alias("n_orphans"),
             )
         )
     out = reports[0]

@@ -148,16 +148,9 @@ def encode_bmp(width: int, height: int, bgr_rows: "np.ndarray") -> bytes:
     return header + bytes(body)
 
 
-def decode_bmp_pixels(
-    payload: bytes,
-) -> "tuple[int, int, tuple[int, int, int], object]":
-    """Parse an uncompressed 24-bit BMP and return ``(width, height,
-    (sum_b, sum_g, sum_r), pixels)`` — exact integer channel sums plus
-    the top-down (height, width, 3) BGR uint8 array (the input the real
-    resize path needs). The real header walk (magic, pixel-array offset,
-    dims, bpp, compression), bottom-up row order, BGR byte order, and
-    per-row 4-byte padding are all honored, so a wrong stride or ignored
-    pad shows up as a value mismatch against the analytic oracle."""
+def _bmp_geometry(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Shared BMP header walk: validate magic/bpp/compression/dims and
+    return ``(pix_offset, width, height, row_bytes, stride)``."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -172,8 +165,41 @@ def decode_bmp_pixels(
         raise ValueError("top-down or degenerate BMP not supported")
     row_bytes = width * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
+    return pix_offset, width, height, row_bytes, stride
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
+    """Parse an uncompressed 24-bit BMP and return ``(width, height,
+    (sum_b, sum_g, sum_r))`` with EXACT integer channel sums — the real
+    header walk (magic, pixel-array offset, dims, bpp, compression),
+    bottom-up row order, BGR byte order, and per-row 4-byte padding are
+    all honored, so a wrong stride or ignored pad shows up as a value
+    mismatch against the analytic oracle. STREAMS per-row sums with
+    O(row) extra memory — the hot per-image stats path never
+    materializes the pixel array (that's :func:`decode_bmp_pixels`,
+    for transforms that need the pixels)."""
     import numpy as np
 
+    pix_offset, width, height, row_bytes, stride = _bmp_geometry(payload)
+    sums = np.zeros(3, dtype=np.int64)
+    for y in range(height):
+        row = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes,
+            offset=pix_offset + y * stride,
+        )
+        sums += row.reshape(width, 3).sum(axis=0, dtype=np.int64)
+    return width, height, (int(sums[0]), int(sums[1]), int(sums[2]))
+
+
+def decode_bmp_pixels(
+    payload: bytes,
+) -> "tuple[int, int, tuple[int, int, int], object]":
+    """Like :func:`decode_bmp` but ALSO materializes the top-down
+    (height, width, 3) BGR uint8 array — the input the real resize path
+    needs. Use :func:`decode_bmp` when only the sums matter."""
+    import numpy as np
+
+    pix_offset, width, height, row_bytes, stride = _bmp_geometry(payload)
     # bottom-up storage: file row y is image row (height-1-y)
     rows = [
         np.frombuffer(
@@ -185,13 +211,6 @@ def decode_bmp_pixels(
     px = np.stack(rows)  # (height, width, 3) BGR, top-down
     sums = px.sum(axis=(0, 1), dtype=np.int64)
     return width, height, (int(sums[0]), int(sums[1]), int(sums[2])), px
-
-
-def decode_bmp(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
-    """Sums-only view of :func:`decode_bmp_pixels` (the historical
-    contract shared with the PPM/PNG decoders)."""
-    w, h, sums, _ = decode_bmp_pixels(payload)
-    return w, h, sums
 
 
 def encode_ppm(width: int, height: int, rgb_rows: "np.ndarray") -> bytes:

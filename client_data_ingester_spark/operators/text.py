@@ -244,6 +244,20 @@ def document_fingerprints(
     )
 
 
+def split_expr(id_col: str = "doc_id", train_pct: int = 80) -> Column:
+    """The hash-split decision as a pure map-only EXPRESSION — use this
+    inside an existing projection when a relation already carries the id
+    (no self-join, no second scan); :func:`hash_split` is the relation
+    form of the same rule."""
+    from .dedup import md5_int
+
+    bucket = md5_int(F.col(id_col).cast("string")) % 100
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("eval"))
+    )
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -261,9 +275,7 @@ def hash_split(
     return docs.select(
         F.col(id_col),
         bucket.cast("int").alias("bucket"),
-        F.when(bucket < train_pct, F.lit("train"))
-        .otherwise(F.lit("eval"))
-        .alias("split"),
+        split_expr(id_col, train_pct).alias("split"),
     )
 
 

@@ -1827,7 +1827,6 @@ def test_png_every_single_byte_corruption_is_detected():
     (BMP/PPM have no integrity field, which is exactly why PNG's CRC
     walk is worth its cost)."""
     import numpy as np
-    import pytest as _pytest
 
     rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
     good = M.encode_png(2, 2, rgb)
