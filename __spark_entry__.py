@@ -848,6 +848,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # PK-uniqueness audit: the contract the FK audit relies on
+    q["dq_pk_uniqueness"] = lambda s, d: DQ.pk_uniqueness_audit(
+        {t: _t(s, d, t) for t, _ in DQ.PK_CONTRACTS}
+    )
+    # domain-expectation checks, all rules in one fact scan
+    q["dq_lineitem_domains"] = lambda s, d: DQ.lineitem_domain_audit(
+        _t(s, d, "lineitem")
+    )
+
     # corpus-health power-law fit: least squares of ln(freq) on ln(rank)
     # over the top-100 words — exact int64 moments of micro-nat points
     q["corpus_zipf_slope"] = lambda s, d: C.zipf_slope(
@@ -3059,6 +3068,33 @@ def oracle_sql() -> dict[str, str]:
         for label, child, fk, parent, pk in DQ.FK_RELATIONS
     ]
     o["dq_referential_integrity"] = "\nUNION ALL\n".join(_fk_sqls)
+
+    o["dq_pk_uniqueness"] = "\nUNION ALL\n".join(
+        f"""SELECT '{table}.{pk}' AS pk,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_distinct,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_keys
+            FROM (SELECT {pk}, COUNT(*) AS c FROM {table} GROUP BY 1) t"""
+        for table, pk in DQ.PK_CONTRACTS
+    )
+
+    # the SAME rule list the Spark operator evaluates via F.expr — the
+    # conditions are engine-portable SQL, so both sides audit one set
+    o["dq_lineitem_domains"] = f"""
+        WITH a AS (
+            SELECT COUNT(*) AS n,
+                   {", ".join(
+                       f"SUM(CASE WHEN COALESCE(({cond}), FALSE) "
+                       f"THEN 0 ELSE 1 END) AS v{i}"
+                       for i, (_, cond) in enumerate(
+                           DQ.LINEITEM_DOMAIN_RULES))}
+            FROM lineitem)
+        {" UNION ALL ".join(
+            f"SELECT '{name}' AS rule, CAST(n AS BIGINT) AS n_rows, "
+            f"CAST(v{i} AS BIGINT) AS n_violations FROM a"
+            for i, (name, _) in enumerate(DQ.LINEITEM_DOMAIN_RULES))}
+    """
 
     # Zipf: ln only on the ranked top-100 count table (micro-nats); all
     # least-squares moments are exact integer sums, two double divisions

@@ -143,3 +143,90 @@ def referential_integrity_audit(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# (table, pk column) — the uniqueness contracts the FK audit relies on
+PK_CONTRACTS = [
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("customer", "c_custkey"),
+    ("nation", "n_nationkey"),
+    ("region", "r_regionkey"),
+]
+
+
+def pk_uniqueness_audit(tables: "dict[str, DataFrame]") -> DataFrame:
+    """Per declared PK: row count, distinct-key count, and how many keys
+    are duplicated — the uniqueness contract
+    :func:`referential_integrity_audit` assumes, audited instead of
+    trusted. One partial-aggregated groupBy per table (the key fold),
+    then a 3-number aggregate; no joins."""
+    reports = []
+    for table, pk in PK_CONTRACTS:
+        per_key = tables[table].groupBy(F.col(pk).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(f"{table}.{pk}").alias("pk"),
+                F.sum("_c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(F.when(F.col("_c") > 1, 1).otherwise(0))
+                .cast("long").alias("n_dup_keys"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# (rule name, SQL condition) — the condition strings parse identically
+# in Spark SQL and DuckDB, so the operator (via F.expr) and the oracle
+# audit the SAME rule set from one list
+LINEITEM_DOMAIN_RULES = [
+    ("quantity_positive", "l_quantity > 0"),
+    ("extendedprice_positive", "l_extendedprice > 0"),
+    ("discount_in_unit_range", "l_discount >= 0 AND l_discount <= 1"),
+    ("tax_in_unit_range", "l_tax >= 0 AND l_tax <= 1"),
+    ("shipdate_in_era", "l_shipdate >= DATE '1992-01-01'"),
+    ("returnflag_in_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("linestatus_in_domain", "l_linestatus IN ('O', 'F')"),
+]
+
+
+def lineitem_domain_audit(lineitem: DataFrame) -> DataFrame:
+    """Expectation checks over the fact table's value domains — the
+    great-expectations shape: one row per rule with its violation count.
+    ALL rules ride ONE scan (a single aggregate of conditional sums);
+    NULLs violate every range rule (an unknowable value cannot satisfy
+    a domain contract)."""
+    rules = LINEITEM_DOMAIN_RULES
+    agg = lineitem.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(F.coalesce(F.expr(cond), F.lit(False)), 0)
+                .otherwise(1)
+            ).alias(f"_v{i}")
+            for i, (_, cond) in enumerate(rules)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"_v{i}").cast("long").alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.explode(pairs).alias("_r"),
+    ).select(
+        F.col("_r.rule").alias("rule"),
+        "n_rows",
+        F.col("_r.n_violations").alias("n_violations"),
+    )

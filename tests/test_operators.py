@@ -2019,3 +2019,40 @@ def test_dq_referential_audit_counts_orphans(spark):
     assert got["customer->nation"] == (3, 2)  # key 9 + NULL
     assert got["lineitem->orders"] == (2, 1)
     assert got["nation->region"] == (2, 0)
+
+
+def test_dq_pk_and_domain_audits(spark):
+    from client_data_ingester_spark.operators import dq as DQ
+
+    # PK audit: a planted duplicate key is counted
+    tables = {
+        t: spark.createDataFrame([(1,), (2,)], f"{pk} long")
+        for t, pk in DQ.PK_CONTRACTS
+    }
+    tables["nation"] = spark.createDataFrame(
+        [(1,), (1,), (2,)], "n_nationkey long"
+    )
+    got = {r.pk: r for r in DQ.pk_uniqueness_audit(tables).collect()}
+    assert got["nation.n_nationkey"].n_rows == 3
+    assert got["nation.n_nationkey"].n_distinct == 2
+    assert got["nation.n_nationkey"].n_dup_keys == 1
+    assert got["orders.o_orderkey"].n_dup_keys == 0
+
+    # domain audit: planted violations are counted per rule; NULL violates
+    li = spark.createDataFrame(
+        [
+            (1.0, 10.0, 0.1, 0.05, "1995-01-01", "A", "O"),
+            (-2.0, 10.0, 1.5, 0.05, "1991-01-01", "X", "O"),
+            (None, 10.0, 0.1, 0.05, "1995-01-01", "N", "F"),
+        ],
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_shipdate string, l_returnflag string, "
+        "l_linestatus string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+    out = {r.rule: r for r in DQ.lineitem_domain_audit(li).collect()}
+    assert all(r.n_rows == 3 for r in out.values())
+    assert out["quantity_positive"].n_violations == 2  # -2 and NULL
+    assert out["discount_in_unit_range"].n_violations == 1
+    assert out["shipdate_in_era"].n_violations == 1
+    assert out["returnflag_in_domain"].n_violations == 1
+    assert out["linestatus_in_domain"].n_violations == 0
