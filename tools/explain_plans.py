@@ -48,6 +48,9 @@ DEFAULT = [
     "docs_quality_curriculum",
     "corpus_shard_manifest",
     "multimodal_avi_frames",
+    "dq_referential_integrity",
+    "dq_lineitem_domains",
+    "corpus_split_drift",
 ]
 
 
