@@ -16,7 +16,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1159,6 +1159,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return est.join(exact, "user_id")
 
     q["sketch_heavy_hitters"] = _cms_query
+
+    # CMS error eval over the corpus's top-20 words: estimate vs exact
+    # with the one-sided overestimate — the calibration report that says
+    # whether depth x width is sized right for this corpus (underestimates
+    # are impossible by construction; a unit test pins that)
+    def _cms_word_error(s, d):
+        w = C.word_rows(_t(s, d, "documents"))
+        wc = w.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+        # bounded global window: ranks the vocabulary-sized count table
+        top = (
+            wc.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy(F.lit(1)).orderBy(
+                        F.desc("exact_count"), F.col("w")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") <= 20)
+            .select("w", "exact_count")
+        )
+        est = K.cms_estimate(K.cms_registers(w, "w"), top.select("w"), "w")
+        return est.join(top, "w").select(
+            "w",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("est_count").cast("long").alias("est_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long").alias("overestimate"),
+        )
+
+    q["sketch_cms_word_error"] = _cms_word_error
 
     # fixed-domain histogram quantiles: SUM-mergeable bin registers, bin-
     # edge estimates; cumulative window runs over ≤200 aggregated rows
@@ -4217,6 +4248,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id < 10 GROUP BY user_id)
         SELECT e.user_id, est_count, exact_count
         FROM est e JOIN exact USING (user_id)
+    """
+
+    o["sketch_cms_word_error"] = f"""
+        WITH wr AS ({word_occ}),
+        wc AS (SELECT w, COUNT(*) AS exact_count FROM wr GROUP BY 1),
+        top AS (
+            SELECT w, exact_count FROM (
+                SELECT w, exact_count,
+                       ROW_NUMBER() OVER (ORDER BY exact_count DESC, w)
+                           AS rk
+                FROM wc) t
+            WHERE rk <= 20),
+        r AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+        regs AS (
+            SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || w), 1, 15))
+                          ::BIGINT % {K.CMS_WIDTH} AS bucket,
+                   COUNT(*) AS cnt
+            FROM wr CROSS JOIN r GROUP BY 1, 2),
+        pb AS (
+            SELECT t.w, r.r,
+                   ('0x' || substr(md5(r.r::VARCHAR || ':' || t.w), 1, 15))
+                       ::BIGINT % {K.CMS_WIDTH} AS bucket
+            FROM top t CROSS JOIN r),
+        est AS (
+            SELECT w, MIN(COALESCE(g.cnt, 0))::BIGINT AS est_count
+            FROM pb LEFT JOIN regs g USING (r, bucket)
+            GROUP BY w)
+        SELECT t.w, CAST(t.exact_count AS BIGINT) AS exact_count,
+               e.est_count,
+               CAST(e.est_count - t.exact_count AS BIGINT) AS overestimate
+        FROM top t JOIN est e USING (w)
     """
 
     o["sketch_value_quantiles"] = """

@@ -251,3 +251,18 @@ def test_contaminated_spans_islands(spark):
     assert spans[1][0] > spans[0][1] + 1  # separated by a gap
     for s, e, n in spans:
         assert n == e - s + 1  # contiguous island
+
+
+def test_cms_word_error_is_one_sided(spark):
+    """CMS can only OVERestimate — every probe's estimate must be >= the
+    exact count (the property the calibration report relies on)."""
+    import importlib
+
+    m = importlib.import_module("__spark_entry__")
+    rows = m.queries()["sketch_cms_word_error"](
+        spark, str(__import__("conftest").SF_DIR)
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.est_count == r.exact_count + r.overestimate
