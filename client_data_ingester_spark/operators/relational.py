@@ -457,16 +457,26 @@ def top_revenue_suppliers(
     """TPC-H Q15 shape: supplier(s) with the maximum revenue in a quarter.
 
     The classic SQL computes the revenue view twice (once for MAX, once to
-    filter); here the global max rides a WHOLE-RELATION window over the
-    ALREADY-AGGREGATED per-supplier relation — one lineitem scan total.
-    The single-partition WindowExec is safe by construction: its input is
-    one row per supplier (~10M rows even at 100 TB, and only
-    (l_suppkey, revenue) wide), not the fact table. The max-equality
-    filter runs on exact decimals, so revenue ties are exact (no float
-    '==' flakiness), and ALL tied suppliers are returned per Q15 semantics.
+    filter); here the global max is a scalar ``.agg(max)`` over the
+    ALREADY-AGGREGATED per-supplier relation, broadcast back via a 1-row
+    crossJoin. Both the scalar and the filter consume the SAME per-suppkey
+    shuffle — Spark's ReusedExchange keeps it one lineitem scan — and the
+    1-row side rides BroadcastNestedLoopJoin, so no relation (the supplier
+    domain grows ~linearly with scale factor) is ever funneled through a
+    single-partition window. The max-equality filter runs on exact
+    decimals, so revenue ties are exact (no float '==' flakiness), and
+    ALL tied suppliers are returned per Q15 semantics.
     """
     li = lineitem.filter(
-        (F.col("l_shipdate") >= ship_start) & (F.col("l_shipdate") < ship_end)
+        (F.col("l_shipdate") >= ship_start)
+        & (F.col("l_shipdate") < ship_end)
+        # explicit isnotnull so BOTH consumers of the per-suppkey shuffle
+        # (the scalar max and the equality filter) canonicalize to the
+        # same subtree — otherwise the supplier join infers the null
+        # filter on one branch only and ReusedExchange can't fire
+        # (suppkey is a non-null FK; a null group couldn't survive the
+        # final inner join anyway)
+        & F.col("l_suppkey").isNotNull()
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum(
@@ -474,11 +484,10 @@ def top_revenue_suppliers(
             * (F.lit(1).cast(D182) - _money("l_discount"))
         ).alias("_rev")
     )
-    top = rev.withColumn(
-        # bounded global window: over the per-SUPPLIER aggregate
-        # (|suppliers| rows), not lineitem
-        "_mx", F.max("_rev").over(Window.partitionBy(F.lit(1)))
-    ).filter(F.col("_rev") == F.col("_mx"))
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("_rev") == F.col("_mx")
+    )
     return (
         supplier.join(
             F.broadcast(top), supplier.s_suppkey == top.l_suppkey
@@ -1041,15 +1050,16 @@ def important_part_values(
     fraction of that region's total.
 
     The scalar ``> (SELECT SUM(...) * fraction)`` subquery becomes a
-    whole-relation window SUM over the ALREADY-AGGREGATED per-part
-    relation (the q15 pattern — the fact table is scanned once, not once
-    per subquery), and the threshold test is EXACT decimal arithmetic —
+    scalar ``.agg(sum)`` over the ALREADY-AGGREGATED per-part relation,
+    broadcast back via a 1-row crossJoin (the q15 pattern — both the
+    scalar and the filter consume the same per-partkey shuffle, so
+    ReusedExchange keeps one fact scan, and the part domain — which grows
+    linearly with scale factor — never funnels through a one-partition
+    window). The threshold test is EXACT decimal arithmetic —
     ``value * denom > total`` with integer ``denom`` — so the boundary
-    can't flip between engines the way a float multiply could. The
-    single-partition WindowExec input is one (partkey, value) row per
-    part — the part domain, never the fact table. One fact-table shuffle
-    (partkey fold); the region's supplier set broadcasts into the
-    scan-side join.
+    can't flip between engines the way a float multiply could. One
+    fact-table shuffle (partkey fold); the region's supplier set
+    broadcasts into the scan-side join.
     """
     region_supp = (
         supplier.select("s_suppkey", "s_nationkey")
@@ -1066,12 +1076,9 @@ def important_part_values(
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(vol).alias("_value"))
     )
+    total = per_part.agg(F.sum("_value").alias("_total"))
     return (
-        per_part.withColumn(
-            # bounded global window: over the per-PARTKEY aggregate
-            # (|parts in the nation's stock| rows), not the fact table
-            "_total", F.sum("_value").over(Window.partitionBy(F.lit(1)))
-        )
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("_value") * fraction_denom > F.col("_total"))
         .select("partkey", F.col("_value").cast("double").alias("value"))
         .orderBy(F.desc("value"), "partkey")

@@ -346,15 +346,22 @@ def test_q13_reduces_orders_before_outer_join(spark):
     )  # at least one aggregate BELOW the join (tree prints top-down)
 
 
-def test_q15_single_lineitem_scan_window_over_aggregate(spark):
-    """Q15's global max must not trigger a second lineitem scan: the
-    window runs over the per-supplier aggregate, and the tiny max-filtered
-    side broadcasts into the supplier join."""
+def test_q15_single_lineitem_scan_scalar_broadcast(spark):
+    """Q15's global max must not trigger a second lineitem scan NOR a
+    single-partition window over the supplier domain: the scalar max is a
+    1-row broadcast crossJoin over the same per-suppkey aggregate
+    (ReusedExchange keeps one fact scan), and the tiny max-filtered side
+    broadcasts into the supplier join."""
     plan = plan_of(spark, "q15_top_revenue_suppliers")
     tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
-    assert tree.count("Scan parquet") == 2  # supplier + lineitem, once each
-    assert "Window" in plan
+    assert "Window" not in tree  # no single-partition supplier-domain sort
     assert "BroadcastHashJoin" in plan
+    final = executed_plan_of(spark, "q15_top_revenue_suppliers")
+    fp = final.split("== Initial Plan ==")[0]
+    assert fp.count("ReusedExchange") >= 1  # scalar + filter share shuffle
+    assert fp.count("FileScan parquet") == 2  # supplier + lineitem, once
+    assert "Window" not in fp
+    assert "CartesianProduct" not in fp
 
 
 def test_q22_broadcast_scalar_and_anti_join(spark):
@@ -567,16 +574,21 @@ def test_q2_slice_filters_pushed_and_dims_broadcast(spark):
 
 
 def test_q11_scalar_total_broadcasts(spark):
-    """The scalar-subquery threshold rides a whole-relation window over
-    the aggregated per-part relation (q15 pattern): ONE fact scan, no
-    second aggregation tree, no cartesian; the region's supplier set
+    """The scalar-subquery threshold is a 1-row broadcast crossJoin over
+    the aggregated per-part relation (q15 pattern): ONE fact scan
+    (ReusedExchange shares the per-partkey shuffle), no single-partition
+    window over the part domain, no cartesian; the region's supplier set
     broadcasts into the fact scan side."""
     plan = plan_of(spark, "q11_important_parts")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
-    assert tree.count("Scan parquet") == 3  # lineitem, supplier, nation
-    assert "Window" in tree
+    assert "Window" not in tree  # no single-partition part-domain funnel
+    final = executed_plan_of(spark, "q11_important_parts")
+    fp = final.split("== Initial Plan ==")[0]
+    assert fp.count("ReusedExchange") >= 1  # scalar + filter share shuffle
+    assert fp.count("FileScan parquet") == 3  # lineitem, supplier, nation
+    assert "Window" not in fp
 
 
 def test_q20_name_slice_pushed_single_fact_scan(spark):
