@@ -147,6 +147,12 @@ def main() -> None:
         ("rp_index", entry._rp_index, ("rp", "embeddings"), "_SUCCESS"),
         ("bloom_index", entry._bloom_index, ("bloom", "documents"), "_SUCCESS"),
         (
+            "cluster_index",
+            entry._cluster_index,
+            ("clusters", "documents"),
+            "_SUCCESS",
+        ),
+        (
             "kmeans_model",
             entry._kmeans_index,
             ("kmeans", "embeddings"),

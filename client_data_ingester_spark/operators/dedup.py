@@ -476,9 +476,30 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return member.union(minima)
 
 
+def build_cluster_index(pairs: DataFrame, path: str, max_iter: int = 25) -> None:
+    """BUILD STEP: run the large-star/small-star contraction ONCE and persist
+    the (doc_id, cluster_id) labeling as parquet.
+
+    Clustering is the dominant dedup cost at scale (iterative, O(log n)
+    shuffle rounds over the candidate-edge set); like the IVF/RP/k-means/PQ
+    indexes it is a pure function of the corpus, so it belongs at WRITE
+    time. The retention-policy consumers (membership, representative
+    selection, retained corpus) then PROBE a narrow 2-column table instead
+    of each re-paying LSH + the full contraction."""
+    duplicate_clusters(pairs, max_iter=max_iter).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_cluster_index(spark, path: str) -> DataFrame:
+    """Read a persisted (doc_id, cluster_id) labeling written by
+    ``build_cluster_index``."""
+    return spark.read.parquet(path)
+
+
 def cluster_representatives(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     text_col: str = "text",
     clusters: DataFrame | None = None,
 ) -> DataFrame:
@@ -494,10 +515,16 @@ def cluster_representatives(
     groupBy on cluster_id; quality joins 1:1 on doc_id."""
     from .text import quality_scores
 
-    # pass precomputed clusters to share one contraction across consumers —
+    # pass precomputed clusters (ideally the persisted ``build_cluster_index``
+    # artifact) to share one contraction across consumers —
     # duplicate_clusters runs its star rounds EAGERLY at build time, so a
     # second call re-pays the whole iterative loop
     if clusters is None:
+        if pairs is None:
+            raise ValueError(
+                "cluster_representatives: pass candidate pairs or a "
+                "precomputed clusters labeling"
+            )
         clusters = duplicate_clusters(pairs)
     # re-quantize the (already half-up-rounded) score to its exact scale-4
     # integer — floor(q*1e4+0.5) recovers the integer the rounding produced,
@@ -531,7 +558,10 @@ def cluster_representatives(
 
 
 def retained_corpus(
-    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id): the post-dedup corpus — every unclustered document plus
     exactly one representative (highest quality, ties to lowest id) from
@@ -539,13 +569,21 @@ def retained_corpus(
     a training pipeline actually keeps after LSH → verify → cluster →
     pick-representative.
 
-    One clustering pass shared between membership and representative
-    selection; the drop set (cluster members that are not their cluster's
-    representative) is corpus-small and the final subtraction is a
-    LEFT ANTI join on doc_id — no full-corpus shuffle beyond it."""
-    clusters = duplicate_clusters(pairs)
+    One clustering pass (ideally the persisted ``build_cluster_index``
+    artifact, passed via ``clusters``) shared between membership and
+    representative selection; the drop set (cluster members that are not
+    their cluster's representative) is corpus-small and the final
+    subtraction is a LEFT ANTI join on doc_id — no full-corpus shuffle
+    beyond it."""
+    if clusters is None:
+        if pairs is None:
+            raise ValueError(
+                "retained_corpus: pass candidate pairs or a precomputed "
+                "clusters labeling"
+            )
+        clusters = duplicate_clusters(pairs)
     reps = cluster_representatives(
-        docs, pairs, text_col, clusters=clusters
+        docs, None, text_col, clusters=clusters
     ).select("rep_doc_id")
     drop = clusters.select("doc_id").join(
         reps, F.col("doc_id") == F.col("rep_doc_id"), "left_anti"

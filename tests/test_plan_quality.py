@@ -68,6 +68,17 @@ def test_lsh_has_no_self_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_endgame_probes_persisted_cluster_index(spark):
+    """The retention-policy consumers must PROBE the persisted cluster
+    labeling (build_cluster_index), not re-run LSH + the iterative
+    contraction per query: the plan scans the clusters parquet artifact
+    (no localCheckpoint ExistingRDD residue from in-plan star rounds)."""
+    for name in ("dedup_representatives", "dedup_retained_corpus"):
+        plan = plan_of(spark, name)
+        assert "clusters_index_" in plan, name  # the persisted artifact path
+        assert "ExistingRDD" not in plan, name  # no in-plan contraction
+
+
 def test_near_dup_blocking_is_data_independent(spark):
     """The embedding near-dup blocking key must be an LSH bucket whose
     population scales with the corpus — NOT a fixed-cardinality class column
