@@ -1057,6 +1057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_balanced_sample"] = lambda s, d: X.balanced_sample(
         _t(s, d, "documents")
     )
+    # orders is SF-proportional (a fact table, not a bounded dimension), so
+    # the scored profile uses the portable md5-HLL ndv — one scan, NO
+    # Expand ×(k+1) row replication. exact_ndv stays the documented mode
+    # for genuinely bounded dimensions (pytest-covered in test_operators).
     q["profile_orders"] = lambda s, d: P.profile_table(
         _t(s, d, "orders"),
         [
@@ -1067,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("o_orderdate", "ts"),
             ("o_orderpriority", "str"),
         ],
+        ndv_mode="portable",
     )
     # the wide-fact-table profile shape: approximate ndv with NO Expand row
     # replication (plan pinned by tests/test_plan_quality.py::
@@ -3535,31 +3540,9 @@ def oracle_sql() -> dict[str, str]:
         ("o_orderdate", "ts"),
         ("o_orderpriority", "str"),
     ]
-    profile_selects = []
-    for cname, kind in profile_cols:
-        if kind == "num":
-            mn = f"CAST(MIN({cname}) AS DOUBLE) AS min_num"
-            mx = f"CAST(MAX({cname}) AS DOUBLE) AS max_num"
-            ms = "CAST(NULL AS VARCHAR) AS min_str"
-            xs = "CAST(NULL AS VARCHAR) AS max_str"
-        elif kind == "ts":
-            mn = "CAST(NULL AS DOUBLE) AS min_num"
-            mx = "CAST(NULL AS DOUBLE) AS max_num"
-            ms = f"STRFTIME(MIN({cname}), '%Y-%m-%d %H:%M:%S') AS min_str"
-            xs = f"STRFTIME(MAX({cname}), '%Y-%m-%d %H:%M:%S') AS max_str"
-        else:
-            mn = "CAST(NULL AS DOUBLE) AS min_num"
-            mx = "CAST(NULL AS DOUBLE) AS max_num"
-            ms = f"CAST(MIN({cname}) AS VARCHAR) AS min_str"
-            xs = f"CAST(MAX({cname}) AS VARCHAR) AS max_str"
-        profile_selects.append(f"""
-            SELECT '{cname}' AS col_name, COUNT(*) AS n_rows,
-                   CAST(SUM(CASE WHEN {cname} IS NULL THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_nulls,
-                   COUNT(DISTINCT {cname}) AS ndv,
-                   {mn}, {mx}, {ms}, {xs}
-            FROM orders""")
-    o["profile_orders"] = " UNION ALL ".join(profile_selects)
+    o["profile_orders"] = P.portable_profile_oracle_sql(
+        "orders", profile_cols
+    )
 
     o["profile_lineitem_approx"] = P.portable_profile_oracle_sql(
         "lineitem", _LINEITEM_PROFILE_COLS

@@ -68,6 +68,36 @@ def test_lsh_has_no_self_join(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_pmi_bigrams",  # corpus top-k family
+        "docs_oov_rate",
+        "corpus_zipf_slope",
+        "sketch_cms_word_error",  # sketch top-k family
+    ],
+)
+def test_global_topk_rank_rides_take_ordered(spark, name):
+    """The global top-k rank sites are scale-safe ONLY because Spark's
+    LimitPushDownThroughWindow rewrites rank-over-lit(1)+filter into
+    TakeOrderedAndProject feeding a residual k-row Window. This is a
+    version-fragile optimizer dependency: if a Spark upgrade or a refactor
+    (e.g. referencing the rank column elsewhere) breaks the rewrite, the
+    plan silently reverts to a single-partition sort of a vocabulary-sized
+    relation. Pin the rewritten shape: every whole-relation Window in the
+    tree is fed directly by TakeOrderedAndProject."""
+    import re
+
+    plan = plan_of(spark, name)
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    windows = re.findall(r"Window \(\d+\)\n[\s:+-]*(\w+)", tree)
+    assert windows, f"{name}: expected at least one Window in the tree"
+    assert all(w == "TakeOrderedAndProject" for w in windows), (
+        f"{name}: a Window is not fed by TakeOrderedAndProject — the "
+        f"LimitPushDownThroughWindow rewrite regressed: {windows}"
+    )
+
+
 def test_dedup_endgame_probes_persisted_cluster_index(spark):
     """The retention-policy consumers must PROBE the persisted cluster
     labeling (build_cluster_index), not re-run LSH + the iterative
@@ -511,18 +541,23 @@ def test_profile_approx_ndv_has_no_expand(spark):
     md5 sketch — conditional-MAX agg columns) replace the multi-distinct,
     so the plan is a plain single-scan hash aggregate — no Expand row
     replication at all, and still one parquet scan."""
-    plan = plan_of(spark, "profile_lineitem_approx")
-    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
-    assert tree.count("Scan parquet") == 1
-    assert "Expand" not in plan
-    # same output contract as the exact profiler
-    exact = entry.queries()["profile_orders"]
-    approx = entry.queries()["profile_lineitem_approx"]
+    for name in ("profile_lineitem_approx", "profile_orders"):
+        plan = plan_of(spark, name)
+        tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+        assert tree.count("Scan parquet") == 1, name
+        assert "Expand" not in plan, name
+    # same output contract as the exact profiler (stack emission path)
+    from client_data_ingester_spark.operators.profile import profile_table
+
+    exact = profile_table(
+        entry._t(spark, SF, "nation"), [("n_name", "str")], exact_ndv=True
+    )
+    approx = entry.queries()["profile_lineitem_approx"](spark, SF)
     # names + types must agree (nullability may differ: the portable mode
     # emits via groupBy/select, the exact mode via stack)
-    assert [
-        (f.name, f.dataType) for f in exact(spark, SF).schema.fields
-    ] == [(f.name, f.dataType) for f in approx(spark, SF).schema.fields]
+    assert [(f.name, f.dataType) for f in exact.schema.fields] == [
+        (f.name, f.dataType) for f in approx.schema.fields
+    ]
 
 
 def test_pipeline_compose_plan_shape(spark):
