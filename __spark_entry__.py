@@ -95,8 +95,10 @@ def _index_cache_path(sf_dir: str, kind: str, src_table: str = "embeddings") -> 
     else:
         st = os.stat(src)
         stats.append(f"{st.st_size}:{st.st_mtime_ns}")
+    # v4: ivfpq codes carry + partition by cluster (r9) — bumping the
+    # version invalidates any pre-r9 cached artifact missing the column
     key = hashlib.md5(
-        f"v3|{sf_dir}|{src_table}|{'|'.join(stats)}".encode()
+        f"v4|{sf_dir}|{src_table}|{'|'.join(stats)}".encode()
     ).hexdigest()
     cache_root = os.path.join(
         tempfile.gettempdir(), f"cdi_ivf_cache_{os.getuid()}"
@@ -199,7 +201,12 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
             _t(spark, sf_dir, "embeddings"), assigns, cents,
             dim=64, m=4, k_codes=4, n_iter=2,
         )
-        codes.write.mode("overwrite").parquet(f"{path}/codes")
+        # cluster-partitioned layout: the probe's cell restriction prunes
+        # unprobed cells at the PATH level (PartitionFilters), the IVF
+        # story's scan-side half
+        codes.repartition("cluster").write.partitionBy("cluster").mode(
+            "overwrite"
+        ).parquet(f"{path}/codes")
         books.write.mode("overwrite").parquet(f"{path}/codebooks")
     return load_pq_index(spark, path)
 
@@ -852,8 +859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # model-based filter: multinomial NB language classifier trained on
     # the corpus's own labels, scored back over it — micro-nat ln on the
     # reduced class tables only, exact BIGINT per-doc sums
+    # cache_model=True is the one-shot-job opt-in: the persisted relations
+    # are the reduced vocab x class model, shared by three consumers here
     q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
-        _t(s, d, "documents")
+        _t(s, d, "documents"), cache_model=True
     )
     # -- data-quality audits ([EXT]) ----------------------------------------
     # arithmetic integrity: exact-decimal recomputation of o_totalprice,

@@ -482,7 +482,7 @@ def nb_language_scores(
     docs: DataFrame,
     text_col: str = "text",
     label_col: str = "lang",
-    cache_model: bool = True,
+    cache_model: bool = False,
 ) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained ON the corpus
     and applied back to it — the distributed shape of the model-based
@@ -511,16 +511,18 @@ def nb_language_scores(
         F.count(F.lit(1)).alias("_tf")
     )
     doc_lang = docs.select("doc_id", F.col(label_col).alias("_lang"))
-    # the TRAINED MODEL is vocab x n_classes rows — persist it so its
-    # three consumers (class totals, vocab size, smoothed logprobs) share
-    # one derivation instead of each re-scanning the corpus through the
-    # tf chain (16 scans -> 2 column-pruned scans + 2 tf derivations;
-    # the cached relation is the reduced model, never raw data, so the
-    # memory bound is the model size at any corpus scale). The cache
-    # lives until the session ends — a long-lived session calling this
-    # repeatedly should pass cache_model=False (or persist the trained
-    # tables itself, the build-artifact pattern) so entries don't
-    # accumulate in the storage pool.
+    # the TRAINED MODEL is vocab x n_classes rows — with cache_model=True
+    # it persists so its three consumers (class totals, vocab size,
+    # smoothed logprobs) share one derivation instead of each re-scanning
+    # the corpus through the tf chain (16 scans -> 2 column-pruned scans
+    # + 2 tf derivations; the cached relation is the reduced model, never
+    # raw data, so the memory bound is the model size at any corpus
+    # scale). OPT-IN because the cache lives until the caller unpersists
+    # or the session ends: a long-lived session calling the default would
+    # otherwise accumulate two storage-pool entries per call. One-shot
+    # analysis jobs (the scored entry point) should pass True; services
+    # should persist the trained tables themselves (the build-artifact
+    # pattern).
     cc = (
         tf.join(doc_lang, "doc_id")
         .groupBy("_lang", "w")

@@ -1067,17 +1067,19 @@ def ivfpq_encode(
     RESIDUAL against its cell centroid (int64-exact subtraction) is
     product-quantized with ONE shared codebook set across cells (the
     faiss IVF-PQ layout — residuals are centered, so one codebook
-    family fits all cells). Returns ``(codes, codebooks)``; the index a
-    query needs is codes + codebooks + the k-row centroid table + the
-    cell assignment — all persisted artifacts, none of them raw
-    vectors. Residual components are bounded by ±4e6, so the int64
+    family fits all cells). Returns ``(codes, codebooks)``; the codes
+    CARRY their cell id, so the persisted table (partitioned by
+    ``cluster``) is the complete scan-side artifact — the probe prunes
+    cells at the path level and never joins back to the assignment
+    table. Residual components are bounded by ±4e6, so the int64
     distance bound still holds by construction."""
     cq = _centroids_as_int(centroids)
+    cell = assignments.select(id_col, "cluster")
     res = (
         corpus.select(
             F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_qv")
         )
-        .join(assignments.select(id_col, "cluster"), id_col)
+        .join(cell, id_col)
         .join(F.broadcast(cq), "cluster")
         .select(
             F.col(id_col),
@@ -1086,9 +1088,13 @@ def ivfpq_encode(
             ).alias("_res"),
         )
     )
-    return pq_model(
+    codes, books = pq_model(
         res, dim, m, k_codes, n_iter, id_col, "_res", pre_quantized=True
     )
+    # denormalize the cell onto the codes at BUILD time (one extra join in
+    # the write job) so every query batch skips the codes⋈assignments
+    # shuffle and the cell restriction can prune the codes scan itself
+    return codes.join(cell, id_col), books
 
 
 def ivfpq_topk(
@@ -1114,9 +1120,12 @@ def ivfpq_topk(
     ``nprobe/num_cells`` of an already-64x-compressed table.
 
     Plan: centroids broadcast twice (probe + residual), LUT broadcast
-    into a map-side join against the cell-pruned codes⋈assignments
-    relation, partial-aggregated sum, WindowGroupLimit top-k. All
-    integer; ranks bit-stable."""
+    into a map-side join against the codes relation — which carries its
+    cell id from ``ivfpq_encode``, so no assignments join runs at query
+    time and a cluster-partitioned codes layout prunes unprobed cells at
+    the path level (``assignments`` is only consulted as a fallback for
+    legacy codes without the column). Partial-aggregated sum,
+    WindowGroupLimit top-k. All integer; ranks bit-stable."""
     cq = _centroids_as_int(centroids)
     qv = queries.select(
         F.col(query_id_col), _quantize_vec(F.col(vec_col)).alias("_q")
@@ -1143,7 +1152,10 @@ def ivfpq_topk(
         "code",
         _sq_dist(F.col("_qs"), F.col("_cvec")).alias("d"),
     )
-    cand = codes.join(assignments.select(id_col, "cluster"), id_col)
+    if "cluster" in codes.columns:
+        cand = codes
+    else:  # legacy codes table without the denormalized cell id
+        cand = codes.join(assignments.select(id_col, "cluster"), id_col)
     adc = (
         cand.join(
             F.broadcast(lut), on=["cluster", "sub", "code"]

@@ -823,3 +823,12 @@ def test_ivfpq_probe_reads_persisted_artifacts(spark):
     assert "kmeans_index_" in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+    # the codes CARRY their cell id (denormalized at encode time) and are
+    # cluster-partitioned: no query-time assignments join, and the probe's
+    # cell restriction reaches the codes scan as dynamic partition pruning
+    assert "/assignments" not in plan
+    codes_scan = next(
+        seg for seg in plan.split("Location:") if "/codes]" in seg
+    )
+    pf_line = codes_scan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "dynamicpruning" in pf_line
