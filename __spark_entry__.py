@@ -3086,11 +3086,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents),
         per AS (
             SELECT shard_id, COUNT(*) AS n_docs,
-                   CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
             FROM a GROUP BY shard_id),
         nn AS (SELECT COUNT(*) AS n FROM documents)
-        SELECT shard_id, n_docs, total_bytes, min_id, max_id,
+        SELECT shard_id, n_docs, total_chars, min_id, max_id,
                CAST(FLOOR(ABS(n_docs * 16 - nn.n) * 1000.0 / nn.n)
                     AS BIGINT) AS skew_permille
         FROM per CROSS JOIN nn

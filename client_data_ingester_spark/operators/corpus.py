@@ -665,19 +665,21 @@ def zipf_slope(
     and vocabulary collapse bend it). One row out: slope, intercept, n.
 
     Float discipline: ln runs only on the ranked top-N count table and
-    is quantized to integer micro-nats there; all least-squares moments
-    (Σx, Σy, Σxy, Σx²) accumulate as exact int64 products of micro
-    values (bounded: top_n ≤ ~200 keeps n·Σxy < 2^63), and the final
-    slope/intercept are two double divisions rendered at 4 decimals.
-    The rank window is bounded global (vocabulary-sized input, top-N
-    output) — the documented 'No Partition Defined' fold.
+    is quantized to integer micro-nats there; the per-point moments
+    (Σx, Σy, Σxy, Σx²) accumulate as exact int64 sums (bounded: top_n ≤
+    ~200 keeps Σxy < 2^63 even at astronomic counts), their FINAL
+    combinations (n·Σxy − Σx·Σy etc.) run in DECIMAL(38,0) — at 100 TB
+    word counts the int64 products already sit at ~7e18 of the 9.2e18
+    range, so decimal keeps the overflow headroom explicit instead of
+    one corpus-doubling away — and the slope/intercept are two double
+    divisions rendered at 4 decimals. The rank window is bounded global
+    (vocabulary-sized input, top-N output) — the documented 'No
+    Partition Defined' fold.
 
-    ``top_n`` is ENFORCED <= 200 (not just documented): beyond it the
-    int64 moment ``n * Σxy`` can exceed 2^63, which Spark's non-ANSI
-    long arithmetic wraps SILENTLY while DuckDB promotes to HUGEINT —
-    a garbage slope plus a cross-engine divergence. A degenerate corpus
-    (fewer than two distinct ranked points) yields NULL slope/intercept
-    in both engines rather than an engine-dependent 0/0."""
+    ``top_n`` is ENFORCED <= 200 (not just documented): it bounds the
+    int64 per-point moment sums, and a degenerate corpus (fewer than two
+    distinct ranked points) yields NULL slope/intercept in both engines
+    rather than an engine-dependent 0/0."""
     if top_n > 200:
         raise ValueError(
             f"top_n={top_n} exceeds the int64-exact moment bound (200)"
@@ -711,8 +713,19 @@ def zipf_slope(
         F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
         F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
     )
-    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    # final moment combinations in DECIMAL(38,0): the int64 sums are exact
+    # by the top_n <= 200 guard, but their products (n·Σxy, Σx·Σy) sit at
+    # ~7e18 of the 9.2e18 int64 range at 100 TB word counts — a corpus a
+    # few orders larger would wrap SILENTLY under non-ANSI long math.
+    # Decimal keeps ~1e38 of explicit headroom; the values are identical
+    # (exact integers either way), so the double renderings can't drift.
+    d38 = lambda c: c.cast("decimal(20,0)")  # noqa: E731
+    num = d38(F.col("_n")) * d38(F.col("_sxy")) - d38(F.col("_sx")) * d38(
+        F.col("_sy")
+    )
+    den = d38(F.col("_n")) * d38(F.col("_sxx")) - d38(F.col("_sx")) * d38(
+        F.col("_sx")
+    )
     slope = num.cast("double") / den.cast("double")
     # intercept in micro-nats back to nats: (Σy - slope·Σx) / (n·1e6)
     intercept = (

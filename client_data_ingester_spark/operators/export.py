@@ -50,11 +50,15 @@ def shard_manifest(
     id_col: str = "doc_id",
     size_col: str = "n_chars",
 ) -> DataFrame:
-    """Per-shard export manifest: doc count, payload bytes, id range, and
+    """Per-shard export manifest: doc count, payload size, id range, and
     the shard's deviation from the ideal even share in permille (the
     skew number an orchestrator alerts on — md5 sharding keeps it small
-    without a size-balancing pass). One partial-aggregated shuffle of
-    n_shards groups; the corpus total rides a broadcast 1-row join."""
+    without a size-balancing pass). ``total_chars`` sums ``size_col``
+    (default ``n_chars``, a CHARACTER count — a size proxy, not encoded
+    bytes: non-ASCII text occupies more UTF-8 bytes than characters;
+    pass an actual byte-length column if the alert threshold is in
+    bytes). One partial-aggregated shuffle of n_shards groups; the
+    corpus total rides a broadcast 1-row join."""
     per_shard = (
         docs.select(
             shard_id_expr(id_col, n_shards).alias("shard_id"),
@@ -64,7 +68,7 @@ def shard_manifest(
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_sz").cast("long").alias("total_bytes"),
+            F.sum("_sz").cast("long").alias("total_chars"),
             F.min("_id").alias("min_id"),
             F.max("_id").alias("max_id"),
         )
@@ -73,7 +77,7 @@ def shard_manifest(
     return per_shard.crossJoin(F.broadcast(total)).select(
         "shard_id",
         "n_docs",
-        "total_bytes",
+        "total_chars",
         "min_id",
         "max_id",
         F.floor(

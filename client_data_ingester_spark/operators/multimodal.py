@@ -400,19 +400,32 @@ def decode_png(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
         if ft == 0:
             pass
         elif ft == 2:
+            # Up: whole-row vector add against the previous scanline
             cur = (cur + prev) % 256
-        elif ft in (1, 3, 4):
-            # left-dependent filters are sequential per pixel; 3-sample
-            # vector steps keep it per-pixel, not per-byte
+        elif ft == 1:
+            # Sub: out[x] = (cur[x] + out[x-3]) % 256 is a per-channel
+            # running sum — one numpy cumsum over the row, no Python loop
+            # (mod-256 commutes with exact int64 summation)
+            cur = (
+                np.cumsum(cur.reshape(width, 3), axis=0, dtype=np.int64)
+                % 256
+            ).astype(np.int32).reshape(stride)
+        elif ft in (3, 4):
+            # Average/Paeth depend on the LEFT reconstructed pixel through
+            # a floor-div / argmin predictor, which no cumulative numpy
+            # formulation expresses — this per-pixel Python loop (3-sample
+            # vector steps) is the known perf boundary of the dependency-
+            # free decoder: O(width) interpreter iterations per scanline
+            # vs the row-vector paths above. Real-sized images needing
+            # fast Average/Paeth belong on a codec library behind
+            # decode_stub, not on this reference decoder.
             out = np.empty(stride, dtype=np.int32)
             zero = np.zeros(3, dtype=np.int32)
             for x in range(0, stride, 3):
                 left = out[x - 3:x] if x else zero
                 up = prev[x:x + 3]
                 ul = prev[x - 3:x] if x else zero
-                if ft == 1:
-                    rec = cur[x:x + 3] + left
-                elif ft == 3:
+                if ft == 3:
                     rec = cur[x:x + 3] + (left + up) // 2
                 else:
                     rec = cur[x:x + 3] + _paeth(left, up, ul)
