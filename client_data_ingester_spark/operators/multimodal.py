@@ -385,7 +385,13 @@ def decode_png(payload: bytes) -> tuple[int, int, tuple[int, int, int]]:
         raise ValueError("PNG missing IHDR or IDAT")
     if width <= 0 or height <= 0:
         raise ValueError("degenerate PNG dimensions")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the decoder contract (ValueError for malformed payloads):
+        # a corrupted DEFLATE stream / adler32 mismatch must not escape
+        # as zlib.error past callers that catch ValueError
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = width * 3
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data has wrong length")
@@ -624,18 +630,28 @@ WAV_STATS_SCHEMA = (
 )
 
 
-def audio_sample_stats(media: DataFrame) -> DataFrame:
+def audio_sample_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL end-to-end audio decode: parse each WAV payload and emit
     exact integer amplitude stats (sum, L1, peak, strict zero crossings)
     plus a floor-quantized duration — all-integer output, bit-exact
     against the analytic oracle. Same 1:1 Arrow-batched contract as
-    :func:`image_pixel_stats`."""
+    :func:`image_pixel_stats`, including its ``on_error`` audit mode
+    (``"null"`` → corrupt payloads report a NULL-stats row)."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                rate, n, (s_amp, s_abs, peak, zc) = decode_wav(p)
+                try:
+                    rate, n, (s_amp, s_abs, peak, zc) = decode_wav(p)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None)
+                    )
+                    continue
                 rows.append(
                     (mid, rate, n, n * 1_000_000 // rate, s_amp, s_abs,
                      peak, zc)
@@ -839,19 +855,32 @@ FRAME_STATS_SCHEMA = (
 )
 
 
-def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+def video_frame_stats(
+    media: DataFrame, every_n: int = 2, on_error: str = "raise"
+) -> DataFrame:
     """REAL end-to-end video decode with frame sampling: parse each AVI
     payload once, keep every ``every_n``-th frame, and FAN OUT to one
     output row per sampled frame with exact integer channel sums —
     the decode-then-explode shape :func:`frame_sample` stubs, made real.
     Arrow-batched; output rows per input row = ceil(n_frames/every_n),
-    bounded by the container's own frame count."""
+    bounded by the container's own frame count. ``on_error`` follows the
+    :func:`image_pixel_stats` audit contract (``"null"`` → a corrupt
+    container yields ONE null-stats row, not an exception)."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, n, frames = decode_avi(p)
+                try:
+                    w, h, n, frames = decode_avi(p)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None)
+                    )
+                    continue
                 for f in range(0, n, every_n):
                     sb, sg, sr = frames[f]
                     rows.append((mid, w, h, n, f, sb, sg, sr))
@@ -897,19 +926,36 @@ BMP_STATS_SCHEMA = (
 )
 
 
-def image_pixel_stats(media: DataFrame) -> DataFrame:
-    """REAL end-to-end decode: parse each image payload (BMP or P6 PPM,
-    dispatched on magic bytes) and emit exact integer channel sums plus a
-    floor-quantized mean — all-integer output, so the value hash against
-    the analytic oracle is bit-exact. 1:1 row contract, Arrow-batched;
-    decode parallelism == partition count (repartition by a content-hash
-    prefix upstream when blob sizes are skewed)."""
+def image_pixel_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL end-to-end decode: parse each image payload (BMP, P6 PPM, or
+    truecolor PNG, dispatched on magic bytes) and emit exact integer
+    channel sums plus a floor-quantized mean — all-integer output, so the
+    value hash against the analytic oracle is bit-exact. 1:1 row
+    contract, Arrow-batched; decode parallelism == partition count
+    (repartition by a content-hash prefix upstream when blob sizes are
+    skewed).
+
+    ``on_error``: ``"raise"`` fails the job on the first malformed
+    payload (the strict scored contract over trusted synthetic data);
+    ``"null"`` is the 100 TB audit mode — a corrupt blob yields its
+    media_id with NULL stats (a report row, not a dead task), so one bad
+    object can't kill a million-row partition and the null rows ARE the
+    corruption audit."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, (sb, sg, sr) = decode_image(p)
+                try:
+                    w, h, (sb, sg, sr) = decode_image(p)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None)
+                    )
+                    continue
                 n = w * h
                 rows.append(
                     (mid, w, h, n, sb, sg, sr, (sr * 1000) // n)
@@ -923,6 +969,11 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=BMP_STATS_SCHEMA)
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
 
 # original name, kept for BMP-only call sites

@@ -1735,6 +1735,139 @@ def test_decode_real_empty_media_and_unknown_riff():
         M._decode_real("image", webp)
 
 
+def _corrupt_png_zlib_checksum() -> tuple[bytes, bytes]:
+    """A PNG whose chunk CRCs are VALID but whose zlib stream carries a
+    corrupted adler32 — exercises the inflate error path, not the chunk
+    walk."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ys, xs = np.mgrid[0:4, 0:5]
+    good = M.encode_png(5, 4, M._gen_bgr(1, xs, ys)[..., ::-1])
+    # locate the (single) IDAT chunk, flip the adler32 trailer's last
+    # byte, and REcompute the chunk CRC so only zlib notices
+    pos = 8
+    out = bytearray(good)
+    while pos + 8 <= len(good):
+        (length,) = struct.unpack_from(">I", good, pos)
+        tag = good[pos + 4:pos + 8]
+        if tag == b"IDAT":
+            body = bytearray(good[pos + 8:pos + 8 + length])
+            body[-1] ^= 0xFF  # adler32 trailer
+            crc = zlib.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF
+            out[pos + 8:pos + 8 + length] = body
+            struct.pack_into(">I", out, pos + 8 + length, crc)
+            return good, bytes(out)
+        pos += 12 + length
+    raise AssertionError("no IDAT chunk found")
+
+
+def _corrupt_avi_frame_count() -> tuple[bytes, bytes]:
+    """An AVI whose avih header declares one more frame than movi
+    carries — the index/frame-count mismatch case."""
+    import struct
+
+    import numpy as np
+
+    fs, ys, xs = np.mgrid[0:3, 0:4, 0:5]
+    good = M.encode_avi(5, 4, M._gen_bgr(2, xs, ys, fs))
+    bad = bytearray(good)
+    avih_at = good.index(b"avih")
+    # dwTotalFrames is the 5th dword of the 56-byte avih body
+    struct.pack_into("<I", bad, avih_at + 8 + 16, 4)
+    return good, bytes(bad)
+
+
+def _synth_one(kind: str, d: int = 1) -> bytes:
+    import numpy as np
+
+    ys, xs = np.mgrid[0:4, 0:5]
+    if kind == "bmp":
+        return M.encode_bmp(5, 4, M._gen_bgr(d, xs, ys))
+    if kind == "ppm":
+        return M.encode_ppm(5, 4, M._gen_bgr(d, xs, ys)[..., ::-1])
+    idx = np.arange(40, dtype=np.int64)
+    return M.encode_wav(
+        8000, (((2741 * d + 4099 * idx) % 65536) - 32768).astype(np.int16)
+    )
+
+
+_CORRUPTION_CASES = [
+    # (name, build (good, bad), decode fn, stats operator ctor)
+    (
+        "bmp_truncated_mid_pixels",
+        lambda: (_synth_one("bmp"), _synth_one("bmp")[:-5]),
+        lambda p: M.decode_image(p),
+        lambda df: M.image_pixel_stats(df, on_error="null"),
+    ),
+    (
+        "ppm_truncated_mid_pixels",
+        lambda: (_synth_one("ppm"), _synth_one("ppm")[:-3]),
+        lambda p: M.decode_image(p),
+        lambda df: M.image_pixel_stats(df, on_error="null"),
+    ),
+    (
+        "png_zlib_corrupt_checksum",
+        _corrupt_png_zlib_checksum,
+        lambda p: M.decode_image(p),
+        lambda df: M.image_pixel_stats(df, on_error="null"),
+    ),
+    (
+        "wav_truncated_mid_samples",
+        lambda: (_synth_one("wav"), _synth_one("wav")[:-3]),
+        lambda p: M.decode_wav(p),
+        lambda df: M.audio_sample_stats(df, on_error="null"),
+    ),
+    (
+        "avi_frame_count_mismatch",
+        _corrupt_avi_frame_count,
+        lambda p: M.decode_avi(p),
+        lambda df: M.video_frame_stats(df, on_error="null"),
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,build,decode,stats", _CORRUPTION_CASES, ids=[c[0] for c in _CORRUPTION_CASES]
+)
+def test_codec_corruption_yields_null_stats_row(spark, name, build, decode, stats):
+    """Adversarial-container audit contract, all five codecs: a corrupted
+    payload (a) raises ValueError from the bare decoder — the strict
+    contract — and (b) in on_error='null' audit mode yields exactly one
+    NULL-stats row for that media_id while healthy rows in the same batch
+    keep their exact stats (one bad blob must never kill a partition)."""
+    import pytest as _pytest
+
+    good, bad = build()
+    with _pytest.raises(ValueError):
+        decode(bad)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "media_id long, payload binary",
+    )
+    rows = stats(media).collect()
+    bad_rows = [r for r in rows if r.media_id == 2]
+    good_rows = [r for r in rows if r.media_id == 1]
+    assert len(bad_rows) == 1  # a report row, not an exception
+    stat_cols = [c for c in rows[0].asDict() if c != "media_id"]
+    assert all(bad_rows[0][c] is None for c in stat_cols)
+    assert good_rows, "healthy payload must still decode in the same batch"
+    assert all(
+        all(r[c] is not None for c in stat_cols) for r in good_rows
+    )
+
+
+def test_stats_on_error_rejects_unknown_mode(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="on_error"):
+        M.image_pixel_stats(M.synth_bmp_media(docs), on_error="skip")
+
+
 def test_gopher_rules_bitmask_audit(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog and then "
