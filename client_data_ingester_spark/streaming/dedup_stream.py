@@ -53,12 +53,15 @@ def dedup_stream(
     )
 
 
-def _doc_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    return (
-        spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .format("json")
-        .load(source_dir)
-    )
+def _doc_stream(
+    spark: SparkSession,
+    source_dir: str,
+    reader_options: dict | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA).format("json")
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(source_dir)
 
 
 def start_dedup_stream(
@@ -91,6 +94,7 @@ def start_dedup_stream_to_parquet(
     output_dir: str,
     query_name: str = "deduped_docs_parquet",
     watermark_delay: str = "10 minutes",
+    reader_options: dict | None = None,
 ) -> StreamingQuery:
     """Production sink: first-seen documents land as parquet, exactly-once
     across restarts and replays.
@@ -116,7 +120,9 @@ def start_dedup_stream_to_parquet(
         )
 
     return (
-        dedup_stream(_doc_stream(spark, source_dir), watermark_delay)
+        dedup_stream(
+            _doc_stream(spark, source_dir, reader_options), watermark_delay
+        )
         .writeStream.outputMode("append")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

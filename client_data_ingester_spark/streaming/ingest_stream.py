@@ -60,6 +60,7 @@ def start_ingest_stream(
     fmt: str = "csv",
     dead_letter_dir: str | None = None,
     stream_id: str | None = None,
+    reader_options: dict | None = None,
 ) -> StreamingQuery:
     """Tail ``landing_dir`` for new files and merge each micro-batch.
 
@@ -67,9 +68,15 @@ def start_ingest_stream(
     need a fixed schema up front; everything is read as string, same as the
     batch parser). ``stream_id`` keys the per-stream epoch ledger in the
     table manifest (defaults to the checkpoint path — override it if the
-    checkpoint directory can move between runs)."""
+    checkpoint directory can move between runs). ``reader_options`` pass
+    through to the file source — chiefly ``maxFilesPerTrigger``, the
+    landing-zone rate limit that bounds micro-batch size (and so commit
+    latency + merge-shuffle memory) when a backfill drops thousands of
+    files at once; AvailableNow triggers honor it across batches."""
     schema = _landing_schema(source_columns)
     reader = spark.readStream.schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     if fmt == "csv":
         # same CSV empty/null conventions as the batch path reader: quoted
         # "" survives as the empty string (always-insert sku), \N is null

@@ -62,6 +62,7 @@ def start_pq_encode_stream(
     dim: int = 64,
     m: int = 4,
     query_name: str = "pq_encode",
+    reader_options: dict | None = None,
 ) -> StreamingQuery:
     """Tail a directory of embedding json files; per micro-batch, encode
     against the static codebooks and land ``(vec_id, sub, code,
@@ -78,11 +79,10 @@ def start_pq_encode_stream(
             f"{codes_dir}/batch_id={batch_id}"
         )
 
-    stream = (
-        spark.readStream.schema(VEC_STREAM_SCHEMA)
-        .format("json")
-        .load(source_dir)
-    )
+    reader = spark.readStream.schema(VEC_STREAM_SCHEMA).format("json")
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.load(source_dir)
     return (
         stream.writeStream.outputMode("append")
         .queryName(query_name)

@@ -60,6 +60,35 @@ CFG = ParserConfig(
 )
 
 
+def _batch_latency(q) -> dict:
+    """Per-micro-batch commit latency percentiles from the query's
+    progress history: ``durationMs.triggerExecution`` is the full
+    source-to-committed wall time of one micro-batch — the number a
+    landing-zone SLA actually negotiates (rows/s says how fast the pipe
+    drains; this says how stale a committed batch can be). Empty batches
+    (no input rows) are excluded — they measure the poll loop, not the
+    commit path. recentProgress keeps the last ~100 batches, which
+    covers every availableNow/drain run here."""
+    durs = sorted(
+        p["durationMs"]["triggerExecution"]
+        for p in q.recentProgress
+        if p.get("numInputRows", 0) > 0
+        and p.get("durationMs", {}).get("triggerExecution") is not None
+    )
+    if not durs:
+        return {"n_batches": 0}
+
+    def pct(p: float) -> float:
+        return durs[min(len(durs) - 1, int(p * len(durs)))] / 1000.0
+
+    return {
+        "n_batches": len(durs),
+        "p50_sec": round(pct(0.50), 2),
+        "p95_sec": round(pct(0.95), 2),
+        "max_sec": round(durs[-1] / 1000.0, 2),
+    }
+
+
 def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     src = li.select(
@@ -91,9 +120,14 @@ def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
         CFG,
         client_id=1,
         source_columns=["sku", "title", "qty", "price", "active"],
+        # one landing file per micro-batch -> a real per-batch commit
+        # latency distribution (one giant batch would measure throughput
+        # twice and latency never)
+        reader_options={"maxFilesPerTrigger": 1},
     )
     q.awaitTermination(600)
     wall = time.time() - t0
+    lat = _batch_latency(q)
     merged = table.read(spark, 1).count()
     assert merged == n_keys, (merged, n_keys)  # last-write-wins per sku
     return {
@@ -101,6 +135,7 @@ def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
         "merged_rows": merged,
         "sec": round(wall, 2),
         "rows_per_sec": round(n_rows / wall, 1),
+        "batch_latency": lat,
     }
 
 
@@ -122,11 +157,13 @@ def bench_dedup_stream(spark, sf_dir: str, work: str) -> dict:
     out = os.path.join(work, "deduped")
     t0 = time.time()
     q = start_dedup_stream_to_parquet(
-        spark, src, os.path.join(work, "ckpt_dedup"), out
+        spark, src, os.path.join(work, "ckpt_dedup"), out,
+        reader_options={"maxFilesPerTrigger": 1},
     )
     # continuous query (no availableNow trigger): drain then stop
     q.processAllAvailable()
     wall = time.time() - t0
+    lat = _batch_latency(q)
     q.stop()
     kept = spark.read.parquet(out).count()
     return {
@@ -134,6 +171,7 @@ def bench_dedup_stream(spark, sf_dir: str, work: str) -> dict:
         "kept_rows": kept,
         "sec": round(wall, 2),
         "rows_per_sec": round(n_rows / wall, 1),
+        "batch_latency": lat,
     }
 
 
@@ -182,10 +220,12 @@ def bench_pq_encode_stream(spark, sf_dir: str, work: str) -> dict:
     codes_dir = os.path.join(work, "pq_codes")
     t0 = time.time()
     q = start_pq_encode_stream(
-        spark, src, os.path.join(work, "ckpt_pq"), codes_dir, books
+        spark, src, os.path.join(work, "ckpt_pq"), codes_dir, books,
+        reader_options={"maxFilesPerTrigger": 1},
     )
     q.processAllAvailable()
     wall = time.time() - t0
+    lat = _batch_latency(q)
     q.stop()
     encoded = read_codes(spark, codes_dir).count()
     return {
@@ -193,6 +233,7 @@ def bench_pq_encode_stream(spark, sf_dir: str, work: str) -> dict:
         "code_rows": encoded,
         "sec": round(wall, 2),
         "rows_per_sec": round(n_rows / wall, 1),
+        "batch_latency": lat,
     }
 
 
