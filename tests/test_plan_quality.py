@@ -433,6 +433,47 @@ def test_q10_takes_ordered_topk_and_pushes_returnflag(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_no_query_has_cartesian_or_single_partition_window(spark):
+    """GLOBAL structural-hazard sweep over the ENTIRE queries() inventory
+    (the named pins above go deeper on specific shapes; this net catches a
+    hazard introduced by ANY future entry or refactor): no plan may
+    contain a CartesianProduct, and no Window may be fed by an Exchange
+    SinglePartition — the q11/q15 class of scale-killer where an
+    SF-proportional relation funnels through one task. Residual k-row
+    windows after TakeOrderedAndProject don't match (their input is the
+    TakeOrdered, not a SinglePartition exchange), and bounded-relation
+    global aggregates don't either (scalar aggs have no Window)."""
+    qs = entry.queries()
+    bad_cartesian, bad_window, errors = [], [], []
+    for name, fn in sorted(qs.items()):
+        try:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                fn(spark, SF).explain("formatted")
+            tree = buf.getvalue().split("== Physical Plan ==")[1].split(
+                "\n\n"
+            )[0]
+        except Exception as e:  # noqa: BLE001 — collect, report all at once
+            errors.append((name, str(e)[:120]))
+            continue
+        if "CartesianProduct" in tree:
+            bad_cartesian.append(name)
+        lines = tree.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window (" in ln and "WindowGroupLimit" not in ln:
+                if any(
+                    "Exchange SinglePartition" in lines[j]
+                    for j in range(i + 1, min(i + 3, len(lines)))
+                ):
+                    bad_window.append(name)
+                    break
+    assert not errors, errors
+    assert not bad_cartesian, f"CartesianProduct in: {bad_cartesian}"
+    assert not bad_window, (
+        f"single-partition exchange feeds a Window in: {bad_window}"
+    )
+
+
 def executed_plan_of(spark, name: str) -> str:
     """Final AQE plan AFTER execution — the only place runtime exchange
     reuse (the tokenize-once dedup of identical tf subtrees) is visible;
