@@ -1103,8 +1103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select(F.col("vec_id").alias("query_id"), "embedding"),
         k=5,
     )
+    # the corpus-side band keys come from the persisted RP artifact (same
+    # probe-the-index pattern as similarity_lsh_probe_topk): write-time
+    # hyperplane dots, narrow 3-column blocking scan per run
     q["embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
-        _t(s, d, "embeddings"), threshold=0.3
+        _t(s, d, "embeddings"), threshold=0.3, band_keys=_rp_index(s, d)
     )
     # IVF is approximate-by-design but fully DETERMINISTIC since the
     # integer-exact centroid quantization (similarity.ivf_centroids) — it is

@@ -364,6 +364,7 @@ def embedding_near_duplicates(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, blocked by sign-bit LSH.
 
@@ -375,8 +376,20 @@ def embedding_near_duplicates(
     low-cardinality class column where one label's bucket is a constant
     fraction of the corpus and the join goes quadratic at scale. Recall < 1
     by construction (angular LSH misses pairs whose bits all differ);
-    raise ``bands`` for higher recall. Emits (id_a, id_b, score)."""
-    keys = rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
+    raise ``bands`` for higher recall. Emits (id_a, id_b, score).
+
+    Scale shape: pass ``band_keys=load_rp_index(...)`` (the persisted
+    ``build_rp_index`` artifact, same contract as ``lsh_probe_topk``'s
+    ``corpus_keys``) so the corpus-side hyperplane dot products are
+    write-time work — the in-bucket pair expansion then starts from a
+    narrow 3-int-column scan and only the exact-cosine verify touches
+    raw vectors, for candidates only. Recomputing inline is the ad-hoc
+    fallback and re-pays bands x bits dot products per corpus row."""
+    keys = (
+        band_keys
+        if band_keys is not None
+        else rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
+    )
     grouped = (
         keys.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

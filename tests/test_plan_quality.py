@@ -109,6 +109,14 @@ def test_dedup_endgame_probes_persisted_cluster_index(spark):
         assert "ExistingRDD" not in plan, name  # no in-plan contraction
 
 
+def test_near_dup_probes_persisted_band_keys(spark):
+    """The scored near-duplicate query must read the persisted RP band-key
+    artifact for its blocking scan (write-time hyperplane dots), not
+    recompute bands x bits dot products over the corpus per run."""
+    plan = plan_of(spark, "embedding_near_duplicates")
+    assert "rp_index_" in plan
+
+
 def test_near_dup_blocking_is_data_independent(spark):
     """The embedding near-dup blocking key must be an LSH bucket whose
     population scales with the corpus — NOT a fixed-cardinality class column
