@@ -507,11 +507,23 @@ def test_oov_rate_reuses_tf_exchange_and_broadcasts_vocab(spark):
     assert "CartesianProduct" not in final
 
 
-def test_profile_orders_single_scan_expand(spark):
-    """The profiler's contract is ONE scan: every per-column statistic
-    (null counts, exact ndv, min/max) rides a single Expand +
-    partial-aggregate pass, never one scan per column."""
-    plan = plan_of(spark, "profile_orders")
+def test_profile_exact_mode_single_scan_expand(spark):
+    """The exact-NDV profiler mode (reserved for bounded dimensions — the
+    scored fact profiles use the portable HLL) keeps its ONE-scan
+    contract: every per-column statistic (null counts, exact ndv,
+    min/max) rides a single Expand + partial-aggregate pass, never one
+    scan per column."""
+    from client_data_ingester_spark.operators.profile import profile_table
+
+    df = profile_table(
+        entry._t(spark, SF, "nation"),
+        [("n_nationkey", "num"), ("n_name", "str"), ("n_regionkey", "num")],
+        exact_ndv=True,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
     assert "Expand" in plan  # the multi-distinct rewrite
