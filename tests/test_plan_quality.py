@@ -326,6 +326,9 @@ def test_incremental_lsh_is_equi_hash_join_no_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+    # the standing corpus's band keys come from the persisted artifact —
+    # the new batch signs itself; the 80% side is a narrow table scan
+    assert "docbands_index_" in plan
 
 
 def test_cms_probe_join_is_broadcast(spark):
