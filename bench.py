@@ -153,6 +153,12 @@ def main() -> None:
             "_SUCCESS",
         ),
         (
+            "doc_band_index",
+            entry._doc_band_index,
+            ("docbands", "documents"),
+            "_SUCCESS",
+        ),
+        (
             "kmeans_model",
             entry._kmeans_index,
             ("kmeans", "embeddings"),
