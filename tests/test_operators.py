@@ -377,6 +377,53 @@ def test_quality_stratified_topk_per_stratum(spark):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_cluster_index_roundtrip_equals_inline(spark, tmp_path):
+    """The persisted cluster artifact must be EXACTLY the inline
+    contraction's labeling (build → load is lossless), and the
+    clusters= consumers must produce identical results either way —
+    the invariant that makes swapping the endgame onto the artifact a
+    pure optimization. Random-ish edge set with chains, a cycle, and
+    singleton-free isolation."""
+    from client_data_ingester_spark.operators.dedup import (
+        build_cluster_index,
+        cluster_representatives,
+        duplicate_clusters,
+        load_cluster_index,
+    )
+
+    edges = [(2, 5), (5, 9), (9, 11), (11, 2), (20, 30), (30, 41), (50, 51)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    inline = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    path = str(tmp_path / "clusters")
+    build_cluster_index(pairs, path)
+    persisted = {
+        (r["doc_id"], r["cluster_id"])
+        for r in load_cluster_index(spark, path).collect()
+    }
+    assert persisted == inline
+
+    docs = spark.createDataFrame(
+        [(i, f"text of doc {i} with several words") for i in
+         (2, 5, 9, 11, 20, 30, 41, 50, 51, 99)],
+        "doc_id long, text string",
+    )
+    via_pairs = sorted(
+        map(tuple, cluster_representatives(docs, pairs).collect())
+    )
+    via_artifact = sorted(
+        map(
+            tuple,
+            cluster_representatives(
+                docs, clusters=load_cluster_index(spark, path)
+            ).collect(),
+        )
+    )
+    assert via_pairs == via_artifact
+
+
 def test_duplicate_clusters_transitive(spark):
     """A~B and B~C must land A, B, C in ONE cluster labeled min(id), even
     though (A, C) was never a candidate pair; disjoint pairs stay apart."""
