@@ -1081,7 +1081,10 @@ def nn_resize(px, out_w: int, out_h: int):
 
 
 def resize_images_real(
-    media: DataFrame, out_width: int = 3, out_height: int = 2
+    media: DataFrame,
+    out_width: int = 3,
+    out_height: int = 2,
+    on_error: str = "raise",
 ) -> DataFrame:
     """REAL end-to-end resize for natively-decodable BMP payloads:
     decode to the pixel array, nearest-neighbor resample, re-encode as a
@@ -1089,15 +1092,25 @@ def resize_images_real(
     — the full decode → transform → re-encode loop a multimodal pipeline
     runs, with the integer sampling rule keeping the scored stats
     analytic (no codec in the oracle). 1:1 Arrow-batched contract like
-    :func:`image_pixel_stats`; formats needing codec libraries stay on
-    the stubbed :func:`resize_images` path."""
+    :func:`image_pixel_stats`, including its ``on_error`` audit mode
+    (``"null"`` → a corrupt payload yields a null-stats/null-payload
+    report row); formats needing codec libraries stay on the stubbed
+    :func:`resize_images` path."""
     import numpy as np
+
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                _, _, _, px = decode_bmp_pixels(p)
+                try:
+                    _, _, _, px = decode_bmp_pixels(p)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
                 rp = nn_resize(px, out_width, out_height)
                 sums = rp.sum(axis=(0, 1), dtype=np.int64)
                 rows.append(

@@ -1873,6 +1873,12 @@ _CORRUPTION_CASES = [
         lambda p: M.decode_avi(p),
         lambda df: M.video_frame_stats(df, on_error="null"),
     ),
+    (
+        "resize_bmp_truncated",
+        lambda: (_synth_one("bmp"), _synth_one("bmp")[:-5]),
+        lambda p: M.decode_bmp_pixels(p),
+        lambda df: M.resize_images_real(df, on_error="null"),
+    ),
 ]
 
 
