@@ -62,6 +62,43 @@ def test_stream_merges_files_and_upserts(spark, products_table, tmp_path):
     assert got["S2"]["title"] == "Second"  # untouched by second batch
 
 
+def test_stream_rate_limit_splits_batches_same_result(
+    spark, products_table, tmp_path
+):
+    """reader_options pass-through: maxFilesPerTrigger=1 (the landing-zone
+    rate limit that bounds micro-batch size during backfills) must split a
+    multi-file drain into one micro-batch per file — visible in the epoch
+    ledger and the progress history — and the merged result must be
+    IDENTICAL to a single-batch drain, including last-write-wins ACROSS
+    batches (a later file's row updates an earlier file's sku)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # file names order the source's processing; S1 appears in both files
+    (landing / "a.csv").write_text("sku,title,active\nS1,Old,1\nS2,Two,1\n")
+    (landing / "b.csv").write_text("sku,title,active\nS1,New,0\nS3,Three,1\n")
+    q = start_ingest_stream(
+        spark,
+        products_table,
+        str(landing),
+        str(tmp_path / "ckpt"),
+        CFG,
+        client_id=1,
+        source_columns=["sku", "title", "active"],
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    q.awaitTermination(120)
+    data_batches = [
+        p for p in q.recentProgress if p.get("numInputRows", 0) > 0
+    ]
+    assert len(data_batches) == 2  # one micro-batch per landing file
+    got = {
+        r["sku"]: r.asDict() for r in products_table.read(spark, 1).collect()
+    }
+    assert set(got) == {"S1", "S2", "S3"}
+    assert got["S1"]["title"] == "New"  # the later batch won
+    assert got["S1"]["active"] is False
+
+
 def test_stream_garbage_boolean_aborts_batch(spark, products_table, tmp_path):
     """Batch/stream contract parity: an invalid cell anywhere in the
     micro-batch aborts the WHOLE batch with zero rows changed (the batch
