@@ -235,6 +235,7 @@ def lsh_candidate_pairs(
     num_perm: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH band.
 
@@ -244,8 +245,17 @@ def lsh_candidate_pairs(
     the bucket key and one pass over the minhash pipeline, instead of a
     self-join that computes the signature relation twice. Work stays
     O(Σ bucket²) with bucket sizes bounded by collision rate; a pathological
-    all-identical corpus degenerates the same way under either formulation."""
-    buckets = minhash_band_keys(docs, text_col, num_perm, bands, shingle_k)
+    all-identical corpus degenerates the same way under either formulation.
+
+    ``band_keys``: pass a precomputed ``(doc_id, band, key)`` relation
+    (e.g. the persisted ``minhash_band_keys`` index, or a batch signed
+    once and reused for both in-batch and cross-index pair generation)
+    to skip the signing pass entirely."""
+    buckets = (
+        band_keys
+        if band_keys is not None
+        else minhash_band_keys(docs, text_col, num_perm, bands, shingle_k)
+    )
     grouped = (
         buckets.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

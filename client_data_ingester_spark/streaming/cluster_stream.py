@@ -1,0 +1,175 @@
+"""Streaming duplicate-cluster maintenance ([EXT]): keep the dedup
+endgame's cluster labeling continuously up to date as documents arrive.
+
+The batch side persists the cluster labeling as a build artifact
+(operators/dedup.build_cluster_index); this module is its streaming twin,
+built on the repo's append-only merge-on-read shard pattern
+(streaming/users_stream.py): each micro-batch signs ONLY its own
+documents and lands two idempotent per-batch shards —
+
+- ``state_dir/bands/batch_id=N``  — the batch's (doc_id, band, key) rows
+  (the incremental LSH index: a band key is a per-document function, so
+  indexing a batch never touches previously-indexed documents);
+- ``state_dir/edges/batch_id=N``  — the batch's candidate edges: in-batch
+  pairs plus batch-vs-standing-index pairs (one equi-join on (band, key)
+  against the merged band shards of EARLIER batches only).
+
+Readers contract the merged edge set with the batch operator
+(``duplicate_clusters``), so the streamed labeling is EXACTLY the batch
+labeling over everything streamed (asserted in tests): a shared band key
+between two documents does not depend on what else is in the corpus, so
+the union of per-batch edge shards IS the full-corpus candidate edge set
+— including edges that MERGE clusters formed in earlier batches, which
+pure assign-to-nearest incremental schemes get wrong.
+
+Why this shape at scale:
+- per-batch cost ∝ batch: one signing pass (reused for both the in-batch
+  bucket expansion and the cross-index join), one hash join against a
+  narrow 3-column index, two bounded shard writes; no read-modify-write
+  of any corpus-sized state;
+- replay-idempotent: both shards overwrite their own ``batch_id=N`` dir,
+  and a replayed batch regenerates the same rows (band keys and edges
+  are pure functions of the batch + earlier shards);
+- the expensive step (iterative contraction) runs at READ/refresh time
+  over the edge relation — candidate edges, not documents — and lands in
+  the same persisted artifact the batch endgame probes
+  (``refresh_cluster_index``), so downstream consumers never re-contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    build_cluster_index,
+    duplicate_clusters,
+    lsh_candidate_pairs,
+    minhash_band_keys,
+)
+from .dedup_stream import DOC_STREAM_SCHEMA
+
+_EDGE_SCHEMA = "doc_a long, doc_b long"
+_BAND_SCHEMA = "doc_id long, band int, key string"
+
+
+def start_cluster_edge_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    num_perm: int = 4,
+    bands: int = 2,
+    query_name: str = "cluster_edges",
+    reader_options: dict | None = None,
+) -> StreamingQuery:
+    """Tail a directory of document json files; per micro-batch, append
+    the batch's band keys and candidate edges as idempotent shards."""
+    bands_dir = f"{state_dir}/bands"
+    edges_dir = f"{state_dir}/edges"
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select("doc_id", "text")
+        # sign ONCE; reuse for the in-batch buckets and the cross join
+        keys = minhash_band_keys(docs, num_perm=num_perm, bands=bands)
+        keys.write.mode("overwrite").parquet(
+            f"{bands_dir}/batch_id={batch_id}"
+        )
+        within = lsh_candidate_pairs(
+            docs, num_perm=num_perm, bands=bands, band_keys=keys
+        )
+        # standing index = shards of STRICTLY EARLIER batches (the batch's
+        # own shard may already exist on a crash replay — excluding it
+        # keeps in-batch pairs single-sourced from the bucket expansion)
+        index = merged_band_index(spark, bands_dir, before_batch=batch_id)
+        cross = (
+            keys.alias("n")
+            .join(
+                index.alias("i"),
+                (F.col("n.band") == F.col("i.band"))
+                & (F.col("n.key") == F.col("i.key"))
+                & (F.col("n.doc_id") != F.col("i.doc_id")),
+            )
+            .select(
+                F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias(
+                    "doc_b"
+                ),
+            )
+        )
+        within.unionByName(cross).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{edges_dir}/batch_id={batch_id}")
+
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA).format("json")
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    return (
+        reader.load(source_dir)
+        .writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+
+
+def merged_band_index(
+    spark: SparkSession, bands_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """All band-key shards folded to one (doc_id, band, key) index
+    (merge-on-read; keys are per-document, so plain union is the merge).
+    ``before_batch`` restricts to shards of strictly earlier batches.
+    An empty/missing state dir reads as an empty index (the correct
+    nothing-indexed-yet state), not a path error."""
+    if not os.path.isdir(bands_dir):
+        return spark.createDataFrame([], _BAND_SCHEMA)
+    df = spark.read.option("basePath", bands_dir).parquet(
+        f"{bands_dir}/batch_id=*"
+    )
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < before_batch)
+    return df.select("doc_id", "band", "key")
+
+
+def merged_edges(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The cumulative candidate-edge relation across all streamed batches
+    (distinct union of shards — replays overwrite their own dir, and the
+    read-side distinct absorbs any overlap)."""
+    edges_dir = f"{state_dir}/edges"
+    if not os.path.isdir(edges_dir):
+        return spark.createDataFrame([], _EDGE_SCHEMA)
+    return (
+        spark.read.option("basePath", edges_dir)
+        .parquet(f"{edges_dir}/batch_id=*")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def merged_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) over everything streamed so far — the batch
+    contraction run on the merged edge set, so the result is EXACTLY
+    what ``duplicate_clusters`` over a full re-run would produce,
+    including merges of clusters first formed in different batches."""
+    edges = merged_edges(spark, state_dir)
+    if edges.isEmpty():
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+    return duplicate_clusters(
+        edges.select(
+            F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b")
+        )
+    )
+
+
+def refresh_cluster_index(
+    spark: SparkSession, state_dir: str, path: str
+) -> None:
+    """Land the streamed labeling in the SAME persisted-artifact format
+    the batch endgame probes (``load_cluster_index``) — the maintenance
+    job that keeps the write-time cluster index current between full
+    rebuilds."""
+    build_cluster_index(merged_edges(spark, state_dir), path)

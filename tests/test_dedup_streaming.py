@@ -106,3 +106,87 @@ def test_parquet_sink_survives_restart_first_seen_only(spark, tmp_path):
     # restarted query appended via new batch dirs rather than rewriting old
     hashes = [r["text_hash"] for r in rows]
     assert len(hashes) == len(set(hashes))
+
+
+def test_cluster_stream_equals_batch_recompute(spark, tmp_path):
+    """Streaming cluster maintenance is EXACT: after three micro-batches
+    with duplicates chaining within and ACROSS batches, merged_clusters
+    over the streamed edge shards equals duplicate_clusters over a full
+    batch re-run (same LSH params) — batch-3 documents join clusters
+    first formed in batches 1 and 2 through cross-batch edges alone.
+    The refreshed artifact loads back identically."""
+    from client_data_ingester_spark.operators.dedup import (
+        duplicate_clusters,
+        load_cluster_index,
+        lsh_candidate_pairs,
+    )
+    from client_data_ingester_spark.streaming.cluster_stream import (
+        merged_clusters,
+        refresh_cluster_index,
+        start_cluster_edge_stream,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ts = "2024-01-01T10:00:00.000Z"
+    # empty state reads as empty labeling, not a path error
+    assert merged_clusters(spark, state).count() == 0
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "entirely different words about streaming cluster maintenance"
+    batches = [
+        [  # batch 1: near-dup pair (1, 2) + singleton 3
+            {"doc_id": 1, "ts": ts, "text": base_a},
+            {"doc_id": 2, "ts": ts, "text": base_a + " tail"},
+            {"doc_id": 3, "ts": ts, "text": "unique text one " + base_b[:20]},
+        ],
+        [  # batch 2: 4 duplicates doc 1 ACROSS batches; (5, 6) new pair
+            {"doc_id": 4, "ts": ts, "text": base_a},
+            {"doc_id": 5, "ts": ts, "text": base_b},
+            {"doc_id": 6, "ts": ts, "text": base_b + " tail"},
+        ],
+        [  # batch 3: 7 joins batch-1's cluster, 8 joins batch-2's
+            {"doc_id": 7, "ts": ts, "text": base_a},
+            {"doc_id": 8, "ts": ts, "text": base_b},
+        ],
+    ]
+    q = start_cluster_edge_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        state,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    try:
+        for i, docs in enumerate(batches):
+            _write_docs(src / f"b{i}.json", docs)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r["doc_id"], r["cluster_id"])
+        for r in merged_clusters(spark, state).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for b in batches for d in b],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            lsh_candidate_pairs(all_docs, num_perm=4, bands=2)
+        ).collect()
+    }
+    assert streamed == batch
+    # docs sharing base_a text all landed in doc 1's cluster
+    labels = dict(streamed)
+    assert labels[2] == labels[4] == labels[7] == 1
+    # the artifact refresh round-trips
+    path = str(tmp_path / "cluster_idx")
+    refresh_cluster_index(spark, state, path)
+    assert {
+        (r["doc_id"], r["cluster_id"])
+        for r in load_cluster_index(spark, path).collect()
+    } == streamed

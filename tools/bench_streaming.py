@@ -237,6 +237,44 @@ def bench_pq_encode_stream(spark, sf_dir: str, work: str) -> dict:
     }
 
 
+def bench_cluster_stream(spark, sf_dir: str, work: str) -> dict:
+    from client_data_ingester_spark.streaming.cluster_stream import (
+        merged_clusters,
+        start_cluster_edge_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        "text",
+    )
+    n_rows = docs.count()
+    src = os.path.join(work, "cluster_docs_json")
+    docs.repartition(4).write.mode("overwrite").json(src)
+    state = os.path.join(work, "cluster_state")
+    t0 = time.time()
+    q = start_cluster_edge_stream(
+        spark, src, os.path.join(work, "ckpt_cluster"), state,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    q.processAllAvailable()
+    wall = time.time() - t0
+    lat = _batch_latency(q)
+    q.stop()
+    # read-side contraction cost (the refresh job a scheduler would run)
+    t1 = time.time()
+    n_labeled = merged_clusters(spark, state).count()
+    contract_sec = time.time() - t1
+    return {
+        "rows": n_rows,
+        "labeled_rows": n_labeled,
+        "sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "batch_latency": lat,
+        "read_contraction_sec": round(contract_sec, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -251,6 +289,7 @@ def main() -> None:
             "dedup": bench_dedup_stream(spark, sf_dir, work),
             "cdc_feed": bench_cdc_feed(spark, sf_dir, work),
             "pq_encode": bench_pq_encode_stream(spark, sf_dir, work),
+            "cluster_edges": bench_cluster_stream(spark, sf_dir, work),
         }
         print(json.dumps(out))
     finally:
