@@ -719,7 +719,7 @@ def zipf_slope(
     # few orders larger would wrap SILENTLY under non-ANSI long math.
     # Decimal keeps ~1e38 of explicit headroom; the values are identical
     # (exact integers either way), so the double renderings can't drift.
-    d38 = lambda c: c.cast("decimal(20,0)")  # noqa: E731
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     num = d38(F.col("_n")) * d38(F.col("_sxy")) - d38(F.col("_sx")) * d38(
         F.col("_sy")
     )

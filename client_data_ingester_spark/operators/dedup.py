@@ -198,6 +198,7 @@ def incremental_lsh_candidates(
     num_perm: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidates of a NEW batch against an already-indexed
     corpus: ``(doc_a, doc_b)`` with ``doc_a < doc_b``, where one side is a
@@ -210,9 +211,17 @@ def incremental_lsh_candidates(
     reproduces exactly the pairs a full re-run over old ∪ new would emit
     involving a new document (pinned by test): a shared band key between
     two documents does not depend on what else is in the corpus.
+
+    ``band_keys``: pass the batch's precomputed ``(doc_id, band, key)``
+    relation (same escape hatch as :func:`lsh_candidate_pairs`) when the
+    caller has already signed the batch — e.g. the streaming twin signs
+    once, lands the shard, and reuses it for both the in-batch pairs and
+    this cross-index join.
     """
-    new_bands = minhash_band_keys(
-        new_docs, text_col, num_perm, bands, shingle_k
+    new_bands = (
+        band_keys
+        if band_keys is not None
+        else minhash_band_keys(new_docs, text_col, num_perm, bands, shingle_k)
     )
     joined = new_bands.alias("n").join(
         index.alias("i"),

@@ -47,10 +47,11 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.dedup import (
     build_cluster_index,
     duplicate_clusters,
+    incremental_lsh_candidates,
     lsh_candidate_pairs,
     minhash_band_keys,
 )
-from .dedup_stream import DOC_STREAM_SCHEMA
+from .dedup_stream import _doc_stream
 
 _EDGE_SCHEMA = "doc_a long, doc_b long"
 _BAND_SCHEMA = "doc_id long, band int, key string"
@@ -73,11 +74,14 @@ def start_cluster_edge_stream(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select("doc_id", "text")
-        # sign ONCE; reuse for the in-batch buckets and the cross join
-        keys = minhash_band_keys(docs, num_perm=num_perm, bands=bands)
-        keys.write.mode("overwrite").parquet(
-            f"{bands_dir}/batch_id={batch_id}"
-        )
+        # sign ONCE: the bands-shard write materializes the signing pass,
+        # and both edge sources below read the WRITTEN shard back — the
+        # shingle-explode + minhash pipeline runs exactly one job per
+        # batch instead of once per downstream action
+        minhash_band_keys(docs, num_perm=num_perm, bands=bands).write.mode(
+            "overwrite"
+        ).parquet(f"{bands_dir}/batch_id={batch_id}")
+        keys = spark.read.parquet(f"{bands_dir}/batch_id={batch_id}")
         within = lsh_candidate_pairs(
             docs, num_perm=num_perm, bands=bands, band_keys=keys
         )
@@ -85,30 +89,15 @@ def start_cluster_edge_stream(
         # own shard may already exist on a crash replay — excluding it
         # keeps in-batch pairs single-sourced from the bucket expansion)
         index = merged_band_index(spark, bands_dir, before_batch=batch_id)
-        cross = (
-            keys.alias("n")
-            .join(
-                index.alias("i"),
-                (F.col("n.band") == F.col("i.band"))
-                & (F.col("n.key") == F.col("i.key"))
-                & (F.col("n.doc_id") != F.col("i.doc_id")),
-            )
-            .select(
-                F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
-                F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias(
-                    "doc_b"
-                ),
-            )
+        cross = incremental_lsh_candidates(
+            docs, index, num_perm=num_perm, bands=bands, band_keys=keys
         )
         within.unionByName(cross).distinct().write.mode(
             "overwrite"
         ).parquet(f"{edges_dir}/batch_id={batch_id}")
 
-    reader = spark.readStream.schema(DOC_STREAM_SCHEMA).format("json")
-    for k, v in (reader_options or {}).items():
-        reader = reader.option(k, v)
     return (
-        reader.load(source_dir)
+        _doc_stream(spark, source_dir, reader_options)
         .writeStream.outputMode("append")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
@@ -158,11 +147,7 @@ def merged_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     edges = merged_edges(spark, state_dir)
     if edges.isEmpty():
         return spark.createDataFrame([], "doc_id long, cluster_id long")
-    return duplicate_clusters(
-        edges.select(
-            F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b")
-        )
-    )
+    return duplicate_clusters(edges)
 
 
 def refresh_cluster_index(

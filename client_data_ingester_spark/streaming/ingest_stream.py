@@ -75,21 +75,21 @@ def start_ingest_stream(
     files at once; AvailableNow triggers honor it across batches."""
     schema = _landing_schema(source_columns)
     reader = spark.readStream.schema(schema)
-    for k, v in (reader_options or {}).items():
-        reader = reader.option(k, v)
     if fmt == "csv":
         # same CSV empty/null conventions as the batch path reader: quoted
         # "" survives as the empty string (always-insert sku), \N is null
-        stream = (
+        reader = (
             reader.option("header", True)
             .option("emptyValue", "")
             .option("nullValue", "\\N")
-            .csv(landing_dir)
         )
-    elif fmt == "json":
-        stream = reader.json(landing_dir)
-    else:
+    elif fmt != "json":
         raise ValueError(f"Unsupported streaming format: {fmt!r}")
+    # applied AFTER the format defaults so callers can override any of
+    # them (the pass-through contract above)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.csv(landing_dir) if fmt == "csv" else reader.json(landing_dir)
 
     txn_key = f"stream_epoch:{stream_id or os.path.abspath(checkpoint_dir)}"
 

@@ -5,6 +5,7 @@ TakeOrderedAndProject, and nothing falls onto a cartesian product."""
 
 import io
 import os
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -90,7 +91,9 @@ def test_global_topk_rank_rides_take_ordered(spark, name):
 
     plan = plan_of(spark, name)
     tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
-    windows = re.findall(r"Window \(\d+\)\n[\s:+-]*(\w+)", tree)
+    # char class includes '*' — codegen nodes print as '+- * Sort (5)',
+    # and a regressed Window fed by one must still yield a findall entry
+    windows = re.findall(r"Window \(\d+\)\n[\s:+*-]*(\w+)", tree)
     assert windows, f"{name}: expected at least one Window in the tree"
     assert all(w == "TakeOrderedAndProject" for w in windows), (
         f"{name}: a Window is not fed by TakeOrderedAndProject — the "
@@ -470,12 +473,26 @@ def test_no_query_has_cartesian_or_single_partition_window(spark):
         if "CartesianProduct" in tree:
             bad_cartesian.append(name)
         lines = tree.splitlines()
+        # walk each Window's FIRST-CHILD chain through pass-through nodes
+        # (formatted explain prints the first child on the next line): a
+        # SinglePartition exchange ANY depth down that chain feeds the
+        # Window, while benign scalar-agg exchanges in OTHER join inputs
+        # deeper in the subtree don't false-positive
+        passthrough = {
+            "Sort", "Project", "Filter", "ColumnarToRow", "InputAdapter",
+            "WindowGroupLimit",
+        }
         for i, ln in enumerate(lines):
             if "Window (" in ln and "WindowGroupLimit" not in ln:
-                if any(
-                    "Exchange SinglePartition" in lines[j]
-                    for j in range(i + 1, min(i + 3, len(lines)))
-                ):
+                hit = False
+                for j in range(i + 1, len(lines)):
+                    if "Exchange SinglePartition" in lines[j]:
+                        hit = True
+                        break
+                    m = re.match(r"[\s:+*-]*(\w+)", lines[j])
+                    if not m or m.group(1) not in passthrough:
+                        break
+                if hit:
                     bad_window.append(name)
                     break
     assert not errors, errors
