@@ -99,6 +99,32 @@ def test_stream_rate_limit_splits_batches_same_result(
     assert got["S1"]["active"] is False
 
 
+def test_stream_reader_options_override_csv_defaults(
+    spark, products_table, tmp_path
+):
+    """reader_options are applied AFTER the CSV convention defaults, so a
+    caller can override them (the docstring's pass-through contract): with
+    nullValue remapped to 'NA', an NA title ingests as null while the
+    default convention would have kept the literal string."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "f1.csv").write_text("sku,title,active\nS1,NA,1\n")
+    q = start_ingest_stream(
+        spark,
+        products_table,
+        str(landing),
+        str(tmp_path / "ckpt"),
+        CFG,
+        client_id=1,
+        source_columns=["sku", "title", "active"],
+        reader_options={"nullValue": "NA"},
+    )
+    q.awaitTermination(120)
+    [row] = products_table.read(spark, 1).collect()
+    assert row["sku"] == "S1"
+    assert row["title"] is None
+
+
 def test_stream_garbage_boolean_aborts_batch(spark, products_table, tmp_path):
     """Batch/stream contract parity: an invalid cell anywhere in the
     micro-batch aborts the WHOLE batch with zero rows changed (the batch
