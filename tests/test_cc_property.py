@@ -1,0 +1,66 @@
+"""Property test: duplicate_clusters (distributed large-star/small-star
+contraction) against a serial union-find oracle over RANDOM graphs.
+
+The named CC tests pin hand-picked shapes (chains, stars, merges across
+batches); hypothesis closes the gap between those and arbitrary topology —
+self-loops, parallel/duplicate edges, many small components next to one
+big one, ids arriving in any order. The oracle is ~15 lines of textbook
+union-find, so a disagreement localizes the bug to the contraction."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_lists)
+def test_clusters_match_union_find(spark, edges):
+    from client_data_ingester_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    oracle = _uf_components(edges)
+    # contract: every doc on a non-self-loop edge is labeled with its
+    # component's MINIMUM id; pure self-loop nodes are not "duplicates"
+    # and don't appear
+    expect = {
+        x: r
+        for x, r in oracle.items()
+        if any(a != b and x in (a, b) for a, b in edges)
+    }
+    assert got == expect
