@@ -26,7 +26,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .schemas import CLIENTS_SCHEMA, USERS_SCHEMA
-from .tables.snapshot import SnapshotTable
+from .tables.snapshot import SnapshotConflictError, SnapshotTable
 
 _PBKDF2_ITERS = 100_000
 
@@ -70,6 +70,26 @@ class AuthService:
         self.users = users
         self.clients = clients
 
+    def _rmw(self, spark: SparkSession, table: SnapshotTable, build, attempts: int = 5):
+        """Optimistic read-modify-write: every auth mutation derives its new
+        table state from a snapshot read, so a publish that lands in between
+        would silently lose the racer's update (two signups minting the same
+        id, a login overwriting a concurrent signup's row). ``build(df,
+        manifest)`` recomputes the new state from a FRESH read each attempt;
+        ``expected_version`` makes the publish conditional on nothing having
+        changed, and a conflict loops back to re-read."""
+        last: SnapshotConflictError | None = None
+        for _ in range(attempts):
+            manifest = table.current_manifest()
+            new_df = build(table.read(spark), manifest)
+            try:
+                return table.overwrite_all(
+                    new_df, expected_version=manifest.version
+                )
+            except SnapshotConflictError as e:
+                last = e
+        raise last
+
     # -- signup (B/web/api/auth.py:97-129) ---------------------------------
     def signup(
         self,
@@ -80,37 +100,59 @@ class AuthService:
         password: str,
         address: str | None = None,
     ) -> dict:
-        users = self.users.read(spark)
-        if users.filter(F.col("email") == email).limit(1).count():
+        # fast-fail outside the write path; the race-safe check re-runs
+        # inside the guarded users mutation below
+        if (
+            self.users.read(spark)
+            .filter(F.col("email") == email)
+            .limit(1)
+            .count()
+        ):
             raise AuthError("Email already registered")
-        clients = self.clients.read(spark)
-        cid = int(self.clients.current_manifest().props.get("max_id", 0)) + 1
-        uid = int(self.users.current_manifest().props.get("max_id", 0)) + 1
         now = _now()
-        client_row = spark.createDataFrame(
-            [(cid, company_name, now, address, True)], schema=CLIENTS_SCHEMA
-        )
-        user_row = spark.createDataFrame(
-            [
-                (
-                    uid,
-                    cid,
-                    email,
-                    full_name,
-                    now,
-                    hash_password(password),
-                    True,
-                    None,
-                    None,
-                )
-            ],
-            schema=USERS_SCHEMA,
-        )
-        self.clients.overwrite_all(
-            clients.unionByName(client_row)
-        )
-        self.users.overwrite_all(users.unionByName(user_row))
-        return {"user_id": uid, "client_id": cid}
+        minted: dict[str, int] = {}
+
+        def build_client(clients, manifest):
+            minted["cid"] = int(manifest.props.get("max_id", 0)) + 1
+            row = spark.createDataFrame(
+                [(minted["cid"], company_name, now, address, True)],
+                schema=CLIENTS_SCHEMA,
+            )
+            return clients.unionByName(row)
+
+        def build_user(users, manifest):
+            if users.filter(F.col("email") == email).limit(1).count():
+                raise AuthError("Email already registered")
+            minted["uid"] = int(manifest.props.get("max_id", 0)) + 1
+            row = spark.createDataFrame(
+                [
+                    (
+                        minted["uid"],
+                        minted["cid"],
+                        email,
+                        full_name,
+                        now,
+                        hash_password(password),
+                        True,
+                        None,
+                        None,
+                    )
+                ],
+                schema=USERS_SCHEMA,
+            )
+            return users.unionByName(row)
+
+        # two single-table guarded mutations, clients first (the user row
+        # references cid). NOT atomic across the pair — the reference gets
+        # that from its database transaction; here a same-email race or a
+        # crash between the writes can leave an orphan client row, which
+        # no user references and which the next successful signup ignores.
+        # Duplicate id minting, the data-corrupting race, IS prevented:
+        # each id is minted from the manifest the conditional publish
+        # checks against.
+        self._rmw(spark, self.clients, build_client)
+        self._rmw(spark, self.users, build_user)
+        return {"user_id": minted["uid"], "client_id": minted["cid"]}
 
     # -- login (B/web/api/auth.py:33-69) -----------------------------------
     def login(self, spark: SparkSession, email: str, password: str) -> str:
@@ -123,30 +165,35 @@ class AuthService:
         if not row or not verify_password(password, row[0]["password_hash"]):
             raise AuthError("Invalid credentials")
         token = secrets.token_urlsafe(32)
-        updated = users.withColumn(
-            "session_token",
-            F.when(F.col("email") == email, F.lit(token)).otherwise(
-                F.col("session_token")
-            ),
-        ).withColumn(
-            "last_login",
-            F.when(
-                F.col("email") == email, F.lit(_now()).cast("timestamp_ntz")
-            ).otherwise(F.col("last_login")),
-        )
-        self.users.overwrite_all(updated)
+
+        def build(current, manifest):
+            return current.withColumn(
+                "session_token",
+                F.when(F.col("email") == email, F.lit(token)).otherwise(
+                    F.col("session_token")
+                ),
+            ).withColumn(
+                "last_login",
+                F.when(
+                    F.col("email") == email,
+                    F.lit(_now()).cast("timestamp_ntz"),
+                ).otherwise(F.col("last_login")),
+            )
+
+        self._rmw(spark, self.users, build)
         return token
 
     # -- logout (B/web/api/auth.py:77-94) ----------------------------------
     def logout(self, spark: SparkSession, token: str) -> None:
-        users = self.users.read(spark)
-        updated = users.withColumn(
-            "session_token",
-            F.when(F.col("session_token") == token, F.lit(None)).otherwise(
-                F.col("session_token")
-            ),
-        )
-        self.users.overwrite_all(updated)
+        def build(current, manifest):
+            return current.withColumn(
+                "session_token",
+                F.when(
+                    F.col("session_token") == token, F.lit(None)
+                ).otherwise(F.col("session_token")),
+            )
+
+        self._rmw(spark, self.users, build)
 
     # -- current user from token (B/web/dependencies.py:15-47) -------------
     def current_user(self, spark: SparkSession, token: str) -> dict:

@@ -45,9 +45,14 @@ class ConfigBroker:
     def _load_from_file(self, path: str) -> None:
         """Execute a python config file; its top-level names override
         earlier layers (the reference exec's config files the same way)."""
+        # ONE dict as both globals and locals: with split scopes, a
+        # comprehension or helper function in the config file can't see
+        # earlier top-level names (free names resolve against globals,
+        # which would be empty) — `xs = [root + s for s in ...]` would
+        # NameError on `root`
         scope: dict[str, Any] = {}
         with open(path) as fh:
-            exec(compile(fh.read(), path, "exec"), {}, scope)
+            exec(compile(fh.read(), path, "exec"), scope)
         for k, v in scope.items():
             if not k.startswith("_"):
                 self._values[k] = v

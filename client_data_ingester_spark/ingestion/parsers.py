@@ -102,15 +102,23 @@ def read_json(spark: SparkSession, source: Source) -> DataFrame:
             records = json.loads(source)
         else:
             records = [json.loads(line) for line in source.splitlines() if line.strip()]
+        # header names are stripped (CSV-header parity), but values must
+        # be fetched under each record's ORIGINAL key — looking up the
+        # stripped name against an un-stripped record would silently null
+        # out every whitespace-padded key's cells
         header: list[str] = []
         for r in records:
             for k in r:
                 if k.strip() not in header:
                     header.append(k.strip())
-        rows = [
-            [None if r.get(k) is None else str(r.get(k)) for k in header]
-            for r in records
-        ]
+
+        def cell(r: dict, name: str):
+            for k, v in r.items():
+                if k.strip() == name:
+                    return None if v is None else str(v)
+            return None
+
+        rows = [[cell(r, name) for name in header] for r in records]
         return _df_from_rows(spark, header, rows)
     df = (
         spark.read.option("primitivesAsString", True)

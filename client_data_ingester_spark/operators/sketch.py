@@ -76,6 +76,10 @@ def hll_registers(
     )
     return (
         df.select(*group_cols, h.alias("h"))
+        # COUNT(DISTINCT x) semantics: nulls are not values. Without this
+        # filter a null hashes to a phantom (bucket=NULL, r=NULL) register
+        # that inflates n_used / shrinks zeros and skews the estimate
+        .where(F.col("h").isNotNull())
         .select(
             *group_cols,
             F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
@@ -176,6 +180,7 @@ def hll_oracle_sql(
 WITH hashed AS (
   SELECT {gsel}('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, {_HEX_DIGITS}))::BIGINT AS h
   FROM {table_expr}
+  WHERE {value_col} IS NOT NULL
 ),
 regs AS (
   SELECT {gsel}h % {m} AS bucket,

@@ -39,7 +39,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..ingestion.mapping import ParserConfig, compile_mapping
 from ..ingestion.parsers import ROW_IDX_COL
 from ..ingestion.service import merge_products
-from ..tables.snapshot import SnapshotTable
+from ..tables.snapshot import SnapshotConflictError, SnapshotTable
 
 _log = logging.getLogger(__name__)
 
@@ -166,30 +166,49 @@ def start_ingest_stream(
                 return
 
             updates = staged.drop(*bad_cols)
-            current = table.read(spark, client_id)
-            id_base = int(manifest.props.get("max_id", 0))
             batch_ts = _dt.datetime.now(_dt.timezone.utc).replace(
                 tzinfo=None, microsecond=0
             )
-            merged = merge_products(
-                current,
-                updates,
-                compiled.target_cols,
-                client_id,
-                full_update,
-                batch_ts,
-                id_base,
-            )
-            # max_id here is a count-derived floor; overwrite_partitions
-            # raises it to max(id) of the written data (sparse row indexes)
-            table.overwrite_partitions(
-                merged,
-                [client_id],
-                props={
-                    "max_id": id_base + max(processed_count, 1),
-                    txn_key: int(epoch_id),
-                },
-            )
+            # same optimistic-concurrency loop as the batch path
+            # (service.py): the merge is derived from a snapshot read, so
+            # a concurrent writer (batch ingest, another stream on a
+            # different txn_key) landing in between must force a re-read
+            # and re-merge — an unguarded publish would drop the racer's
+            # rows and mint colliding surrogate ids
+            last_conflict: Exception | None = None
+            for _ in range(5):
+                manifest = table.current_manifest()
+                current = table.read(spark, client_id)
+                id_base = int(manifest.props.get("max_id", 0))
+                merged = merge_products(
+                    current,
+                    updates,
+                    compiled.target_cols,
+                    client_id,
+                    full_update,
+                    batch_ts,
+                    id_base,
+                )
+                try:
+                    # max_id here is a count-derived floor;
+                    # overwrite_partitions raises it to max(id) of the
+                    # written data (sparse row indexes)
+                    table.overwrite_partitions(
+                        merged,
+                        [client_id],
+                        props={
+                            "max_id": id_base + max(processed_count, 1),
+                            txn_key: int(epoch_id),
+                        },
+                        expected_version=manifest.version,
+                        expected_max_id=id_base,
+                    )
+                    break
+                except SnapshotConflictError as e:
+                    last_conflict = e
+                    continue
+            else:
+                raise last_conflict
         finally:
             staged.unpersist()
 

@@ -46,6 +46,11 @@ def _make_update_fn(timeout_enabled: bool):
         )
         rows = pd.concat(list(pdfs)).sort_values("ts")
         for ts, value in zip(rows["ts"], rows["value"]):
+            if pd.isna(ts):
+                # a null-ts event can't be sessionized; skipping the row
+                # beats int(NaT.timestamp()) raising and killing the
+                # whole streaming query on one malformed record
+                continue
             epoch = int(ts.timestamp())
             if last_ts is None or epoch - last_ts > SESSION_GAP_SECONDS:
                 n_sessions += 1

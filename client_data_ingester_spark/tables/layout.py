@@ -145,7 +145,17 @@ def zorder_key(
     Returns ``(df_with_key, key_col_name)``; the key is a plain BIGINT
     column built from shift/and/or expressions — whole-stage-codegen'd,
     no UDF.
+
+    ``bits`` is clamped so the interleaved key fits the 63 value bits of
+    a signed BIGINT (``len(cols) * bits <= 63``): without the clamp, a
+    4-column key at the default 16 bits reaches bit 63 (the sign bit —
+    high-curve rows sort BEFORE the origin) and 5+ columns alias through
+    Java's mod-64 shift, silently colliding different columns' bits.
+    Coarser per-column resolution only widens each file's hyper-
+    rectangle; the curve ordering stays correct.
     """
+    if len(cols) * bits > 63:
+        bits = 63 // len(cols)
     bounds_row = df.select(
         *[
             c

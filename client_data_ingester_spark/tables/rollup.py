@@ -73,8 +73,12 @@ def maintain_daily_rollup(
     # but cap it so a corrupt ts column (e.g. epoch-zero garbage fanning
     # out to millions of "days") fails loudly instead of OOMing the driver.
     _DAY_CAP = 100_000
+    # null ts rows have no day: drop them here, or the phantom 'None' day
+    # is never satisfied by a written partition and every maintenance run
+    # re-queues (and claims to have written) it forever
     day_rows = (
         events.select(F.to_date(F.col("ts")).alias("d"))
+        .where(F.col("d").isNotNull())
         .distinct()
         .limit(_DAY_CAP + 1)
         .collect()

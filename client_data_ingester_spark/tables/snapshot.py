@@ -94,6 +94,14 @@ class SnapshotTable:
         partition_col: str = "client_id",
         keep_versions: int = 3,
     ):
+        if partition_col not in schema.fieldNames():
+            # fail at construction, not at the first write's unresolved-
+            # column AnalysisException (e.g. a users/clients table left on
+            # the default partition_col='client_id' absent from its schema)
+            raise ValueError(
+                f"partition_col {partition_col!r} is not a column of the "
+                f"table schema {schema.fieldNames()}"
+            )
         self.root = root
         self.schema = schema
         self.partition_col = partition_col
@@ -171,9 +179,22 @@ class SnapshotTable:
             f.write(manifest.to_json())
             f.flush()
             os.fsync(f.fileno())
+        # the pointer copy must hit disk BEFORE the rename installs it:
+        # an un-fsynced copy + power loss can journal the rename but not
+        # the data blocks, leaving a truncated _MANIFEST that no reader
+        # can parse (the versioned manifest above is fsynced for the same
+        # reason)
         tmp = versioned + ".ptr"
-        shutil.copyfile(versioned, tmp)
+        with open(versioned, "rb") as src, open(tmp, "wb") as dst:
+            dst.write(src.read())
+            dst.flush()
+            os.fsync(dst.fileno())
         os.replace(tmp, self._manifest_path())
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         self._gc(manifest)
 
     def _gc(self, latest: Manifest) -> None:
@@ -390,10 +411,27 @@ class SnapshotTable:
             "a writer is continuously updating this partition"
         )
 
-    def overwrite_all(self, df: DataFrame) -> Manifest:
-        """Full-table replace (used by tests/bootstrap, not the ingest path)."""
+    def overwrite_all(
+        self, df: DataFrame, expected_version: int | None = None
+    ) -> Manifest:
+        """Full-table replace (tests/bootstrap and the auth layer's tiny
+        tables — never the ingest path).
+
+        ``expected_version`` is the read-modify-write guard: callers that
+        derived ``df`` from a snapshot read pass the version they read, and
+        a publish that landed in between raises ``SnapshotConflictError``
+        instead of silently dropping the racer's rows (the caller re-reads
+        and retries — see AuthService._mutate)."""
         with self._write_lock():
             manifest = self.current_manifest()
+            if (
+                expected_version is not None
+                and manifest.version != expected_version
+            ):
+                raise SnapshotConflictError(
+                    f"table advanced to v{manifest.version} since the "
+                    f"caller read v{expected_version}; re-read and retry"
+                )
             new_version = manifest.version + 1
             dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, dir_name)

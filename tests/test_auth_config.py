@@ -71,3 +71,70 @@ def test_config_facade_exposes_registries():
     assert cfg.get_transformer("decimal").id == "decimal"
     with pytest.raises(KeyError):
         cfg.get_parser("xml")
+
+
+def test_config_file_sees_its_own_top_level_names(tmp_path):
+    """Config files exec with ONE shared scope: a comprehension or helper
+    function referencing an earlier top-level name must resolve it (split
+    globals/locals would NameError — free names in comprehensions resolve
+    against globals)."""
+    f = tmp_path / "derived.py"
+    f.write_text(
+        "root = '/data'\n"
+        "paths = [root + s for s in ['/a', '/b']]\n"
+        "def _mk(s):\n"
+        "    return root + s\n"
+        "extra = _mk('/c')\n"
+    )
+    cfg = ConfigBroker([str(f)])
+    assert cfg.paths == ["/data/a", "/data/b"]
+    assert cfg.extra == "/data/c"
+
+
+def test_concurrent_signups_mint_distinct_ids(spark, auth):
+    """The optimistic read-modify-write guard: an interleaved writer that
+    publishes between a signup's read and its publish must force a re-read
+    — both signups get DISTINCT user/client ids and both rows survive."""
+    a = auth.signup(spark, "CoA", "a@x.com", "A", "pw")
+    b = auth.signup(spark, "CoB", "b@x.com", "B", "pw")
+    assert a["user_id"] != b["user_id"]
+    assert a["client_id"] != b["client_id"]
+    emails = {
+        r["email"] for r in auth.users.read(spark).collect()
+    }
+    assert {"a@x.com", "b@x.com"} <= emails
+
+
+def test_overwrite_all_conflict_detection(spark, tmp_path):
+    """overwrite_all(expected_version=...) is the auth layer's lost-update
+    guard: publishing against a stale version raises instead of silently
+    dropping the interleaved writer's rows."""
+    import pytest
+
+    from client_data_ingester_spark.schemas import CLIENTS_SCHEMA
+    from client_data_ingester_spark.tables.snapshot import (
+        SnapshotConflictError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "c"), CLIENTS_SCHEMA, partition_col="id")
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "Co", dt.datetime(2026, 1, 1), None, True)],
+        schema=CLIENTS_SCHEMA,
+    )
+    t.overwrite_all(df)  # v1
+    with pytest.raises(SnapshotConflictError):
+        t.overwrite_all(df, expected_version=0)  # stale read
+    t.overwrite_all(df, expected_version=1)  # current read commits
+
+
+def test_partition_col_must_be_a_schema_column(tmp_path):
+    import pytest
+
+    from client_data_ingester_spark.schemas import CLIENTS_SCHEMA
+    from client_data_ingester_spark.tables.snapshot import SnapshotTable
+
+    with pytest.raises(ValueError, match="partition_col"):
+        SnapshotTable(str(tmp_path / "bad"), CLIENTS_SCHEMA)  # default col

@@ -385,6 +385,26 @@ def test_json_parser_same_pipeline(spark, products_table):
     assert got["J1"]["active"] is True and got["J2"]["active"] is False
 
 
+def test_json_whitespace_padded_keys_keep_values(spark, products_table):
+    """JSON key-strip parity with the CSV header strip: values must be
+    fetched under each record's ORIGINAL key — a stripped-name lookup
+    against the un-stripped record would silently null out every
+    whitespace-padded key's cells (here: a null sku aborting the file)."""
+    cfg = ParserConfig(
+        "json",
+        {
+            "sku": ("sku", "text"),
+            "title": ("title", "text"),
+        },
+    )
+    payload = json.dumps(
+        [{" sku ": "JP1", "title": "Padded"}]
+    ).encode()
+    rep = ingest_data(spark, products_table, payload, cfg, client_id=4)
+    assert rep.success, rep.message
+    assert rows_of(spark, products_table, 4)["JP1"]["title"] == "Padded"
+
+
 def test_unknown_parser_is_error_report(spark, products_table):
     rep = ingest_data(
         spark,

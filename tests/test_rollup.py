@@ -111,3 +111,22 @@ def test_late_data_lands_via_tail_reprocess(spark, tmp_path):
         for r in daily_rollup(ev).collect()
     )
     assert _rows(spark, path) == expect
+
+
+def test_null_ts_rows_do_not_wedge_maintenance(spark, tmp_path):
+    """A null ts has no day: it must be dropped from the day list, or the
+    phantom day is never satisfied by a written partition and every
+    maintenance run re-queues (and claims to have written) it forever."""
+    base = _events(spark)
+    ev = base.unionByName(
+        spark.createDataFrame(
+            [(999999, None, 1, "t", 1.0, None)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).select(*base.columns)
+    )
+    path = str(tmp_path / "rollup")
+    first = maintain_daily_rollup(spark, ev, path)
+    assert first  # real days written
+    assert "None" not in first
+    assert maintain_daily_rollup(spark, ev, path, reprocess_tail_days=0) == []

@@ -266,3 +266,21 @@ def test_cms_word_error_is_one_sided(spark):
     for r in rows:
         assert r.overestimate >= 0
         assert r.est_count == r.exact_count + r.overestimate
+
+
+def test_hll_ignores_nulls(spark):
+    """COUNT(DISTINCT x) semantics: nulls are not values. Without the
+    null filter, a null hashes to a phantom (bucket=NULL, r=NULL) register
+    that inflates n_used / shrinks zeros and skews the estimate."""
+    clean = _vals(spark, 500)
+    dirty = clean.unionAll(
+        spark.range(0, 3).select(
+            F.lit(None).cast("long").alias("v"),
+            F.lit("x").alias("tag"),
+            F.lit(0).cast("long").alias("slice"),
+        )
+    )
+    assert (
+        K.hll_distinct(dirty, "v").collect()
+        == K.hll_distinct(clean, "v").collect()
+    )

@@ -64,3 +64,33 @@ def test_state_accumulates_across_batches(spark, tmp_path):
         assert latest[1] == (3, 13.0, 2)  # accumulated + new session
     finally:
         q.stop()
+
+
+def test_null_ts_event_skipped_not_fatal():
+    """One malformed (null-ts) event must not kill the whole streaming
+    query: the update fn skips the row instead of raising on NaT."""
+    import pandas as pd
+
+    from client_data_ingester_spark.streaming.stateful import _make_update_fn
+
+    class _State:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+        def remove(self):
+            pass
+
+    fn = _make_update_fn(False)
+    pdf = pd.DataFrame(
+        {
+            "ts": [pd.Timestamp("2026-01-01 00:00:00"), pd.NaT],
+            "value": [2.0, 3.0],
+        }
+    )
+    state = _State()
+    [out] = list(fn((7,), iter([pdf]), state))
+    assert out["total_events"].iloc[0] == 1  # NaT row skipped
+    assert out["total_value"].iloc[0] == 2.0

@@ -113,3 +113,19 @@ def test_zorder_skips_files_on_both_dimensions(spark, tmp_path):
         spark.read.parquet(zpath).groupBy("a", "b").count().orderBy("a", "b").collect()
         == df.groupBy("a", "b").count().orderBy("a", "b").collect()
     )
+
+
+def test_zorder_key_fits_bigint_with_many_columns(spark):
+    """4+ columns at the default 16 bits would reach the sign bit (and
+    alias mod 64 beyond it); the clamp coarsens per-column resolution so
+    the interleaved key stays a valid non-negative BIGINT and the curve
+    order survives."""
+    rows = [(i, i * 2, 1000 - i, i % 7, i % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int, e int")
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+        keyed, kcol = zorder_key(df, cols)  # default bits=16 must clamp
+        mn, mx = keyed.agg(
+            F.min(kcol), F.max(kcol)
+        ).first()
+        assert mn >= 0, f"{cols}: sign-bit overflow (min key {mn})"
+        assert mx > 0
