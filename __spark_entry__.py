@@ -1399,13 +1399,17 @@ def _verification_history() -> dict[str, int]:
             continue
         if isinstance(data, dict):
             for name, row in data.items():
-                if isinstance(row, dict):
-                    verified = row.get("hash_match") is True or (
-                        row.get("hash_match") is None
-                        and row.get("err") is None
-                    )
-                    if not verified:
-                        continue
+                # only the dict shape can prove verification; a malformed
+                # row (bare string/float) must NOT count as verified, or
+                # an unverified entry rotates to the back of the window
+                if not isinstance(row, dict):
+                    continue
+                verified = row.get("hash_match") is True or (
+                    row.get("hash_match") is None
+                    and row.get("err") is None
+                )
+                if not verified:
+                    continue
                 hist[name] = max(hist.get(name, 0), rnd)
     return hist
 

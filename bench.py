@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -231,7 +232,9 @@ def main() -> None:
         if failed or not times:
             per_query[name] = -1.0
             continue
-        med = sorted(times)[len(times) // 2]
+        # true median (even counts average the middle pair): the upper-
+        # middle element would publish the SLOWER of 2 repeats
+        med = round(statistics.median(times), 3)
         per_query[name] = med
         all_runs[name] = times
         total += med
@@ -265,9 +268,18 @@ def main() -> None:
         print(f"bench: could not write {detail_path}: {e}", file=sys.stderr)
 
     line = json.dumps(compact_line(out))
-    assert len(line) < MAX_LINE_BYTES, (
-        f"compact bench line is {len(line)} bytes; driver only keeps 2000"
-    )
+    if len(line) >= MAX_LINE_BYTES:
+        # never discard a completed run's output (an assert here would
+        # raise AFTER the full sweep and print nothing — and vanish under
+        # python -O): degrade to the metric essentials, which always fit
+        print(
+            f"bench: compact line is {len(line)} bytes; truncating detail",
+            file=sys.stderr,
+        )
+        line = json.dumps(
+            {k: out[k] for k in ("metric", "value", "unit", "sf")}
+            | {"n_queries": len(per_query)}
+        )
     print(line)
 
 

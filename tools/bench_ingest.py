@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -47,6 +48,15 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     work = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        _run(spark, li, work, sf_dir)
+    finally:
+        # two lineitem-sized CSV copies + a snapshot table per run would
+        # otherwise accumulate in /tmp until Spark scratch writes fail
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _run(spark, li, work: str, sf_dir: str) -> None:
     table = SnapshotTable(os.path.join(work, "products"), CLIENT_PRODUCTS_SCHEMA)
 
     src = li.select(

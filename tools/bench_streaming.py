@@ -26,6 +26,7 @@ Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/bench_streaming.py
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -79,7 +80,10 @@ def _batch_latency(q) -> dict:
         return {"n_batches": 0}
 
     def pct(p: float) -> float:
-        return durs[min(len(durs) - 1, int(p * len(durs)))] / 1000.0
+        # nearest-rank: ceil(p*n)-1. int(p*n) is one rank high — it makes
+        # p95 equal the MAX for any n <= 20, overstating the SLA figure
+        idx = max(0, math.ceil(p * len(durs)) - 1)
+        return durs[idx] / 1000.0
 
     return {
         "n_batches": len(durs),
@@ -125,7 +129,11 @@ def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
         # twice and latency never)
         reader_options={"maxFilesPerTrigger": 1},
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # a timed-out drain must not fall through to read a half-merged
+        # table and publish numbers for an unfinished run
+        q.stop()
+        raise RuntimeError("ingest stream did not drain within 600s")
     wall = time.time() - t0
     lat = _batch_latency(q)
     merged = table.read(spark, 1).count()

@@ -88,6 +88,12 @@ def main() -> int:
     spark = get_spark("correctness", cpus=os.environ.get("SPARK_GRAFT_CPUS", 8))
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise skip every entry and print a green
+        # ALL PASS having verified nothing
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -67,9 +67,16 @@ def main() -> None:
         plan = buf.getvalue()
         print(f"{'=' * 20} {name} {'=' * 20}")
         print(plan)
+        # per-scan count, not all-or-nothing: nearly every multi-join plan
+        # has at least one legitimately filterless dimension scan, which
+        # would make a boolean flag read False even when the predicate the
+        # tool exists to verify IS pushed
+        pushed = plan.count("PushedFilters: [") - plan.count(
+            "PushedFilters: []"
+        )
+        scans = plan.count("PushedFilters: [")
         checks = {
-            "PushedFilters": "PushedFilters: [" in plan
-            and "PushedFilters: []" not in plan,
+            "PushedFilters": f"{pushed}/{scans} scans",
             "BroadcastHashJoin": "BroadcastHashJoin" in plan,
             "TakeOrdered": "TakeOrderedAndProject" in plan,
             "WholeStageCodegen": "codegen id" in plan,
