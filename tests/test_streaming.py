@@ -187,3 +187,46 @@ def test_stream_replay_is_exactly_once_for_empty_sku_inserts(
     q2.awaitTermination(120)
     rows = products_table.read(spark, 1).collect()
     assert len(rows) == 2  # empty-sku row NOT appended twice
+
+
+def test_stream_merge_retries_on_publish_conflict(
+    spark, products_table, tmp_path
+):
+    """The streaming merge runs the batch path's optimistic-concurrency
+    loop: a publish that loses the race (SnapshotConflictError) must force
+    a re-read + re-merge and then commit — not drop the batch or die."""
+    from client_data_ingester_spark.tables.snapshot import (
+        SnapshotConflictError,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "f1.csv").write_text("sku,title,active\nS1,One,1\n")
+
+    real = products_table.overwrite_partitions
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate a concurrent writer having landed first
+            raise SnapshotConflictError("simulated interleaved publish")
+        return real(*args, **kwargs)
+
+    products_table.overwrite_partitions = flaky
+    try:
+        q = start_ingest_stream(
+            spark,
+            products_table,
+            str(landing),
+            str(tmp_path / "ckpt"),
+            CFG,
+            client_id=1,
+            source_columns=["sku", "title", "active"],
+        )
+        q.awaitTermination(120)
+    finally:
+        products_table.overwrite_partitions = real
+    assert calls["n"] == 2  # one conflict, one committed retry
+    got = {r["sku"] for r in products_table.read(spark, 1).collect()}
+    assert got == {"S1"}
