@@ -2082,14 +2082,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand = 'Brand#13'),
         thr AS (
+            -- exact rational threshold (qty*n*5 < sum*1 == qty < avg/5):
+            -- a double AVG is partition-order-dependent and could flip a
+            -- boundary lineitem between engines
             SELECT l_partkey AS _tp_key,
-                   AVG(CAST(l_quantity AS DOUBLE)) * 0.2 AS _qty_thr
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS _sum_q,
+                   COUNT(*) AS _n_q
             FROM br_li GROUP BY l_partkey)
         SELECT CAST(FLOOR(CAST(SUM({money('l_extendedprice')}) AS DOUBLE) / 7.0
                           * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_yearly,
                COUNT(*) AS n_small_lines
         FROM br_li JOIN thr ON l_partkey = _tp_key
-        WHERE CAST(l_quantity AS DOUBLE) < _qty_thr
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * _n_q * 5 < _sum_q * 1
     """
 
     o["q19_disjunctive_revenue"] = f"""
@@ -3127,11 +3131,15 @@ def oracle_sql() -> dict[str, str]:
                        * (CAST(1 AS DECIMAL(4,2))
                           - CAST(l_discount AS DECIMAL(4,2)))
                        * (CAST(1 AS DECIMAL(4,2))
-                          + CAST(l_tax AS DECIMAL(4,2)))) AS s
+                          + CAST(l_tax AS DECIMAL(4,2)))) AS s,
+                   COUNT(*) AS n_li
             FROM lineitem GROUP BY l_orderkey),
         cl AS (
+            -- n_li disambiguates: join miss = childless; children whose
+            -- money columns are all NULL = dirty data, a mismatch
             SELECT o.o_orderstatus,
-                   CASE WHEN rec.s IS NULL THEN 'childless'
+                   CASE WHEN rec.n_li IS NULL THEN 'childless'
+                        WHEN rec.s IS NULL THEN 'mismatch'
                         WHEN CAST(o.o_totalprice AS DECIMAL(12,2)) = rec.s
                              THEN 'match'
                         ELSE 'mismatch' END AS c
@@ -4231,9 +4239,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["asof_join_last_event"] = """
         WITH j AS (
+            -- +10^18 offset: keeps the pack positive for pre-epoch ts /
+            -- negative ids (a '-' inside lpad inverts lexicographic order)
             SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-                   LPAD(CAST(EPOCH_US(e.ts) AS VARCHAR), 20, '0')
-                   || LPAD(CAST(e.event_id AS VARCHAR), 20, '0') AS pack
+                   LPAD(CAST(EPOCH_US(e.ts) + 1000000000000000000 AS VARCHAR), 20, '0')
+                   || LPAD(CAST(e.event_id + 1000000000000000000 AS VARCHAR), 20, '0') AS pack
             FROM orders o
             LEFT JOIN events e
               ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
@@ -4241,8 +4251,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderdate, MAX(pack) AS _pack
             FROM j GROUP BY 1, 2, 3)
         SELECT o_orderkey, o_custkey, o_orderdate,
-               TRY_CAST(SUBSTR(_pack, 21, 20) AS BIGINT) AS last_event_id,
-               MAKE_TIMESTAMP(TRY_CAST(SUBSTR(_pack, 1, 20) AS BIGINT)) AS last_event_ts
+               TRY_CAST(SUBSTR(_pack, 21, 20) AS BIGINT)
+                   - 1000000000000000000 AS last_event_id,
+               MAKE_TIMESTAMP(TRY_CAST(SUBSTR(_pack, 1, 20) AS BIGINT)
+                   - 1000000000000000000) AS last_event_ts
         FROM a
     """
 

@@ -58,7 +58,10 @@ def ngram_rows(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame
     grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
     return (
         staged.select("doc_id", F.explode_outer(grams).alias("g"))
-        .filter(F.col("g").isNotNull())
+        # != '': an empty words array (empty doc) regenerates a '' gram
+        # via join(slice([])); legit grams are never '' (words are
+        # non-empty after words_expr)
+        .filter(F.col("g").isNotNull() & (F.col("g") != ""))
     )
 
 

@@ -34,7 +34,15 @@ def norm_text(c: Column) -> Column:
 
 
 def words_expr(c: Column) -> Column:
-    return F.split(norm_text(c), " ")
+    """Word array of normalized text. Empty/whitespace-only text yields an
+    EMPTY array, not [''] — split('', ' ') returns [''], which would flow
+    an empty-string "word" through every shingle/n-gram/token pipeline
+    (all empty docs sharing the '' shingle would read as near-duplicates
+    of each other, and contamination would hit 100% on empty eval docs).
+    array_remove is a native expression (no higher-order lambda); after
+    trim+collapse, '' can only appear for empty text, so this is a no-op
+    on any non-empty document."""
+    return F.array_remove(F.split(norm_text(c), " "), "")
 
 
 def word_shingles(c: Column, k: int) -> Column:
@@ -49,10 +57,16 @@ def word_shingles(c: Column, k: int) -> Column:
     ws = words_expr(c)
     n = F.size(ws)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " ")
-        )
+    # array_remove: an EMPTY words array (empty doc) would otherwise
+    # regenerate [''] here (slice of [] joins to ''); short-but-nonempty
+    # docs keep their partial shingle
+    return F.array_remove(
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " ")
+            )
+        ),
+        "",
     )
 
 
@@ -68,8 +82,14 @@ def shingle_arrays(
     staged = docs.select("doc_id", words_expr(F.col(text_col)).alias("_ws"))
     ws = F.col("_ws")
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(0)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
+    # array_remove: same empty-doc guard as word_shingles
+    sh = F.array_remove(
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " ")
+            )
+        ),
+        "",
     )
     return staged.select("doc_id", sh.alias("sh"))
 
@@ -167,7 +187,11 @@ def minhash_band_keys(
     "hash the new docs, equi-join the index" (see
     :func:`incremental_lsh_candidates`) instead of re-signing the corpus.
     """
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:
+        # a real raise, not assert: under python -O a non-dividing bands
+        # would silently use only num_perm//bands*bands permutations,
+        # quietly changing LSH recall
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, num_perm, shingle_k)
     band_exprs = []
@@ -558,6 +582,11 @@ def cluster_representatives(
     # 12-digit pad silently corrupts the key for doc_id ≥ 10^12 — reachable
     # with sparse monotonically_increasing_id (partition p starts at p·2^33,
     # 13 digits at ~117 partitions). 20 digits covers all of int64.
+    # DOMAIN: the pack assumes NON-NEGATIVE numeric ids (this repo's id
+    # contract — monotonically_increasing_id and the snapshot ledger never
+    # mint negatives); a negative id's '-' inside the pad, or a >20-char
+    # string id, would corrupt the tie-break ordering. For external string
+    # id spaces (UUIDs), pass ids through a numeric surrogate first.
     pack = F.concat(
         F.lpad((F.lit(10000) - F.col("_q4")).cast("string"), 5, "0"),
         F.lpad(F.col("doc_id").cast("string"), 20, "0"),

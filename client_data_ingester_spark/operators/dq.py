@@ -41,7 +41,12 @@ def orders_totalprice_audit(
             F.col("l_extendedprice").cast(_PRICE)
             * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
             * (F.lit(1).cast(_RATE) + F.col("l_tax").cast(_RATE))
-        ).alias("_s")
+        ).alias("_s"),
+        # the child count disambiguates the two NULL-sum cases: a left-
+        # join miss (no lineitems -> childless) vs lineitems whose money
+        # columns are all NULL (SUM over NULLs is NULL -> that's dirty
+        # data, a mismatch — exactly what the audit exists to surface)
+        F.count(F.lit(1)).alias("_n_li"),
     )
     joined = orders.select(
         "o_orderkey",
@@ -49,7 +54,8 @@ def orders_totalprice_audit(
         F.col("o_totalprice").cast(_PRICE).alias("_stored"),
     ).join(recomputed, F.col("o_orderkey") == F.col("l_orderkey"), "left")
     cls = (
-        F.when(F.col("_s").isNull(), F.lit("childless"))
+        F.when(F.col("_n_li").isNull(), F.lit("childless"))
+        .when(F.col("_s").isNull(), F.lit("mismatch"))
         .when(F.col("_stored") == F.col("_s"), F.lit("match"))
         .otherwise(F.lit("mismatch"))
     )

@@ -41,7 +41,10 @@ def hopping_window_agg(
     the slide. The streaming twin runs the same expression under a watermark;
     the struct bounds are flattened to plain timestamp columns for the
     cross-engine hash."""
-    assert size_minutes % slide_minutes == 0
+    if size_minutes % slide_minutes != 0:
+        raise ValueError(
+            f"slide ({slide_minutes}m) must divide size ({size_minutes}m)"
+        )
     w = F.window(
         F.col("ts"), f"{size_minutes} minutes", f"{slide_minutes} minutes"
     )
@@ -132,10 +135,17 @@ def asof_join_orders_events(orders: DataFrame, events: DataFrame) -> DataFrame:
     # Deterministic argmax on (ts, event_id) via a sortable string pack —
     # portable to engines whose arg_max can't take a composite key.
     # 20-digit pads: lpad TRUNCATES over-length input, which would corrupt
-    # the key silently for ids ≥ 10^12; 20 digits covers all of int64.
+    # the key silently for ids ≥ 10^12; 20 digits covers the shifted
+    # domain. The +10^18 offset keeps the packed number POSITIVE for
+    # pre-epoch timestamps / negative ids: lpad of '-9000000' keeps the
+    # sign INSIDE the padded string, where lexicographic MAX inverts the
+    # numeric order of negatives ('1' < '9' would pick -9s over -1s).
+    # Domain: values ≥ -10^18 µs (year -29698) — loudly beyond any event
+    # log — and ≤ ~8.2×10^18 (int64 headroom).
+    off = F.lit(10**18).cast("long")
     pack = F.concat(
-        F.lpad(F.unix_micros(F.col("ev_ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        F.lpad((F.unix_micros(F.col("ev_ts")) + off).cast("string"), 20, "0"),
+        F.lpad((F.col("event_id") + off).cast("string"), 20, "0"),
     )
     agg = j.groupBy("o_orderkey", "o_custkey", "o_orderdate").agg(
         F.max(pack).alias("_pack")
@@ -144,9 +154,11 @@ def asof_join_orders_events(orders: DataFrame, events: DataFrame) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.substring("_pack", 21, 20).try_cast("long").alias("last_event_id"),
+        (F.substring("_pack", 21, 20).try_cast("long") - off).alias(
+            "last_event_id"
+        ),
         F.timestamp_micros(
-            F.substring("_pack", 1, 20).try_cast("long")
+            F.substring("_pack", 1, 20).try_cast("long") - off
         ).alias("last_event_ts"),
     )
 
@@ -207,7 +219,8 @@ def funnel_steps(
     steps_completed.
     """
     steps = steps or ["view", "click", "purchase"]
-    assert steps, "funnel needs at least one step"
+    if not steps:
+        raise ValueError("funnel needs at least one step")
     reached = (
         events.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")

@@ -1043,10 +1043,16 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing: fan out video rows to one row per sampled
     frame index (the decode of each frame is the stubbed step)."""
-    vids = media.filter(F.col("kind") == "video")
+    # zero-frame / missing-frame-count videos are legal inputs (see
+    # _decode_real) and must emit NO sampled frames — without the filter,
+    # greatest(n_frames-1, 0) turns the empty range into sequence(0,0)
+    # = [0], a phantom frame_idx=0 row pointing into an empty container
+    vids = media.filter(
+        (F.col("kind") == "video") & (F.col("meta.n_frames") > 0)
+    )
     idx = F.sequence(
         F.lit(0),
-        F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(0)) - 1, F.lit(0)),
+        F.col("meta.n_frames") - 1,
         F.lit(every_n),
     )
     return vids.select(

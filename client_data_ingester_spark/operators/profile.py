@@ -121,6 +121,11 @@ def profile_table(
     """
     if ndv_mode is None:
         ndv_mode = "exact" if exact_ndv else "hllpp"
+    if ndv_mode not in ("exact", "hllpp", "portable"):
+        # loud, not a silent hllpp fallback: a typo'd mode would return
+        # an engine-specific estimate that breaks the deterministic
+        # profile contract with no signal at the call site
+        raise ValueError(f"unknown ndv_mode {ndv_mode!r}")
     if ndv_mode == "portable":
         return _profile_portable(table, columns, p)
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -184,16 +189,12 @@ def profile_table(
 
 
 def _hll_consts(p: int) -> tuple[int, int, str, str]:
-    m = 2**p
-    scale = (60 - p) + 1  # register term exponent ceiling (W + 1)
-    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
-    raw = f"{alpha} * {m * m} * CAST({2 ** scale} AS DOUBLE) / s_int"
-    est = (
-        f"CASE WHEN {raw} <= 2.5 * {m} AND zeros > 0 "
-        f"THEN {m} * LN(CAST({m} AS DOUBLE) / zeros) "
-        f"ELSE {raw} END"
-    )
-    return m, scale, raw, est
+    # single source of truth for the estimator formula (sketch.py) — a
+    # coefficient edit there reaches the sketch estimate, its DuckDB
+    # oracle, and this portable-ndv mode together
+    from .sketch import hll_formula
+
+    return hll_formula(p)
 
 
 def _profile_portable(

@@ -755,17 +755,30 @@ def small_quantity_revenue(
     (semi-join reduction first, then aggregate), not the whole fact table,
     and the threshold comparison is a cheap hash-join probe. This is the
     plan a correlated subquery should decorrelate to at 100 TB.
+
+    The threshold test is EXACT: ``qty * n * denom < sum_qty * num``
+    (``qty_fraction`` as a rational) in decimal arithmetic instead of
+    ``qty < avg * fraction`` in floats — a double AVG is a partition-
+    order-dependent sum, so a boundary lineitem could drift in or out of
+    ``small`` between runs/engines (the module-wide float-'==' rule).
     """
+    from fractions import Fraction
+
+    fr = Fraction(qty_fraction).limit_denominator(1_000_000)
     bp = part.filter(F.col("p_brand") == brand).select("p_partkey")
     br_li = lineitem.join(bp, lineitem.l_partkey == bp.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
+    qd = F.col("l_quantity").cast("decimal(18,2)")
     thresholds = br_li.groupBy("l_partkey").agg(
-        (F.avg(F.col("l_quantity").cast("double")) * qty_fraction).alias("_qty_thr")
-    ).select(F.col("l_partkey").alias("_tp_key"), "_qty_thr")
+        F.sum(qd).alias("_sum_q"), F.count(F.lit(1)).alias("_n_q")
+    ).select(F.col("l_partkey").alias("_tp_key"), "_sum_q", "_n_q")
     small = br_li.join(
         thresholds, br_li.l_partkey == F.col("_tp_key")
-    ).filter(F.col("l_quantity").cast("double") < F.col("_qty_thr"))
+    ).filter(
+        qd * F.col("_n_q") * F.lit(fr.denominator)
+        < F.col("_sum_q") * F.lit(fr.numerator)
+    )
     avg_yearly = (
         F.floor(
             F.sum(_money("l_extendedprice")).cast("double") / 7.0 * 10000

@@ -52,6 +52,26 @@ def _hash60(c: Column) -> Column:
     )
 
 
+def hll_formula(p: int) -> "tuple[int, int, str, str]":
+    """``(m, scale, raw, est)`` — the estimator formula shared by
+    :func:`hll_estimate`, :func:`hll_oracle_sql`, and the profile
+    module's portable-ndv mode. ONE source of truth (the codec module's
+    ``_gen_bgr`` rule): a coefficient edit here reaches every consumer,
+    so the Spark estimate, the DuckDB oracle, and the profile ndv can
+    never silently desynchronize. The strings reference the column names
+    ``s_int`` / ``zeros`` of the register-collapse relation."""
+    m = 2**p
+    scale = (60 - p) + 1  # register term exponent ceiling (W + 1)
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    raw = f"{alpha} * {m * m} * CAST({2 ** scale} AS DOUBLE) / s_int"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m} * LN(CAST({m} AS DOUBLE) / zeros) "
+        f"ELSE {raw} END"
+    )
+    return m, scale, raw, est
+
+
 def hll_registers(
     df: DataFrame,
     value_col: str,
@@ -104,9 +124,7 @@ def hll_estimate(
     to one decimal so the value renders identically cross-engine.
     """
     group_cols = group_cols or []
-    m = 2**p
-    scale = (60 - p) + 1  # register term exponent ceiling (W + 1)
-    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    m, scale, raw, est = hll_formula(p)
     per_group = registers.groupBy(*group_cols).agg(
         F.count("*").cast("int").alias("n_used"),
         # pyspark's shiftleft() binding only takes a literal int shift;
@@ -118,14 +136,6 @@ def hll_estimate(
     s_int = (
         F.col("s_used") + F.col("zeros").cast("long") * F.lit(2**scale)
     ).alias("s_int")
-    raw = (
-        f"{alpha} * {m * m} * CAST({2 ** scale} AS DOUBLE) / s_int"
-    )
-    est = (
-        f"CASE WHEN {raw} <= 2.5 * {m} AND zeros > 0 "
-        f"THEN {m} * LN(CAST({m} AS DOUBLE) / zeros) "
-        f"ELSE {raw} END"
-    )
     return (
         per_group.withColumn("zeros", F.lit(m) - F.col("n_used"))
         .select(
@@ -163,19 +173,11 @@ def hll_oracle_sql(
 ) -> str:
     """The DuckDB-dialect twin of :func:`hll_distinct` (exact oracle)."""
     group_cols = group_cols or []
-    m = 2**p
-    w_bits = 60 - p
-    scale = w_bits + 1
+    m, scale, raw, est = hll_formula(p)
+    w_bits = scale - 1
     gsel = "".join(f"{c}, " for c in group_cols)
     gby_b = ", ".join(group_cols + ["bucket"]) or "bucket"
     gby = ", ".join(group_cols)
-    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
-    raw = f"{alpha} * {m * m} * CAST({2 ** scale} AS DOUBLE) / s_int"
-    est = (
-        f"CASE WHEN {raw} <= 2.5 * {m} AND zeros > 0 "
-        f"THEN {m} * LN(CAST({m} AS DOUBLE) / zeros) "
-        f"ELSE {raw} END"
-    )
     return f"""
 WITH hashed AS (
   SELECT {gsel}('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, {_HEX_DIGITS}))::BIGINT AS h
@@ -423,7 +425,8 @@ def _digest_bits(m_bits: int, k: int) -> "list[Column]":
     ``d`` must be a STAGED named column (its own projection) so the three
     references share one md5 evaluation instead of re-inlining it.
     """
-    assert k * 10 <= 32, "md5 has 32 hex chars: at most 3 ten-char slices"
+    if k * 10 > 32:
+        raise ValueError("md5 has 32 hex chars: at most 3 ten-char slices")
     return [
         F.pmod(
             F.conv(
@@ -573,7 +576,9 @@ def contaminated_spans(
         staged.select(
             "doc_id", F.posexplode_outer(sh_arr).alias("pos", "sh")
         )
-        .filter(F.col("sh").isNotNull())
+        # != '': an empty words array (empty doc) regenerates a '' shingle
+        # via join(slice([])); legit shingles are never ''
+        .filter(F.col("sh").isNotNull() & (F.col("sh") != ""))
         .select("doc_id", "pos", F.md5(F.col("sh")).alias("d"))
     )
     hits = (

@@ -126,6 +126,15 @@ def test_multimodal_plumbing_roundtrip(spark):
     frames = M.frame_sample(media, every_n=10)
     assert frames.columns == ["media_id", "frame_idx", "n_frames"]
     assert frames.filter(F.col("frame_idx") % 10 != 0).count() == 0
+    # zero-frame / unknown-frame-count videos emit NO sampled frames (a
+    # phantom frame_idx=0 row would index into an empty container)
+    degenerate = spark.createDataFrame(
+        [(99, "video", 0), (98, "video", None)],
+        "media_id long, kind string, nf int",
+    ).select(
+        "media_id", "kind", F.struct(F.col("nf").alias("n_frames")).alias("meta")
+    )
+    assert M.frame_sample(degenerate).count() == 0
 
 
 def test_real_decode_raises_not_implemented(spark):
@@ -2242,3 +2251,59 @@ def test_dq_pk_and_domain_audits(spark):
     assert out["shipdate_in_era"].n_violations == 1
     assert out["returnflag_in_domain"].n_violations == 1
     assert out["linestatus_in_domain"].n_violations == 0
+
+
+def test_empty_docs_emit_no_words_shingles_or_grams(spark):
+    """Empty/whitespace-only text must yield EMPTY token structures —
+    split('', ' ') returns [''], which would flow a '' word/shingle/gram
+    through every dedup and corpus operator (all empty docs sharing the
+    '' shingle would read as near-duplicates; contamination would hit
+    100% on empty eval docs against any empty train doc)."""
+    from client_data_ingester_spark.operators.corpus import (
+        ngram_rows,
+        word_rows,
+    )
+    from client_data_ingester_spark.operators.dedup import (
+        exploded_shingles,
+        lsh_candidate_pairs,
+        shingle_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"), (4, "real words here ok")],
+        "doc_id long, text string",
+    )
+    assert word_rows(docs).filter(F.col("doc_id") != 4).count() == 0
+    assert exploded_shingles(docs).filter(F.col("doc_id") != 4).count() == 0
+    assert ngram_rows(docs).filter(F.col("doc_id") != 4).count() == 0
+    [row] = shingle_arrays(docs).filter(F.col("doc_id") == 1).collect()
+    assert row["sh"] == []
+    # and therefore empty docs are NOT near-duplicate candidates of each
+    # other (they share no shingle, hence no band key)
+    assert lsh_candidate_pairs(docs).count() == 0
+
+
+def test_asof_join_handles_pre_epoch_events(spark):
+    """Pre-1970 timestamps pack to negative unix_micros; without the
+    positive offset, lexicographic MAX over the lpad'd pack inverts the
+    order of negatives and picks the EARLIER event as latest."""
+    import datetime as dt
+
+    from client_data_ingester_spark.operators.events import (
+        asof_join_orders_events,
+    )
+
+    orders = spark.createDataFrame(
+        [(100, 7, dt.date(1971, 1, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate date",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(1969, 12, 31, 23, 59, 51)),  # -9s
+            (2, 7, dt.datetime(1969, 12, 31, 23, 59, 59)),  # -1s, LATEST
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    [row] = asof_join_orders_events(orders, events).collect()
+    assert row["last_event_id"] == 2
+    assert row["last_event_ts"] == dt.datetime(1969, 12, 31, 23, 59, 59)
