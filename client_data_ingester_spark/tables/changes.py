@@ -60,10 +60,27 @@ def _read_partitions(
         *[os.path.join(table.root, d) for d in dirs]
     )
     # dirs may be shared across partitions; the predicate keeps the diff
-    # scoped to the changed partition values
-    return df.filter(
-        F.col(table.partition_col).cast("string").isin(parts)
-    )
+    # scoped to the changed partition values. The manifest keys were
+    # minted with Python str() (snapshot.overwrite_partitions), whose
+    # rendering diverges from Spark's cast-to-string for booleans
+    # ('True' vs 'true'), sub-second timestamps ('.500000' vs '.5') and
+    # large floats ('1e+20' vs '1.0E20') — so match by casting the KEY
+    # back to the column's native type instead (Spark's string->T cast
+    # parses every str() rendering: case-insensitive booleans, padded
+    # fractions, exponent forms). try_cast keeps an unparseable key from
+    # aborting the read under ANSI; such a key matches nothing — except
+    # 'None', whose NULL try_cast eqNullSafe-matches the NULL-partition
+    # rows str(None) minted it for.
+    dtype = df.schema[table.partition_col].dataType
+    pc = F.col(table.partition_col)
+    pred = F.lit(False)
+    for p in parts:
+        key = F.lit(p).try_cast(dtype)
+        if p == "None":
+            pred = pred | pc.eqNullSafe(key)
+        else:
+            pred = pred | (pc == key)
+    return df.filter(pred)
 
 
 def changes_between(

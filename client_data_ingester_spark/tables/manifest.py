@@ -265,7 +265,16 @@ def prune_files(
     keep = m.filter(
         F.col("min_num").isNull() | ~excluded
     )
-    return sorted(r["file"] for r in keep.select("file").collect())
+    files = sorted(r["file"] for r in keep.select("file").collect())
+    if not files and m.limit(1).count() == 0:
+        # the manifest carries NO stats rows for this column (it wasn't in
+        # the build's column list). "Missing stats keep the file" applies
+        # to the whole table, not just per-row — returning [] here would
+        # silently turn an unmanifested-column prune into zero results.
+        return sorted(
+            r["file"] for r in manifest.select("file").distinct().collect()
+        )
+    return files
 
 
 def read_pruned(
@@ -307,9 +316,43 @@ def read_pruned(
         full = spark.read.parquet(table_path)
         return full.filter(F.lit(False))
     df = spark.read.option("basePath", table_path).parquet(*files)
+    cmp_col = _stats_domain_col(df, col_name)
     pred = F.lit(True)
     if lo is not None:
-        pred = pred & (F.col(col_name) >= F.lit(lo))
+        pred = pred & (cmp_col >= F.lit(float(lo)))
     if hi is not None:
-        pred = pred & (F.col(col_name) <= F.lit(hi))
+        pred = pred & (cmp_col <= F.lit(float(hi)))
     return df.filter(pred)
+
+
+def _stats_domain_col(df: DataFrame, col_name: str):
+    """The column rendered in the manifest's ``min_num``/``max_num``
+    domain, so ``read_pruned``'s re-applied predicate compares like with
+    like. ``build_manifest`` stores numerics as doubles and
+    timestamps/dates as epoch MICROSECONDS — comparing a raw timestamp
+    column to a double literal is a Spark type error
+    (DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES), not an implicit coercion, so
+    the temporal columns the manifest explicitly supports need the same
+    epoch-micros rendering at read time. Non-range-able types (string,
+    boolean — the manifest keeps their stats in ``min_str``/``max_str``,
+    which ``prune_files`` never consults) are rejected loudly rather than
+    silently scanning everything."""
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(col_name)).cast("double")
+    if isinstance(dt, T.DateType):
+        # days since epoch -> micros at midnight UTC, matching the
+        # pd.Timestamp(...).value // 1000 rendering in build_manifest
+        # (independent of the session timezone, unlike cast-to-timestamp)
+        return (
+            F.datediff(F.col(col_name), F.lit("1970-01-01")).cast("double")
+            * F.lit(86400.0 * 1_000_000.0)
+        )
+    if isinstance(dt, T.NumericType):
+        return F.col(col_name).cast("double")
+    raise ValueError(
+        f"column {col_name!r} has type {dt.simpleString()}: range pruning "
+        "covers numeric, timestamp, and date columns (whose stats land in "
+        "min_num/max_num as doubles / epoch-micros); string and boolean "
+        "stats are not range-pruned"
+    )

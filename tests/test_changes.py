@@ -244,3 +244,67 @@ def test_changes_table_builder_recovers_from_partial_build(spark):
     t2 = entry._changes_table(spark, sf)
     assert t2.current_manifest().version == 2
     assert changes_between(spark, t2, ["sku"], 1, 2).count() == n_changes
+
+
+def test_change_feed_on_boolean_partition_col(spark, tmp_path):
+    """Partition keys are minted with Python str() ('True'), but rows
+    were previously matched with Spark cast-to-string ('true') — a
+    boolean-partitioned table's change feed silently reported zero
+    changes (regression: the key is now cast back to the column's native
+    type, which parses either rendering)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    t = SnapshotTable(str(tmp_path / "bt"), schema, partition_col="flag")
+    t.overwrite_partitions(
+        spark.createDataFrame(
+            [(1, True, "a"), (2, True, "b"), (3, False, "z")], schema
+        ),
+        [True, False],
+    )
+    t.overwrite_partitions(
+        spark.createDataFrame([(1, True, "a"), (2, True, "B2")], schema),
+        [True],
+    )
+    assert changed_partitions(t, 1, 2) == ["True"]
+    feed = {
+        r["id"]: r["change_type"]
+        for r in changes_between(spark, t, ["id"], 1, 2).collect()
+    }
+    assert feed == {2: "update"}
+
+
+def test_change_feed_on_subsecond_timestamp_partition_col(spark, tmp_path):
+    """str(datetime) renders '.500000' where Spark's cast renders '.5' —
+    the string-space match dropped every row of a sub-second-timestamp
+    partition from the feed."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("batch_ts", T.TimestampType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    t = SnapshotTable(str(tmp_path / "tt"), schema, partition_col="batch_ts")
+    t.overwrite_partitions(
+        spark.createDataFrame([(1, ts, "a"), (2, ts, "b")], schema), [ts]
+    )
+    t.overwrite_partitions(
+        spark.createDataFrame([(1, ts, "a")], schema), [ts]
+    )
+    feed = {
+        r["id"]: r["change_type"]
+        for r in changes_between(spark, t, ["id"], 1, 2).collect()
+    }
+    assert feed == {2: "delete"}

@@ -220,3 +220,53 @@ def test_snapshot_manifest_build_has_no_driver_walk(
     assert {r["col_name"] for r in rows} == {"stock_quantity"}
     assert min(r["min_num"] for r in rows) == 0.0
     assert max(r["max_num"] for r in rows) == 19.0
+
+
+def test_pruned_read_on_timestamp_column_equals_full_scan(
+    spark, events_by_day
+):
+    """The temporal path end to end: ts stats are stored as epoch MICROS,
+    so read_pruned must compare the timestamp column in that domain — a
+    raw ts-vs-double comparison is a Spark type error, not a coercion
+    (regression: every pruned read on a temporal column crashed with
+    DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES)."""
+    manifest = build_manifest(spark, events_by_day, ["ts"]).cache()
+    span = manifest.agg(
+        F.min("min_num").alias("lo"), F.max("max_num").alias("hi")
+    ).collect()[0]
+    one_day_us = 24 * 3600 * 1_000_000
+    lo, hi = span["lo"], min(span["lo"] + one_day_us, span["hi"])
+    pruned = read_pruned(spark, events_by_day, manifest, "ts", lo, hi)
+    full = spark.read.parquet(events_by_day).filter(
+        (F.unix_micros(F.col("ts")) >= lo) & (F.unix_micros(F.col("ts")) <= hi)
+    )
+    got = sorted(r["event_id"] for r in pruned.select("event_id").collect())
+    want = sorted(r["event_id"] for r in full.select("event_id").collect())
+    assert got == want and len(got) > 0
+
+
+def test_prune_on_unmanifested_column_keeps_every_file(
+    spark, events_by_day
+):
+    """A column that was never in the manifest's build list has no stats
+    rows at all — evidence-based pruning must keep EVERY file (regression:
+    the col_name filter matched nothing and the prune silently returned
+    zero files, turning the pruned read into an empty relation)."""
+    manifest = build_manifest(spark, events_by_day, ["value"]).cache()
+    kept = prune_files(manifest, "user_id", 0.0, 1.0)
+    assert sorted(kept) == sorted(list_data_files(events_by_day))
+    # and the read stays full-scan-equivalent through the same gap
+    pruned = read_pruned(spark, events_by_day, manifest, "user_id", 0.0, 5.0)
+    full = spark.read.parquet(events_by_day).filter(
+        (F.col("user_id") >= 0.0) & (F.col("user_id") <= 5.0)
+    )
+    assert pruned.count() == full.count() > 0
+
+
+def test_read_pruned_rejects_non_rangeable_column(spark, events_by_day):
+    """String/boolean stats live in min_str/max_str, which range pruning
+    never consults — a pruned read over one must fail loudly instead of
+    silently scanning everything."""
+    manifest = build_manifest(spark, events_by_day, ["event_type"]).cache()
+    with pytest.raises(ValueError, match="range pruning"):
+        read_pruned(spark, events_by_day, manifest, "event_type", 0.0, 1.0)
