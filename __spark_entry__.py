@@ -3235,8 +3235,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 13))
                         ::BIGINT % 16 AS INTEGER) AS shard_id,
                COUNT(*) AS n_docs,
-               BIT_XOR(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
-                                           || '|' || text), 1, 15))::BIGINT)
+               BIT_XOR(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|' ||
+                            (CASE WHEN text IS NULL THEN '0'
+                                  ELSE '1' || text END)), 1, 15))::BIGINT)
                    AS checksum
         FROM documents
         GROUP BY 1

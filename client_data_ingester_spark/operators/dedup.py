@@ -289,9 +289,30 @@ def lsh_candidate_pairs(
         if band_keys is not None
         else minhash_band_keys(docs, text_col, num_perm, bands, shingle_k)
     )
+    return in_bucket_pairs(buckets, "doc_id", "doc_a", "doc_b")
+
+
+def in_bucket_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    bucket_cols: tuple[str, str] = ("band", "key"),
+) -> DataFrame:
+    """Distinct ordered pairs (a < b) of ids sharing at least one bucket.
+
+    THE banded-LSH pair-generation idiom, shared by the minhash pipeline
+    here and the random-hyperplane pipeline
+    (``similarity.embedding_near_duplicates``) so a change to the
+    expansion (a bucket-size cap, an ordering tweak) lands in both: one
+    shuffle on the bucket key, ids collected and sorted per bucket, and
+    combinations expanded INSIDE the (tiny) bucket array — never a
+    self-join that would compute the key relation twice. Work is
+    O(Σ bucket²); bucket sizes are bounded by the hash's collision rate.
+    """
     grouped = (
-        buckets.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        keyed.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     ids = F.col("ids")
@@ -300,13 +321,13 @@ def lsh_candidate_pairs(
             ids,
             lambda x, i: F.transform(
                 F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
             ),
         )
     )
     return (
         grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select(f"p.{out_a}", f"p.{out_b}")
         .distinct()
     )
 

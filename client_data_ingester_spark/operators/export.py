@@ -122,14 +122,24 @@ def shard_checksums(
     row folds in with one XOR; a removed row folds OUT with the same
     XOR). This is the export-validation primitive: re-export the corpus
     anywhere and compare n_shards numbers instead of re-reading the
-    data."""
+    data.
+
+    NULL content hashes too: a bare ``concat`` null-propagates the
+    digest, and ``bit_xor`` skips nulls — so two exports differing only
+    in WHICH doc ids carry null text produced identical (n_docs,
+    checksum) pairs. The content is rendered with a null-flag prefix
+    ('0' for NULL, '1' || text otherwise — prefix-free, so '' and NULL
+    and a literal '0' all hash apart) to keep every counted row visible
+    in the checksum."""
     digest = F.conv(
         F.substring(
             F.md5(
                 F.concat(
                     F.col(id_col).cast("string"),
                     F.lit("|"),
-                    F.col(content_col),
+                    F.when(F.col(content_col).isNull(), F.lit("0")).otherwise(
+                        F.concat(F.lit("1"), F.col(content_col))
+                    ),
                 )
             ),
             1,

@@ -385,31 +385,14 @@ def embedding_near_duplicates(
     narrow 3-int-column scan and only the exact-cosine verify touches
     raw vectors, for candidates only. Recomputing inline is the ad-hoc
     fallback and re-pays bands x bits dot products per corpus row."""
+    from .dedup import in_bucket_pairs
+
     keys = (
         band_keys
         if band_keys is not None
         else rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
     )
-    grouped = (
-        keys.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    pairs = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    pairs = in_bucket_pairs(keys, "id", "id_a", "id_b")
     v = corpus.select(F.col(id_col), F.col(vec_col))
     a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

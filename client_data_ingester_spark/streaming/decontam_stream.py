@@ -33,8 +33,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from pyspark.sql import types as T
 
-from ..operators.sketch import bloom_probe
-from .dedup_stream import DOC_STREAM_SCHEMA
+from ..operators.sketch import BLOOM_K, bloom_probe
+from .dedup_stream import _doc_stream
 
 # what lands in clean_dir / quarantine_dir (batch_id is the partition
 # dir). Read the dirs back through read_routed(): a stream that never
@@ -68,21 +68,33 @@ def start_decontam_stream(
     quarantine_dir: str,
     eval_bits: DataFrame,
     shingle_k: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = BLOOM_K,
     query_name: str = "decontam_docs",
+    reader_options: dict | None = None,
 ) -> StreamingQuery:
     """Tail a directory of document json files; per micro-batch, probe the
     static eval bloom and route clean docs to ``clean_dir`` and flagged
     docs to ``quarantine_dir`` (idempotent ``batch_id=N`` shard dirs).
 
+    ``m_bits``/``k`` MUST match the geometry ``eval_bits`` was built with
+    (``bloom_registers``' knobs): bit positions are computed mod
+    ``m_bits``, so probing a 2²⁰-bit register table with the default 2¹⁶
+    geometry computes different positions than the build set — membership
+    joins miss and contaminated documents land in ``clean_dir`` as
+    "proven clean", silently breaking the one-sided guarantee.
+
     Drive deterministically with ``processAllAvailable()``; read results
     with :func:`read_routed` (``batch_id`` is a partition column, and the
-    explicit schema keeps an all-empty side readable).
+    explicit schema keeps an all-empty side readable). ``reader_options``
+    passes file-source knobs (e.g. ``maxFilesPerTrigger``) through to the
+    shared doc-stream reader.
     """
     bits = eval_bits.cache()  # static side, reused every micro-batch
 
     def _route_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select("doc_id", "ts", "text")
-        stats = bloom_probe(docs, bits, "text", shingle_k)
+        stats = bloom_probe(docs, bits, "text", shingle_k, m_bits, k)
         routed = docs.join(
             stats.select("doc_id", "n_bloom_hits", "dropped"), "doc_id", "left"
         ).select(
@@ -106,11 +118,7 @@ def start_decontam_stream(
         finally:
             routed.unpersist()
 
-    stream = (
-        spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .format("json")
-        .load(source_dir)
-    )
+    stream = _doc_stream(spark, source_dir, reader_options)
     return (
         stream.writeStream.outputMode("append")
         .queryName(query_name)

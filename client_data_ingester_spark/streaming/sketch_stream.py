@@ -83,8 +83,23 @@ def merged_registers(
     register_dir: str,
     group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """All shards folded to one register table (merge-on-read)."""
+    """All shards folded to one register table (merge-on-read).
+
+    Returns an EMPTY typed relation before the first micro-batch commit
+    (same poller contract as ``pq_stream.read_codes`` /
+    ``cluster_stream.merged_band_index``: a reader racing the stream's
+    first batch must see "nothing streamed yet", not PATH_NOT_FOUND).
+    Group-column types come from ``EVENT_STREAM_SCHEMA`` — the only
+    source these register streams ever read."""
+    import os
+
     group_cols = list(group_cols or [])
+    if not os.path.isdir(register_dir):
+        fields = [EVENT_STREAM_SCHEMA[c] for c in group_cols] + [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("r", T.IntegerType()),
+        ]
+        return spark.createDataFrame([], T.StructType(fields))
     return (
         spark.read.parquet(register_dir)
         .groupBy(*group_cols, "bucket")
@@ -177,11 +192,22 @@ def read_cms_estimate(
     standard CMS min-over-rows probe."""
     from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_estimate
 
+    import os
+
     depth = CMS_DEPTH if depth is None else depth
     width = CMS_WIDTH if width is None else width
-    merged = (
-        spark.read.parquet(register_dir)
-        .groupBy("r", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    if not os.path.isdir(register_dir):
+        # before the first commit: zero increments, so every probe
+        # estimates from the empty register table instead of the reader
+        # crashing with PATH_NOT_FOUND (poller contract shared with
+        # merged_registers / pq_stream.read_codes)
+        merged = spark.createDataFrame(
+            [], "r INT, bucket BIGINT, cnt BIGINT"
+        )
+    else:
+        merged = (
+            spark.read.parquet(register_dir)
+            .groupBy("r", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
     return cms_estimate(merged, probes, key_col, depth, width)

@@ -139,3 +139,54 @@ def test_all_clean_stream_quarantine_readable(spark, tmp_path):
         f.name for f in ROUTED_SCHEMA.fields
     ]
     assert read_routed(spark, clean).count() == 1
+
+
+def test_stream_probe_honors_custom_bloom_geometry(spark, tmp_path):
+    """A bloom built with non-default geometry must be probed with the
+    SAME m_bits/k (regression: the stream probed with defaults, so bit
+    positions computed mod 2^16 missed registers set mod 2^20 and
+    contaminated docs were routed to clean_dir as 'proven clean')."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    eval_docs = spark.createDataFrame(
+        [(100, EVAL_TEXT)], "doc_id long, text string"
+    )
+    sh = exploded_shingles(eval_docs, "text", 3).select("sh")
+    big_bits = bloom_registers(sh, "sh", m_bits=1 << 20)
+    _write_docs(
+        src / "b1.json",
+        [
+            {
+                "doc_id": 1,
+                "ts": "2024-01-01T10:00:00.000Z",
+                "text": EVAL_TEXT,
+            },
+            {
+                "doc_id": 2,
+                "ts": "2024-01-01T10:01:00.000Z",
+                "text": "an innocent document about gardening tips",
+            },
+        ],
+    )
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quarantine")
+    q = start_decontam_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        clean,
+        quar,
+        big_bits,
+        m_bits=1 << 20,
+        query_name="dc_geo",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(quar).collect()
+    ) == [1]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(clean).collect()
+    ) == [2]

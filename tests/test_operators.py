@@ -2307,3 +2307,28 @@ def test_asof_join_handles_pre_epoch_events(spark):
     [row] = asof_join_orders_events(orders, events).collect()
     assert row["last_event_id"] == 2
     assert row["last_event_ts"] == dt.datetime(1969, 12, 31, 23, 59, 59)
+
+
+def test_shard_checksums_see_null_content(spark):
+    """A NULL-text row must be visible in the checksum, not just the
+    count (regression: concat null-propagated the digest and bit_xor
+    skipped it, so exports differing only in WHICH ids carry null text
+    checksummed identically). '' and NULL and a literal '0' must all
+    hash apart (prefix-free null flag)."""
+    from client_data_ingester_spark.operators import export as EX
+
+    a = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, None)], "doc_id long, text string"
+    )
+    ck = lambda df: {
+        r["shard_id"]: (r["n_docs"], r["checksum"])
+        for r in EX.shard_checksums(df, 1).collect()
+    }
+    assert ck(a) != ck(b)
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    null = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    zero = spark.createDataFrame([(1, "0")], "doc_id long, text string")
+    assert len({ck(empty)[0], ck(null)[0], ck(zero)[0]}) == 3

@@ -166,3 +166,31 @@ def test_streaming_cms_matches_batch_counts(spark, tmp_path):
 
     exact = Counter(all_users)
     assert all(live[u] >= exact[u] for u in exact)
+
+
+def test_readers_before_first_commit_return_empty_not_path_error(
+    spark, tmp_path
+):
+    """A poller racing the stream's first micro-batch sees 'nothing
+    streamed yet' — an empty typed relation / zero estimates — instead of
+    PATH_NOT_FOUND (the guarded-reader contract the sibling modules
+    pq_stream.read_codes and cluster_stream.merged_band_index already
+    keep)."""
+    from client_data_ingester_spark.streaming.sketch_stream import (
+        merged_registers,
+        read_cms_estimate,
+        read_hll_estimate,
+    )
+
+    regs = str(tmp_path / "never_written")
+    assert merged_registers(spark, regs).count() == 0
+    assert merged_registers(spark, regs, ["event_type"]).columns == [
+        "event_type",
+        "bucket",
+        "r",
+    ]
+    est = read_hll_estimate(spark, regs).collect()
+    assert len(est) <= 1  # global estimate over zero registers
+    probes = spark.createDataFrame([(1,), (2,)], "user_id bigint")
+    cms = read_cms_estimate(spark, regs, probes, "user_id").collect()
+    assert all((r["est_count"] or 0) == 0 for r in cms)
