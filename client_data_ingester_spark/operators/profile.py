@@ -25,16 +25,17 @@ Two ndv modes, same output schema:
   against DuckDB).
 
 Third mode, ``ndv_mode="portable"`` — the open-state HLL from
-``operators/sketch.py`` (md5 bucketing, exact integer registers) riding
-the same single scan: an explode pivots each row into k per-column
-``(col, bucket, rho, base-stats)`` tuples and two bounded aggregations
-fold them (register relation of k×(m+1) groups, map-side combined), so
-the plan stays scan → project → generate → hash-aggregate — no Expand,
-one scan, bounded state — and the estimate is a deterministic
-cross-engine formula a DuckDB oracle reproduces bit-exactly
-(``portable_profile_oracle_sql``). Hash inputs are canonicalized per
-column kind (num → DECIMAL(30,6) string via TRY_CAST, ts → one explicit
-format, str → as-is) so both engines hash identical text.
+``operators/sketch.py`` (md5 bucketing, exact integer registers): base
+stats ride the ungrouped wide agg (one partial-agg row per task), and a
+second pass explodes each row into k per-column ``(col, bucket, rho)``
+int-only tuples folded by two HashAggregates (register relation of
+k×(m+1) groups, map-side combined, bounded state — no Expand, no sort;
+keeping strings out of the grouped fold is what keeps it hash-based).
+The estimate is a deterministic cross-engine formula a DuckDB oracle
+reproduces bit-exactly (``portable_profile_oracle_sql``). Hash inputs
+are canonicalized per column kind (num → DECIMAL(30,6) string via
+TRY_CAST, ts → one explicit format, str → as-is) so both engines hash
+identical text.
 """
 
 from __future__ import annotations
@@ -103,7 +104,7 @@ def profile_table(
     p: int = 6,
 ) -> DataFrame:
     """Profile ``columns`` (list of (name, kind) with kind in
-    ``num|str|ts``) in one scan; one output row per column.
+    ``num|str|ts``); one output row per column.
 
     Output: col_name, n_rows, n_nulls, ndv, min_num, max_num (DOUBLE,
     NULL for non-numeric), min_str, max_str (VARCHAR, NULL for numeric).
@@ -117,7 +118,8 @@ def profile_table(
     * ``"portable"`` — the open-state md5 HLL (explode into per-column
       register tuples + two bounded aggregations; deterministic
       cross-engine estimate, oracle via
-      :func:`portable_profile_oracle_sql`). Still one scan, no Expand.
+      :func:`portable_profile_oracle_sql`). Two column-pruned scan
+      passes (base stats + registers), no Expand, no sort.
     """
     if ndv_mode is None:
         ndv_mode = "exact" if exact_ndv else "hllpp"
@@ -128,6 +130,23 @@ def profile_table(
         raise ValueError(f"unknown ndv_mode {ndv_mode!r}")
     if ndv_mode == "portable":
         return _profile_portable(table, columns, p)
+    if ndv_mode == "exact":
+        ndv_agg = F.count_distinct
+    else:
+        ndv_agg = lambda c: F.approx_count_distinct(c, rsd)  # noqa: E731
+    return _stacked_base_stats(table, columns, ndv_agg)
+
+
+def _stacked_base_stats(table, columns, ndv_agg=None) -> DataFrame:
+    """One ungrouped wide agg + ``stack`` pivot → one row per column with
+    the base stats (n_rows, n_nulls, type-appropriate min/max).
+
+    The ungrouped aggregate is the cheap shape for strings too: with no
+    grouping keys there is nothing to sort, so the per-task partial state
+    is ONE row however the physical operator is named. ``ndv_agg``
+    (callable Column→Column) rides the same agg for the exact/hllpp
+    modes; ``None`` omits the ndv column entirely (the portable mode
+    joins its own register-fold estimate instead)."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for name, kind in columns:
         c = F.col(_bt(name))
@@ -136,10 +155,8 @@ def profile_table(
             .cast("long")
             .alias(f"{name}__nulls")
         )
-        if ndv_mode == "exact":
-            aggs.append(F.count_distinct(c).alias(f"{name}__ndv"))
-        else:
-            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{name}__ndv"))
+        if ndv_agg is not None:
+            aggs.append(ndv_agg(c).alias(f"{name}__ndv"))
         if kind == "num":
             aggs.append(F.min(c).cast("double").alias(f"{name}__min_num"))
             aggs.append(F.max(c).cast("double").alias(f"{name}__max_num"))
@@ -169,16 +186,18 @@ def profile_table(
         mx_str = (
             "CAST(NULL AS STRING)" if kind == "num" else _bt(f"{name}__max_str")
         )
+        ndv_part = f"{_bt(f'{name}__ndv')}, " if ndv_agg is not None else ""
         stack_args.append(
             f"{_sq(name)}, __rows, {_bt(f'{name}__nulls')}, "
-            f"{_bt(f'{name}__ndv')}, "
+            f"{ndv_part}"
             f"{mn_num}, {mx_num}, {mn_str}, {mx_str}"
         )
     n = len(columns)
+    ndv_header = "ndv, " if ndv_agg is not None else ""
     return one.select(
         F.expr(
             f"stack({n}, {', '.join(stack_args)}) AS "
-            "(col_name, n_rows, n_nulls, ndv, min_num, max_num, "
+            f"(col_name, n_rows, n_nulls, {ndv_header}min_num, max_num, "
             "min_str, max_str)"
         )
     )
@@ -224,98 +243,78 @@ def _profile_portable(
     sc = table.sparkSession.sparkContext
     if table.rdd.getNumPartitions() < sc.defaultParallelism:
         table = table.repartition(sc.defaultParallelism)
+
+    # base stats ride the plain ungrouped wide agg (same shape as the
+    # exact mode minus its Expand): one pass, one partial-agg row per
+    # task. Keeping min/max(string) OUT of the register fold below
+    # matters — a grouped aggregate with string buffers can't run as a
+    # HashAggregate (UnsafeRow buffers must be mutable fixed-size), so
+    # Spark fell back to SortAggregate and SORTED the whole k×N exploded
+    # relation, with every tuple dragging the row's num/str values along.
+    base = _stacked_base_stats(table, columns, None)
+
+    # register relation: explode carries ONLY (col_name, bucket, rho) —
+    # three small ints per (row, column) — and both folds are pure
+    # int-buffer HashAggregates (map-side combined, state ≤ k×(m+1)
+    # groups per task, shuffle carries the register relation only).
     staged = table.select(
-        "*",
         *[
             _hash60(_canon_col(name, kind)).alias(f"__h_{name}")
             for name, kind in columns
         ],
     )
     structs = []
-    for name, kind in columns:
-        c = F.col(_bt(name))
+    for name, _kind in columns:
         h = F.col(_bt(f"__h_{name}"))
         w = F.expr(f"{_bt(f'__h_{name}')} DIV {m}")
         rho = F.when(w == 0, F.lit(scale)).otherwise(
             F.lit(scale) - F.length(F.bin(w))
         )
-        if kind == "num":
-            num_val = c.cast("double")
-            str_val = F.lit(None).cast("string")
-        elif kind == "ts":
-            num_val = F.lit(None).cast("double")
-            str_val = F.date_format(c, TS_FMT)
-        else:
-            num_val = F.lit(None).cast("double")
-            str_val = c.cast("string")
         structs.append(
             F.struct(
                 F.lit(name).alias("col_name"),
                 F.pmod(h, F.lit(m)).alias("bucket"),
                 rho.cast("int").alias("rho"),
-                num_val.alias("num_val"),
-                str_val.alias("str_val"),
-                F.when(c.isNull(), 1).otherwise(0).alias("is_null"),
             )
         )
-    exploded = staged.select(
-        F.explode(F.array(*structs)).alias("e")
-    ).select("e.*")
-
+    exploded = (
+        staged.select(F.explode(F.array(*structs)).alias("e"))
+        .select("e.*")
+        # null values don't register (COUNT-DISTINCT semantics; the
+        # oracle's WHERE h IS NOT NULL twin)
+        .where(F.col("bucket").isNotNull())
+    )
     regs = exploded.groupBy("col_name", "bucket").agg(
-        F.max("rho").alias("r"),
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("is_null").cast("long").alias("nulls"),
-        F.min("num_val").alias("mn_num"),
-        F.max("num_val").alias("mx_num"),
-        F.min("str_val").alias("mn_str"),
-        F.max("str_val").alias("mx_str"),
+        F.max("rho").alias("r")
     )
-    live = F.col("bucket").isNotNull()
     per_col = regs.groupBy("col_name").agg(
-        F.sum("cnt").alias("n_rows"),
-        F.sum("nulls").alias("n_nulls"),
-        F.count(F.when(live, 1)).cast("int").alias("n_used"),
+        F.count(F.lit(1)).cast("int").alias("n_used"),
         F.sum(
-            F.when(
-                live,
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - r)"),
-            )
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - r)")
         ).alias("s_used"),
-        F.min("mn_num").alias("min_num"),
-        F.max("mx_num").alias("max_num"),
-        F.min("mn_str").alias("min_str"),
-        F.max("mx_str").alias("max_str"),
     )
-    # all-null column: no live register -> NULL state (matches the
-    # register-table SQL, where SUM over zero rows is NULL)
+    # n_used >= 1 by construction here (a col_name group exists only when
+    # at least one non-null value registered); the all-null / empty-table
+    # case yields NO row, so the left join below leaves ndv NULL — the
+    # same NULL the oracle's CASE WHEN n_used = 0 emits.
     ndv = F.expr(
-        "CAST(FLOOR((CASE WHEN n_used = 0 THEN NULL ELSE "
+        "CAST(FLOOR(("
         + _est.replace(
             "s_int",
             f"(s_used + CAST({m} - n_used AS BIGINT) * {2 ** scale})",
         ).replace("zeros", f"({m} - n_used)")
-        + " END) + 0.5) AS BIGINT)"
+        + ") + 0.5) AS BIGINT)"
     )
-    # empty-input parity: an ungrouped-aggregate oracle emits one row per
-    # column even over zero input rows; seed the same rows here (n_rows 0,
-    # everything else NULL — matching SUM/MIN/MAX over an empty relation)
-    seed = table.sparkSession.createDataFrame(
-        [(name,) for name, _ in columns], "col_name string"
-    )
-    per_col = seed.join(per_col, "col_name", "left")
-    is_num = {name: kind == "num" for name, kind in columns}
-    num_names = [n for n, yes in is_num.items() if yes]
-    in_num = F.col("col_name").isin(num_names) if num_names else F.lit(False)
-    return per_col.select(
+    ndv_df = per_col.select("col_name", ndv.alias("ndv"))
+    return base.join(ndv_df, "col_name", "left").select(
         "col_name",
-        F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+        "n_rows",
         "n_nulls",
-        ndv.alias("ndv"),
-        F.when(in_num, F.col("min_num")).alias("min_num"),
-        F.when(in_num, F.col("max_num")).alias("max_num"),
-        F.when(~in_num, F.col("min_str")).alias("min_str"),
-        F.when(~in_num, F.col("max_str")).alias("max_str"),
+        "ndv",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
     )
 
 

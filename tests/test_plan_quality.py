@@ -618,15 +618,24 @@ def test_semantic_dedup_pair_join_is_cell_equi_join(spark):
 
 
 def test_profile_approx_ndv_has_no_expand(spark):
-    """The wide-fact-table profile shape: HLL register columns (portable
-    md5 sketch — conditional-MAX agg columns) replace the multi-distinct,
-    so the plan is a plain single-scan hash aggregate — no Expand row
-    replication at all, and still one parquet scan."""
+    """The wide-fact-table profile shape: the portable md5 HLL replaces
+    the multi-distinct, so there is NO Expand row replication — and the
+    register fold must stay a HashAggregate (int-only buffers). Base
+    stats ride a second, column-pruned ungrouped pass: two scans by
+    design, because folding min/max(string) into the grouped register
+    aggregate forces SortAggregate, which SORTS the whole k×N exploded
+    relation (the scale-killer this pin guards against)."""
     for name in ("profile_lineitem_approx", "profile_orders"):
         plan = plan_of(spark, name)
         tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
-        assert tree.count("Scan parquet") == 1, name
+        assert tree.count("Scan parquet") == 2, name
         assert "Expand" not in plan, name
+        # the k×N exploded register relation must never be sorted: every
+        # grouped fold is hash-based (the ungrouped base-stats aggregate
+        # may legitimately compile to a keyless SortAggregate — zero
+        # grouping keys means there is nothing to sort — so pin the
+        # absence of a Sort operator rather than the aggregate's name)
+        assert "+- Sort " not in tree, name
     # same output contract as the exact profiler (stack emission path)
     from client_data_ingester_spark.operators.profile import profile_table
 
