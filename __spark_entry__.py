@@ -4210,9 +4210,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["events_json_agg"] = """
         SELECT event_type,
-               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS k_bucket,
                COUNT(*) AS n,
-               CAST(FLOOR(CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS DOUBLE)
+               CAST(FLOOR(CAST(SUM(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS DOUBLE)
                           / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_k
         FROM events GROUP BY 1, 2
     """
@@ -4247,7 +4247,8 @@ def oracle_sql() -> dict[str, str]:
                    || LPAD(CAST(e.event_id + 1000000000000000000 AS VARCHAR), 20, '0') AS pack
             FROM orders o
             LEFT JOIN events e
-              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
+              ON e.user_id = o.o_custkey
+             AND e.ts < CAST(o.o_orderdate AS DATE) + INTERVAL 1 DAY),
         a AS (
             SELECT o_orderkey, o_custkey, o_orderdate, MAX(pack) AS _pack
             FROM j GROUP BY 1, 2, 3)

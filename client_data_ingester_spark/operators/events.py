@@ -93,7 +93,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 def json_props_agg(events: DataFrame) -> DataFrame:
     """Extract a JSON field from the props payload and aggregate on it
     (F.get_json_object ≡ DuckDB json_extract_string)."""
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast, not cast: one non-integer props value (k="abc", k=3.7)
+    # would abort the whole aggregation under Spark 4's default ANSI mode;
+    # dirty payloads become NULL and fall in the NULL k_bucket instead
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return (
         events.select(F.col("event_type"), k.alias("k"))
         .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
@@ -114,7 +117,11 @@ def json_props_agg(events: DataFrame) -> DataFrame:
 
 def asof_join_orders_events(orders: DataFrame, events: DataFrame) -> DataFrame:
     """As-of join: for each order of a known user, the latest event of that
-    user at or before the order date (orders.o_custkey ↔ events.user_id).
+    user at or before the END of the order date (orders.o_custkey ↔
+    events.user_id). The bound is exclusive of the NEXT day's midnight —
+    ``ev_ts < o_orderdate + 1 day`` — because comparing a timestamp to the
+    bare DATE promotes the date to ITS midnight and silently excludes all
+    same-day events, the common case.
 
     Spark lacks a native as-of join; this is the equi-key left join with the
     temporal bound *inside the join condition* + arg-max composition — one
@@ -129,7 +136,8 @@ def asof_join_orders_events(orders: DataFrame, events: DataFrame) -> DataFrame:
     )
     j = orders.join(
         e,
-        (orders.o_custkey == e.user_id) & (e.ev_ts <= orders.o_orderdate),
+        (orders.o_custkey == e.user_id)
+        & (e.ev_ts < F.date_add(orders.o_orderdate.cast("date"), 1)),
         "left",
     )
     # Deterministic argmax on (ts, event_id) via a sortable string pack —
@@ -218,7 +226,8 @@ def funnel_steps(
     Returns user_id, ts_1..ts_N (null once the funnel is abandoned), and
     steps_completed.
     """
-    steps = steps or ["view", "click", "purchase"]
+    if steps is None:  # `steps or [...]` would silently swallow an
+        steps = ["view", "click", "purchase"]  # explicit-but-empty list
     if not steps:
         raise ValueError("funnel needs at least one step")
     reached = (

@@ -59,13 +59,26 @@ def write_partitioned(
         out = df.repartition(*[F.col(c) for c in partition_cols])
     else:
         salt_cols = [c for c in df.columns if c not in partition_cols]
-        # F.hash rejects zero args and MapType columns: serialize maps to
+
+        # F.hash rejects zero args and MapType columns — including maps
+        # NESTED in arrays/structs, so the check must recurse, not just
+        # inspect the top-level type. Serialize any map-bearing column to
         # JSON first, and fall back to a constant salt (no split — every
         # column is a partition column, so rows within a dir are
         # indistinguishable and any content-derived split is impossible).
+        def _has_map(dt) -> bool:
+            tn = dt.typeName()
+            if tn == "map":
+                return True
+            if tn == "array":
+                return _has_map(dt.elementType)
+            if tn == "struct":
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
+
         hashable = [
             F.to_json(F.col(c))
-            if df.schema[c].dataType.typeName() == "map"
+            if _has_map(df.schema[c].dataType)
             else F.col(c)
             for c in salt_cols
         ]
@@ -138,9 +151,13 @@ def zorder_key(
 
     Normalization is min/max-linear into ``bits`` bits per column (one
     cheap map-side-combined aggregate for the bounds — 2 scalars per
-    column on the driver, scale-independent). Values are cast to double
-    first, so numeric, date, and timestamp columns all work. NULLs map to
-    bucket 0 (they cluster together at the curve's origin).
+    column on the driver, scale-independent). Numeric columns cast to
+    double directly; DATE goes through ``datediff`` and TIMESTAMP through
+    an epoch-seconds cast (DATE → DOUBLE is a Spark type ERROR, not a
+    coercion — a bare double cast broke the module's own (event_date,
+    user_id) use case at plan time). Any monotone rendering preserves the
+    curve, so the timezone the epoch cast implies is irrelevant. NULLs
+    map to bucket 0 (they cluster together at the curve's origin).
 
     Returns ``(df_with_key, key_col_name)``; the key is a plain BIGINT
     column built from shift/and/or expressions — whole-stage-codegen'd,
@@ -156,13 +173,23 @@ def zorder_key(
     """
     if len(cols) * bits > 63:
         bits = 63 // len(cols)
+
+    def _as_double(col: str):
+        dt = df.schema[col].dataType.typeName()
+        c = F.col(col)
+        if dt == "date":
+            return F.datediff(c, F.lit("1970-01-01")).cast("double")
+        if dt in ("timestamp", "timestamp_ntz"):
+            return c.cast("timestamp").cast("double")  # epoch seconds
+        return c.cast("double")
+
     bounds_row = df.select(
         *[
             c
             for col in cols
             for c in (
-                F.min(F.col(col).cast("double")).alias(f"min_{col}"),
-                F.max(F.col(col).cast("double")).alias(f"max_{col}"),
+                F.min(_as_double(col)).alias(f"min_{col}"),
+                F.max(_as_double(col)).alias(f"max_{col}"),
             )
         ]
     ).collect()[0]
@@ -172,7 +199,7 @@ def zorder_key(
     for col in cols:
         lo = bounds_row[f"min_{col}"]
         hi = bounds_row[f"max_{col}"]
-        v = F.col(col).cast("double")
+        v = _as_double(col)
         if lo is None or hi is None or hi == lo:
             scaled.append(F.lit(0).cast("long"))
         else:

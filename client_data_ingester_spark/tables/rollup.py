@@ -13,7 +13,13 @@ recipe here is the idiomatic Spark form of a continuous aggregate:
 - the write uses **dynamic partition overwrite** (``partitionOverwriteMode=
   dynamic``): only the partitions present in the incremental batch are
   atomically replaced — untouched days' files are never rewritten, so a
-  maintenance run is idempotent and re-runnable after failure.
+  maintenance run is idempotent and re-runnable after failure;
+- completeness is tracked in a ledger (``_COMPLETED_DAYS``, written
+  atomically AFTER the job commit), not inferred from directory
+  presence: a crash mid job-commit leaves a partially-written
+  ``event_date=D`` dir, and presence-based detection would skip D
+  forever once it aged out of the reprocess tail. Single-writer, like
+  the snapshot table's maintenance jobs.
 
 The day filter prunes the source scan at the PATH level when the events
 table is itself date-partitioned (see ``tables/layout.py``); on a flat
@@ -44,15 +50,47 @@ def daily_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+_LEDGER = "_COMPLETED_DAYS"
+
+
 def existing_rollup_days(rollup_path: str) -> set[str]:
-    """Days already materialized — a directory listing, never a data scan."""
+    """Days already FULLY materialized — a directory listing intersected
+    with the completion ledger, never a data scan. A day whose dir exists
+    but was never recorded (crash between the write job and the ledger
+    append) is treated as missing and re-aggregated; dynamic partition
+    overwrite makes the redo idempotent. A ledger-less path (fresh table)
+    reports nothing complete — one redundant but idempotent first pass,
+    never a silently-skipped partial day."""
     if not os.path.isdir(rollup_path):
         return set()
-    return {
+    ledger = os.path.join(rollup_path, _LEDGER)
+    if not os.path.exists(ledger):
+        return set()
+    with open(ledger) as f:
+        recorded = {line.strip() for line in f if line.strip()}
+    dirs = {
         name.split("=", 1)[1]
         for name in os.listdir(rollup_path)
         if name.startswith("event_date=")
     }
+    return recorded & dirs
+
+
+def _record_days_complete(rollup_path: str, days: list[str]) -> None:
+    """Append ``days`` to the completion ledger atomically (write-temp +
+    fsync + rename, the manifest-pointer recipe): the ledger either
+    records the whole batch or none of it."""
+    ledger = os.path.join(rollup_path, _LEDGER)
+    prior: set[str] = set()
+    if os.path.exists(ledger):
+        with open(ledger) as f:
+            prior = {line.strip() for line in f if line.strip()}
+    tmp = ledger + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(sorted(prior | set(days))) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ledger)
 
 
 def maintain_daily_rollup(
@@ -112,6 +150,7 @@ def maintain_daily_rollup(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _record_days_complete(rollup_path, todo)
     return todo
 
 

@@ -2332,3 +2332,64 @@ def test_shard_checksums_see_null_content(spark):
     null = spark.createDataFrame([(1, None)], "doc_id long, text string")
     zero = spark.createDataFrame([(1, "0")], "doc_id long, text string")
     assert len({ck(empty)[0], ck(null)[0], ck(zero)[0]}) == 3
+
+
+def test_asof_join_includes_same_day_events(spark):
+    """An event ON the order date (after midnight) must match: comparing
+    ts <= DATE promoted the date to ITS midnight and silently excluded
+    all same-day activity (regression — the bound is now strictly below
+    the next day's midnight)."""
+    import datetime as dt
+
+    from client_data_ingester_spark.operators.events import (
+        asof_join_orders_events,
+    )
+
+    orders = spark.createDataFrame(
+        [(100, 7, dt.date(2024, 1, 2))],
+        "o_orderkey long, o_custkey long, o_orderdate date",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 9, 0, 0)),
+            (2, 7, dt.datetime(2024, 1, 2, 10, 0, 0)),  # same day, LATEST
+            (3, 7, dt.datetime(2024, 1, 3, 0, 0, 0)),  # next day: excluded
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    [row] = asof_join_orders_events(orders, events).collect()
+    assert row["last_event_id"] == 2
+
+
+def test_funnel_rejects_explicit_empty_steps(spark):
+    """steps=[] must raise, not silently compute the default funnel."""
+    import pytest as _pytest
+
+    from client_data_ingester_spark.operators.events import funnel_steps
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view")], "event_id long, user_id long, event_type string"
+    )
+    with _pytest.raises(ValueError, match="at least one step"):
+        funnel_steps(ev, steps=[])
+
+
+def test_json_props_agg_survives_dirty_payload(spark):
+    """A non-integer props value must become NULL (its own bucket), not
+    abort the job under ANSI mode."""
+    import datetime as dt
+
+    from client_data_ingester_spark.operators.events import json_props_agg
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 7}'),
+            (2, dt.datetime(2024, 1, 1), 2, "view", 1.0, '{"k": "abc"}'),
+            (3, dt.datetime(2024, 1, 1), 3, "view", 1.0, '{"k": 3.7}'),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {r["k_bucket"]: r["n"] for r in json_props_agg(ev).collect()}
+    assert rows[7] == 1
+    assert rows[None] == 2

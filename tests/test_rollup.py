@@ -130,3 +130,57 @@ def test_null_ts_rows_do_not_wedge_maintenance(spark, tmp_path):
     assert first  # real days written
     assert "None" not in first
     assert maintain_daily_rollup(spark, ev, path, reprocess_tail_days=0) == []
+
+
+def test_partial_partition_without_ledger_entry_is_reaggregated(
+    spark, tmp_path
+):
+    """A crash between the parquet job commit and the ledger append
+    leaves an event_date dir with no completion record — the next run
+    must re-aggregate that day, not skip it forever (regression:
+    presence-based detection under-counted the crashed day once it aged
+    out of the reprocess tail)."""
+    import datetime as dt
+    import os
+
+    from client_data_ingester_spark.tables.rollup import (
+        existing_rollup_days,
+        maintain_daily_rollup,
+        read_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + (i % 3), 10), i, "view", 1.0)
+            for i in range(30)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    maintain_daily_rollup(spark, ev, path, reprocess_tail_days=0)
+    assert len(existing_rollup_days(path)) == 3
+    full = {
+        (str(r["event_date"]), r["event_type"]): r["n_events"]
+        for r in read_rollup(spark, path).collect()
+    }
+
+    # simulate the crash: day 2024-01-02's dir is half-gone and its
+    # ledger record vanishes with the pre-commit state
+    day_dir = os.path.join(path, "event_date=2024-01-02")
+    for f in os.listdir(day_dir):
+        os.remove(os.path.join(day_dir, f))
+    ledger = os.path.join(path, "_COMPLETED_DAYS")
+    with open(ledger) as f:
+        recorded = [line for line in f if "2024-01-02" not in line]
+    with open(ledger, "w") as f:
+        f.writelines(recorded)
+
+    assert "2024-01-02" not in existing_rollup_days(path)
+    redone = maintain_daily_rollup(spark, ev, path, reprocess_tail_days=0)
+    assert redone == ["2024-01-02"]
+    repaired = {
+        (str(r["event_date"]), r["event_type"]): r["n_events"]
+        for r in read_rollup(spark, path).collect()
+    }
+    assert repaired == full

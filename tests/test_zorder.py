@@ -129,3 +129,44 @@ def test_zorder_key_fits_bigint_with_many_columns(spark):
         ).first()
         assert mn >= 0, f"{cols}: sign-bit overflow (min key {mn})"
         assert mx > 0
+
+
+def test_zorder_key_on_date_and_timestamp_columns(spark):
+    """DATE -> DOUBLE is a Spark type error, not a coercion: the Morton
+    key must render temporal columns monotonically itself (regression —
+    zorder_key crashed at plan time on the module's own (event_date,
+    user_id) use case)."""
+    import datetime as dt
+
+    from client_data_ingester_spark.tables.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, d), dt.datetime(2024, 1, d, 12), d)
+            for d in range(1, 11)
+        ],
+        "event_date date, ts timestamp, user_id long",
+    )
+    keyed, key = zorder_key(df, ["event_date", "user_id"])
+    assert keyed.select(key).distinct().count() == 10
+    keyed2, key2 = zorder_key(df, ["ts", "user_id"])
+    assert keyed2.select(key2).distinct().count() == 10
+    # monotone rendering: later dates get later per-column ranks, so the
+    # max key belongs to the max (date, user_id) row
+    top = keyed.orderBy(F.col(key).desc()).first()
+    assert top["event_date"] == dt.date(2024, 1, 10)
+
+
+def test_write_partitioned_salts_nested_map_columns(spark, tmp_path):
+    """Maps nested in arrays must not reach F.hash (regression: only
+    top-level MapType was serialized to JSON and array<map> crashed the
+    salted write)."""
+    from client_data_ingester_spark.tables.layout import write_partitioned
+
+    df = spark.createDataFrame(
+        [(d, [{"k": str(i)}]) for d in ("a", "b") for i in range(50)],
+        "part string, tags array<map<string,string>>",
+    )
+    path = str(tmp_path / "nested")
+    write_partitioned(df, path, ["part"], files_per_partition=2)
+    assert spark.read.parquet(path).count() == 100
