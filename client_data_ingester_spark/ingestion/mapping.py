@@ -55,10 +55,14 @@ class ParserConfig:
 
 @dataclass(frozen=True)
 class CompiledMapping:
-    projection: list[Column]       # typed, aliased target columns
-    invalid_flags: list[Column]    # one boolean per mapped column (aliased dst)
+    projection: list[Column]       # typed, aliased target columns (one per
+    #                                DISTINCT target — duplicates resolved
+    #                                last-file-column-wins, see below)
+    invalid_flags: list[Column]    # one boolean per mapped column — ALL of
+    #                                them, losers included (error parity)
     source_cols: list[str]         # mapped source columns present in the df
-    target_cols: list[str]         # mapped target columns (order matches)
+    target_cols: list[str]         # mapped target columns (aligned with
+    #                                invalid_flags, duplicates retained)
 
 
 def compile_mapping(config: ParserConfig, df: DataFrame) -> CompiledMapping:
@@ -68,20 +72,36 @@ def compile_mapping(config: ParserConfig, df: DataFrame) -> CompiledMapping:
     only maps cells that exist, B/ingestion/base.py:58-66); mapped-but-absent
     columns therefore contribute nothing, matching "unsupplied column never
     overwrites".
+
+    Two source columns MAY map to the same target: the reference collapses
+    its interpreted elements with a dict comprehension over the row's cells
+    in FILE order (B/ingestion/service.py:86), so the later file column
+    wins. The projection replicates that (one aliased expression per
+    distinct target, the winner being the source latest in ``df.columns``)
+    — emitting both would make every downstream ``F.col(dst)`` reference
+    AMBIGUOUS and reject the file with a raw Catalyst error. The losing
+    column's transformer still runs for validation (``invalid_flags``
+    keeps every mapped column): in the reference, garbage in the losing
+    cell raises during interpret() before the dict ever collapses it.
     """
     config.validate_targets()
-    present = set(df.columns)
-    projection: list[Column] = []
+    file_order = {c: i for i, c in enumerate(df.columns)}
+    projection_by_dst: dict[str, tuple[int, Column]] = {}
     invalid_flags: list[Column] = []
     source_cols: list[str] = []
     target_cols: list[str] = []
     for src, (dst, tid) in config.column_mapping.items():
-        if src not in present:
+        if src not in file_order:
             continue
         t = get_transformer(tid)
         c = F.col(src)
-        projection.append(t.expr(c).alias(dst))
+        # last-file-column-wins per target (dict insert order tracks the
+        # mapping; overwrite only when this src is later in the file)
+        prev = projection_by_dst.get(dst)
+        if prev is None or file_order[src] >= prev[0]:
+            projection_by_dst[dst] = (file_order[src], t.expr(c).alias(dst))
         invalid_flags.append(t.invalid(c).alias(dst))
         source_cols.append(src)
         target_cols.append(dst)
+    projection = [expr for _pos, expr in projection_by_dst.values()]
     return CompiledMapping(projection, invalid_flags, source_cols, target_cols)

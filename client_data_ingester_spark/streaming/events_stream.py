@@ -19,12 +19,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from .sketch_stream import EVENT_STREAM_SCHEMA
+
+# ONE definition of the core event fields (sketch_stream owns the shared
+# subset; users_stream reads it too) — the full schema only ADDS the
+# payload columns, so a field rename/widening lands in every stream twin
+# instead of drifting between hand-kept copies.
 EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
+    list(EVENT_STREAM_SCHEMA.fields)
+    + [
         T.StructField("value", T.DoubleType(), True),
         T.StructField("props", T.StringType(), True),
     ]
@@ -51,8 +54,13 @@ def windowed_event_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # exact decimal fold, DOUBLE output — the module-wide
+            # canonical numeric rendering the batch twins use; the outer
+            # decimal cast also narrows (sum of (18,2) is (28,2)), which
+            # under ANSI would ABORT the long-lived query on overflow
+            # where the double cast cannot fail
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -81,8 +89,13 @@ def session_window_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # exact decimal fold, DOUBLE output — the module-wide
+            # canonical numeric rendering the batch twins use; the outer
+            # decimal cast also narrows (sum of (18,2) is (28,2)), which
+            # under ANSI would ABORT the long-lived query on overflow
+            # where the double cast cannot fail
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(

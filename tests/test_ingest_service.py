@@ -525,3 +525,37 @@ def test_multifile_ingest_twice_ids_stay_unique(spark, products_table, tmp_path)
     assert len(rows) == 20
     assert len(set(ids)) == 20  # no duplicate surrogate ids across ingests
     assert max(ids) <= int(products_table.current_manifest().props["max_id"])
+
+
+def test_duplicate_target_mapping_is_last_file_column_wins(spark, tmp_path):
+    """Two source columns mapping to the same target must collapse the
+    way the reference's row dict comprehension does — the LATER file
+    column wins (B/ingestion/service.py:86) — instead of producing a
+    duplicate-aliased projection that rejects the file with a raw
+    Catalyst AMBIGUOUS_REFERENCE error."""
+    from client_data_ingester_spark.ingestion.mapping import (
+        CompiledMapping,
+        ParserConfig,
+        compile_mapping,
+    )
+
+    df = spark.createDataFrame(
+        [("first", "second", "S1")], "c1 string, c2 string, sku string"
+    )
+    cfg = ParserConfig(
+        parser_id="csv",
+        column_mapping={
+            "c1": ("title", "text"),
+            "c2": ("title", "text"),
+            "sku": ("sku", "text"),
+        },
+    )
+    compiled = compile_mapping(cfg, df)
+    assert isinstance(compiled, CompiledMapping)
+    # one projection per distinct target; all three mapped columns still
+    # validate (the losing column's garbage must still abort the file)
+    assert len(compiled.projection) == 2
+    assert len(compiled.invalid_flags) == 3
+    [row] = df.select(*compiled.projection).collect()
+    assert row["title"] == "second"
+    assert row["sku"] == "S1"
