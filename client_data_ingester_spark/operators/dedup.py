@@ -312,7 +312,10 @@ def in_bucket_pairs(
     """
     grouped = (
         keyed.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        # collect_SET, not list: a duplicate (bucket, id) row — e.g. a doc
+        # present in both a re-signed batch and the standing band index it
+        # is probed against — must not fabricate a self-pair (id, id)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     ids = F.col("ids")

@@ -270,3 +270,42 @@ def test_read_pruned_rejects_non_rangeable_column(spark, events_by_day):
     manifest = build_manifest(spark, events_by_day, ["event_type"]).cache()
     with pytest.raises(ValueError, match="range pruning"):
         read_pruned(spark, events_by_day, manifest, "event_type", 0.0, 1.0)
+
+
+def test_pruned_read_equals_full_scan_for_any_range(spark, events_by_day):
+    """Property: for ANY [lo, hi] — inverted, disjoint-left, disjoint-
+    right, degenerate, open-ended — the pruned read returns exactly the
+    full scan's rows (zone maps only shrink the file list; the re-applied
+    predicate is authoritative)."""
+    manifest = build_manifest(spark, events_by_day, ["value"]).cache()
+    full_df = spark.read.parquet(events_by_day)
+    span = full_df.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    lo0, hi0 = span["lo"], span["hi"]
+    width = hi0 - lo0
+    cases = [
+        (lo0 - width, lo0 - 1.0),        # fully left of the data
+        (hi0 + 1.0, hi0 + width),        # fully right
+        (hi0, lo0),                      # inverted: provably empty
+        (lo0, lo0),                      # degenerate point at the min
+        (lo0 + width / 3, lo0 + width / 3),  # degenerate interior point
+        (None, lo0 + width / 4),         # open lower bound
+        (lo0 + 3 * width / 4, None),     # open upper bound
+        (lo0 - 1.0, hi0 + 1.0),          # superset of everything
+    ]
+    for lo, hi in cases:
+        pruned = read_pruned(spark, events_by_day, manifest, "value", lo, hi)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col("value") >= lo)
+        if hi is not None:
+            pred = pred & (F.col("value") <= hi)
+        want = sorted(
+            r["event_id"]
+            for r in full_df.filter(pred).select("event_id").collect()
+        )
+        got = sorted(
+            r["event_id"] for r in pruned.select("event_id").collect()
+        )
+        assert got == want, (lo, hi)
