@@ -63,6 +63,13 @@ class CompiledMapping:
     source_cols: list[str]         # mapped source columns present in the df
     target_cols: list[str]         # mapped target columns (aligned with
     #                                invalid_flags, duplicates retained)
+    distinct_targets: list[str]    # deduped target names — what the merge
+    #                                path must use; feeding the raw
+    #                                target_cols to fold_duplicate_skus
+    #                                would emit two aggregates aliased to
+    #                                the same name and every downstream
+    #                                F.col(dst) would raise
+    #                                AMBIGUOUS_REFERENCE
 
 
 def compile_mapping(config: ParserConfig, df: DataFrame) -> CompiledMapping:
@@ -104,4 +111,7 @@ def compile_mapping(config: ParserConfig, df: DataFrame) -> CompiledMapping:
         source_cols.append(src)
         target_cols.append(dst)
     projection = [expr for _pos, expr in projection_by_dst.values()]
-    return CompiledMapping(projection, invalid_flags, source_cols, target_cols)
+    distinct_targets = list(dict.fromkeys(target_cols))
+    return CompiledMapping(
+        projection, invalid_flags, source_cols, target_cols, distinct_targets
+    )

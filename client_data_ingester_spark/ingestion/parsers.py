@@ -113,7 +113,11 @@ def read_json(spark: SparkSession, source: Source) -> DataFrame:
                     header.append(k.strip())
 
         def cell(r: dict, name: str):
-            for k, v in r.items():
+            # LAST matching key wins — the reference's dict collapse and
+            # compile_mapping's duplicate-target rule are both last-wins,
+            # so two keys differing only in whitespace (' a' vs 'a ') must
+            # resolve the same way here
+            for k, v in reversed(list(r.items())):
                 if k.strip() == name:
                     return None if v is None else str(v)
             return None

@@ -361,7 +361,7 @@ def _ingest(
             merged = merge_products(
                 current,
                 updates,
-                compiled.target_cols,
+                compiled.distinct_targets,
                 client_id,
                 full_update,
                 batch_ts,

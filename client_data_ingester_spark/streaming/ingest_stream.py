@@ -183,7 +183,7 @@ def start_ingest_stream(
                 merged = merge_products(
                     current,
                     updates,
-                    compiled.target_cols,
+                    compiled.distinct_targets,
                     client_id,
                     full_update,
                     batch_ts,

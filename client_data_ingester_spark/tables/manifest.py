@@ -258,10 +258,21 @@ def prune_files(
     """
     m = manifest.filter(F.col("col_name") == col_name)
     excluded = F.lit(False)
-    if lo is not None:
-        excluded = excluded | (F.col("max_num") < F.lit(float(lo)))
-    if hi is not None:
-        excluded = excluded | (F.col("min_num") > F.lit(float(hi)))
+    # Non-numeric bounds (string/boolean prune requests) can never prove
+    # exclusion — min_num/max_num hold only the numeric/temporal domain —
+    # so they keep every file: correct-but-unpruned, not an error.
+    def _as_num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
+    lo_num = _as_num(lo) if lo is not None else None
+    hi_num = _as_num(hi) if hi is not None else None
+    if lo_num is not None:
+        excluded = excluded | (F.col("max_num") < F.lit(lo_num))
+    if hi_num is not None:
+        excluded = excluded | (F.col("min_num") > F.lit(hi_num))
     keep = m.filter(
         F.col("min_num").isNull() | ~excluded
     )
@@ -316,43 +327,47 @@ def read_pruned(
         full = spark.read.parquet(table_path)
         return full.filter(F.lit(False))
     df = spark.read.option("basePath", table_path).parquet(*files)
-    cmp_col = _stats_domain_col(df, col_name)
+    cmp_col, render = _stats_domain_col(df, col_name)
     pred = F.lit(True)
     if lo is not None:
-        pred = pred & (cmp_col >= F.lit(float(lo)))
+        pred = pred & (cmp_col >= F.lit(render(lo)))
     if hi is not None:
-        pred = pred & (cmp_col <= F.lit(float(hi)))
+        pred = pred & (cmp_col <= F.lit(render(hi)))
     return df.filter(pred)
 
 
 def _stats_domain_col(df: DataFrame, col_name: str):
-    """The column rendered in the manifest's ``min_num``/``max_num``
-    domain, so ``read_pruned``'s re-applied predicate compares like with
-    like. ``build_manifest`` stores numerics as doubles and
-    timestamps/dates as epoch MICROSECONDS — comparing a raw timestamp
-    column to a double literal is a Spark type error
+    """The (column, literal-renderer) pair for ``read_pruned``'s re-applied
+    predicate, matched to the manifest's ``min_num``/``max_num`` domain so
+    the comparison is like-with-like. ``build_manifest`` stores numerics as
+    doubles and timestamps/dates as epoch MICROSECONDS — comparing a raw
+    timestamp column to a double literal is a Spark type error
     (DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES), not an implicit coercion, so
     the temporal columns the manifest explicitly supports need the same
-    epoch-micros rendering at read time. Non-range-able types (string,
-    boolean — the manifest keeps their stats in ``min_str``/``max_str``,
-    which ``prune_files`` never consults) are rejected loudly rather than
-    silently scanning everything."""
+    epoch-micros rendering at read time.
+
+    Non-numeric types (string, boolean) get NO file-level pruning — their
+    stats land in ``min_str``/``max_str``, which ``prune_files`` never
+    consults, so every file is kept — but the predicate itself is still
+    applied CORRECTLY, as a raw-column comparison against the caller's
+    raw bound. (An earlier revision raised ValueError here, which turned
+    existing correct-but-unpruned callers into hard errors.)"""
     dt = df.schema[col_name].dataType
     if isinstance(dt, T.TimestampType):
-        return F.unix_micros(F.col(col_name)).cast("double")
+        return (
+            F.unix_micros(F.col(col_name)).cast("double"),
+            float,
+        )
     if isinstance(dt, T.DateType):
         # days since epoch -> micros at midnight UTC, matching the
         # pd.Timestamp(...).value // 1000 rendering in build_manifest
         # (independent of the session timezone, unlike cast-to-timestamp)
         return (
             F.datediff(F.col(col_name), F.lit("1970-01-01")).cast("double")
-            * F.lit(86400.0 * 1_000_000.0)
+            * F.lit(86400.0 * 1_000_000.0),
+            float,
         )
     if isinstance(dt, T.NumericType):
-        return F.col(col_name).cast("double")
-    raise ValueError(
-        f"column {col_name!r} has type {dt.simpleString()}: range pruning "
-        "covers numeric, timestamp, and date columns (whose stats land in "
-        "min_num/max_num as doubles / epoch-micros); string and boolean "
-        "stats are not range-pruned"
-    )
+        return F.col(col_name).cast("double"), float
+    # correct-but-unpruned fallback: compare the raw column to the raw bound
+    return F.col(col_name), lambda v: v

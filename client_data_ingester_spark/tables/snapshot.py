@@ -421,7 +421,7 @@ class SnapshotTable:
         derived ``df`` from a snapshot read pass the version they read, and
         a publish that landed in between raises ``SnapshotConflictError``
         instead of silently dropping the racer's rows (the caller re-reads
-        and retries — see AuthService._mutate)."""
+        and retries — see AuthService._rmw)."""
         with self._write_lock():
             manifest = self.current_manifest()
             if (

@@ -559,3 +559,53 @@ def test_duplicate_target_mapping_is_last_file_column_wins(spark, tmp_path):
     [row] = df.select(*compiled.projection).collect()
     assert row["title"] == "second"
     assert row["sku"] == "S1"
+    # the merge path must receive the DEDUPED list
+    assert compiled.distinct_targets == ["title", "sku"]
+
+
+def test_duplicate_target_full_ingest_last_column_wins(spark, products_table):
+    """End-to-end ingest with a duplicate-target mapping: the file must be
+    ACCEPTED with last-file-column-wins semantics (reference dict collapse,
+    B/ingestion/service.py:86), not rejected with AMBIGUOUS_REFERENCE from
+    fold_duplicate_skus emitting two aggregates aliased to the same name."""
+    cfg = ParserConfig(
+        "csv",
+        {
+            "sku": ("sku", "text"),
+            "name_a": ("title", "text"),
+            "name_b": ("title", "text"),
+            "active": ("active", "boolean"),
+        },
+    )
+    data = make_csv(
+        [
+            {"sku": "D1", "name_a": "loser", "name_b": "winner", "active": "1"},
+            # duplicate sku in-file too: exercises fold_duplicate_skus with
+            # the deduped target list
+            {"sku": "D1", "name_a": "loser2", "name_b": "winner2", "active": "1"},
+        ],
+        fieldnames=("sku", "name_a", "name_b", "active"),
+    )
+    rep = ingest_data(spark, products_table, data, cfg, client_id=1)
+    assert rep.success, rep.message
+    got = rows_of(spark, products_table, 1)
+    assert got["D1"]["title"] == "winner2"
+    assert got["D1"]["active"] is True
+    # a garbage value in the LOSING column must still abort the whole file
+    bad = make_csv(
+        [{"sku": "D2", "name_a": "x", "name_b": "y", "active": "1"}],
+        fieldnames=("sku", "name_a", "name_b", "active"),
+    )
+    bad_cfg = ParserConfig(
+        "csv",
+        {
+            "sku": ("sku", "text"),
+            "name_a": ("max_price", "decimal"),  # loser, garbage
+            "name_b": ("max_price", "decimal"),  # winner, also garbage
+            "active": ("active", "boolean"),
+        },
+    )
+    rep2 = ingest_data(spark, products_table, bad, bad_cfg, client_id=1)
+    assert not rep2.success
+    assert "invalid value" in rep2.message
+    assert "D2" not in rows_of(spark, products_table, 1)

@@ -263,13 +263,20 @@ def test_prune_on_unmanifested_column_keeps_every_file(
     assert pruned.count() == full.count() > 0
 
 
-def test_read_pruned_rejects_non_rangeable_column(spark, events_by_day):
+def test_read_pruned_string_column_correct_but_unpruned(spark, events_by_day):
     """String/boolean stats live in min_str/max_str, which range pruning
-    never consults — a pruned read over one must fail loudly instead of
-    silently scanning everything."""
+    never consults — prune_files keeps every file (min_num is NULL) and
+    the predicate is re-applied as a RAW-column comparison, so the read
+    stays correct, just unpruned. (A prior revision raised ValueError
+    here, turning existing correct callers into hard errors.)"""
     manifest = build_manifest(spark, events_by_day, ["event_type"]).cache()
-    with pytest.raises(ValueError, match="range pruning"):
-        read_pruned(spark, events_by_day, manifest, "event_type", 0.0, 1.0)
+    full = spark.read.parquet(events_by_day)
+    lo, hi = "click", "purchase"
+    pruned = read_pruned(spark, events_by_day, manifest, "event_type", lo, hi)
+    expect = full.filter(
+        (full["event_type"] >= lo) & (full["event_type"] <= hi)
+    ).count()
+    assert pruned.count() == expect > 0
 
 
 def test_pruned_read_equals_full_scan_for_any_range(spark, events_by_day):
