@@ -1049,14 +1049,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nprobe/num_cells of a 64x-compressed codes table
     def _ivfpq_scored(s, d):
         emb = _t(s, d, "embeddings")
-        assigns, cents = _kmeans_index(s, d)
+        _assigns, cents = _kmeans_index(s, d)
         codes, books = _ivfpq_index(s, d)
         qs_df = (
             emb.filter(F.col("vec_id") < 3)
             .select(F.col("vec_id").alias("query_id"), "embedding")
         )
         return S.ivfpq_topk(
-            qs_df, assigns, cents, codes, books,
+            qs_df, cents, codes, books,
             dim=64, m=4, k=5, nprobe=3,
         )
 

@@ -84,6 +84,27 @@ def compact_line(out: dict, top_n: int = 8) -> dict:
     }
 
 
+def variance_stats(all_runs: dict[str, list[float]]) -> tuple[dict, list[str]]:
+    """Per-query {median, min, p95} plus the names whose p95/min > 2x —
+    the artifact-side evidence for adjudicating single-run spikes."""
+    stats = {
+        name: {
+            "median": round(statistics.median(ts), 3),
+            "min": round(min(ts), 3),
+            "p95": round(
+                sorted(ts)[min(len(ts) - 1, int(0.95 * len(ts)))], 3
+            ),
+        }
+        for name, ts in all_runs.items()
+    }
+    noisy = sorted(
+        name
+        for name, s in stats.items()
+        if s["min"] > 0 and s["p95"] / s["min"] > 2.0
+    )
+    return stats, noisy
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -254,6 +275,20 @@ def main() -> None:
     }
     if repeats > 1:
         out["runs"] = all_runs
+    if repeats >= 3:
+        # per-query variance so single-run spikes are adjudicable from the
+        # artifact alone (no git archaeology): median/min/p95 per query,
+        # plus the queries whose p95/min exceeds 2x — on a shared box
+        # those are the ones where a driver single-run "regression" is
+        # most likely noise (or, if min itself moved, a real one)
+        out["stats"], noisy = variance_stats(all_runs)
+        out["high_variance"] = noisy
+        if noisy:
+            print(
+                "bench: p95/min > 2x (single-run numbers unreliable for): "
+                + ", ".join(noisy),
+                file=sys.stderr,
+            )
 
     # Full detail goes to a repo file (committed per round); stdout gets
     # only the compact line the driver can actually capture and parse.

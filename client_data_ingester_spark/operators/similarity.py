@@ -1095,7 +1095,6 @@ def ivfpq_encode(
 
 def ivfpq_topk(
     queries: DataFrame,
-    assignments: DataFrame,
     centroids: DataFrame,
     codes: DataFrame,
     codebooks: DataFrame,
@@ -1116,12 +1115,21 @@ def ivfpq_topk(
     ``nprobe/num_cells`` of an already-64x-compressed table.
 
     Plan: centroids broadcast twice (probe + residual), LUT broadcast
-    into a map-side join against the codes relation — which carries its
-    cell id from ``ivfpq_encode``, so no assignments join runs at query
-    time and a cluster-partitioned codes layout prunes unprobed cells at
-    the path level (``assignments`` is only consulted as a fallback for
-    legacy codes without the column). Partial-aggregated sum,
-    WindowGroupLimit top-k. All integer; ranks bit-stable."""
+    into a map-side join against the codes relation — which MUST carry
+    its cell id from ``ivfpq_encode``, so no assignments join ever runs
+    at query time and a cluster-partitioned codes layout prunes unprobed
+    cells at the path level. Cluster-less codes raise: the legacy
+    fallback (re-joining an assignments table per query batch) silently
+    re-created the full codes-sized shuffle this operator exists to
+    avoid, so a loud error beats a 100x-slower path. Partial-aggregated
+    sum, WindowGroupLimit top-k. All integer; ranks bit-stable."""
+    if "cluster" not in codes.columns:
+        raise ValueError(
+            "ivfpq_topk requires cell-carrying codes (a 'cluster' column, "
+            "emitted by ivfpq_encode). Re-encode the corpus — the legacy "
+            "assignments-join fallback was removed because it re-created "
+            "the full codes shuffle at query time."
+        )
     cq = _centroids_as_int(centroids)
     qv = queries.select(
         F.col(query_id_col), _quantize_vec(F.col(vec_col)).alias("_q")
@@ -1148,12 +1156,8 @@ def ivfpq_topk(
         "code",
         _sq_dist(F.col("_qs"), F.col("_cvec")).alias("d"),
     )
-    if "cluster" in codes.columns:
-        cand = codes
-    else:  # legacy codes table without the denormalized cell id
-        cand = codes.join(assignments.select(id_col, "cluster"), id_col)
     adc = (
-        cand.join(
+        codes.join(
             F.broadcast(lut), on=["cluster", "sub", "code"]
         )
         .filter(F.col(id_col) != F.col(query_id_col))

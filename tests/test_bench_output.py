@@ -55,6 +55,20 @@ def test_compact_line_fields():
     assert json.loads(json.dumps(line)) == line
 
 
+def test_variance_stats_flags_noisy_queries():
+    runs = {
+        "steady": [1.0, 1.05, 1.1],
+        "noisy": [1.0, 1.2, 2.5],       # p95 2.5 / min 1.0 > 2x
+        "fast_noisy": [0.1, 0.11, 0.3],  # 3x spread at small absolute scale
+    }
+    stats, noisy = bench.variance_stats(runs)
+    assert noisy == ["fast_noisy", "noisy"]
+    assert stats["steady"] == {"median": 1.05, "min": 1.0, "p95": 1.1}
+    assert stats["noisy"]["p95"] == 2.5 and stats["noisy"]["min"] == 1.0
+    # median matches the headline per_query median computation
+    assert stats["noisy"]["median"] == 1.2
+
+
 def test_compact_line_empty_inventory():
     line = bench.compact_line(
         {"metric": "m", "value": 0.0, "unit": "sec", "sf": 0.001, "queries": {}}

@@ -1982,7 +1982,7 @@ def test_ivfpq_exact_when_codebook_saturated(spark):
     got = {
         (r.query_id, r.neighbor_id): r.adc_dist
         for r in S.ivfpq_topk(
-            queries, assigns, cents, codes, books,
+            queries, cents, codes, books,
             dim=8, m=2, k=5, nprobe=2,  # nprobe = all cells
         ).collect()
     }
@@ -2007,8 +2007,15 @@ def test_ivfpq_candidates_come_from_probed_cells_only(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = S.ivfpq_topk(
-        queries, assigns, cents, codes, books, dim=8, m=2, k=12, nprobe=1
+        queries, cents, codes, books, dim=8, m=2, k=12, nprobe=1
     ).collect()
+    # cluster-less codes (the deleted legacy fallback's input) must raise
+    # loudly instead of silently re-joining assignments per query batch
+    with pytest.raises(ValueError, match="cell-carrying codes"):
+        S.ivfpq_topk(
+            queries, cents, codes.drop("cluster"), books,
+            dim=8, m=2, k=12, nprobe=1,
+        )
     cell_of = {r.vec_id: r.cluster for r in assigns.collect()}
     for r in out:
         # with nprobe=1 every neighbor must share the query's own cell
