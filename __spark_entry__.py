@@ -211,6 +211,38 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     return load_pq_index(spark, path)
 
 
+def _text_features_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-per-corpus staged text-feature table (the cluster-index
+    pattern): the tokenize/feature pass is the dominant cost of every text
+    query and a pure function of the corpus, so it runs at WRITE time;
+    mixture/gopher/curriculum probe the persisted narrow table (column-
+    pruned reads) instead of each re-tokenizing the corpus."""
+    from client_data_ingester_spark.operators.text import (
+        build_text_features_index,
+        load_text_features_index,
+    )
+
+    path = _index_cache_path(sf_dir, "textfeat", src_table="documents")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_text_features_index(_t(spark, sf_dir, "documents"), path)
+    return load_text_features_index(spark, path)
+
+
+def _tf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-per-corpus (doc_id, w, _tf) term-frequency relation —
+    the corpus pass the NB language model trains AND scores from (two
+    consumers of the same explode+count scan)."""
+    from client_data_ingester_spark.operators.corpus import (
+        build_tf_index,
+        load_tf_index,
+    )
+
+    path = _index_cache_path(sf_dir, "tf", src_table="documents")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_tf_index(_t(spark, sf_dir, "documents"), path)
+    return load_tf_index(spark, path)
+
+
 def _cluster_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once-per-corpus duplicate-cluster labeling for the dedup
     endgame (``dedup_clusters`` / ``_representatives`` / ``_retained_corpus``)
@@ -787,7 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), budget_tokens=512
     )
     q["docs_mixture_sample"] = lambda s, d: X.mixture_sample(
-        _t(s, d, "documents")
+        _t(s, d, "documents"), features=_text_features_index(s, d)
     )
     q["docs_packed_shards"] = lambda s, d: X.packed_shard_texts(
         _t(s, d, "documents"), budget_tokens=512
@@ -878,7 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cache_model=True is the one-shot-job opt-in: the persisted relations
     # are the reduced vocab x class model, shared by three consumers here
     q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
-        _t(s, d, "documents"), cache_model=True
+        _t(s, d, "documents"), cache_model=True, tf=_tf_index(s, d)
     )
     # -- data-quality audits ([EXT]) ----------------------------------------
     # arithmetic integrity: exact-decimal recomputation of o_totalprice,
@@ -919,13 +951,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gopher-style hard rule filter: per-doc keep/drop verdict with a
     # bitmask audit of which rules failed — map-only, no shuffle
     q["docs_gopher_rules"] = lambda s, d: X.gopher_rule_filter(
-        _t(s, d, "documents")
+        _t(s, d, "documents"), features=_text_features_index(s, d)
     )
     # curriculum binning: quality quartiles whose boundaries come from the
     # histogram sketch (register-bounded state), then one map-side tiering
     # pass — the staged-training-mix compose
     q["docs_quality_curriculum"] = lambda s, d: X.quality_curriculum(
-        _t(s, d, "documents")
+        _t(s, d, "documents"), features=_text_features_index(s, d)
     )
     # export layout: deterministic md5 sharding + the per-shard manifest
     # an orchestrator verifies an export against (writer in

@@ -199,6 +199,18 @@ def main() -> None:
             os.path.join("codebooks", "_SUCCESS"),
         ),
         (
+            "text_features",
+            entry._text_features_index,
+            ("textfeat", "documents"),
+            "_SUCCESS",
+        ),
+        (
+            "tf_index",
+            entry._tf_index,
+            ("tf", "documents"),
+            "_SUCCESS",
+        ),
+        (
             "zone_map",
             entry._zone_mapped_events,
             ("zonemap", "events"),

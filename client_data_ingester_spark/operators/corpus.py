@@ -45,6 +45,23 @@ def word_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def build_tf_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
+    """BUILD STEP: persist the per-(doc, word) term-frequency relation —
+    the corpus pass every frequency-based operator starts from. Like the
+    text-features artifact it is a pure function of the corpus and belongs
+    at write time; ``nb_language_scores(tf=load_tf_index(...))`` probes it
+    instead of re-running the explode+count scan per query."""
+    word_rows(docs, text_col).groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("_tf")
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_tf_index(spark, path: str) -> DataFrame:
+    """Read a persisted (doc_id, w, _tf) relation written by
+    ``build_tf_index``."""
+    return spark.read.parquet(path)
+
+
 def ngram_rows(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     """(doc_id, g): one row per occurrence of each k-word gram (non-distinct).
 
@@ -486,6 +503,7 @@ def nb_language_scores(
     text_col: str = "text",
     label_col: str = "lang",
     cache_model: bool = False,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained ON the corpus
     and applied back to it — the distributed shape of the model-based
@@ -509,10 +527,17 @@ def nb_language_scores(
     ``w``, with the tiny per-class row (prior, default) broadcast. The
     only row multiplier is n_classes (a handful), applied to the tf
     relation, never to raw occurrences. At 100 TB: one corpus scan to
-    tf, vocab-bounded shuffles after."""
-    tf = word_rows(docs, text_col).groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).alias("_tf")
-    )
+    tf, vocab-bounded shuffles after.
+
+    ``tf`` accepts a PRECOMPUTED (doc_id, w, _tf) relation — the persisted
+    write-time artifact (``build_tf_index``): the explode+count corpus
+    pass is a pure function of the corpus and nb scoring consumes the tf
+    relation twice (train + score), so probing the parquet artifact
+    replaces two tokenize derivations with two pruned columnar reads."""
+    if tf is None:
+        tf = word_rows(docs, text_col).groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).alias("_tf")
+        )
     doc_lang = docs.select("doc_id", F.col(label_col).alias("_lang"))
     # the TRAINED MODEL is vocab x n_classes rows — with cache_model=True
     # it persists so its three consumers (class totals, vocab size,
@@ -582,17 +607,22 @@ def nb_language_scores(
             (F.col("_s") + F.col("_prior")).alias("_score"),
         )
     )
-    w_rank = Window.partitionBy("doc_id").orderBy(
-        F.desc("_score"), F.col("_lang")
-    )
-    pred = (
-        scored.withColumn("_rn", F.row_number().over(w_rank))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "doc_id",
-            F.col("_lang").alias("pred_lang"),
-            F.col("_score").cast("long").alias("score_micro"),
-        )
+    # argmax as min_by over a packed (negated-score, lang) key — ties break
+    # on (score DESC, lang ASC) exactly like the oracle's ROW_NUMBER, but
+    # with a map-side-partial aggregate over the docs x n_classes relation
+    # instead of a per-doc sort window (scores are exact BIGINTs, so the
+    # negation is lossless)
+    pred = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(F.col("_lang"), F.col("_score")),
+            F.struct(
+                (-F.col("_score")).alias("_k1"), F.col("_lang").alias("_k2")
+            ),
+        ).alias("_best")
+    ).select(
+        "doc_id",
+        F.col("_best._lang").alias("pred_lang"),
+        F.col("_best._score").cast("long").alias("score_micro"),
     )
     return pred.join(doc_lang, "doc_id").select(
         "doc_id",

@@ -564,6 +564,79 @@ def load_cluster_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def warm_start_clusters(
+    old_labels: DataFrame, new_edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Incremental connected components: fold ``new_edges`` into a previous
+    ``duplicate_clusters`` labeling WITHOUT re-contracting the full edge
+    set. Exactly equivalent to re-running the batch contraction over
+    (old edges ∪ new edges) — including merges of clusters first formed
+    in different refreshes — because the old labeling IS the old edge
+    set's transitive closure in star form.
+
+    Shape (the 100 TB argument):
+    - each new-edge endpoint is mapped to its old cluster root (itself if
+      unlabeled) — one broadcast-sized join per side against the
+      delta-distinct endpoint set;
+    - the iterative large-star/small-star contraction then runs over the
+      ROOT-level super-graph only: |nodes| ≤ 2·|new edges|, so
+      rounds-to-fixpoint and per-round shuffle depend on the delta, never
+      the corpus (old components are stars — diameter ≤ 2 — so they never
+      add rounds);
+    - relabeling is a single narrow pass over the old 2-column labeling
+      with a broadcast remap of the AFFECTED roots; untouched clusters
+      stream through a broadcast left-anti.
+
+    Correctness of the minimum-id label: an old ``cluster_id`` is the min
+    doc id of its members, so the super-graph's min over
+    {old roots ∪ new doc ids} is the min over the merged membership.
+    """
+    lab = old_labels.select("doc_id", "cluster_id")
+    e = (
+        new_edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # endpoint -> old root (itself when unlabeled). The labeling may be
+    # corpus-sized, but the JOIN OUTPUT is delta-sized; hash-partitioned
+    # equi-joins on doc_id, nothing corpus-sized is broadcast.
+    la = lab.select(
+        F.col("doc_id").alias("a"), F.col("cluster_id").alias("_ra")
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("b"), F.col("cluster_id").alias("_rb")
+    )
+    super_edges = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("_ra", "a").alias("doc_a"),
+            F.coalesce("_rb", "b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))  # intra-cluster edges vanish
+    )
+    if super_edges.isEmpty():
+        return lab
+    # delta-sized contraction: nodes are old roots and brand-new doc ids
+    super_labels = duplicate_clusters(super_edges, max_iter=max_iter)
+    remap = super_labels.select(
+        F.col("doc_id").alias("_old_root"), F.col("cluster_id").alias("_new_root")
+    ).localCheckpoint()  # delta-sized; broadcast below
+    updated = lab.join(
+        F.broadcast(remap), lab.cluster_id == F.col("_old_root")
+    ).select("doc_id", F.col("_new_root").alias("cluster_id"))
+    untouched = lab.join(
+        F.broadcast(remap.select(F.col("_old_root").alias("cluster_id"))),
+        "cluster_id",
+        "left_anti",
+    ).select("doc_id", "cluster_id")
+    # super-graph nodes that were never labeled before (new docs)
+    new_nodes = super_labels.join(
+        lab.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", "cluster_id")
+    return untouched.unionByName(updated).unionByName(new_nodes)
+
+
 def cluster_representatives(
     docs: DataFrame,
     pairs: DataFrame | None = None,

@@ -126,13 +126,38 @@ def _pred_from_hits() -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
+def build_text_features_index(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """BUILD STEP: materialize the staged per-doc text-feature table ONCE
+    and persist it (the cluster-index pattern, dedup.build_cluster_index).
+
+    The staged tokenize/feature pass is the dominant cost of every text
+    query (lang-id, quality, mixture, gopher, curriculum) — and it is a
+    pure function of the corpus, so it belongs at WRITE time. Consumers
+    pass the loaded artifact as their ``features=`` argument and probe a
+    narrow typed table instead of each re-running the shingle/tokenize
+    scan. Written with ``with_alpha=True`` and ALL languages so every
+    consumer's column set is covered (Catalyst prunes unused columns out
+    of the probe scan)."""
+    _staged_text_features(docs, text_col, with_alpha=True).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_text_features_index(spark, path: str) -> DataFrame:
+    """Read a persisted staged-feature table written by
+    ``build_text_features_index``."""
+    return spark.read.parquet(path)
+
+
 def identify_language(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", features: DataFrame | None = None
 ) -> DataFrame:
     """Per-doc language id + per-language stopword hit counts: argmax of
     stopword hits; ties go to the alphabetically-first language; zero hits
     → 'und' (undetermined)."""
-    f = _staged_text_features(docs, text_col)
+    f = features if features is not None else _staged_text_features(docs, text_col)
     return f.select(
         "doc_id",
         *[f"hits_{lang}" for lang in sorted(LANG_STOPWORDS)],
@@ -191,11 +216,14 @@ def _quality_cols() -> dict[str, Column]:
     }
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", features: DataFrame | None = None
+) -> DataFrame:
     """Heuristic doc-quality features + composite score (see
     ``_quality_cols`` for the feature list; tokenization is staged once —
-    see ``_staged_text_features``)."""
-    f = _staged_text_features(docs, text_col)
+    see ``_staged_text_features``; pass the persisted artifact as
+    ``features`` to skip the tokenize scan entirely)."""
+    f = features if features is not None else _staged_text_features(docs, text_col)
     cols = _quality_cols()
     return f.select(
         "doc_id", *[cols[name].alias(name) for name in cols]
@@ -372,6 +400,7 @@ def mixture_sample(
     rates: dict[str, int] | None = None,
     default_pct: int = 10,
     text_col: str = "text",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic per-language corpus mixture sampling: keep
     ``rates[lang]`` percent of each detected language's documents (the
@@ -396,7 +425,7 @@ def mixture_sample(
     from .dedup import md5_int
 
     rates = rates if rates is not None else {"en": 100, "de": 50, "und": 5}
-    f = _staged_text_features(docs, text_col)
+    f = features if features is not None else _staged_text_features(docs, text_col)
     bucket = (
         md5_int(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
         % 100
@@ -606,7 +635,9 @@ def weighted_sample(
     )
 
 
-def quality_curriculum(docs: DataFrame, n_bins: int = 40) -> DataFrame:
+def quality_curriculum(
+    docs: DataFrame, n_bins: int = 40, features: DataFrame | None = None
+) -> DataFrame:
     """Curriculum binning: split the corpus into quality quartiles whose
     boundaries come from the HISTOGRAM SKETCH, not an exact rank — the
     composed shape a 100 TB pipeline uses to build staged training mixes
@@ -626,7 +657,7 @@ def quality_curriculum(docs: DataFrame, n_bins: int = 40) -> DataFrame:
     order-dependent float accumulation."""
     from .sketch import hist_quantiles, hist_registers
 
-    scores = quality_scores(docs).select(
+    scores = quality_scores(docs, features=features).select(
         "doc_id", "n_words", "quality_score"
     )
     regs = hist_registers(scores, "quality_score", 0.0, 1.0, n_bins)
@@ -680,7 +711,9 @@ def quality_curriculum(docs: DataFrame, n_bins: int = 40) -> DataFrame:
     )
 
 
-def gopher_rule_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_rule_filter(
+    docs: DataFrame, text_col: str = "text", features: DataFrame | None = None
+) -> DataFrame:
     """Gopher-style hard quality rules (Rae et al. 2021's heuristic
     filter family, thresholds adapted to short-doc corpora): per-doc
     keep/drop verdict with a BITMASK audit of which rules failed — the
@@ -700,8 +733,10 @@ def gopher_rule_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     verdict projection; no shuffle, no UDF, no window — embarrassingly
     parallel at any scale. All ratios are double quotients of exact
     integers, so the threshold comparisons are engine-identical."""
-    staged = _staged_text_features(
-        docs, text_col, langs=["en"], with_alpha=True
+    staged = (
+        features
+        if features is not None
+        else _staged_text_features(docs, text_col, langs=["en"], with_alpha=True)
     )
     n_chars, n_words = F.col("n_chars"), F.col("n_words")
     mean_wlen = F.when(

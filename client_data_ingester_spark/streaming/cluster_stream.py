@@ -38,6 +38,7 @@ Why this shape at scale:
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,8 +49,10 @@ from ..operators.dedup import (
     build_cluster_index,
     duplicate_clusters,
     incremental_lsh_candidates,
+    load_cluster_index,
     lsh_candidate_pairs,
     minhash_band_keys,
+    warm_start_clusters,
 )
 from .dedup_stream import _doc_stream
 
@@ -150,11 +153,78 @@ def merged_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     return duplicate_clusters(edges)
 
 
+def _edge_batch_ids(edges_dir: str) -> list[int]:
+    if not os.path.isdir(edges_dir):
+        return []
+    ids = []
+    for d in os.listdir(edges_dir):
+        if d.startswith("batch_id="):
+            try:
+                ids.append(int(d.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def _watermark_path(path: str) -> str:
+    # underscore-prefixed files inside a parquet dir are ignored by reads
+    return os.path.join(path, "_refresh_watermark.json")
+
+
+def _read_watermark(path: str) -> int | None:
+    """Highest edge batch_id already folded into the artifact at ``path``
+    (None = no warm-startable artifact)."""
+    try:
+        with open(_watermark_path(path)) as fh:
+            return int(json.load(fh)["max_batch_id"])
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
+
+
+def _write_watermark(path: str, max_batch_id: int) -> None:
+    with open(_watermark_path(path), "w") as fh:
+        json.dump({"max_batch_id": max_batch_id}, fh)
+
+
 def refresh_cluster_index(
     spark: SparkSession, state_dir: str, path: str
 ) -> None:
     """Land the streamed labeling in the SAME persisted-artifact format
     the batch endgame probes (``load_cluster_index``) — the maintenance
     job that keeps the write-time cluster index current between full
-    rebuilds."""
-    build_cluster_index(merged_edges(spark, state_dir), path)
+    rebuilds.
+
+    WARM-STARTED: the artifact carries a ``_refresh_watermark.json``
+    recording the highest edge batch_id it has folded in. A refresh reads
+    ONLY the edge shards above the watermark (path-pruned —
+    ``batch_id=N`` directories) and folds them into the previous labeling
+    with ``warm_start_clusters``, so the iterative contraction runs over
+    the delta super-graph, not the accumulated corpus edge set. The first
+    refresh (no watermark) is the cold build. Exactly batch-equivalent
+    either way (property-tested: streamed+refreshed == full recompute,
+    including cross-refresh cluster merges)."""
+    edges_dir = f"{state_dir}/edges"
+    batch_ids = _edge_batch_ids(edges_dir)
+    if not batch_ids:
+        build_cluster_index(merged_edges(spark, state_dir), path)
+        return
+    last = _read_watermark(path)
+    if last is None:
+        build_cluster_index(merged_edges(spark, state_dir), path)
+        _write_watermark(path, max(batch_ids))
+        return
+    new_ids = [b for b in batch_ids if b > last]
+    if not new_ids:
+        return  # nothing new; artifact already current
+    new_edges = (
+        spark.read.option("basePath", edges_dir)
+        .parquet(*[f"{edges_dir}/batch_id={b}" for b in new_ids])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    old = load_cluster_index(spark, path)
+    # materialize BEFORE the overwrite (the new labels derive from the
+    # files the write is about to replace)
+    updated = warm_start_clusters(old, new_edges).localCheckpoint()
+    updated.write.mode("overwrite").parquet(path)
+    _write_watermark(path, max(batch_ids))

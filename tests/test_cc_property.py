@@ -64,3 +64,40 @@ def test_clusters_match_union_find(spark, edges):
         if any(a != b and x in (a, b) for a, b in edges)
     }
     assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_lists, st.integers(min_value=0, max_value=40))
+def test_warm_start_equals_cold_recompute(spark, edges, split_at):
+    """Property: warm_start_clusters(labels(old), new) == labels(old ∪ new)
+    for ANY split of a random edge list — chained merges across the split,
+    brand-new components in the delta, delta edges internal to old
+    clusters, empty halves. This is the exact-equivalence contract the
+    warm-started streaming refresh relies on."""
+    from client_data_ingester_spark.operators.dedup import (
+        duplicate_clusters,
+        warm_start_clusters,
+    )
+
+    split_at = min(split_at, len(edges))
+    old_e, new_e = edges[:split_at], edges[split_at:]
+
+    def df_of(es):
+        return spark.createDataFrame(
+            [(int(a), int(b)) for a, b in es] or [], "doc_a long, doc_b long"
+        )
+
+    old_labels = duplicate_clusters(df_of(old_e))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in warm_start_clusters(old_labels, df_of(new_e)).collect()
+    }
+    expect = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(df_of(edges)).collect()
+    }
+    assert got == expect

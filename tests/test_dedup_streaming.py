@@ -190,3 +190,123 @@ def test_cluster_stream_equals_batch_recompute(spark, tmp_path):
         (r["doc_id"], r["cluster_id"])
         for r in load_cluster_index(spark, path).collect()
     } == streamed
+
+
+def test_warm_refresh_equals_cold_rebuild_across_merges(spark, tmp_path):
+    """The warm-started refresh (fold only edge shards above the
+    watermark into the previous labeling) must equal the cold rebuild
+    even when the delta MERGES clusters first formed before the previous
+    refresh — and a refresh with nothing new must be a no-op."""
+    import os as _os
+
+    from client_data_ingester_spark.operators.dedup import (
+        duplicate_clusters,
+        load_cluster_index,
+        lsh_candidate_pairs,
+    )
+    from client_data_ingester_spark.streaming.cluster_stream import (
+        _read_watermark,
+        refresh_cluster_index,
+        start_cluster_edge_stream,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    path = str(tmp_path / "cluster_idx")
+    ts = "2024-01-01T10:00:00.000Z"
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "entirely different words about streaming cluster maintenance"
+
+    def run_stream(files):
+        q = start_cluster_edge_stream(
+            spark,
+            str(src),
+            str(tmp_path / "ckpt"),
+            state,
+            reader_options={"maxFilesPerTrigger": 1},
+        )
+        try:
+            for name, docs in files:
+                _write_docs(src / name, docs)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # phase 1: two disjoint clusters (1,2) on base_a and (5,6) on base_b
+    run_stream(
+        [
+            (
+                "b0.json",
+                [
+                    {"doc_id": 1, "ts": ts, "text": base_a},
+                    {"doc_id": 2, "ts": ts, "text": base_a + " tail"},
+                ],
+            ),
+            (
+                "b1.json",
+                [
+                    {"doc_id": 5, "ts": ts, "text": base_b},
+                    {"doc_id": 6, "ts": ts, "text": base_b + " tail"},
+                ],
+            ),
+        ]
+    )
+    refresh_cluster_index(spark, state, path)  # cold build + watermark
+    wm1 = _read_watermark(path)
+    assert wm1 is not None
+    labels1 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in load_cluster_index(spark, path).collect()
+    }
+    assert dict(labels1)[2] == 1 and dict(labels1)[6] == 5
+
+    # no-op refresh: watermark current, artifact untouched
+    mtimes = {
+        f: _os.path.getmtime(_os.path.join(path, f))
+        for f in _os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    refresh_cluster_index(spark, state, path)
+    assert _read_watermark(path) == wm1
+    for f, m in mtimes.items():
+        assert _os.path.getmtime(_os.path.join(path, f)) == m
+
+    # phase 2: doc 7 duplicates base_a (joins cluster 1), doc 8 duplicates
+    # base_b (joins cluster 5) — cross-refresh merges through new edges only
+    run_stream(
+        [
+            (
+                "b2.json",
+                [
+                    {"doc_id": 7, "ts": ts, "text": base_a},
+                    {"doc_id": 8, "ts": ts, "text": base_b},
+                ],
+            )
+        ]
+    )
+    refresh_cluster_index(spark, state, path)  # WARM path
+    assert _read_watermark(path) > wm1
+    warm = {
+        (r["doc_id"], r["cluster_id"])
+        for r in load_cluster_index(spark, path).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [
+            (1, base_a),
+            (2, base_a + " tail"),
+            (5, base_b),
+            (6, base_b + " tail"),
+            (7, base_a),
+            (8, base_b),
+        ],
+        "doc_id long, text string",
+    )
+    cold = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            lsh_candidate_pairs(all_docs, num_perm=4, bands=2)
+        ).collect()
+    }
+    assert warm == cold
+    assert dict(warm)[7] == 1 and dict(warm)[8] == 5

@@ -904,6 +904,24 @@ def test_quality_curriculum_two_corpus_scans(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_text_queries_probe_persisted_feature_artifacts(spark):
+    """The staged tokenize/feature corpus pass is a write-time artifact:
+    mixture/gopher/curriculum must read the persisted textfeat table and
+    nb_langid the persisted tf relation — never re-tokenize documents
+    inline (the raw text column must not appear in any of their scans)."""
+    for name, marker in (
+        ("docs_mixture_sample", "textfeat_index_"),
+        ("docs_gopher_rules", "textfeat_index_"),
+        ("docs_quality_curriculum", "textfeat_index_"),
+        ("docs_nb_langid", "tf_index_"),
+    ):
+        plan = plan_of(spark, name)
+        assert marker in plan, name
+        # no inline re-tokenize: the documents text column stays unread
+        for seg in plan.split("ReadSchema:")[1:]:
+            assert "text:" not in seg.split("\n")[0], name
+
+
 def test_ivfpq_probe_reads_persisted_artifacts(spark):
     """IVF-PQ queries must read the persisted residual codes + codebooks
     and the k-means model — never raw corpus vectors (queries aside) and

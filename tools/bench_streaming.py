@@ -110,8 +110,14 @@ def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
     n_rows = src.count()
     n_keys = src.select("sku").distinct().count()
     landing = os.path.join(work, "landing")
-    # 4 files -> the file source has multiple inputs to batch over
-    src.repartition(4).write.option("header", True).mode("overwrite").csv(landing)
+    # 20 equal files + maxFilesPerTrigger=1 -> 20 micro-batches, so the
+    # per-batch latency series doubles as a LATENCY-VS-SNAPSHOT-SIZE
+    # growth curve: each epoch merges against the snapshot the previous
+    # epochs grew (VERDICT r9 ask #3)
+    n_files = 20
+    src.repartition(n_files).write.option("header", True).mode(
+        "overwrite"
+    ).csv(landing)
     table = SnapshotTable(
         os.path.join(work, "products"), CLIENT_PRODUCTS_SCHEMA
     )
@@ -129,13 +135,26 @@ def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
         # twice and latency never)
         reader_options={"maxFilesPerTrigger": 1},
     )
-    if not q.awaitTermination(600):
+    if not q.awaitTermination(900):
         # a timed-out drain must not fall through to read a half-merged
         # table and publish numbers for an unfinished run
         q.stop()
-        raise RuntimeError("ingest stream did not drain within 600s")
+        raise RuntimeError("ingest stream did not drain within 900s")
     wall = time.time() - t0
     lat = _batch_latency(q)
+    # growth curve: (input rows so far BEFORE the batch, batch seconds) —
+    # rows-so-far is the snapshot size the batch's merge joined against
+    # (all skus here are distinct per file, so inputs accumulate 1:1)
+    curve = []
+    seen = 0
+    for p in q.recentProgress:
+        rows_in = p.get("numInputRows", 0)
+        dur = p.get("durationMs", {}).get("triggerExecution")
+        if rows_in > 0 and dur is not None:
+            curve.append(
+                {"snapshot_rows": seen, "sec": round(dur / 1000.0, 2)}
+            )
+            seen += rows_in
     merged = table.read(spark, 1).count()
     assert merged == n_keys, (merged, n_keys)  # last-write-wins per sku
     return {
@@ -144,6 +163,7 @@ def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
         "sec": round(wall, 2),
         "rows_per_sec": round(n_rows / wall, 1),
         "batch_latency": lat,
+        "growth_curve": curve,
     }
 
 
@@ -248,6 +268,7 @@ def bench_pq_encode_stream(spark, sf_dir: str, work: str) -> dict:
 def bench_cluster_stream(spark, sf_dir: str, work: str) -> dict:
     from client_data_ingester_spark.streaming.cluster_stream import (
         merged_clusters,
+        refresh_cluster_index,
         start_cluster_edge_stream,
     )
 
@@ -260,19 +281,43 @@ def bench_cluster_stream(spark, sf_dir: str, work: str) -> dict:
     src = os.path.join(work, "cluster_docs_json")
     docs.repartition(4).write.mode("overwrite").json(src)
     state = os.path.join(work, "cluster_state")
+    ckpt = os.path.join(work, "ckpt_cluster")
+
+    def drain():
+        q = start_cluster_edge_stream(
+            spark, src, ckpt, state,
+            reader_options={"maxFilesPerTrigger": 1},
+        )
+        q.processAllAvailable()
+        lat = _batch_latency(q)
+        q.stop()
+        return lat
+
     t0 = time.time()
-    q = start_cluster_edge_stream(
-        spark, src, os.path.join(work, "ckpt_cluster"), state,
-        reader_options={"maxFilesPerTrigger": 1},
-    )
-    q.processAllAvailable()
+    lat = drain()
     wall = time.time() - t0
-    lat = _batch_latency(q)
-    q.stop()
     # read-side contraction cost (the refresh job a scheduler would run)
     t1 = time.time()
     n_labeled = merged_clusters(spark, state).count()
     contract_sec = time.time() - t1
+    # refresh-cost story (VERDICT r9 ask #2): cold build over the full
+    # accumulated edge set vs WARM-STARTED refresh of a ~2% delta batch
+    # (the delta super-graph contraction + broadcast relabel)
+    idx_path = os.path.join(work, "cluster_idx")
+    t2 = time.time()
+    refresh_cluster_index(spark, state, idx_path)  # cold: full contraction
+    cold_sec = time.time() - t2
+    delta = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),  # dup texts, new ids
+        "ts",
+        "text",
+    )
+    n_delta = delta.count()
+    delta.coalesce(1).write.mode("append").json(src)
+    drain()  # index + edge shards for the delta batch only
+    t3 = time.time()
+    refresh_cluster_index(spark, state, idx_path)  # warm: delta-only
+    warm_sec = time.time() - t3
     return {
         "rows": n_rows,
         "labeled_rows": n_labeled,
@@ -280,6 +325,9 @@ def bench_cluster_stream(spark, sf_dir: str, work: str) -> dict:
         "rows_per_sec": round(n_rows / wall, 1),
         "batch_latency": lat,
         "read_contraction_sec": round(contract_sec, 2),
+        "cold_refresh_sec": round(cold_sec, 2),
+        "warm_refresh_sec": round(warm_sec, 2),
+        "warm_delta_rows": n_delta,
     }
 
 
