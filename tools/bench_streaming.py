@@ -272,10 +272,17 @@ def bench_cluster_stream(spark, sf_dir: str, work: str) -> dict:
         start_cluster_edge_stream,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id",
+    # 8 distinct-id replicas, half sharing replica-0's text (dense edge
+    # set -> the contraction has real work, so the cold-vs-warm refresh
+    # comparison below measures the algorithm, not fixed job overhead)
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = spark.range(8).select(F.col("id").alias("_r"))
+    docs = base.crossJoin(F.broadcast(rep)).select(
+        (F.col("doc_id") * 100 + F.col("_r")).alias("doc_id"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
-        "text",
+        F.when(F.col("_r") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" r"), F.col("_r")))
+        .alias("text"),
     )
     n_rows = docs.count()
     src = os.path.join(work, "cluster_docs_json")
@@ -307,7 +314,7 @@ def bench_cluster_stream(spark, sf_dir: str, work: str) -> dict:
     t2 = time.time()
     refresh_cluster_index(spark, state, idx_path)  # cold: full contraction
     cold_sec = time.time() - t2
-    delta = docs.filter(F.col("doc_id") % 50 == 0).select(
+    delta = docs.filter(F.col("doc_id") % 400 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),  # dup texts, new ids
         "ts",
         "text",
