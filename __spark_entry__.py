@@ -95,10 +95,12 @@ def _index_cache_path(sf_dir: str, kind: str, src_table: str = "embeddings") -> 
     else:
         st = os.stat(src)
         stats.append(f"{st.st_size}:{st.st_mtime_ns}")
-    # v4: ivfpq codes carry + partition by cluster (r9) — bumping the
-    # version invalidates any pre-r9 cached artifact missing the column
+    # v6: adaptive+occupancy-capped RP geometry with the RP_MAX_BITS
+    # prefix plane layout, geometry sidecar, adaptive-k semantic cells
+    # (r10) — bumping the version invalidates cached fixed-geometry
+    # artifacts that would silently mismatch the new probe-side keys
     key = hashlib.md5(
-        f"v4|{sf_dir}|{src_table}|{'|'.join(stats)}".encode()
+        f"v6|{sf_dir}|{src_table}|{'|'.join(stats)}".encode()
     ).hexdigest()
     cache_root = os.path.join(
         tempfile.gettempdir(), f"cdi_ivf_cache_{os.getuid()}"
@@ -123,20 +125,46 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_ivf_index(spark, path)
 
 
-def _rp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rp_index(spark: SparkSession, sf_dir: str):
     """Build-once-per-corpus LSH band keys for ``similarity_lsh_probe_topk``
     — same persisted-index pattern as the IVF quantizer: the corpus-side
     band keys are a write-time artifact; per query batch they'd be a
-    full-corpus scan of repeated hyperplane dot products."""
+    full-corpus scan of repeated hyperplane dot products.
+
+    Returns ``(band_keys, geometry)``: the geometry is ADAPTIVE
+    (``adaptive_rp_bits`` of the corpus count, 8 bits at the sf0.01
+    oracle gate) and probe-side key computation must reuse it — a
+    mismatched-bits probe would simply never collide."""
     from client_data_ingester_spark.operators.similarity import (
         build_rp_index,
+        load_rp_geometry,
         load_rp_index,
     )
 
     path = _index_cache_path(sf_dir, "rp")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_rp_index(_t(spark, sf_dir, "embeddings"), path)
-    return load_rp_index(spark, path)
+    return load_rp_index(spark, path), load_rp_geometry(path)
+
+
+def _semantic_cells(spark: SparkSession, sf_dir: str):
+    """Build-once-per-corpus SemDeDup blocking cells: a sample-trained
+    k-means model with ``k = semantic_cells_k(corpus count)`` cells (22
+    at the sf0.01 oracle gate — the oracle unrolls the same k). Blocking
+    the in-cell pairwise expansion on this artifact instead of the fixed
+    10-value ``label`` column is what turned the measured n² slope
+    (330 s at sf1) into the n^1.5 SemDeDup contract — see
+    ``similarity.build_semantic_cells_index``. Returns
+    ``(assignments, centroids)``."""
+    from client_data_ingester_spark.operators.similarity import (
+        build_semantic_cells_index,
+        load_kmeans_index,
+    )
+
+    path = _index_cache_path(sf_dir, "semcells")
+    if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+        build_semantic_cells_index(_t(spark, sf_dir, "embeddings"), path)
+    return load_kmeans_index(spark, path)
 
 
 def _kmeans_index(spark: SparkSession, sf_dir: str):
@@ -1155,7 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # probe-the-index pattern as similarity_lsh_probe_topk): write-time
     # hyperplane dots, narrow 3-column blocking scan per run
     q["embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
-        _t(s, d, "embeddings"), threshold=0.3, band_keys=_rp_index(s, d)
+        _t(s, d, "embeddings"), threshold=0.3, band_keys=_rp_index(s, d)[0]
     )
     # IVF is approximate-by-design but fully DETERMINISTIC since the
     # integer-exact centroid quantization (similarity.ivf_centroids) — it is
@@ -1176,26 +1204,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic ANN: seeded sign-bit LSH bucket probe + exact rerank.
     # The corpus band keys come from the PERSISTED write-time index (the
     # keys are pure functions of embedding + fixed planes, so the persisted
-    # and inline paths are bit-identical — same oracle either way).
-    q["similarity_lsh_probe_topk"] = lambda s, d: S.lsh_probe_topk(
-        _t(s, d, "embeddings"),
-        _t(s, d, "embeddings")
-        .filter(F.col("vec_id") < 3)
-        .select(F.col("vec_id").alias("query_id"), "embedding"),
-        k=5,
-        corpus_keys=_rp_index(s, d),
-    )
+    # and inline paths are bit-identical — same oracle either way). The
+    # query-side keys MUST be computed with the index's recorded geometry
+    # (adaptive bits — a fixed-8-bit probe against a 12-bit corpus index
+    # would never collide).
+    def _lsh_probe_scored(s, d):
+        corpus_keys, geom = _rp_index(s, d)
+        return S.lsh_probe_topk(
+            _t(s, d, "embeddings"),
+            _t(s, d, "embeddings")
+            .filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5,
+            bits=geom["bits"],
+            bands=geom["bands"],
+            dim=geom["dim"],
+            corpus_keys=corpus_keys,
+        )
+
+    q["similarity_lsh_probe_topk"] = _lsh_probe_scored
 
     # SemDeDup-style semantic dedup: exact cosine only WITHIN a semantic
-    # cluster (the cell column / IVF assignment), so the quadratic pair
-    # work is bounded per cell; the keep-list retains the vector least
-    # similar to its cell centroid (diversity-preserving drop rule)
-    q["semantic_dedup_pairs"] = lambda s, d: S.semantic_dedup_pairs(
-        _t(s, d, "embeddings")
-    )
-    q["semantic_dedup_retained"] = lambda s, d: S.semantic_dedup_retained(
-        _t(s, d, "embeddings"), _ivf_index(s, d)
-    )
+    # cell from the PERSISTED adaptive-k k-means artifact (k = √n,
+    # sample-trained — _semantic_cells). Blocking on the fixed 10-value
+    # label column was the round-10 sweep's worst finding (slope 2.28,
+    # 330 s at sf1): constant cell count ⇒ cell size ∝ corpus ⇒ n² pair
+    # expansion. √n cells balance assignment and pair work at the n^1.5
+    # SemDeDup contract; the keep-list retains the vector least similar
+    # to its OWN cell's centroid (diversity-preserving drop rule).
+    def _semantic_pairs_scored(s, d):
+        assigns, _cents = _semantic_cells(s, d)
+        return S.semantic_dedup_pairs(
+            _t(s, d, "embeddings").join(
+                assigns.select("vec_id", "cluster"), "vec_id"
+            ),
+            cell_col="cluster",
+        )
+
+    def _semantic_retained_scored(s, d):
+        assigns, cents = _semantic_cells(s, d)
+        return S.semantic_dedup_retained(
+            _t(s, d, "embeddings").join(
+                assigns.select("vec_id", "cluster"), "vec_id"
+            ),
+            cents,
+            cell_col="cluster",
+        )
+
+    q["semantic_dedup_pairs"] = _semantic_pairs_scored
+    q["semantic_dedup_retained"] = _semantic_retained_scored
     # distributed Lloyd's k-means, the iterative-algorithm family: every
     # round is int64-exact (quantized vectors, exact distances, integer
     # centroid means, struct-min argmax ties), so a 3-round run is
@@ -3740,13 +3797,21 @@ def oracle_sql() -> dict[str, str]:
         rademacher_planes as _rp,
     )
 
-    _RP_BITS, _RP_BANDS, _RP_DIM = 8, 2, 64
-    _planes = _rp(_RP_BANDS * _RP_BITS, _RP_DIM)
+    # The oracle unrolls the RP geometry the ADAPTIVE build chooses at
+    # the sf0.01 gate corpus (500 vectors): the adaptive_rp_bits floor is
+    # 8 and no sf0.01 bucket exceeds the occupancy cap, so the build
+    # settles at 8 bits (pinned end-to-end by test_scaling_canaries).
+    # Computed through the formula (not hardcoded) so a formula change
+    # that shifts the gate geometry breaks the gate loudly instead of
+    # silently comparing mismatched bucket keys. Plane indexing strides
+    # by RP_MAX_BITS — the prefix-property layout rp_band_keys uses.
+    _RP_BITS, _RP_BANDS, _RP_DIM = S.adaptive_rp_bits(500), 2, 64
+    _planes = _rp(_RP_BANDS * S.RP_MAX_BITS, _RP_DIM)
 
     def _band_key_sql(band: int) -> str:
         terms = []
         for j in range(_RP_BITS):
-            plane = _planes[band * _RP_BITS + j]
+            plane = _planes[band * S.RP_MAX_BITS + j]
             lits = ", ".join(str(x) for x in plane)
             terms.append(
                 f"(CASE WHEN LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), "
@@ -3774,56 +3839,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.3
     """
 
-    o["semantic_dedup_pairs"] = f"""
-        SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS score
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.25
-    """
-
-    o["semantic_dedup_retained"] = f"""
-        WITH ex AS (
-            SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-                        AS BIGINT) AS sv
-            FROM embeddings),
-        cent AS (
-            SELECT label, pos,
-                   CAST(FLOOR(CAST(SUM(sv) AS DOUBLE) / COUNT(*)) AS DOUBLE)
-                   / 1000000.0 AS m
-            FROM ex GROUP BY label, pos),
-        centroids AS (
-            SELECT label, LIST(m ORDER BY pos) AS centroid
-            FROM cent GROUP BY label),
-        ranked AS (
-            SELECT e.label AS cell, e.vec_id,
-                   FLOOR((LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), c.centroid)
-                          / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
-                                                   CAST(e.embedding AS DOUBLE[])))
-                             * SQRT(LIST_DOT_PRODUCT(c.centroid, c.centroid))))
-                         * 1000000 + 0.5) / 1000000 AS cent_sim
-            FROM embeddings e JOIN centroids c ON e.label = c.label),
-        pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.25),
-        edges AS (
-            SELECT id_a AS u, id_b AS v FROM pairs
-            UNION ALL
-            SELECT id_b AS u, id_a AS v FROM pairs),
-        dropped AS (
-            SELECT DISTINCT e.v AS vec_id
-            FROM edges e
-            JOIN ranked ru ON ru.vec_id = e.u
-            JOIN ranked rv ON rv.vec_id = e.v
-            WHERE ru.cent_sim < rv.cent_sim
-               OR (ru.cent_sim = rv.cent_sim AND e.u < e.v))
-        SELECT r.vec_id, r.cell, CAST(r.cent_sim AS DOUBLE) AS cent_sim
-        FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
-        WHERE d.vec_id IS NULL
-    """
+    # semantic_dedup_pairs / semantic_dedup_retained oracles are defined
+    # AFTER the k-means CTE machinery below — since round 10 the blocking
+    # cells are the adaptive-k k-means artifact, so their oracles unroll
+    # the same Lloyd's chain (at k = semantic_cells_k(500) = 22, the
+    # formula evaluated at the sf0.01 gate corpus).
 
     # Lloyd's k-means, iterations UNROLLED into a CTE chain (k=8, 3
     # rounds = 2 centroid updates + final assignment). Every step is
@@ -3859,21 +3879,33 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c, pos)
             GROUP BY c)"""
 
-    _km_ctes = [
-        """q AS (
+    def _km_cte_chain(k: int) -> list:
+        """The unrolled 3-round Lloyd's CTE chain (q → c0 → a0 → c1 → a1
+        → c2 → afinal) for ``k`` seed centroids — shared by the
+        kmeans_clusters / kmeans-IVF oracles (k=8, the scored query's
+        parameter) and the semantic-dedup oracles (k =
+        ``semantic_cells_k(500)`` = 22, the adaptive formula evaluated at
+        the sf0.01 gate's 500-vector corpus — pinned by
+        test_scaling_canaries). Training-sample cap is a no-op at ≤4096
+        rows, so the SQL needs no sampling CTE."""
+        ctes = [
+            """q AS (
             SELECT vec_id,
                    list_transform(embedding,
                        x -> CAST(GREATEST(-2000000, LEAST(2000000,
                                 FLOOR(CAST(x AS DOUBLE) * 1000000)))
                                  AS BIGINT)) AS qv
             FROM embeddings)""",
-        "c0 AS (SELECT CAST(vec_id AS BIGINT) AS c, qv AS cv "
-        "FROM q ORDER BY vec_id LIMIT 8)",
-    ]
-    for _i in range(2):  # n_iter - 1 update rounds
-        _km_ctes.append(_km_assign(f"a{_i}", f"c{_i}"))
-        _km_ctes.append(_km_update(f"a{_i}", f"c{_i + 1}"))
-    _km_ctes.append(_km_assign("afinal", "c2"))
+            "c0 AS (SELECT CAST(vec_id AS BIGINT) AS c, qv AS cv "
+            f"FROM q ORDER BY vec_id LIMIT {k})",
+        ]
+        for _i in range(2):  # n_iter - 1 update rounds
+            ctes.append(_km_assign(f"a{_i}", f"c{_i}"))
+            ctes.append(_km_update(f"a{_i}", f"c{_i + 1}"))
+        ctes.append(_km_assign("afinal", "c2"))
+        return ctes
+
+    _km_ctes = _km_cte_chain(8)
     o["kmeans_clusters"] = (
         "WITH "
         + ",\n        ".join(_km_ctes)
@@ -3932,6 +3964,68 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 5
     """
     )
+
+    # SemDeDup oracles: cells from the SAME unrolled Lloyd's chain at
+    # k = semantic_cells_k(500) = 22 — the adaptive-√n formula evaluated
+    # at the sf0.01 gate corpus (the driver compares at sf0.01 only; the
+    # count anchor is pinned by test_scaling_canaries). afinal supplies
+    # the cell per vector, c2 → doubles the per-cell centroid.
+    _sem_k = S.semantic_cells_k(500)
+    _sem_ctes = ",\n        ".join(_km_cte_chain(_sem_k))
+    o["semantic_dedup_pairs"] = f"""
+        WITH {_sem_ctes},
+        cells AS (SELECT vec_id, c FROM afinal)
+        SELECT ca.c AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS score
+        FROM embeddings a
+        JOIN cells ca ON ca.vec_id = a.vec_id
+        JOIN cells cb ON cb.c = ca.c
+        JOIN embeddings b ON b.vec_id = cb.vec_id
+         AND a.vec_id < b.vec_id
+        WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.25
+    """
+
+    o["semantic_dedup_retained"] = f"""
+        WITH {_sem_ctes},
+        cells AS (SELECT vec_id, c FROM afinal),
+        centd AS (
+            SELECT c,
+                   list_transform(cv, x -> CAST(x AS DOUBLE) / 1000000.0)
+                       AS centroid
+            FROM c2),
+        ranked AS (
+            SELECT cl.c AS cell, e.vec_id,
+                   FLOOR((LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), cd.centroid)
+                          / (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])))
+                             * SQRT(LIST_DOT_PRODUCT(cd.centroid, cd.centroid))))
+                         * 1000000 + 0.5) / 1000000 AS cent_sim
+            FROM embeddings e
+            JOIN cells cl ON cl.vec_id = e.vec_id
+            JOIN centd cd ON cd.c = cl.c),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a
+            JOIN cells ca ON ca.vec_id = a.vec_id
+            JOIN cells cb ON cb.c = ca.c
+            JOIN embeddings b ON b.vec_id = cb.vec_id
+             AND a.vec_id < b.vec_id
+            WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.25),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM pairs),
+        dropped AS (
+            SELECT DISTINCT e.v AS vec_id
+            FROM edges e
+            JOIN ranked ru ON ru.vec_id = e.u
+            JOIN ranked rv ON rv.vec_id = e.v
+            WHERE ru.cent_sim < rv.cent_sim
+               OR (ru.cent_sim = rv.cent_sim AND e.u < e.v))
+        SELECT r.vec_id, r.cell, CAST(r.cent_sim AS DOUBLE) AS cent_sim
+        FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    """
 
     # product quantization: the SAME Lloyd-round unrolling as the kmeans
     # oracle, with `sub` as an extra grouping key (per-subspace codebooks

@@ -187,6 +187,12 @@ def main() -> None:
             os.path.join("centroids", "_SUCCESS"),
         ),
         (
+            "semantic_cells",
+            entry._semantic_cells,
+            ("semcells", "embeddings"),
+            os.path.join("centroids", "_SUCCESS"),
+        ),
+        (
             "pq_model",
             entry._pq_index,
             ("pq", "embeddings"),

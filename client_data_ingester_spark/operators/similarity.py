@@ -26,6 +26,10 @@ by queries, never retrained inline.
 
 from __future__ import annotations
 
+import json
+import math
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -282,6 +286,50 @@ def _plane_dot(vec: Column, plane: list[float]) -> Column:
     )
 
 
+def adaptive_rp_bits(n_rows: int, lo: int = 8, hi: int = 24) -> int:
+    """Per-band hyperplane count sized to the corpus at BUILD time.
+
+    Fixed bits are a scale bug, measured: with 8 bits the per-band bucket
+    count is a constant 256, so average bucket occupancy grows linearly
+    with the corpus and the in-bucket candidate expansion (Σ bucket²)
+    goes QUADRATIC — the round-10 scaling sweep caught
+    ``embedding_near_duplicates`` at 33× wall for 5× rows before OOMing
+    at sf1. Sizing ``2^bits ≈ n/2`` keeps expected occupancy O(1), so
+    candidate generation stays ~linear in corpus rows at any scale.
+
+    Deterministic (pure function of the corpus row count); clamped to
+    [lo, hi] so tiny corpora keep today's 8-bit geometry — at the sf0.01
+    oracle gate (500 vectors) this returns exactly 8, which is what the
+    DuckDB oracle SQL unrolls. More bits trade recall per band for
+    precision, the documented LSH knob (raise ``bands`` to win recall
+    back)."""
+    return min(hi, max(lo, math.ceil(math.log2(max(n_rows, 2) / 2.0))))
+
+
+def semantic_cells_k(n_rows: int) -> int:
+    """Semantic-cell count for SemDeDup blocking: ``k = isqrt(n)``.
+
+    Exact in-cell pairwise dedup costs Σ cell² ≈ n·(n/k) verifies while
+    cell assignment costs n·k distance evaluations; k = √n balances the
+    two at O(n^1.5) total — the best exponent exact SemDeDup admits
+    (blocking on a FIXED-cardinality cell column is n²; the round-10
+    sweep measured slope 2.28 on the label-blocked version, 330 s at
+    sf1). Pure function of the corpus row count, so the build is
+    deterministic and the sf0.01 oracle can unroll the same k."""
+    return max(2, math.isqrt(max(n_rows, 0)))
+
+
+#: Plane-table stride per band: band ``b``'s bit ``j`` always uses plane
+#: ``b * RP_MAX_BITS + j`` regardless of how many bits a build chooses.
+#: This gives band keys the PREFIX PROPERTY — a b-bit key is the low-b-bit
+#: mask of the RP_MAX_BITS-bit key over the same planes — so the
+#: occupancy-capped build (``build_rp_index``) can hash the corpus ONCE at
+#: full width and pick the final width by masking, and two builds with
+#: different widths stay comparable. 24 bits = 16M buckets/band, plenty
+#: below int-key range.
+RP_MAX_BITS = 24
+
+
 def rp_band_keys(
     corpus: DataFrame,
     bits: int = 8,
@@ -294,8 +342,13 @@ def rp_band_keys(
     hyperplanes. ``bands`` independent tables of ``bits`` bits each — a pair
     is a candidate if it collides in ANY band (same banding trade-off as
     MinHash LSH). Data-independent: bucket population scales with the corpus,
-    never with a class column's cardinality."""
-    planes = rademacher_planes(bands * bits, dim)
+    never with a class column's cardinality. Keys have the prefix property
+    (see ``RP_MAX_BITS``): band ``b`` bit ``j`` is the sign under plane
+    ``b * RP_MAX_BITS + j``, so ``bits`` truncates the same plane table
+    rather than re-dealing planes across bands."""
+    if bits > RP_MAX_BITS:
+        raise ValueError(f"bits={bits} exceeds RP_MAX_BITS={RP_MAX_BITS}")
+    planes = rademacher_planes(bands * RP_MAX_BITS, dim)
     # fail fast on a dim mismatch: zip_with would silently null-pad the
     # shorter side (bit collapses to 0) while an engine like DuckDB errors —
     # a silent divergence in the candidate-pair set across engines. The
@@ -316,7 +369,7 @@ def rp_band_keys(
         key = None
         for j in range(bits):
             bit = F.when(
-                _plane_dot(F.col(vec_col), planes[band * bits + j]) >= 0,
+                _plane_dot(F.col(vec_col), planes[band * RP_MAX_BITS + j]) >= 0,
                 F.lit(1 << j),
             ).otherwise(F.lit(0))
             key = bit if key is None else key + bit
@@ -331,11 +384,12 @@ def rp_band_keys(
 def build_rp_index(
     corpus: DataFrame,
     path: str,
-    bits: int = 8,
+    bits: int | None = None,
     bands: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    occ_cap: int = 64,
 ) -> None:
     """BUILD STEP: persist the corpus-side LSH band keys as parquet.
 
@@ -345,15 +399,82 @@ def build_rp_index(
     batch is a full-corpus scan of wasted FLOPs. Persisted (and at scale
     bucketed by ``(band, key)``), the probe side becomes a narrow
     bucket-pruned scan of a 3-int-column table; only the exact rerank
-    touches the wide embedding column — and only for candidates."""
-    rp_band_keys(corpus, bits, bands, dim, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(path)
+    touches the wide embedding column — and only for candidates.
+
+    ``bits=None`` (the default) sizes the geometry to the corpus:
+
+    1. floor = ``adaptive_rp_bits(count)`` (2^bits ≈ n/2 — O(1) expected
+       occupancy under the hashing assumption);
+    2. occupancy escalation: real corpora are CLUSTERED, and sign-bit
+       keys of a tight cluster agree on every high-margin plane, so the
+       count-based floor can still leave mega-buckets (measured on the
+       sf1 synthetic corpus: 15-bit floor, yet max bucket = 1996 of 50k
+       rows and 11.5M candidate pairs — the n² tail in miniature). The
+       build hashes the corpus ONCE at ``RP_MAX_BITS`` width, then — via
+       the prefix property, by masking, no rehash — picks the smallest
+       width whose max bucket occupancy ≤ ``occ_cap``, up to
+       ``RP_MAX_BITS``. Occupancy is a deterministic function of the
+       corpus, so the choice is too.
+
+    The chosen geometry is recorded in a ``_rp_geometry.json`` sidecar
+    inside the parquet dir (underscore-prefixed ⇒ ignored by parquet
+    reads, the same convention as the cluster-index refresh watermark).
+    Probe-side key computation MUST use the same bits/bands/dim as the
+    persisted corpus keys or buckets never collide; read them back with
+    ``load_rp_geometry``. At the sf0.01 oracle gate (500 vectors) the
+    floor is 8 and no bucket exceeds ``occ_cap``, so the build keeps the
+    geometry the DuckDB oracle unrolls — pinned by
+    test_scaling_canaries."""
+    keys = rp_band_keys(corpus, RP_MAX_BITS, bands, dim, id_col, vec_col)
+    if bits is None:
+        floor = adaptive_rp_bits(corpus.count())
+        keys = keys.localCheckpoint()  # hashed once; candidates just mask
+        bits = RP_MAX_BITS
+        for b in range(floor, RP_MAX_BITS):
+            occ = (
+                keys.groupBy(
+                    "band", F.col("key").bitwiseAND(F.lit((1 << b) - 1))
+                )
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+            if occ is not None and occ <= occ_cap:
+                bits = b
+                break
+    final = keys.withColumn(
+        "key", F.col("key").bitwiseAND(F.lit((1 << bits) - 1))
+    )
+    final.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_rp_geometry.json"), "w") as fh:
+        json.dump({"bits": bits, "bands": bands, "dim": dim}, fh)
 
 
 def load_rp_index(spark, path: str) -> DataFrame:
     """Read persisted corpus band keys written by ``build_rp_index``."""
     return spark.read.parquet(path)
+
+
+def load_rp_geometry(path: str) -> dict:
+    """The {bits, bands, dim} geometry a persisted RP index was built
+    with — the probe side must compute its query keys with the SAME
+    geometry or bucket keys never match. Raises on a pre-geometry
+    artifact (rebuild it: a silent 8-bit default against an adaptive
+    corpus index would return empty candidate sets, not an error)."""
+    p = os.path.join(path, "_rp_geometry.json")
+    try:
+        with open(p) as fh:
+            geom = json.load(fh)
+        return {
+            "bits": int(geom["bits"]),
+            "bands": int(geom["bands"]),
+            "dim": int(geom["dim"]),
+        }
+    except (OSError, ValueError, KeyError, json.JSONDecodeError) as e:
+        raise ValueError(
+            f"RP index at {path} has no readable _rp_geometry.json sidecar "
+            "(pre-adaptive-geometry artifact?) — rebuild with build_rp_index"
+        ) from e
 
 
 def embedding_near_duplicates(
@@ -370,13 +491,16 @@ def embedding_near_duplicates(
 
     Candidate pairs collide on at least one of ``bands`` random-hyperplane
     band keys (see ``rp_band_keys``), then are verified with EXACT cosine.
-    The blocking key is data-independent — bucket sizes stay O(n / 2^bits)
-    under the hashing assumption, so the in-bucket pair expansion is
-    O(Σ bucket²) with *bounded* bucket share, unlike blocking on a
-    low-cardinality class column where one label's bucket is a constant
-    fraction of the corpus and the join goes quadratic at scale. Recall < 1
-    by construction (angular LSH misses pairs whose bits all differ);
-    raise ``bands`` for higher recall. Emits (id_a, id_b, score).
+    The blocking key is data-independent, and with the build sizing bits
+    via ``adaptive_rp_bits`` (2^bits ≈ n/2) expected bucket occupancy is
+    O(1), keeping the in-bucket pair expansion ~linear in corpus rows.
+    FIXED bits are a measured scale bug — at 8 bits the round-10 sweep
+    saw 33× wall for 5× rows, then an OOM at sf1, because constant
+    bucket count means occupancy ∝ n and Σ bucket² goes quadratic (the
+    same failure mode as blocking on a low-cardinality class column).
+    Recall < 1 by construction (angular LSH misses pairs whose bits all
+    differ); raise ``bands`` for higher recall — more bits lowers
+    per-band recall while raising precision. Emits (id_a, id_b, score).
 
     Scale shape: pass ``band_keys=load_rp_index(...)`` (the persisted
     ``build_rp_index`` artifact, same contract as ``lsh_probe_topk``'s
@@ -480,15 +604,21 @@ def semantic_dedup_pairs(
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs: exact pairwise cosine, but
     ONLY within a semantic cluster (the corpus's cluster/cell column — at
-    100 TB this is the k-means/IVF cell assignment from the persisted
-    coarse quantizer, computed once per corpus version).
+    100 TB this is the k-means cell assignment from the persisted
+    ``build_semantic_cells_index`` artifact, computed once per corpus
+    version).
 
-    Clustering first is what makes semantic dedup tractable: the
-    quadratic pair expansion runs per cell (Σ c² work, c = cell size,
-    chosen ≈ corpus/k at build time), never across the corpus, and the
-    cell equi-join shuffles each vector once. Emits one row per unordered
-    in-cell pair with cosine ≥ threshold; scores are round6-quantized so
-    the threshold comparison is engine-portable.
+    Clustering first is what makes semantic dedup tractable — IF the
+    cell count scales with the corpus. Pair work is Σ c² (c = cell
+    size): a fixed-cardinality cell column (a label, a language) means
+    c ∝ n and the join is n² — the round-10 scaling sweep measured
+    exactly that (slope 2.28, 330 s at sf1) on label-blocked cells.
+    With ``k = semantic_cells_k(n) = √n`` cells the pair expansion is
+    n·√n, balanced against the n·k assignment pass — the best exponent
+    exact SemDeDup admits. The cell equi-join shuffles each vector
+    once. Emits one row per unordered in-cell pair with cosine ≥
+    threshold; scores are round6-quantized so the threshold comparison
+    is engine-portable.
     """
     # norms are attached per VECTOR before the pair join — computed once
     # per row, not once per pair (each vector appears in ~cell_size pairs,
@@ -643,6 +773,7 @@ def kmeans_model(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means, returning BOTH halves of the model: the
     assignments ``(id, cluster, dist_sq)`` and the final centroids
@@ -670,20 +801,39 @@ def kmeans_model(
     At 100 TB each round is one scan + one k×dim-bounded aggregate, the
     textbook distributed Lloyd's cost. For large ``n_iter`` checkpoint
     the centroid relation every few rounds to cap lineage depth.
+
+    ``train_cap`` bounds TRAINING cost for large k: Lloyd's rounds run
+    over the ``train_cap`` corpus rows with the smallest
+    ``xxhash64(id)`` (a deterministic uniform sample — TakeOrdered,
+    scale-safe), while the FINAL assignment still covers the whole
+    corpus. With k ∝ √n (see ``semantic_cells_k``) full-corpus training
+    would pay n·k distances per round; sample-trained it pays cap·k per
+    round plus one n·k assignment pass — the standard coarse-quantizer
+    recipe (IVF quantizers train on samples at any real scale). When the
+    corpus has ≤ ``train_cap`` rows the sample IS the corpus, so small
+    corpora (and the sf0.01 oracle gate) are bit-identical to full
+    training.
     """
     q = corpus.select(
         F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_q")
     )
+    q_train = (
+        q
+        if train_cap is None
+        else q.orderBy(
+            F.xxhash64(F.col(id_col).cast("long")), F.col(id_col)
+        ).limit(train_cap)
+    )
     centroids = (
-        q.orderBy(id_col)
+        q_train.orderBy(id_col)
         .limit(k)
         .select(
             F.col(id_col).cast("long").alias("_c"), F.col("_q").alias("_cvec")
         )
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = q.crossJoin(F.broadcast(cents)).select(
+    def assign(rel: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = rel.crossJoin(F.broadcast(cents)).select(
             F.col(id_col),
             "_q",
             F.struct(
@@ -700,7 +850,7 @@ def kmeans_model(
         )
 
     for _ in range(n_iter - 1):
-        assigned = assign(centroids)
+        assigned = assign(q_train, centroids)
         per_pos = assigned.select(
             F.col("cluster"), F.posexplode("_q").alias("pos", "v")
         ).groupBy("cluster", "pos").agg(
@@ -719,7 +869,7 @@ def kmeans_model(
             )
         )
 
-    assignments = assign(centroids).select(id_col, "cluster", "dist_sq")
+    assignments = assign(q, centroids).select(id_col, "cluster", "dist_sq")
     centroids_d = centroids.select(
         F.col("_c").alias("cluster"),
         F.transform(
@@ -748,6 +898,7 @@ def build_kmeans_index(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> None:
     """BUILD STEP: persist BOTH halves of the deterministic k-means model
     (assignments under ``path/assignments``, centroids under
@@ -758,7 +909,9 @@ def build_kmeans_index(
     table and joins the persisted assignments instead of retraining.
     ``kmeans_model`` is bit-deterministic (int64-exact rounds), so the
     persisted model is value-identical to an inline recompute."""
-    assignments, centroids = kmeans_model(corpus, k, n_iter, id_col, vec_col)
+    assignments, centroids = kmeans_model(
+        corpus, k, n_iter, id_col, vec_col, train_cap=train_cap
+    )
     assignments.write.mode("overwrite").parquet(f"{path}/assignments")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -769,6 +922,33 @@ def load_kmeans_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return (
         spark.read.parquet(f"{path}/assignments"),
         spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def build_semantic_cells_index(
+    corpus: DataFrame,
+    path: str,
+    n_iter: int = 3,
+    train_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """BUILD STEP: the SemDeDup blocking cells — a k-means model with
+    ``k = semantic_cells_k(count)`` cells, sample-trained, persisted in
+    the ``build_kmeans_index`` layout.
+
+    This is what makes semantic dedup's cost O(n^1.5) instead of n²: the
+    round-10 scaling sweep measured slope 2.28 (330 s at sf1) for
+    pairwise-within-``label`` blocking, because a FIXED-cardinality cell
+    column means cell size ∝ corpus. With k = √n cells the per-cell
+    expansion and the assignment pass balance at n·√n, and training cost
+    stays flat via ``train_cap`` sampling. Deterministic end-to-end
+    (int64-exact Lloyd's + hash-ordered sample), so the sf0.01 oracle
+    unrolls the same k and matches value-for-value."""
+    k = semantic_cells_k(corpus.count())
+    build_kmeans_index(
+        corpus, path, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        train_cap=train_cap,
     )
 
 

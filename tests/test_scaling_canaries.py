@@ -1,0 +1,201 @@
+"""Scale-adaptive blocking-geometry canaries (round-10 scaling sweep).
+
+The sweep (tools/bench_scaling.py, SCALING.json) measured two quadratic
+scale-killers, both caused by FIXED blocking geometry over a growing
+corpus: 8-bit RP-LSH buckets (embedding_near_duplicates — 33× wall for
+5× rows, OOM at sf1) and 10-value label cells for SemDeDup (slope 2.28,
+330 s at sf1). The fix makes geometry a deterministic function of the
+corpus row count (similarity.adaptive_rp_bits / semantic_cells_k),
+anchored so the sf0.01 oracle gate reproduces the pre-fix geometry
+exactly. These tests pin the anchors and the sample-training identity
+the DuckDB oracles rely on; drifting any of them silently desyncs the
+oracle SQL from the Spark build.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from client_data_ingester_spark.operators import similarity as S
+
+SF001_DIR = "/root/testdata/sf0.01"
+
+
+def test_adaptive_rp_bits_oracle_anchor():
+    # the embedding_near_duplicates / lsh_probe oracle SQL unrolls
+    # 8-bit band keys; the build must choose exactly 8 at the gate corpus
+    assert S.adaptive_rp_bits(500) == 8
+
+
+def test_adaptive_rp_bits_tracks_corpus():
+    # 2^bits ≈ n/2 with [8, 24] clamps: occupancy stays O(1), tiny
+    # corpora keep the legacy geometry, and bits never exceed int-key room
+    assert S.adaptive_rp_bits(1) == 8
+    assert S.adaptive_rp_bits(512) == 8
+    assert S.adaptive_rp_bits(2000) == 10
+    assert S.adaptive_rp_bits(50_000) == 15
+    assert S.adaptive_rp_bits(10**12) == 24  # hi clamp
+    # monotone non-decreasing across the growth range
+    vals = [S.adaptive_rp_bits(n) for n in (10, 10**3, 10**6, 10**9)]
+    assert vals == sorted(vals)
+
+
+def test_semantic_cells_k_oracle_anchor():
+    # the semantic_dedup_* oracle CTE chain seeds LIMIT semantic_cells_k(500)
+    assert S.semantic_cells_k(500) == 22
+
+
+def test_semantic_cells_k_is_sqrt():
+    assert S.semantic_cells_k(0) == 2
+    assert S.semantic_cells_k(4) == 2
+    assert S.semantic_cells_k(10_000) == 100
+    assert S.semantic_cells_k(50_000) == 223
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF001_DIR}/embeddings.parquet"),
+    reason="driver testdata not present",
+)
+def test_sf001_corpus_count_anchor(spark):
+    """The oracles evaluate the adaptive formulas at n=500 — the sf0.01
+    embeddings row count. If the driver regenerates testdata at a
+    different size, this fails loudly instead of the gate comparing a
+    k=22 Spark build against a k=22-for-the-wrong-n oracle."""
+    n = spark.read.parquet(f"{SF001_DIR}/embeddings.parquet").count()
+    assert n == 500
+
+
+def _tiny_corpus(spark, n=40, dim=8, seed_label="t"):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.cos(
+                    (F.pmod(F.col("id"), F.lit(4)) + 1) * i.cast("double")
+                )
+                * 0.3
+                + F.pmod(
+                    F.xxhash64(F.lit(seed_label), F.col("id"), i),
+                    F.lit(1000),
+                ).cast("double")
+                / 5000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_rp_geometry_sidecar_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "rp")
+    corpus = _tiny_corpus(spark, n=30, dim=8)
+    S.build_rp_index(corpus, path, dim=8)  # bits=None → adaptive → lo clamp
+    geom = S.load_rp_geometry(path)
+    assert geom == {"bits": 8, "bands": 2, "dim": 8}
+    # keys on disk use the recorded geometry: key < 2^bits
+    keys = S.load_rp_index(spark, path)
+    hi = keys.agg(F.max("key")).first()[0]
+    assert hi < 2 ** geom["bits"]
+
+
+def test_rp_keys_have_prefix_property(spark):
+    """A b-bit band key is the low-b-bit mask of a wider key over the
+    SAME planes (band stride = RP_MAX_BITS) — what lets the build hash
+    once at full width and choose the final width by masking, and what
+    the occupancy-escalation loop relies on."""
+    corpus = _tiny_corpus(spark, n=25, dim=8)
+    k6 = {
+        (r["id"], r["band"]): r["key"]
+        for r in S.rp_band_keys(corpus, bits=6, dim=8).collect()
+    }
+    k12 = {
+        (r["id"], r["band"]): r["key"]
+        for r in S.rp_band_keys(corpus, bits=12, dim=8).collect()
+    }
+    assert k6 == {k: v & 0x3F for k, v in k12.items()}
+
+
+def test_rp_occupancy_cap_escalates_on_degenerate_corpus(spark, tmp_path):
+    """A corpus of identical vectors defeats every hyperplane (all rows
+    share every sign bit), so no width can split the bucket: the build
+    must escalate to RP_MAX_BITS rather than settle at the count floor
+    and hand the pair join an n² bucket."""
+    path = str(tmp_path / "rp_degen")
+    same = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)), lambda i: F.lit(0.5).cast("float")
+        ).alias("embedding"),
+    )
+    S.build_rp_index(same, path, dim=8)
+    assert S.load_rp_geometry(path)["bits"] == S.RP_MAX_BITS
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{SF001_DIR}/embeddings.parquet"),
+    reason="driver testdata not present",
+)
+def test_rp_gate_corpus_settles_at_oracle_geometry(spark, tmp_path):
+    """End-to-end anchor: on the REAL sf0.01 corpus the adaptive build
+    (floor + occupancy escalation) must choose exactly the 8-bit geometry
+    the DuckDB oracle SQL unrolls — if data or formula drift moves the
+    choice, the gate must break HERE, loudly, not as a silent value-hash
+    mismatch."""
+    path = str(tmp_path / "rp_gate")
+    corpus = spark.read.parquet(f"{SF001_DIR}/embeddings.parquet")
+    S.build_rp_index(corpus, path)
+    assert S.load_rp_geometry(path)["bits"] == 8
+
+
+def test_rp_geometry_missing_sidecar_raises(spark, tmp_path):
+    path = str(tmp_path / "rp_legacy")
+    S.rp_band_keys(_tiny_corpus(spark, n=10, dim=8), dim=8).write.parquet(
+        path
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        S.load_rp_geometry(path)
+    # corrupt sidecar is as loud as a missing one
+    with open(os.path.join(path, "_rp_geometry.json"), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="geometry"):
+        S.load_rp_geometry(path)
+
+
+def test_train_cap_identity_when_corpus_fits(spark):
+    """n ≤ train_cap ⇒ sample-trained model is bit-identical to full
+    training — the property that lets the sf0.01 oracle ignore sampling
+    (500 rows < 4096 cap)."""
+    corpus = _tiny_corpus(spark, n=40, dim=8)
+    a_full, c_full = S.kmeans_model(corpus, k=4, n_iter=3)
+    a_cap, c_cap = S.kmeans_model(corpus, k=4, n_iter=3, train_cap=4096)
+    assert sorted(map(tuple, a_full.collect())) == sorted(
+        map(tuple, a_cap.collect())
+    )
+    assert sorted(map(tuple, c_full.collect())) == sorted(
+        map(tuple, c_cap.collect())
+    )
+
+
+def test_train_cap_sample_still_assigns_whole_corpus(spark):
+    """train_cap < n bounds TRAINING only: every corpus row still gets a
+    final cell assignment, and every assigned cell is a trained centroid."""
+    corpus = _tiny_corpus(spark, n=60, dim=8)
+    assigns, cents = S.kmeans_model(
+        corpus, k=3, n_iter=2, train_cap=20
+    )
+    assert assigns.count() == 60
+    cells = {r["cluster"] for r in assigns.select("cluster").distinct().collect()}
+    trained = {r["cluster"] for r in cents.select("cluster").collect()}
+    assert cells <= trained
+
+
+def test_semantic_cells_index_uses_adaptive_k(spark, tmp_path):
+    path = str(tmp_path / "semcells")
+    corpus = _tiny_corpus(spark, n=36, dim=8)
+    S.build_semantic_cells_index(corpus, path)
+    assigns, cents = S.load_kmeans_index(spark, path)
+    # k = isqrt(36) = 6 seed centroids; empty cells may drop during Lloyd's
+    assert cents.count() <= 6
+    assert cents.count() >= 2
+    assert assigns.count() == 36

@@ -8,8 +8,15 @@ job overhead floors small-sf times, so the fit uses the LARGEST points
 (default: the top 3 sfs) where data cost dominates.
 
 Writes SCALING.json at the repo root:
-  {"sfs": [...], "queries": {name: {"secs": {...}, "slope": s}},
-   "superlinear": [names with slope > 1.2]}
+  {"sfs": [...],
+   "queries": {name: {"secs": {...}, "rows": {...}, "slope": s,
+                      "rows_slope": r}},
+   "superlinear": [names with wall slope > 1.2],
+   "superlinear_unjustified": [superlinear names whose wall slope also
+       exceeds their OUTPUT-cardinality slope — i.e. not explained by the
+       answer itself growing (pair lists on clustered corpora are Θ(n²)
+       rows by construction; wall ∝ output there is optimal, wall ≫
+       output is a plan bug)]}
 
 Usage:
   SPARK_GRAFT_SCALING_SFS="/root/testdata/sf0.01,/root/testdata/sf0.1,\
@@ -38,6 +45,7 @@ ARTIFACT_BUILDERS = [
     entry._cluster_index,
     entry._doc_band_index,
     entry._kmeans_index,
+    entry._semantic_cells,
     entry._pq_index,
     entry._ivfpq_index,
     entry._text_features_index,
@@ -86,6 +94,7 @@ def main() -> None:
         names = [n for n in names if n in set(only.split(","))]
 
     secs: dict[str, dict[str, float]] = {n: {} for n in names}
+    rows: dict[str, dict[str, int]] = {n: {} for n in names}
     for sf_dir in sf_dirs:
         sf = _sf_of(sf_dir)
         t_wall = time.time()
@@ -108,6 +117,11 @@ def main() -> None:
                     t0 = time.time()
                     _force(qs[name](spark, sf_dir))
                     runs.append(time.time() - t0)
+                # untimed: result cardinality, so a superlinear WALL slope
+                # can be adjudicated against output volume (a query whose
+                # answer itself grows ~n² — dense pair lists on clustered
+                # synthetic corpora — is output-bound, not a plan bug)
+                rows[name][str(sf)] = qs[name](spark, sf_dir).count()
             except Exception as e:
                 print(f"[{sf}] {name} failed: {e}", file=sys.stderr)
                 continue
@@ -117,21 +131,50 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
 
-    out = {"sfs": [_sf_of(d) for d in sf_dirs], "queries": {}, "superlinear": []}
-    for name in names:
-        pts = [(float(sf), s) for sf, s in secs[name].items()]
-        slope = fit_slope(pts)
-        out["queries"][name] = {"secs": secs[name], "slope": slope}
-        if slope is not None and slope > 1.2:
-            out["superlinear"].append(name)
-    out["superlinear"].sort()
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.json",
     )
+    out = {"sfs": [_sf_of(d) for d in sf_dirs], "queries": {}, "superlinear": []}
+    if only and os.path.exists(path):
+        # a targeted re-run (e.g. after fixing a flagged query) MERGES into
+        # the existing full-sweep artifact instead of discarding it
+        with open(path) as fh:
+            prior = json.load(fh)
+        out["queries"] = prior.get("queries", {})
+        out["sfs"] = sorted(set(prior.get("sfs", [])) | set(out["sfs"]))
+    out["superlinear_unjustified"] = []
+    for name in names:
+        prior_rec = out["queries"].get(name, {})
+        merged = dict(prior_rec.get("secs", {}))
+        merged.update(secs[name])
+        merged_rows = dict(prior_rec.get("rows", {}))
+        merged_rows.update(rows[name])
+        out["queries"][name] = {"secs": merged, "rows": merged_rows, "slope": None}
+    for name, rec in out["queries"].items():
+        pts = [(float(sf), s) for sf, s in rec["secs"].items()]
+        rec["slope"] = fit_slope(pts)
+        rec["rows_slope"] = fit_slope(
+            [(float(sf), r) for sf, r in rec.get("rows", {}).items()]
+        )
+        if rec["slope"] is not None and rec["slope"] > 1.2:
+            out["superlinear"].append(name)
+            # output-bound exemption is MEASURED, not declared: wall may
+            # grow as fast as the answer itself (plus slack), never faster
+            if not (
+                rec["rows_slope"] is not None
+                and rec["slope"] <= rec["rows_slope"] + 0.1
+            ):
+                out["superlinear_unjustified"].append(name)
+    out["superlinear"].sort()
+    out["superlinear_unjustified"].sort()
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps({"superlinear": out["superlinear"], "n_queries": len(names)}))
+    print(json.dumps({
+        "superlinear": out["superlinear"],
+        "superlinear_unjustified": out["superlinear_unjustified"],
+        "n_queries": len(names),
+    }))
 
 
 if __name__ == "__main__":
