@@ -199,3 +199,22 @@ def test_semantic_cells_index_uses_adaptive_k(spark, tmp_path):
     assert cents.count() <= 6
     assert cents.count() >= 2
     assert assigns.count() == 36
+
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_committed_scaling_artifact_has_no_unjustified_superlinear():
+    """The committed SCALING.json is the round's scale evidence: every
+    query whose wall slope exceeds 1.2 must be measured output-bound
+    (wall slope <= result-cardinality slope + 0.1 — the sweep records
+    both). An entry landing in superlinear_unjustified means a real plan
+    bug shipped; fix the query or re-measure, never hand-edit the JSON."""
+    with open(os.path.join(REPO_ROOT, "SCALING.json")) as fh:
+        scaling = json.load(fh)
+    assert scaling["superlinear_unjustified"] == []
+    # and the justification data actually exists for every flagged query
+    for name in scaling["superlinear"]:
+        rec = scaling["queries"][name]
+        assert rec["rows_slope"] is not None
+        assert rec["slope"] <= rec["rows_slope"] + 0.1
