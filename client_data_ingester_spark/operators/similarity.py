@@ -429,14 +429,20 @@ def build_rp_index(
     if bits is None:
         floor = adaptive_rp_bits(corpus.count())
         keys = keys.localCheckpoint()  # hashed once; candidates just mask
+        # occupancy probes run over the FULL-WIDTH bucket histogram, not the
+        # raw key table: occupancy at width b is a sum of 24-bit bucket
+        # counts sharing the masked prefix, and the histogram is bounded at
+        # bands * 2^24 rows no matter how large the corpus is — each probe
+        # of the escalation shuffles bucket counts, never corpus rows.
+        hist = keys.groupBy("band", "key").count().localCheckpoint()
         bits = RP_MAX_BITS
         for b in range(floor, RP_MAX_BITS):
             occ = (
-                keys.groupBy(
+                hist.groupBy(
                     "band", F.col("key").bitwiseAND(F.lit((1 << b) - 1))
                 )
-                .count()
-                .agg(F.max("count"))
+                .agg(F.sum("count").alias("occ"))
+                .agg(F.max("occ"))
                 .first()[0]
             )
             if occ is not None and occ <= occ_cap:
