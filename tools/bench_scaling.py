@@ -131,7 +131,7 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
 
-    path = os.path.join(
+    path = os.environ.get("SPARK_GRAFT_SCALING_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.json",
     )
