@@ -95,12 +95,15 @@ def _index_cache_path(sf_dir: str, kind: str, src_table: str = "embeddings") -> 
     else:
         st = os.stat(src)
         stats.append(f"{st.st_size}:{st.st_mtime_ns}")
-    # v6: adaptive+occupancy-capped RP geometry with the RP_MAX_BITS
-    # prefix plane layout, geometry sidecar, adaptive-k semantic cells
-    # (r10) — bumping the version invalidates cached fixed-geometry
-    # artifacts that would silently mismatch the new probe-side keys
+    # v8: RP band keys are the Arrow-batched integer kernel's (sign of
+    # the quantized int64 dot — order-independent, O(1) plan size) and
+    # the band count is recall-targeted (rp_bands_for_recall — 3 bands
+    # at the 8-bit gate geometry) on top of v6's adaptive+occupancy-
+    # capped bits, prefix plane layout, geometry sidecar, and adaptive-k
+    # semantic cells — bumping the version invalidates cached artifacts
+    # whose keys/geometry would silently mismatch the new probe side
     key = hashlib.md5(
-        f"v6|{sf_dir}|{src_table}|{'|'.join(stats)}".encode()
+        f"v8|{sf_dir}|{src_table}|{'|'.join(stats)}".encode()
     ).hexdigest()
     cache_root = os.path.join(
         tempfile.gettempdir(), f"cdi_ivf_cache_{os.getuid()}"
@@ -3799,28 +3802,43 @@ def oracle_sql() -> dict[str, str]:
 
     # The oracle unrolls the RP geometry the ADAPTIVE build chooses at
     # the sf0.01 gate corpus (500 vectors): the adaptive_rp_bits floor is
-    # 8 and no sf0.01 bucket exceeds the occupancy cap, so the build
-    # settles at 8 bits (pinned end-to-end by test_scaling_canaries).
-    # Computed through the formula (not hardcoded) so a formula change
-    # that shifts the gate geometry breaks the gate loudly instead of
-    # silently comparing mismatched bucket keys. Plane indexing strides
-    # by RP_MAX_BITS — the prefix-property layout rp_band_keys uses.
-    _RP_BITS, _RP_BANDS, _RP_DIM = S.adaptive_rp_bits(500), 2, 64
+    # 8, no sf0.01 bucket exceeds the occupancy cap, and the recall-
+    # targeted band formula gives 3 bands at 8 bits, so the build
+    # settles at (8 bits, 3 bands) — pinned end-to-end by
+    # test_scaling_canaries. BOTH knobs are computed through their
+    # formulas (not hardcoded) so a formula change that shifts the gate
+    # geometry breaks the gate loudly instead of silently comparing
+    # mismatched bucket keys. Plane indexing strides by RP_MAX_BITS —
+    # the prefix-property layout rp_band_keys uses.
+    _RP_BITS, _RP_DIM = S.adaptive_rp_bits(500), 64
+    _RP_BANDS = S.rp_bands_for_recall(_RP_BITS)
     _planes = _rp(_RP_BANDS * S.RP_MAX_BITS, _RP_DIM)
+
+    # bit j of band b = sign of the QUANTIZED-integer dot — the same
+    # ×10⁶ floor/clamp as the k-means oracle's qv, summed as exact
+    # BIGINTs (±1 planes just flip signs), so the key is identical under
+    # any summation order in any engine; mirrors similarity._rp_keys_udf.
+    _RP_QV = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(GREATEST(-2000000, LEAST(2000000, "
+        "FLOOR(x * 1000000))) AS BIGINT))"
+    )
 
     def _band_key_sql(band: int) -> str:
         terms = []
         for j in range(_RP_BITS):
             plane = _planes[band * S.RP_MAX_BITS + j]
-            lits = ", ".join(str(x) for x in plane)
+            lits = ", ".join(str(int(x)) for x in plane)
             terms.append(
-                f"(CASE WHEN LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), "
-                f"[{lits}]) >= 0 THEN {1 << j} ELSE 0 END)"
+                f"(CASE WHEN list_aggregate(list_transform("
+                f"list_zip(rqv, [{lits}]), s -> s[1] * s[2]), 'sum') >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
             )
         return " + ".join(terms)
 
     _band_keys = "\n            UNION ALL\n            ".join(
-        f"SELECT vec_id, {band} AS band, ({_band_key_sql(band)}) AS key FROM embeddings"
+        f"SELECT vec_id, {band} AS band, ({_band_key_sql(band)}) AS key "
+        f"FROM (SELECT vec_id, {_RP_QV} AS rqv FROM embeddings)"
         for band in range(_RP_BANDS)
     )
     o["embedding_near_duplicates"] = f"""
@@ -4192,7 +4210,9 @@ def oracle_sql() -> dict[str, str]:
 
     _q_band_keys = "\n            UNION ALL\n            ".join(
         f"SELECT vec_id AS query_id, {band} AS band, "
-        f"({_band_key_sql(band)}) AS key FROM embeddings WHERE vec_id < 3"
+        f"({_band_key_sql(band)}) AS key "
+        f"FROM (SELECT vec_id, {_RP_QV} AS rqv FROM embeddings "
+        f"WHERE vec_id < 3)"
         for band in range(_RP_BANDS)
     )
     o["similarity_lsh_probe_topk"] = f"""

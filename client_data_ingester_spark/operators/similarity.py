@@ -274,16 +274,56 @@ def rademacher_planes(
     ]
 
 
-def _plane_dot(vec: Column, plane: list[float]) -> Column:
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            F.array(*[F.lit(x) for x in plane]),
-            lambda x, y: x.cast("double") * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _rp_keys_udf(bits: int, bands: int, dim: int):
+    """Arrow-batched band-key kernel: ONE int64 matmul per batch instead of
+    ``bands × bits`` separate fold expressions.
+
+    Why not built-in expressions: a (24-bit, 20-band) geometry unrolled as
+    per-plane ``zip_with``+``aggregate`` folds is ~480 aggregate
+    expressions ≈ tens of thousands of Catalyst nodes — measured 2.5 MiB
+    task binaries and ~35 s of plan/codegen overhead PER QUERY at sf0.5/
+    sf1 (flat in corpus size — it's driver/compile cost, not data cost).
+    The kernel collapses that to one vectorized projection, so plan size
+    is O(1) in the geometry.
+
+    Why integer dots: the bit is the sign of ``quantize(v) · plane`` with
+    the same ×10⁶ floor/clamp quantization as ``_quantize_vec`` — an
+    exact BIGINT sum of ±q_i terms, identical under ANY summation order
+    and therefore bit-portable across numpy, Spark, and the DuckDB oracle
+    (a float dot's sign near zero depends on fold order; an int sum's
+    never does). Quantizing before projecting perturbs each coordinate by
+    < 10⁻⁶, which only re-randomizes planes that were already within
+    rounding of orthogonal — still the same angular-LSH family.
+
+    Plane ``j`` of band ``b`` is row ``b * RP_MAX_BITS + j`` of the seeded
+    Rademacher table, preserving the prefix property the occupancy
+    escalation masks against."""
+    planes = rademacher_planes(bands * RP_MAX_BITS, dim)
+    proj = np.array(
+        [
+            planes[b * RP_MAX_BITS + j]
+            for b in range(bands)
+            for j in range(bits)
+        ],
+        dtype=np.int64,
+    )  # (bands*bits, dim), entries ±1
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        q = np.clip(
+            np.floor(m * 1_000_000.0), -2_000_000, 2_000_000
+        ).astype(np.int64)
+        signs = (q @ proj.T) >= 0  # (n, bands*bits) — exact int64 sums
+        keys = (
+            signs.astype(np.int64).reshape(len(vecs), bands, bits) * weights
+        ).sum(axis=2)
+        return pd.Series(list(keys.astype(np.int32)))
+
+    return band_keys
 
 
 def adaptive_rp_bits(n_rows: int, lo: int = 8, hi: int = 24) -> int:
@@ -306,6 +346,47 @@ def adaptive_rp_bits(n_rows: int, lo: int = 8, hi: int = 24) -> int:
     return min(hi, max(lo, math.ceil(math.log2(max(n_rows, 2) / 2.0))))
 
 
+#: Design point for recall-targeted band sizing: hold ≥80% candidate
+#: recall for pairs at cosine ≥0.95 (the near-duplicate regime this index
+#: family exists for). Both are geometry DEFAULTS, not query thresholds —
+#: a probe may verify at any threshold; the build just guarantees the
+#: bucket structure still surfaces the high-similarity pairs at scale.
+RP_DESIGN_COS = 0.95
+RP_TARGET_RECALL = 0.8
+RP_MAX_BANDS = 32
+
+
+def rp_bands_for_recall(
+    bits: int,
+    cos_threshold: float = RP_DESIGN_COS,
+    target_recall: float = RP_TARGET_RECALL,
+) -> int:
+    """Band count holding LSH candidate recall at the design point as
+    ``bits`` grows.
+
+    ``adaptive_rp_bits`` fixes the occupancy (and therefore cost) side of
+    the geometry, but raising bits SILENTLY cuts recall: a pair at angle
+    θ collides in one sign-bit band with p = (1 − θ/π)^bits, so going
+    8 → 16 bits drops per-band collision for a 0.95-cosine pair from
+    ~0.43 to ~0.18 and 2-band recall from ~0.67 to ~0.33 — recall decaying
+    with corpus size is a scale bug just like occupancy growing with it.
+    Banding is the standard repair (any-of-``bands`` collision):
+    recall = 1 − (1 − p)^bands ≥ R  ⇔  bands ≥ ln(1−R) / ln(1−p).
+
+    Pure deterministic function of (bits, design point), so the build is
+    reproducible and the sf0.01 oracle can unroll the same band count
+    (bits=8 ⇒ 3 bands at the 0.95/0.8 design point). Cost scales linearly
+    in bands (key table rows, probe dots, in-bucket pairs), preserving the
+    ~linear-in-corpus candidate generation the adaptive bits bought.
+    Clamped to [1, RP_MAX_BANDS]."""
+    theta = math.acos(max(-1.0, min(1.0, cos_threshold)))
+    p_band = (1.0 - theta / math.pi) ** bits
+    if p_band >= 1.0:  # degenerate design point (cos=1): one band suffices
+        return 1
+    need = math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+    return min(RP_MAX_BANDS, max(1, math.ceil(need)))
+
+
 def semantic_cells_k(n_rows: int) -> int:
     """Semantic-cell count for SemDeDup blocking: ``k = isqrt(n)``.
 
@@ -323,10 +404,10 @@ def semantic_cells_k(n_rows: int) -> int:
 #: ``b * RP_MAX_BITS + j`` regardless of how many bits a build chooses.
 #: This gives band keys the PREFIX PROPERTY — a b-bit key is the low-b-bit
 #: mask of the RP_MAX_BITS-bit key over the same planes — so the
-#: occupancy-capped build (``build_rp_index``) can hash the corpus ONCE at
-#: full width and pick the final width by masking, and two builds with
-#: different widths stay comparable. 24 bits = 16M buckets/band, plenty
-#: below int-key range.
+#: occupancy-capped build (``build_rp_index``) can hash its probe band ONCE
+#: at full width and evaluate every candidate width by masking, and two
+#: builds with different widths stay comparable. 24 bits = 16M buckets/band,
+#: plenty below int-key range.
 RP_MAX_BITS = 24
 
 
@@ -345,15 +426,19 @@ def rp_band_keys(
     never with a class column's cardinality. Keys have the prefix property
     (see ``RP_MAX_BITS``): band ``b`` bit ``j`` is the sign under plane
     ``b * RP_MAX_BITS + j``, so ``bits`` truncates the same plane table
-    rather than re-dealing planes across bands."""
+    rather than re-dealing planes across bands.
+
+    Computed by the Arrow-batched integer kernel (``_rp_keys_udf``): one
+    exact int64 matmul per batch, O(1) plan size in the geometry —
+    unrolled per-plane fold expressions cost ~35 s of plan/codegen at the
+    (24-bit, 20-band) sf1 geometry; see the kernel docstring."""
     if bits > RP_MAX_BITS:
         raise ValueError(f"bits={bits} exceeds RP_MAX_BITS={RP_MAX_BITS}")
-    planes = rademacher_planes(bands * RP_MAX_BITS, dim)
-    # fail fast on a dim mismatch: zip_with would silently null-pad the
-    # shorter side (bit collapses to 0) while an engine like DuckDB errors —
-    # a silent divergence in the candidate-pair set across engines. The
-    # assert lives in a FILTER (assert_true yields null → isNull keeps every
-    # row) so column pruning can't eliminate it.
+    # fail fast on a dim mismatch BEFORE the kernel: a silent divergence in
+    # the candidate-pair set across engines (DuckDB errors on mismatched
+    # list_zip; numpy would raise a shape error only if the batch is
+    # ragged). The assert lives in a FILTER (assert_true yields null →
+    # isNull keeps every row) so column pruning can't eliminate it.
     corpus = corpus.filter(
         F.assert_true(
             F.size(F.col(vec_col)) == F.lit(dim),
@@ -364,28 +449,18 @@ def rp_band_keys(
             ),
         ).isNull()
     )
-    band_structs = []
-    for band in range(bands):
-        key = None
-        for j in range(bits):
-            bit = F.when(
-                _plane_dot(F.col(vec_col), planes[band * RP_MAX_BITS + j]) >= 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            key = bit if key is None else key + bit
-        band_structs.append(
-            F.struct(F.lit(band).alias("band"), key.cast("int").alias("key"))
-        )
+    keys = _rp_keys_udf(bits, bands, dim)
     return corpus.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col).alias("id"),
+        F.posexplode(keys(F.col(vec_col))).alias("band", "key"),
+    )
 
 
 def build_rp_index(
     corpus: DataFrame,
     path: str,
     bits: int | None = None,
-    bands: int = 2,
+    bands: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -401,7 +476,8 @@ def build_rp_index(
     bucket-pruned scan of a 3-int-column table; only the exact rerank
     touches the wide embedding column — and only for candidates.
 
-    ``bits=None`` (the default) sizes the geometry to the corpus:
+    ``bits=None`` (the default) sizes the COST side of the geometry to
+    the corpus:
 
     1. floor = ``adaptive_rp_bits(count)`` (2^bits ≈ n/2 — O(1) expected
        occupancy under the hashing assumption);
@@ -410,11 +486,24 @@ def build_rp_index(
        count-based floor can still leave mega-buckets (measured on the
        sf1 synthetic corpus: 15-bit floor, yet max bucket = 1996 of 50k
        rows and 11.5M candidate pairs — the n² tail in miniature). The
-       build hashes the corpus ONCE at ``RP_MAX_BITS`` width, then — via
-       the prefix property, by masking, no rehash — picks the smallest
-       width whose max bucket occupancy ≤ ``occ_cap``, up to
+       escalation hashes ONE probe band at ``RP_MAX_BITS`` width, then —
+       via the prefix property, by masking, no rehash — picks the
+       smallest width whose max bucket occupancy ≤ ``occ_cap``, up to
        ``RP_MAX_BITS``. Occupancy is a deterministic function of the
        corpus, so the choice is too.
+
+    ``bands=None`` (the default) then sizes the RECALL side:
+    ``rp_bands_for_recall(bits)`` — wider keys cut per-band collision
+    probability for genuinely similar pairs, so holding recall at the
+    design point (≥80% for cosine ≥0.95 pairs) requires the band count
+    to grow with bits (3 bands at the 8-bit gate geometry, ~9 at 16,
+    20 at 24). Without this, the adaptive bits would silently trade
+    recall for speed as the corpus grows — fixed RECALL decaying with
+    scale is as much a scale bug as fixed bucket counts overflowing.
+
+    Build cost: one bounded-histogram escalation pass (24 plane dots per
+    row) plus the final ``bands × bits`` hash — two linear corpus scans,
+    both at write time, never per query.
 
     The chosen geometry is recorded in a ``_rp_geometry.json`` sidecar
     inside the parquet dir (underscore-prefixed ⇒ ignored by parquet
@@ -422,19 +511,20 @@ def build_rp_index(
     Probe-side key computation MUST use the same bits/bands/dim as the
     persisted corpus keys or buckets never collide; read them back with
     ``load_rp_geometry``. At the sf0.01 oracle gate (500 vectors) the
-    floor is 8 and no bucket exceeds ``occ_cap``, so the build keeps the
-    geometry the DuckDB oracle unrolls — pinned by
-    test_scaling_canaries."""
-    keys = rp_band_keys(corpus, RP_MAX_BITS, bands, dim, id_col, vec_col)
+    floor is 8, no bucket exceeds ``occ_cap``, and the recall formula
+    gives 3 bands, so the build settles exactly at the geometry the
+    DuckDB oracle unrolls — pinned by test_scaling_canaries."""
     if bits is None:
         floor = adaptive_rp_bits(corpus.count())
-        keys = keys.localCheckpoint()  # hashed once; candidates just mask
-        # occupancy probes run over the FULL-WIDTH bucket histogram, not the
-        # raw key table: occupancy at width b is a sum of 24-bit bucket
-        # counts sharing the masked prefix, and the histogram is bounded at
-        # bands * 2^24 rows no matter how large the corpus is — each probe
-        # of the escalation shuffles bucket counts, never corpus rows.
-        hist = keys.groupBy("band", "key").count().localCheckpoint()
+        # occupancy probes run over a SINGLE band's full-width bucket
+        # histogram (band 0 — bands are iid draws of the same seeded
+        # plane family, so one band's occupancy profile stands in for
+        # all): occupancy at width b is a sum of 24-bit bucket counts
+        # sharing the masked prefix, and the histogram is bounded at
+        # 2^24 rows no matter how large the corpus is — each probe of
+        # the escalation shuffles bucket counts, never corpus rows.
+        probe = rp_band_keys(corpus, RP_MAX_BITS, 1, dim, id_col, vec_col)
+        hist = probe.groupBy("band", "key").count().localCheckpoint()
         bits = RP_MAX_BITS
         for b in range(floor, RP_MAX_BITS):
             occ = (
@@ -448,9 +538,9 @@ def build_rp_index(
             if occ is not None and occ <= occ_cap:
                 bits = b
                 break
-    final = keys.withColumn(
-        "key", F.col("key").bitwiseAND(F.lit((1 << bits) - 1))
-    )
+    if bands is None:
+        bands = rp_bands_for_recall(bits)
+    final = rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
     final.write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "_rp_geometry.json"), "w") as fh:
         json.dump({"bits": bits, "bands": bands, "dim": dim}, fh)

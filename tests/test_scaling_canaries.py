@@ -42,6 +42,35 @@ def test_adaptive_rp_bits_tracks_corpus():
     assert vals == sorted(vals)
 
 
+def test_rp_bands_for_recall_oracle_anchor():
+    # the near-dup / lsh_probe oracle SQL unrolls rp_bands_for_recall(8)
+    # bands; 8 gate bits at the 0.95/0.8 design point must give exactly 3
+    assert S.rp_bands_for_recall(8) == 3
+
+
+def test_rp_bands_hold_recall_as_bits_grow():
+    """Recall decaying with corpus size is a scale bug: per-band collision
+    for a design-point pair is p = (1 - θ/π)^bits, so bands must grow
+    with bits to keep 1-(1-p)^bands ≥ target. Pin the formula's shape and
+    verify the held recall directly."""
+    import math
+
+    theta = math.acos(S.RP_DESIGN_COS)
+    for bits in (8, 12, 16, 20, 24):
+        bands = S.rp_bands_for_recall(bits)
+        p = (1 - theta / math.pi) ** bits
+        recall = 1 - (1 - p) ** bands
+        assert recall >= S.RP_TARGET_RECALL, (bits, bands, recall)
+        # and the count is tight: one fewer band would miss the target
+        # (unless clamped at the floor of 1)
+        if bands > 1:
+            assert 1 - (1 - p) ** (bands - 1) < S.RP_TARGET_RECALL
+    # monotone non-decreasing in bits, bounded by the clamp
+    vals = [S.rp_bands_for_recall(b) for b in range(8, 25)]
+    assert vals == sorted(vals)
+    assert vals[-1] <= S.RP_MAX_BANDS
+
+
 def test_semantic_cells_k_oracle_anchor():
     # the semantic_dedup_* oracle CTE chain seeds LIMIT semantic_cells_k(500)
     assert S.semantic_cells_k(500) == 22
@@ -92,7 +121,8 @@ def test_rp_geometry_sidecar_roundtrip(spark, tmp_path):
     corpus = _tiny_corpus(spark, n=30, dim=8)
     S.build_rp_index(corpus, path, dim=8)  # bits=None → adaptive → lo clamp
     geom = S.load_rp_geometry(path)
-    assert geom == {"bits": 8, "bands": 2, "dim": 8}
+    # bands = rp_bands_for_recall(8) = 3: recall-targeted, not fixed
+    assert geom == {"bits": 8, "bands": 3, "dim": 8}
     # keys on disk use the recorded geometry: key < 2^bits
     keys = S.load_rp_index(spark, path)
     hi = keys.agg(F.max("key")).first()[0]
@@ -145,7 +175,9 @@ def test_rp_gate_corpus_settles_at_oracle_geometry(spark, tmp_path):
     path = str(tmp_path / "rp_gate")
     corpus = spark.read.parquet(f"{SF001_DIR}/embeddings.parquet")
     S.build_rp_index(corpus, path)
-    assert S.load_rp_geometry(path)["bits"] == 8
+    geom = S.load_rp_geometry(path)
+    assert geom["bits"] == 8
+    assert geom["bands"] == 3  # rp_bands_for_recall(8) — the oracle's unroll
 
 
 def test_rp_geometry_missing_sidecar_raises(spark, tmp_path):
