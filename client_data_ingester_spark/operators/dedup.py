@@ -298,6 +298,7 @@ def in_bucket_pairs(
     out_a: str,
     out_b: str,
     bucket_cols: tuple[str, str] = ("band", "key"),
+    min_band: bool = False,
 ) -> DataFrame:
     """Distinct ordered pairs (a < b) of ids sharing at least one bucket.
 
@@ -309,7 +310,75 @@ def in_bucket_pairs(
     combinations expanded INSIDE the (tiny) bucket array — never a
     self-join that would compute the key relation twice. Work is
     O(Σ bucket²); bucket sizes are bounded by the hash's collision rate.
+
+    ``min_band=True`` switches the final dedup from DISTINCT to
+    **min-band emission**: each id carries its full per-band key vector
+    into the bucket, and a pair is emitted ONLY from its first common
+    band (no earlier band where both keys match). Output set is
+    identical — every colliding pair still appears exactly once — but
+    nothing is shuffled twice: the DISTINCT pass over the expanded pairs
+    disappears. This matters precisely where banded LSH is most
+    duplicative: near-identical vectors (the duplicate clusters the
+    operator exists to find) collide in EVERY band, so with b bands the
+    expansion emits each true pair b times and the distinct shuffles
+    b× the answer (~20× at the sf1 recall-holding RP geometry).
+    REQUIRES every id to appear in every band of ``keyed`` (true for any
+    full-corpus band-key table; NOT for streaming probe unions where a
+    standing index and a probe batch are mixed — keep the default there).
     """
+    if min_band:
+        band_col, _ = bucket_cols
+        # collect_SET: duplicate (band, key, id) rows must not misalign
+        # the band-indexed key vector (same hazard the default path's
+        # collect_set guards against)
+        key_vecs = keyed.groupBy(id_col).agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_set(F.struct(*bucket_cols))
+                ),
+                lambda s: s[bucket_cols[1]],
+            ).alias("_bk")
+        )
+        grouped = (
+            keyed.join(key_vecs, id_col)
+            .groupBy(*bucket_cols)
+            .agg(
+                F.sort_array(
+                    F.collect_set(F.struct(F.col(id_col).alias("i"), "_bk"))
+                ).alias("ids")
+            )
+            .filter(F.size("ids") > 1)
+        )
+        ids = F.col("ids")
+        band = F.col(band_col)
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.filter(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        # first-common-band test: no band j < this one
+                        # where both key vectors already collide (slice of
+                        # length `band` is empty at band 0 — every pair
+                        # passes there, the base of the induction)
+                        lambda y: ~F.exists(
+                            F.zip_with(
+                                F.slice(x["_bk"], 1, band),
+                                F.slice(y["_bk"], 1, band),
+                                lambda a, b: a == b,
+                            ),
+                            lambda hit: hit,
+                        ),
+                    ),
+                    lambda y: F.struct(
+                        x["i"].alias(out_a), y["i"].alias(out_b)
+                    ),
+                ),
+            )
+        )
+        return grouped.select(F.explode(pair_structs).alias("p")).select(
+            f"p.{out_a}", f"p.{out_b}"
+        )
     grouped = (
         keyed.groupBy(*bucket_cols)
         # collect_SET, not list: a duplicate (bucket, id) row — e.g. a doc

@@ -612,7 +612,12 @@ def embedding_near_duplicates(
         if band_keys is not None
         else rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
     )
-    pairs = in_bucket_pairs(keys, "id", "id_a", "id_b")
+    # min_band: near-identical vectors collide in EVERY band, so with the
+    # recall-holding geometry (20 bands at sf1) the plain expansion emits
+    # each true pair ~bands× and the dedup DISTINCT shuffles ~bands× the
+    # answer; first-common-band emission produces each pair exactly once.
+    # Valid here because the corpus key table carries every band per id.
+    pairs = in_bucket_pairs(keys, "id", "id_a", "id_b", min_band=True)
     v = corpus.select(F.col(id_col), F.col(vec_col))
     a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

@@ -146,6 +146,40 @@ def test_rp_keys_have_prefix_property(spark):
     assert k6 == {k: v & 0x3F for k, v in k12.items()}
 
 
+def test_rp_kernel_matches_reference_integer_math(spark):
+    """The Arrow-batched kernel's keys against an INDEPENDENT pure-Python
+    reference of the contract: bit j of band b = sign of
+    Σ_d clamp(floor(v_d·10⁶)) · plane[b·RP_MAX_BITS + j][d], packed
+    little-endian. Pins quantization (floor toward −∞, ±2·10⁶ clamp),
+    plane stride, sign-of-zero (>= 0 → 1), and bit packing — the exact
+    arithmetic the DuckDB oracle SQL unrolls, so kernel drift breaks
+    HERE, not as a gate value-hash mismatch."""
+    import math as _math
+
+    bits, bands, dim = 5, 3, 8
+    corpus = _tiny_corpus(spark, n=30, dim=dim)
+    planes = S.rademacher_planes(bands * S.RP_MAX_BITS, dim)
+    got = {
+        (r["id"], r["band"]): r["key"]
+        for r in S.rp_band_keys(corpus, bits=bits, bands=bands, dim=dim)
+        .collect()
+    }
+    for row in corpus.collect():
+        vec = [float(x) for x in row["embedding"]]
+        q = [
+            max(-2_000_000, min(2_000_000, _math.floor(x * 1_000_000.0)))
+            for x in vec
+        ]
+        for band in range(bands):
+            key = 0
+            for j in range(bits):
+                plane = planes[band * S.RP_MAX_BITS + j]
+                dot = sum(qi * int(pi) for qi, pi in zip(q, plane))
+                if dot >= 0:
+                    key |= 1 << j
+            assert got[(row["vec_id"], band)] == key, (row["vec_id"], band)
+
+
 def test_rp_occupancy_cap_escalates_on_degenerate_corpus(spark, tmp_path):
     """A corpus of identical vectors defeats every hyperplane (all rows
     share every sign bit), so no width can split the bucket: the build
