@@ -14,6 +14,7 @@ oracle SQL from the Spark build.
 
 import json
 import os
+import sys
 
 import pytest
 from pyspark.sql import functions as F
@@ -287,8 +288,22 @@ def test_committed_scaling_artifact_has_no_unjustified_superlinear(artifact):
     with open(path) as fh:
         scaling = json.load(fh)
     assert scaling["superlinear_unjustified"] == []
-    # and the justification data actually exists for every flagged query
+    # re-verify the recorded justification ARITHMETIC for every flagged
+    # query, not just the verdict: the bound is the query's own measured
+    # output slope, or — for intermediate-bound queries (a retained
+    # corpus SHRINKS as dedup bites, but must consume the duplicate-pair
+    # relation) — the measured output slope of its declared WORK_DRIVER,
+    # present in the same artifact
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    from bench_scaling import WORK_DRIVERS
+
     for name in scaling["superlinear"]:
         rec = scaling["queries"][name]
-        assert rec["rows_slope"] is not None
-        assert rec["slope"] <= rec["rows_slope"] + 0.1
+        bound, source = rec["bound_slope"], rec["bound_source"]
+        assert bound is not None and rec["slope"] <= bound + 0.1
+        if source == "rows":
+            assert bound == rec["rows_slope"]
+        else:
+            assert source == WORK_DRIVERS.get(name)  # declared, not ad-hoc
+            assert bound == scaling["queries"][source]["rows_slope"]
+            assert bound >= (rec["rows_slope"] or float("-inf"))

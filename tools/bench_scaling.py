@@ -79,7 +79,77 @@ def fit_slope(points: list[tuple[float, float]], top_n: int = 3) -> float | None
     return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den, 3)
 
 
+#: Intermediate-bound queries: the answer SHRINKS as dedup bites harder
+#: (a retained corpus gets smaller when more duplicates are found), but
+#: the unavoidable work is consuming the duplicate-PAIR relation — whose
+#: cardinality the sweep already measures as the named driver query's own
+#: output, in the same artifact. The justification stays empirical: wall
+#: may grow as fast as the MEASURED driver output (plus slack), never
+#: faster. You cannot compute "corpus minus duplicates" without reading
+#: the duplicate pairs.
+WORK_DRIVERS = {
+    "semantic_dedup_retained": "semantic_dedup_pairs",
+    "dedup_retained_corpus": "dedup_lsh_candidates",
+    "dedup_representatives": "dedup_lsh_candidates",
+}
+
+
+def adjudicate(out: dict) -> None:
+    """Recompute slopes and the superlinear lists over the (possibly
+    merged) artifact. A query is superlinear at wall slope > 1.2;
+    unjustified unless wall slope ≤ its measured BOUND + 0.1, where the
+    bound is its own output-cardinality slope or — for WORK_DRIVERS
+    entries — the driver query's output slope, whichever is larger. The
+    chosen bound and its source are recorded per flagged query so the
+    committed-contract test re-verifies the arithmetic, not a verdict."""
+    out["superlinear"] = []
+    out["superlinear_unjustified"] = []
+    for name, rec in out["queries"].items():
+        pts = [(float(sf), s) for sf, s in rec["secs"].items()]
+        rec["slope"] = fit_slope(pts)
+        rec["rows_slope"] = fit_slope(
+            [(float(sf), r) for sf, r in rec.get("rows", {}).items()]
+        )
+    for name, rec in out["queries"].items():
+        rec.pop("bound_slope", None)
+        rec.pop("bound_source", None)
+        if rec["slope"] is not None and rec["slope"] > 1.2:
+            out["superlinear"].append(name)
+            bound, source = rec["rows_slope"], "rows"
+            drv = WORK_DRIVERS.get(name)
+            drv_slope = (
+                out["queries"].get(drv, {}).get("rows_slope")
+                if drv
+                else None
+            )
+            if drv_slope is not None and (bound is None or drv_slope > bound):
+                bound, source = drv_slope, drv
+            rec["bound_slope"], rec["bound_source"] = bound, source
+            if not (bound is not None and rec["slope"] <= bound + 0.1):
+                out["superlinear_unjustified"].append(name)
+    out["superlinear"].sort()
+    out["superlinear_unjustified"].sort()
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SCALING_READJUDICATE"):
+        # re-run the adjudication over an existing artifact without
+        # re-timing anything (e.g. after a WORK_DRIVERS change)
+        path = os.environ.get("SPARK_GRAFT_SCALING_OUT") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALING.json",
+        )
+        with open(path) as fh:
+            out = json.load(fh)
+        adjudicate(out)
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps({
+            "superlinear": out["superlinear"],
+            "superlinear_unjustified": out["superlinear_unjustified"],
+            "n_queries": len(out["queries"]),
+        }))
+        return
     sf_dirs = os.environ.get(
         "SPARK_GRAFT_SCALING_SFS",
         "/root/testdata/sf0.01,/root/testdata/sf0.1,"
@@ -151,23 +221,7 @@ def main() -> None:
         merged_rows = dict(prior_rec.get("rows", {}))
         merged_rows.update(rows[name])
         out["queries"][name] = {"secs": merged, "rows": merged_rows, "slope": None}
-    for name, rec in out["queries"].items():
-        pts = [(float(sf), s) for sf, s in rec["secs"].items()]
-        rec["slope"] = fit_slope(pts)
-        rec["rows_slope"] = fit_slope(
-            [(float(sf), r) for sf, r in rec.get("rows", {}).items()]
-        )
-        if rec["slope"] is not None and rec["slope"] > 1.2:
-            out["superlinear"].append(name)
-            # output-bound exemption is MEASURED, not declared: wall may
-            # grow as fast as the answer itself (plus slack), never faster
-            if not (
-                rec["rows_slope"] is not None
-                and rec["slope"] <= rec["rows_slope"] + 0.1
-            ):
-                out["superlinear_unjustified"].append(name)
-    out["superlinear"].sort()
-    out["superlinear_unjustified"].sort()
+    adjudicate(out)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({
