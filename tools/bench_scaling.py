@@ -89,8 +89,12 @@ def fit_slope(points: list[tuple[float, float]], top_n: int = 3) -> float | None
 #: the duplicate pairs.
 WORK_DRIVERS = {
     "semantic_dedup_retained": "semantic_dedup_pairs",
-    "dedup_retained_corpus": "dedup_lsh_candidates",
-    "dedup_representatives": "dedup_lsh_candidates",
+    # deliberately NOT the minhash endgame trio (dedup_retained_corpus /
+    # dedup_representatives): those probe the persisted cluster-index
+    # artifact and measure at slope ~0.2, so a driver exemption there
+    # would be dormant — and a dormant exemption can only ever MASK a
+    # future regression. Add a mapping when a query is actually flagged
+    # and the pair-consumption argument actually applies.
 }
 
 
