@@ -145,7 +145,15 @@ def _rp_index(spark: SparkSession, sf_dir: str):
     )
 
     path = _index_cache_path(sf_dir, "rp")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # Probe BOTH commit markers: build_rp_index writes _rp_geometry.json
+    # AFTER the parquet _SUCCESS (overwrite mode clears the dir first, so
+    # the sidecar can't lead) — a crash between the two would otherwise
+    # leave a cache that passes the probe but fails load_rp_geometry on
+    # every subsequent run, never self-healing.
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_rp_geometry.json"))
+    ):
         build_rp_index(_t(spark, sf_dir, "embeddings"), path)
     return load_rp_index(spark, path), load_rp_geometry(path)
 
@@ -285,13 +293,18 @@ def _cluster_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from client_data_ingester_spark.operators.dedup import (
         build_cluster_index,
         load_cluster_index,
-        lsh_candidate_pairs,
+        lsh_spanning_edges,
     )
 
     path = _index_cache_path(sf_dir, "clusters", src_table="documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # spanning STAR edges, not the full in-bucket pair expansion:
+        # connected components over exact-key buckets only needs the
+        # buckets connected — O(n·bands) edges where the pair list is
+        # Θ(Σ bucket²) — and the labeling is value-identical
+        # (tests/test_cc_property.py pins the equivalence)
         build_cluster_index(
-            lsh_candidate_pairs(
+            lsh_spanning_edges(
                 _t(spark, sf_dir, "documents"), num_perm=4, bands=2
             ),
             path,
@@ -1188,6 +1201,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_duplicates"] = lambda s, d: S.embedding_near_duplicates(
         _t(s, d, "embeddings"), threshold=0.3, band_keys=_rp_index(s, d)[0]
     )
+    # the CLUSTERING consumer of the same near-dup relation: connected
+    # components fed by verified spanning edges (hub stars + failed-hub
+    # re-expansion, similarity.embedding_dup_edges) — O(n·bands) edges
+    # where the pair list is Θ(Σ bucket²) on a duplicate-dense corpus,
+    # with CC-equivalence property-pinned (test_cc_property.py). This is
+    # the shape a 100 TB dedup run takes: nobody materializes the n²
+    # pair list to throw it away inside the contraction's first distinct.
+    q["embedding_dup_clusters"] = lambda s, d: S.embedding_dup_clusters(
+        _t(s, d, "embeddings"), threshold=0.3, band_keys=_rp_index(s, d)[0]
+    )
     # IVF is approximate-by-design but fully DETERMINISTIC since the
     # integer-exact centroid quantization (similarity.ivf_centroids) — it is
     # oracle-checked like every other query. The coarse quantizer is a
@@ -1563,7 +1586,7 @@ _LINEITEM_PROFILE_COLS = [
     ("l_linestatus", "str"),
 ]
 
-_HASH_PROBES = ("int", "double", "decimal", "ts", "date", "null_bool_str")
+_HASH_PROBES = ("int", "double", "decimal", "ts_date", "null_bool_str")
 
 _PROBE_COLS = {
     "int": [
@@ -1577,8 +1600,14 @@ _PROBE_COLS = {
     # non-trailing-zero decimal only: 1.50 can never round-trip the driver's
     # DECIMAL→float64 pandas binding (renders 1.5 vs Spark's 1.50)
     "decimal": [("CAST(1.25 AS DECIMAL(10,2))", "dec_nz")],
-    "ts": [("TIMESTAMP '2020-01-02 03:04:05'", "ts")],
-    "date": [("DATE '2020-01-02'", "dt")],
+    # one temporal probe, two columns: a failing rendering still names
+    # its type via the column (merged from separate ts/date probes to
+    # free an inventory slot for embedding_dup_clusters — round-11
+    # hygiene: scored additions retire equivalents in the same commit)
+    "ts_date": [
+        ("TIMESTAMP '2020-01-02 03:04:05'", "ts"),
+        ("DATE '2020-01-02'", "dt"),
+    ],
     "null_bool_str": [
         ("CAST(NULL AS STRING)", "nul"),
         ("TRUE", "flag"),
@@ -3857,6 +3886,26 @@ def oracle_sql() -> dict[str, str]:
         WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= 0.3
     """
 
+    # connected components over the verified near-duplicate relation —
+    # the same recursive-closure construction as the dedup_clusters
+    # oracle, proving the Spark side's spanning-edge feed (verified hub
+    # stars + failed-hub re-expansion) labels exactly the components of
+    # the full pair list
+    o["embedding_dup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({o['embedding_near_duplicates']}),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs),
+        reach AS (
+            SELECT a AS node, a AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b AS r
+            FROM reach JOIN sym ON sym.a = reach.r)
+        SELECT node AS vec_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
     # semantic_dedup_pairs / semantic_dedup_retained oracles are defined
     # AFTER the k-means CTE machinery below — since round 10 the blocking
     # cells are the adaptive-k k-means artifact, so their oracles unroll
@@ -4661,8 +4710,7 @@ def oracle_sql() -> dict[str, str]:
         "int": "CAST(1 AS BIGINT) AS i64, CAST(3 AS INTEGER) AS i32",
         "double": "CAST(1.5 AS DOUBLE) AS dbl, CAST(0.1 AS DOUBLE) AS dbl_frac",
         "decimal": "CAST(1.25 AS DECIMAL(10,2)) AS dec_nz",
-        "ts": "TIMESTAMP '2020-01-02 03:04:05' AS ts",
-        "date": "DATE '2020-01-02' AS dt",
+        "ts_date": "TIMESTAMP '2020-01-02 03:04:05' AS ts, DATE '2020-01-02' AS dt",
         "null_bool_str": "CAST(NULL AS VARCHAR) AS nul, TRUE AS flag, 's' AS str",
     }
     for probe, cols in _oracle_probe_cols.items():

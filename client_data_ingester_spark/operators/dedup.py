@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -402,6 +402,72 @@ def in_bucket_pairs(
         .select(f"p.{out_a}", f"p.{out_b}")
         .distinct()
     )
+
+
+def in_bucket_star_edges(
+    keyed: DataFrame,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    bucket_cols: tuple[str, str] = ("band", "key"),
+) -> DataFrame:
+    """Spanning star edges per bucket: ``(min_id_in_bucket, other_id)``
+    for every non-minimum member — **O(bucket) rows where
+    ``in_bucket_pairs`` emits Θ(bucket²)**.
+
+    The clustering-path twin of ``in_bucket_pairs``: connected components
+    over exact-key buckets only needs the buckets CONNECTED, not every
+    pair enumerated — a star through the bucket minimum spans exactly the
+    same components (any in-bucket pair (x, y) is the 2-path x—hub—y), so
+    ``duplicate_clusters(star_edges)`` is value-identical to
+    ``duplicate_clusters(pairs)`` while the edge relation stays linear in
+    corpus rows at ANY bucket density. At 100 TB nobody materializes the
+    Θ(n²) pair list of a duplicate-dense corpus to then throw 99% of it
+    away inside the contraction's first ``distinct`` — feed the cluster /
+    retained consumers THIS; keep ``in_bucket_pairs`` for consumers whose
+    ANSWER is the pair list.
+
+    One shuffle (window-min over the bucket key — partitioned, bounded
+    state); emits nothing for singleton buckets. Cross-band duplicate
+    edges are left in: ``duplicate_clusters`` canonicalizes + distincts
+    its (linear) input edge set anyway, which is where dedup belongs.
+    For VERIFIED pipelines (a similarity check between candidacy and
+    clustering) a plain star is NOT equivalence-preserving — use
+    ``similarity.embedding_dup_edges``, which verifies hub edges and
+    re-expands only the members whose hub edge failed."""
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+    return (
+        keyed.select(
+            F.col(id_col).alias(out_b),
+            F.min(id_col).over(w).alias(out_a),
+        )
+        .where(F.col(out_b) != F.col(out_a))
+        .select(out_a, out_b)
+    )
+
+
+def lsh_spanning_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    band_keys: DataFrame | None = None,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` for CLUSTERING consumers: same banded
+    minhash blocking, but emits the per-bucket spanning star
+    (``in_bucket_star_edges``) instead of the full pair expansion —
+    connected components over the two edge sets are identical (see the
+    star-edge docstring), and the edge relation is O(n·bands) instead of
+    Θ(Σ bucket²). Feed this to ``build_cluster_index`` /
+    ``duplicate_clusters``; keep ``lsh_candidate_pairs`` where the pair
+    list itself is the answer (verify stages, scored pair queries)."""
+    buckets = (
+        band_keys
+        if band_keys is not None
+        else minhash_band_keys(docs, text_col, num_perm, bands, shingle_k)
+    )
+    return in_bucket_star_edges(buckets, "doc_id", "doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

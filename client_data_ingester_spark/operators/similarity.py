@@ -566,7 +566,8 @@ def load_rp_geometry(path: str) -> dict:
             "bands": int(geom["bands"]),
             "dim": int(geom["dim"]),
         }
-    except (OSError, ValueError, KeyError, json.JSONDecodeError) as e:
+    except (OSError, ValueError, KeyError, TypeError,
+            json.JSONDecodeError) as e:
         raise ValueError(
             f"RP index at {path} has no readable _rp_geometry.json sidecar "
             "(pre-adaptive-geometry artifact?) — rebuild with build_rp_index"
@@ -626,6 +627,125 @@ def embedding_near_duplicates(
     )
     return scored.filter(F.col("score") >= threshold).select(
         "id_a", "id_b", F.col("score").alias("score")
+    )
+
+
+def embedding_dup_edges(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Spanning edge set for the CLUSTERING consumer of embedding
+    near-duplicates: connected components over these edges equal those
+    over the full ``embedding_near_duplicates`` pair list, at
+    **O(n·bands) verified edges instead of Θ(Σ bucket²) pairs** on
+    duplicate-dense corpora.
+
+    A plain per-bucket star (``dedup.in_bucket_star_edges``) is NOT
+    equivalence-preserving here — there is a similarity check between
+    candidacy and clustering, and a member whose hub edge fails cosine
+    may still pass against another bucket member. The exact recipe:
+
+    1. per (band, key) bucket, hub = min id; verify only the hub
+       (star) edges with exact cosine — O(bucket) pairs per bucket;
+    2. members whose hub edge FAILED re-expand against their full
+       bucket and those pairs are verified — quadratic only in the
+       failing (false-positive) population, which occupancy-capped
+       adaptive geometry keeps O(1) per bucket; the duplicate-dense
+       buckets that made the pair list Θ(n²) are exactly the ones whose
+       hub edges PASS, so they contribute O(bucket) edges.
+
+    Equivalence: let E = verified in-bucket pairs. For (x, y) ∈ E in
+    bucket B with hub h: if both (h,x) and (h,y) passed, x—h—y connects
+    them in the star; otherwise the failed endpoint's re-expansion
+    contains (x, y) itself. Every emitted edge passes the same cosine
+    test, so the edge set is a subgraph of E's closure with identical
+    components (pinned by ``tests/test_cc_property.py``). Emits
+    (id_a < id_b, score); cross-bucket duplicate edges are left for the
+    contraction's canonical distinct."""
+    keys = (
+        band_keys
+        if band_keys is not None
+        else rp_band_keys(corpus, bits, bands, dim, id_col, vec_col)
+    )
+    w = Window.partitionBy("band", "key")
+    spokes = keys.select(
+        "id", "band", "key", F.min("id").over(w).alias("_hub")
+    ).where(F.col("id") != F.col("_hub"))
+    a = corpus.select(F.col(id_col).alias("_ha"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("_hb"), F.col(vec_col).alias("_vb"))
+    hub_scored = (
+        spokes.select(F.col("_hub").alias("_ha"), F.col("id").alias("_hb"))
+        .distinct()
+        .join(a, "_ha")
+        .join(b, "_hb")
+        .select(
+            "_ha", "_hb", round6(cosine(F.col("_va"), F.col("_vb"))).alias("score")
+        )
+        # both branches (pass → edge, fail → re-expand) consume this:
+        # materialize once so the verify join doesn't run twice
+        .localCheckpoint()
+    )
+    hub_pass = hub_scored.filter(F.col("score") >= threshold).select(
+        F.col("_ha").alias("id_a"), F.col("_hb").alias("id_b"), "score"
+    )
+    failed = spokes.join(
+        hub_scored.filter(F.col("score") < threshold).select(
+            F.col("_ha").alias("_hub"), F.col("_hb").alias("id")
+        ),
+        ["_hub", "id"],
+    ).select("band", "key", F.col("id").alias("_fx"))
+    expand = (
+        failed.join(keys.select(F.col("id").alias("_y"), "band", "key"),
+                    ["band", "key"])
+        .where(F.col("_fx") != F.col("_y"))
+        .select(
+            F.least("_fx", "_y").alias("id_a"),
+            F.greatest("_fx", "_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    exp_scored = (
+        expand.join(a.withColumnRenamed("_ha", "id_a"), "id_a")
+        .join(b.withColumnRenamed("_hb", "id_b"), "id_b")
+        .select(
+            "id_a", "id_b", round6(cosine(F.col("_va"), F.col("_vb"))).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    return hub_pass.unionByName(exp_scored)
+
+
+def embedding_dup_clusters(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_keys: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cluster_id): connected components over embedding
+    near-duplicate edges — the retention-policy labeling a 100 TB dedup
+    run actually wants, WITHOUT materializing the Θ(n²) pair list of a
+    duplicate-dense corpus: the contraction is fed by
+    ``embedding_dup_edges`` (verified spanning stars + failed-hub
+    re-expansion), which spans identical components at O(n·bands) edges.
+    Labels every vector that has ≥1 near-duplicate; the label is the
+    component's minimum id (``dedup.duplicate_clusters`` semantics)."""
+    from .dedup import duplicate_clusters
+
+    edges = embedding_dup_edges(
+        corpus, threshold, bits, bands, dim, id_col, vec_col, band_keys
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return duplicate_clusters(edges).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
     )
 
 
@@ -915,6 +1035,13 @@ def kmeans_model(
     corpora (and the sf0.01 oracle gate) are bit-identical to full
     training.
     """
+    if train_cap is not None and train_cap < k:
+        raise ValueError(
+            f"kmeans_model: train_cap={train_cap} < k={k} — centroid "
+            "seeding draws the first k ids of the training sample, so a "
+            "sample smaller than k silently caps the model at train_cap "
+            "clusters; raise train_cap (≥ k, ideally ≥ 50·k)"
+        )
     q = corpus.select(
         F.col(id_col), _quantize_vec(F.col(vec_col)).alias("_q")
     )
@@ -1045,11 +1172,17 @@ def build_semantic_cells_index(
     expansion and the assignment pass balance at n·√n, and training cost
     stays flat via ``train_cap`` sampling. Deterministic end-to-end
     (int64-exact Lloyd's + hash-ordered sample), so the sf0.01 oracle
-    unrolls the same k and matches value-for-value."""
+    unrolls the same k and matches value-for-value.
+
+    ``train_cap`` scales with k (≥ 50 samples per cell): with k = √n and
+    a FIXED cap, once n exceeds cap² the seeding (first k ids of the
+    sample) would silently clamp cells at ``cap`` — reintroducing the
+    cell-size-grows-with-n quadratic this index exists to kill — and
+    near the clamp Lloyd's degenerates to one point per centroid."""
     k = semantic_cells_k(corpus.count())
     build_kmeans_index(
         corpus, path, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-        train_cap=train_cap,
+        train_cap=max(train_cap, 50 * k),
     )
 
 

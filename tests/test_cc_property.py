@@ -101,3 +101,81 @@ def test_warm_start_equals_cold_recompute(spark, edges, split_at):
         for r in duplicate_clusters(df_of(edges)).collect()
     }
     assert got == expect
+
+
+# -- star-edge (spanning) emission equivalence ------------------------------
+# The clustering path feeds duplicate_clusters with O(bucket) spanning
+# edges instead of the Θ(bucket²) pair expansion; these properties pin the
+# CC-equivalence that substitution relies on, for arbitrary bucket
+# topology (unverified exact-key buckets) and arbitrary small corpora
+# (verified cosine pipeline with failed-hub re-expansion).
+
+keyed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # id
+        st.integers(min_value=0, max_value=2),   # band
+        st.integers(min_value=0, max_value=4),   # key
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keyed_rows)
+def test_star_edges_span_same_components(spark, rows):
+    """in_bucket_star_edges must span EXACTLY the components of
+    in_bucket_pairs for any bucket topology — duplicate (bucket, id)
+    rows, overlapping buckets chaining components, singleton buckets."""
+    from client_data_ingester_spark.operators.dedup import (
+        in_bucket_pairs,
+        in_bucket_star_edges,
+    )
+
+    keyed = spark.createDataFrame(
+        [(int(i), int(b), int(k)) for i, b, k in rows],
+        "doc_id long, band int, key long",
+    )
+    pairs = in_bucket_pairs(keyed, "doc_id", "doc_a", "doc_b").collect()
+    stars = in_bucket_star_edges(keyed, "doc_id", "doc_a", "doc_b").collect()
+    assert _uf_components(
+        [(r["doc_a"], r["doc_b"]) for r in pairs]
+    ) == _uf_components([(r["doc_a"], r["doc_b"]) for r in stars])
+
+
+vec_corpora = st.lists(
+    st.lists(
+        st.sampled_from([-1.0, -0.5, 0.25, 1.0]), min_size=4, max_size=4
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vec_corpora, st.sampled_from([0.2, 0.6, 0.95]))
+def test_embedding_dup_edges_components_match_pairs(spark, vecs, threshold):
+    """The VERIFIED spanning-edge recipe (hub edges + failed-hub
+    re-expansion) must produce identical connected components to the
+    full verified pair list, at every threshold regime: lax (hubs pass),
+    strict (hubs fail, re-expansion carries), and mixed."""
+    from client_data_ingester_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(threshold=threshold, bits=4, bands=3, dim=4)
+    pairs = S.embedding_near_duplicates(corpus, **kw).collect()
+    edges = S.embedding_dup_edges(corpus, **kw).collect()
+    assert _uf_components(
+        [(r["id_a"], r["id_b"]) for r in pairs]
+    ) == _uf_components([(r["id_a"], r["id_b"]) for r in edges])

@@ -215,6 +215,37 @@ def test_rp_gate_corpus_settles_at_oracle_geometry(spark, tmp_path):
     assert geom["bands"] == 3  # rp_bands_for_recall(8) — the oracle's unroll
 
 
+def test_rp_geometry_null_field_raises_guided_error(spark, tmp_path):
+    """A sidecar with a null field must surface the guided
+    rebuild-this-index ValueError, not a raw int(None) TypeError."""
+    path = str(tmp_path / "rp_nullfield")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_rp_geometry.json"), "w") as fh:
+        fh.write('{"bits": null, "bands": 3, "dim": 8}')
+    with pytest.raises(ValueError, match="geometry"):
+        S.load_rp_geometry(path)
+
+
+def test_kmeans_train_cap_below_k_raises(spark):
+    """train_cap < k silently caps the model at train_cap clusters (the
+    seeding draws the first k ids of the sample) — must be loud."""
+    corpus = _tiny_corpus(spark, n=30, dim=8)
+    with pytest.raises(ValueError, match="train_cap"):
+        S.kmeans_model(corpus, k=8, train_cap=4)
+
+
+def test_semantic_cells_train_cap_scales_with_k(spark, tmp_path):
+    """build_semantic_cells_index must widen a too-small train_cap to
+    ≥ 50·k instead of letting the seeding clamp cells at the cap: with
+    cap=1 on a 100-row corpus (k=10) the model must still carry k
+    centroids, not 1."""
+    path = str(tmp_path / "semcells_cap")
+    corpus = _tiny_corpus(spark, n=100, dim=8)
+    S.build_semantic_cells_index(corpus, path, train_cap=1)
+    _, centroids = S.load_kmeans_index(spark, path)
+    assert centroids.count() == S.semantic_cells_k(100)
+
+
 def test_rp_geometry_missing_sidecar_raises(spark, tmp_path):
     path = str(tmp_path / "rp_legacy")
     S.rp_band_keys(_tiny_corpus(spark, n=10, dim=8), dim=8).write.parquet(
