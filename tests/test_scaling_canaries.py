@@ -338,3 +338,27 @@ def test_committed_scaling_artifact_has_no_unjustified_superlinear(artifact):
             assert source == WORK_DRIVERS.get(name)  # declared, not ad-hoc
             assert bound == scaling["queries"][source]["rows_slope"]
             assert bound >= (rec["rows_slope"] or float("-inf"))
+
+
+def test_planted_pair_recall_floor_at_design_point(spark, tmp_path):
+    """The ≥0.8-recall-at-cos≥0.95 contract (rp_bands_for_recall),
+    MEASURED on planted pairs instead of extrapolated from the collision
+    model: a corpus with calibrated clones at known cosines (the same
+    construction tools/gen_testdata.py plants into scaledata) must keep
+    candidate recall over the ≥0.95-target plants at or above the floor
+    under the adaptive build's chosen geometry. Deterministic end to
+    end — fixed seeded hyperplanes, hash-derived vectors — so this is a
+    value pin, not a statistical assertion."""
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    import gen_testdata as G
+    from measure_rp_recall import _planted_recall
+
+    n = 2000
+    emb = G.planted_embeddings(spark, n).localCheckpoint()
+    path = str(tmp_path / "rp_planted")
+    S.build_rp_index(emb, path)
+    keys = S.load_rp_index(spark, path)
+    plants = G.planted_truth(spark, n)
+    rec = _planted_recall(keys, plants)
+    assert rec["ge_0.95"]["pairs"] >= 30  # enough plants to mean something
+    assert rec["ge_0.95"]["recall"] >= 0.8, rec

@@ -72,6 +72,110 @@ def _r2(c: F.Column) -> F.Column:
     return (F.floor(c * 100 + F.lit(0.5)) / 100.0).cast("double")
 
 
+# planted-pair geometry: every PLANT_EVERY-th id (id % PLANT_EVERY == 1)
+# is a calibrated clone of id-1 at one of PLANT_COS cosines. Targets sit
+# OFF the 0.95 eval-bin edge (a pair planted at exactly 0.95 straddles
+# the truth bin under float32 storage rounding) while covering the
+# 0.92–0.995 design range; 0.92 lands in the 0.9 bin only.
+PLANT_EVERY = 25
+PLANT_COS = [0.92, 0.96, 0.98, 0.995]
+
+
+def planted_embeddings(
+    spark: SparkSession, n: int, dim: int = 64, extra_cols: dict | None = None
+) -> DataFrame:
+    """(vec_id, embedding[, extras]): the label-structured synthetic
+    corpus with every ``PLANT_EVERY``-th vector replaced by a calibrated
+    near-duplicate of its predecessor at a known target cosine.
+
+    Construction (pure Spark expressions, deterministic, no UDFs): for a
+    clone c of base b with target t, take the base's double-precision
+    vector v, a hash-random direction r, Gram-Schmidt
+    u = r − (r·v / v·v)·v (orthogonal to v), and emit
+    w = t·v + sqrt(1−t²)·(|v|/|u|)·u — then cos(v, w) = t exactly in
+    real arithmetic (float32 storage perturbs it by ~1e-6, far inside
+    the 0.005 gap to the nearest eval bin edge). Ground truth is
+    recoverable from ids alone: (b, b+1, t(b+1)) via ``planted_truth``.
+    """
+    dims = F.sequence(F.lit(1), F.lit(dim))
+    did = F.col("id")
+
+    def base_vec(idc):
+        lbl = F.pmod(F.xxhash64(F.lit("el"), idc), F.lit(10)).cast("int")
+        return F.transform(
+            dims,
+            lambda i: F.cos((lbl + 1) * i.cast("double") / 4.0) * 0.2
+            + (_u("en", idc, i) - 0.5) * 0.2,
+        )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    is_clone = (F.pmod(did, F.lit(PLANT_EVERY)) == 1) & (did >= 1)
+    t = F.element_at(
+        F.array(*[F.lit(c) for c in PLANT_COS]),
+        (F.pmod(F.xxhash64(F.lit("pt"), did), F.lit(len(PLANT_COS))) + 1)
+        .cast("int"),
+    )
+    df = (
+        spark.range(n)
+        .withColumn("_v", base_vec(F.when(is_clone, did - 1).otherwise(did)))
+        .withColumn(
+            "_r", F.transform(dims, lambda i: _u("ec", did, i) - 0.5)
+        )
+        .withColumn("_rv", dot(F.col("_r"), F.col("_v")))
+        .withColumn("_vv", dot(F.col("_v"), F.col("_v")))
+        .withColumn(
+            "_u",
+            F.zip_with(
+                F.col("_r"),
+                F.col("_v"),
+                lambda r, v: r - (F.col("_rv") / F.col("_vv")) * v,
+            ),
+        )
+        .withColumn(
+            "_scale",
+            F.sqrt(1 - t * t)
+            * F.sqrt(F.col("_vv"))
+            / F.sqrt(F.greatest(dot(F.col("_u"), F.col("_u")), F.lit(1e-30))),
+        )
+    )
+    emb = F.when(
+        is_clone,
+        F.zip_with(
+            F.col("_v"),
+            F.col("_u"),
+            lambda v, u: (t * v + F.col("_scale") * u).cast("float"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda v: v.cast("float")))
+    extras = [
+        expr.alias(name) for name, expr in (extra_cols or {}).items()
+    ]
+    return df.select(did.alias("vec_id"), emb.alias("embedding"), *extras)
+
+
+def planted_truth(spark: SparkSession, n: int) -> DataFrame:
+    """(id_a, id_b, target_cos) for every planted clone pair in a
+    ``planted_embeddings(n)`` corpus — ground truth from ids alone."""
+    return (
+        spark.range(n)
+        .where((F.pmod(F.col("id"), F.lit(PLANT_EVERY)) == 1) & (F.col("id") >= 1))
+        .select(
+            (F.col("id") - 1).alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.element_at(
+                F.array(*[F.lit(c) for c in PLANT_COS]),
+                (F.pmod(F.xxhash64(F.lit("pt"), F.col("id")), F.lit(len(PLANT_COS))) + 1)
+                .cast("int"),
+            ).alias("target_cos"),
+        )
+    )
+
+
 def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
     n_cust = max(int(15_000_000 * sf) // 100, 10)
     n_supp = max(int(1_000_000 * sf) // 100, 4)
@@ -174,20 +278,13 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
         F.concat(F.lit("src"), F.pmod(F.xxhash64(F.lit("dsrc"), "id"), F.lit(20)).cast("string")).alias("source"),
     ).withColumn("n_chars", F.length("text").cast("int"))
     # embeddings: label-structured so IVF/k-means/LSH have real cluster
-    # geometry (label-dependent low-frequency component + hash noise)
-    dims = F.sequence(F.lit(1), F.lit(64))
+    # geometry (label-dependent low-frequency component + hash noise),
+    # plus PLANTED near-duplicate pairs at controlled cosines so recall
+    # at the ≥0.95 design point is MEASURED, not model-extrapolated
+    # (round-10 RECALL_RP.json had truth_pairs=0 at cos ≥ 0.95 — the
+    # natural corpus has no sub-identical pairs that similar)
     label = F.pmod(F.xxhash64(F.lit("el"), "id"), F.lit(10)).cast("int")
-    embeddings = spark.range(n_docs).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            dims,
-            lambda i: (
-                F.cos((label + 1) * i.cast("double") / 4.0) * 0.2
-                + (_u("en", F.col("id"), i) - 0.5) * 0.2
-            ).cast("float"),
-        ).alias("embedding"),
-        label.alias("label"),
-    )
+    embeddings = planted_embeddings(spark, n_docs, extra_cols={"label": label})
     return {
         "region": region,
         "nation": nation,

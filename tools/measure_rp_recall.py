@@ -71,6 +71,68 @@ def _candidate_pairs(sample_keys, corpus_keys):
     )
 
 
+def _planted_truth(spark, emb, n):
+    """The planted near-duplicate ground truth for this corpus, or None
+    when the corpus has no plants (driver-shipped testdata predates the
+    planting generator). Presence is VERIFIED, not assumed: the exact
+    cosine of a handful of would-be planted pairs must match their
+    target to 1e-3 — an unplanted corpus fails immediately."""
+    import gen_testdata as G
+
+    plants = G.planted_truth(spark, n)
+    probe = (
+        plants.limit(8)
+        .join(
+            emb.select(F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("_va")), "id_a")
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("_vb")), "id_b")
+        .select(
+            F.abs(_cosine(F.col("_va"), F.col("_vb")) - F.col("target_cos"))
+            .alias("err")
+        )
+        .agg(F.count("*").alias("n"), F.max("err").alias("e"))
+        .first()
+    )
+    if not probe["n"] or probe["e"] is None or probe["e"] > 1e-3:
+        return None
+    return plants
+
+
+def _planted_recall(keys, plants):
+    """Candidate recall over ALL planted pairs (not a sample), per
+    target cosine and aggregated at the ≥0.95 design point — the
+    measured contract `rp_bands_for_recall` promises. Linear work: the
+    plant relation keys the band join, never a corpus self-join."""
+    ka = keys.select(F.col("id").alias("id_a"), "band", "key")
+    kb = keys.select(F.col("id").alias("id_b"), "band", "key")
+    hits = (
+        plants.join(ka, "id_a")
+        .join(kb, ["id_b", "band", "key"], "left_semi")
+        .select("id_a", "id_b", "target_cos")
+        .distinct()
+    )
+    tot = {r["target_cos"]: r["n"] for r in
+           plants.groupBy("target_cos").agg(F.count("*").alias("n")).collect()}
+    hit = {r["target_cos"]: r["n"] for r in
+           hits.groupBy("target_cos").agg(F.count("*").alias("n")).collect()}
+    per = {
+        str(t): {
+            "pairs": tot[t],
+            "recall": round(hit.get(t, 0) / tot[t], 4) if tot[t] else None,
+        }
+        for t in sorted(tot)
+    }
+    t95 = sum(n for t, n in tot.items() if t >= 0.95)
+    h95 = sum(n for t, n in hit.items() if t >= 0.95)
+    per["ge_0.95"] = {
+        "pairs": t95,
+        "recall": round(h95 / t95, 4) if t95 else None,
+    }
+    return per
+
+
 def _recalls(cand, truth):
     """recall per eval threshold: truth carries (query_id, vec_id, cos)."""
     hit = truth.join(cand, ["query_id", "vec_id"], "left_semi")
@@ -157,6 +219,16 @@ def main() -> None:
                     _candidate_pairs(skeys_b, keys_b), truth
                 ),
             }
+            # planted-pair recall: exhaustive over every planted clone
+            # pair (no sampling error), per target cosine — the direct
+            # measurement of the ≥0.8-at-cos≥0.95 design contract
+            plants = _planted_truth(spark, emb, n)
+            if plants is not None:
+                plants = plants.localCheckpoint()
+                entry["adaptive"]["planted"] = _planted_recall(keys_a, plants)
+                entry["fixed_2_bands"]["planted"] = _planted_recall(
+                    keys_b, plants
+                )
         entry["sec"] = round(time.time() - t0, 1)
         results[sf] = entry
         print(f"[recall] {sf}: {json.dumps(entry)}", file=sys.stderr, flush=True)
