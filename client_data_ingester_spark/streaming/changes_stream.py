@@ -98,6 +98,39 @@ class ChangeFeedPublisher:
         self._advance(version)
         return version
 
+    def prune(self, keep_versions: int = 10) -> list[int]:
+        """Retention bound for the feed directory: delete ``version=N``
+        dirs with N ≤ cursor − keep_versions, so the feed holds at most
+        ``keep_versions`` fully-published version dirs no matter how many
+        versions have ever been emitted (read-side listing stays O(keep),
+        not O(table history)).
+
+        Contract: only versions strictly below the publish cursor are
+        eligible (an uncommitted dir is never touched), and pruning is
+        for versions every tailing consumer has already processed — a
+        file-stream source that has SEEN a file tolerates its deletion
+        (Spark's file source tracks seen files by name), but a consumer
+        starting fresh after a prune must :meth:`seed` from the snapshot
+        itself, exactly like one that lagged past the GC horizon.
+        Returns the pruned version numbers."""
+        import shutil
+
+        horizon = self.last_published() - keep_versions
+        pruned = []
+        for d in os.listdir(self.feed_dir):
+            if not d.startswith("version="):
+                continue
+            try:
+                v = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if v <= horizon:
+                shutil.rmtree(
+                    os.path.join(self.feed_dir, d), ignore_errors=True
+                )
+                pruned.append(v)
+        return sorted(pruned)
+
     def poll(self) -> list[int]:
         """Publish every not-yet-emitted version; returns the versions
         emitted this call. Crash-safe: the state file advances only after

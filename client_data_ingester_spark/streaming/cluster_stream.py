@@ -109,6 +109,35 @@ def start_cluster_edge_stream(
     )
 
 
+def compact_cluster_state(
+    spark: SparkSession,
+    state_dir: str,
+    keep_last: int = 1,
+    min_shards: int = 8,
+) -> dict:
+    """Bound the read-side shard count of BOTH accumulating artifacts
+    (bands, edges) with the shared batch-shard compactor — run from a
+    maintenance schedule so N streamed batches cost O(cadence) dirs to
+    read, not O(N). Safe with the incremental contract: band keys and
+    edges are set-merged on read (collect_set buckets / distinct edges),
+    the fold never touches the newest ``keep_last`` shards (the only
+    replay candidates), ``before_batch`` pruning still sees every folded
+    row below the replayed id, and ``refresh_cluster_index``'s watermark
+    tolerates re-surfaced folded edges because ``warm_start_clusters``
+    is at-least-once-exact (already-closed edges vanish into their
+    root). Returns {"bands": folded_id|None, "edges": folded_id|None}."""
+    from .compaction import compact_batch_shards
+
+    return {
+        "bands": compact_batch_shards(
+            spark, f"{state_dir}/bands", keep_last, min_shards
+        ),
+        "edges": compact_batch_shards(
+            spark, f"{state_dir}/edges", keep_last, min_shards
+        ),
+    }
+
+
 def merged_band_index(
     spark: SparkSession, bands_dir: str, before_batch: int | None = None
 ) -> DataFrame:

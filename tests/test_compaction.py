@@ -1,0 +1,234 @@
+"""Shard compaction: the read-side file-count bound for every
+append-one-dir-per-batch stream artifact (VERDICT r10 ask #5).
+
+The per-batch shard pattern bounds WRITE cost but lets the read side
+accumulate one dir per micro-batch forever; ``compact_batch_shards``
+folds the settled prefix so N batches read as O(keep_last + cadence)
+dirs. These tests pin the three contracts that substitution relies on:
+(1) merged results are value-identical before/after a fold, (2) the
+directory count actually collapses to keep_last + 1, and (3) the
+warm-started cluster refresh stays exact when a fold re-surfaces edges
+above its watermark (the at-least-once property the docstring claims).
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from client_data_ingester_spark.streaming.compaction import (
+    batch_shard_ids,
+    compact_batch_shards,
+)
+
+
+def _write_shards(spark, shard_dir, n_batches, rows_of):
+    for b in range(n_batches):
+        spark.createDataFrame(rows_of(b), "doc_a long, doc_b long").write.mode(
+            "overwrite"
+        ).parquet(f"{shard_dir}/batch_id={b}")
+
+
+def test_compaction_preserves_merged_rows_and_bounds_dirs(spark, tmp_path):
+    shard_dir = str(tmp_path / "edges")
+    _write_shards(
+        spark, shard_dir, 12, lambda b: [(b, b + 1), (b, b + 100)]
+    )
+    before = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    }
+    target = compact_batch_shards(spark, shard_dir, keep_last=2)
+    assert target == 9  # ids 0..9 folded, 10 and 11 kept
+    assert batch_shard_ids(shard_dir) == [9, 10, 11]  # O(1) dirs, not O(N)
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    }
+    assert after == before
+    # and no stray staging dir survives a completed fold
+    assert not os.path.exists(os.path.join(shard_dir, "_compact_tmp"))
+
+
+def test_compaction_noop_below_min_shards(spark, tmp_path):
+    shard_dir = str(tmp_path / "few")
+    _write_shards(spark, shard_dir, 3, lambda b: [(b, b + 1)])
+    assert compact_batch_shards(spark, shard_dir, min_shards=8) is None
+    assert batch_shard_ids(shard_dir) == [0, 1, 2]
+    assert compact_batch_shards(spark, str(tmp_path / "missing")) is None
+
+
+def test_compaction_is_idempotent_under_refold(spark, tmp_path):
+    """A second compaction over a part-compacted dir (the crash-recovery
+    path: rerun after a fold that died before source deletion) converges
+    to the same merged rows."""
+    shard_dir = str(tmp_path / "edges")
+    _write_shards(spark, shard_dir, 10, lambda b: [(b, b + 1)])
+    before = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    }
+    compact_batch_shards(spark, shard_dir, keep_last=1)
+    # more batches arrive, then a second fold over old-fold + new shards
+    for b in (10, 11, 12, 13, 14, 15):
+        spark.createDataFrame([(b, b + 1)], "doc_a long, doc_b long").write.mode(
+            "overwrite"
+        ).parquet(f"{shard_dir}/batch_id={b}")
+    compact_batch_shards(spark, shard_dir, keep_last=1, min_shards=2)
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    }
+    assert after == before | {(b, b + 1) for b in range(10, 16)}
+    assert len(batch_shard_ids(shard_dir)) == 2
+
+
+def test_dedupe_cols_guard_for_row_sinks(spark, tmp_path):
+    """Doc-output shards are not set-merged on read: the fold must be
+    able to collapse key duplicates so crash-window re-folds cannot
+    multiply rows across compaction generations."""
+    shard_dir = str(tmp_path / "docs")
+    # the same doc_id lands in two shards (e.g. watermark-expired resend)
+    for b, rows in enumerate([[(1, 10)], [(1, 10)], [(2, 20)], [(3, 30)]]):
+        spark.createDataFrame(rows, "doc_a long, doc_b long").write.mode(
+            "overwrite"
+        ).parquet(f"{shard_dir}/batch_id={b}")
+    compact_batch_shards(
+        spark, shard_dir, keep_last=1, min_shards=2, dedupe_cols=["doc_a"]
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+
+def _write_docs(path, docs):
+    with open(path, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+def test_cluster_state_compaction_keeps_labeling_and_refresh_exact(
+    spark, tmp_path
+):
+    """End to end on the real stream: N micro-batches land N band and N
+    edge shards; compaction collapses both to keep_last+1 dirs while
+    merged_clusters stays value-identical, cross-batch edges generated
+    AFTER the fold still see every folded band key, and the warm-started
+    refresh (watermark BELOW the fold target, so folded edges re-surface
+    above it) still equals a cold recompute."""
+    from client_data_ingester_spark.streaming.cluster_stream import (
+        compact_cluster_state,
+        merged_clusters,
+        refresh_cluster_index,
+        start_cluster_edge_stream,
+    )
+    from client_data_ingester_spark.operators.dedup import load_cluster_index
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    idx = str(tmp_path / "idx")
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta epsilon",  # dup of 1
+        3: "wholly different text one two",
+        4: "alpha beta gamma delta epsilon",  # chains 1-2-4
+        5: "another unique document here now",
+    }
+    q = start_cluster_edge_stream(spark, str(src), ckpt, state)
+    try:
+        for b, (did, text) in enumerate(texts.items()):
+            _write_docs(src / f"b{b}.json", [{"doc_id": did, "text": text}])
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # refresh once NOW so the watermark sits below the upcoming fold id
+    refresh_cluster_index(spark, state, idx)
+    before = {
+        (r["doc_id"], r["cluster_id"])
+        for r in merged_clusters(spark, state).collect()
+    }
+    assert len(batch_shard_ids(f"{state}/bands")) >= 5
+    res = compact_cluster_state(spark, state, keep_last=1, min_shards=3)
+    assert res["bands"] is not None and res["edges"] is not None
+    assert len(batch_shard_ids(f"{state}/bands")) == 2
+    assert len(batch_shard_ids(f"{state}/edges")) == 2
+    after = {
+        (r["doc_id"], r["cluster_id"])
+        for r in merged_clusters(spark, state).collect()
+    }
+    assert after == before
+    # a post-fold batch still pairs against FOLDED band keys: doc 6
+    # duplicates doc 1, whose band shard was folded
+    q2 = start_cluster_edge_stream(spark, str(src), ckpt, state)
+    try:
+        _write_docs(
+            src / "b9.json",
+            [{"doc_id": 6, "text": "alpha beta gamma delta epsilon"}],
+        )
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    final = {
+        (r["doc_id"], r["cluster_id"])
+        for r in merged_clusters(spark, state).collect()
+    }
+    assert (6, 1) in final
+    # warm-started refresh across the fold boundary == cold recompute
+    refresh_cluster_index(spark, state, idx)
+    warm = {
+        (r["doc_id"], r["cluster_id"])
+        for r in load_cluster_index(spark, idx).collect()
+    }
+    assert warm == final
+
+
+def test_change_feed_prune_bounds_version_dirs(spark, tmp_path):
+    """The CDC feed's version=N dirs are the last unbounded accumulator:
+    prune() must delete fully-published dirs beyond the retention bound,
+    never the cursor-adjacent ones, and the surviving feed must still
+    read through the explicit schema."""
+    from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+    from client_data_ingester_spark.streaming.changes_stream import (
+        ChangeFeedPublisher,
+        feed_schema,
+    )
+    from client_data_ingester_spark.tables import SnapshotTable
+
+    def _row(i, sku):
+        return (
+            i, 1, sku, None, None, f"t{i}", None, None, True,
+            None, None, None,
+        )
+
+    table = SnapshotTable(str(tmp_path / "tbl"), CLIENT_PRODUCTS_SCHEMA)
+    feed = str(tmp_path / "feed")
+    pub = ChangeFeedPublisher(spark, table, ["client_id", "sku"], feed)
+    for v in range(1, 8):
+        table.overwrite_partitions(
+            spark.createDataFrame(
+                [_row(v, f"S{v}")], CLIENT_PRODUCTS_SCHEMA
+            ),
+            [1],
+        )
+        pub.poll()
+    dirs = [d for d in os.listdir(feed) if d.startswith("version=")]
+    assert len(dirs) == 7
+    pruned = pub.prune(keep_versions=3)
+    assert pruned == [1, 2, 3, 4]
+    left = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(feed)
+        if d.startswith("version=")
+    )
+    assert left == [5, 6, 7]
+    rows = (
+        spark.read.schema(feed_schema(table, ["sku"]))
+        .option("basePath", feed)
+        .parquet(feed + "/version=*")
+        .count()
+    )
+    assert rows > 0
