@@ -66,6 +66,20 @@ _PART_PRODUCTS_SQL = """
 """
 
 
+def _oracle_corpus_n() -> int:
+    """The embeddings-corpus row count the adaptive-geometry oracles
+    (RP bits/bands, SemDeDup cell count) unroll their formulas at.
+
+    Default 500 — the driver's sf0.01 gate corpus, where every adaptive
+    formula is anchor-pinned by test_scaling_canaries. The local gate
+    tool (tools/check_correctness.py) sets SPARK_GRAFT_ORACLE_N to the
+    actual corpus count of the sf dir under test, so an sf0.1 run proves
+    the oracle's formula-unrolling TRACKS the adaptive geometry (10 bits
+    / 4 bands / 44 cells at n=2000) rather than only matching at the
+    anchor. The driver itself never sets this."""
+    return int(os.environ.get("SPARK_GRAFT_ORACLE_N", "500"))
+
+
 def _index_cache_path(sf_dir: str, kind: str, src_table: str = "embeddings") -> str:
     """Keyed, per-user cache path for a persisted corpus index.
 
@@ -280,6 +294,28 @@ def _tf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_tf_index(_t(spark, sf_dir, "documents"), path)
     return load_tf_index(spark, path)
+
+
+def _nb_index(spark: SparkSession, sf_dir: str):
+    """Build-once-per-corpus trained NB language model (lp vocab×class
+    logprobs + per-class priors/defaults) — training reduces the corpus
+    through ~16 tiny jobs and is a pure function of it, so it runs at
+    WRITE time; the scored query then probes two narrow parquet tables
+    and its plan is ONE broadcast-join scoring pass over the tf relation
+    (corpus.build_nb_index). Deterministic micro-nat quantization keeps
+    the persisted model value-identical to inline training, so the
+    DuckDB oracle is unchanged."""
+    from client_data_ingester_spark.operators.corpus import (
+        build_nb_index,
+        load_nb_index,
+    )
+
+    path = _index_cache_path(sf_dir, "nb", src_table="documents")
+    if not os.path.exists(os.path.join(path, "classes", "_SUCCESS")):
+        build_nb_index(
+            _t(spark, sf_dir, "documents"), path, tf=_tf_index(spark, sf_dir)
+        )
+    return load_nb_index(spark, path)
 
 
 def _cluster_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,11 +986,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["docs_oov_rate"] = lambda s, d: C.oov_rate(_t(s, d, "documents"))
     # model-based filter: multinomial NB language classifier trained on
     # the corpus's own labels, scored back over it — micro-nat ln on the
-    # reduced class tables only, exact BIGINT per-doc sums
-    # cache_model=True is the one-shot-job opt-in: the persisted relations
-    # are the reduced vocab x class model, shared by three consumers here
+    # reduced class tables only, exact BIGINT per-doc sums. The TRAINED
+    # model is a persisted write-time artifact (_nb_index): scoring is
+    # one broadcast-join pass over the persisted tf relation, which is
+    # what closed the round-9 ≤1.5 s done-bar this query had missed
     q["docs_nb_langid"] = lambda s, d: C.nb_language_scores(
-        _t(s, d, "documents"), cache_model=True, tf=_tf_index(s, d)
+        _t(s, d, "documents"), tf=_tf_index(s, d), model=_nb_index(s, d)
     )
     # -- data-quality audits ([EXT]) ----------------------------------------
     # arithmetic integrity: exact-decimal recomputation of o_totalprice,
@@ -3830,16 +3867,24 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # The oracle unrolls the RP geometry the ADAPTIVE build chooses at
-    # the sf0.01 gate corpus (500 vectors): the adaptive_rp_bits floor is
-    # 8, no sf0.01 bucket exceeds the occupancy cap, and the recall-
+    # the gate corpus — _oracle_corpus_n() vectors (500 at the driver's
+    # sf0.01 gate, the default): the adaptive_rp_bits floor is 8 there,
+    # no sf0.01 bucket exceeds the occupancy cap, and the recall-
     # targeted band formula gives 3 bands at 8 bits, so the build
     # settles at (8 bits, 3 bands) — pinned end-to-end by
     # test_scaling_canaries. BOTH knobs are computed through their
     # formulas (not hardcoded) so a formula change that shifts the gate
     # geometry breaks the gate loudly instead of silently comparing
-    # mismatched bucket keys. Plane indexing strides by RP_MAX_BITS —
-    # the prefix-property layout rp_band_keys uses.
-    _RP_BITS, _RP_DIM = S.adaptive_rp_bits(500), 64
+    # mismatched bucket keys — and tools/check_correctness.py sets
+    # SPARK_GRAFT_ORACLE_N to the actual corpus count so the sf0.1 gate
+    # proves the unrolling TRACKS the geometry (bits=10, bands=4 there),
+    # not just the anchor. Occupancy ESCALATION is the one knob the
+    # formula can't see (it reads the data); on the shipped testdata no
+    # escalation fires at either gate sf (pinned by RECALL_RP.json
+    # geometry rows) — a corpus dense enough to escalate would fail this
+    # gate loudly, which is the honest outcome. Plane indexing strides
+    # by RP_MAX_BITS — the prefix-property layout rp_band_keys uses.
+    _RP_BITS, _RP_DIM = S.adaptive_rp_bits(_oracle_corpus_n()), 64
     _RP_BANDS = S.rp_bands_for_recall(_RP_BITS)
     _planes = _rp(_RP_BANDS * S.RP_MAX_BITS, _RP_DIM)
 
@@ -4033,11 +4078,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # SemDeDup oracles: cells from the SAME unrolled Lloyd's chain at
-    # k = semantic_cells_k(500) = 22 — the adaptive-√n formula evaluated
-    # at the sf0.01 gate corpus (the driver compares at sf0.01 only; the
-    # count anchor is pinned by test_scaling_canaries). afinal supplies
-    # the cell per vector, c2 → doubles the per-cell centroid.
-    _sem_k = S.semantic_cells_k(500)
+    # k = semantic_cells_k(gate corpus) — the adaptive-√n formula (22 at
+    # the driver's sf0.01 gate; 44 when check_correctness points the
+    # oracle at sf0.1 via SPARK_GRAFT_ORACLE_N; the sf0.01 anchor is
+    # pinned by test_scaling_canaries). afinal supplies the cell per
+    # vector, c2 → doubles the per-cell centroid.
+    _sem_k = S.semantic_cells_k(_oracle_corpus_n())
     _sem_ctes = ",\n        ".join(_km_cte_chain(_sem_k))
     o["semantic_dedup_pairs"] = f"""
         WITH {_sem_ctes},

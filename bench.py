@@ -217,6 +217,12 @@ def main() -> None:
             "_SUCCESS",
         ),
         (
+            "nb_model",
+            entry._nb_index,
+            ("nb", "documents"),
+            os.path.join("classes", "_SUCCESS"),
+        ),
+        (
             "zone_map",
             entry._zone_mapped_events,
             ("zonemap", "events"),

@@ -62,10 +62,21 @@ def hll_formula(p: int) -> "tuple[int, int, str, str]":
     ``s_int`` / ``zeros`` of the register-collapse relation."""
     m = 2**p
     scale = (60 - p) + 1  # register term exponent ceiling (W + 1)
-    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    # every fractional literal is CAST AS DOUBLE: Spark parses a bare
+    # 0.7213 as DECIMAL(4,4) and evaluates the alpha chain in
+    # DECIMAL(19,13) (DuckDB promotes to DOUBLE), so the two engines'
+    # estimates diverged in the 8th decimal — invisible at the sf0.01
+    # gate, but at sf0.1 profile_orders landed 0.003 from a .5 boundary
+    # and the FLOOR(est + 0.5) ndv split 123987 vs 123986. With explicit
+    # doubles every op is IEEE-correctly-rounded and bit-identical
+    # cross-engine at ANY scale.
+    alpha = (
+        f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) "
+        f"+ CAST(1.079 AS DOUBLE) / {m}))"
+    )
     raw = f"{alpha} * {m * m} * CAST({2 ** scale} AS DOUBLE) / s_int"
     est = (
-        f"CASE WHEN {raw} <= 2.5 * {m} AND zeros > 0 "
+        f"CASE WHEN {raw} <= CAST(2.5 AS DOUBLE) * {m} AND zeros > 0 "
         f"THEN {m} * LN(CAST({m} AS DOUBLE) / zeros) "
         f"ELSE {raw} END"
     )

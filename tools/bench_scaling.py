@@ -50,6 +50,7 @@ ARTIFACT_BUILDERS = [
     entry._ivfpq_index,
     entry._text_features_index,
     entry._tf_index,
+    entry._nb_index,
     entry._zone_mapped_events,
     entry._changes_table,
 ]

@@ -87,6 +87,13 @@ def main() -> int:
         )
     spark = get_spark("correctness", cpus=os.environ.get("SPARK_GRAFT_CPUS", 8))
     qs = entry.queries()
+    # the adaptive-geometry oracles (RP bits/bands, SemDeDup cells)
+    # unroll formulas of the corpus row count: point them at THIS sf
+    # dir's actual count so gates above sf0.01 prove the unrolling
+    # tracks the geometry (the driver's own gate leaves the 500 default)
+    os.environ["SPARK_GRAFT_ORACLE_N"] = str(
+        con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    )
     oracles = entry.oracle_sql()
     unknown = only - set(qs)
     if unknown:
