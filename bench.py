@@ -86,7 +86,16 @@ def compact_line(out: dict, top_n: int = 8) -> dict:
 
 def variance_stats(all_runs: dict[str, list[float]]) -> tuple[dict, list[str]]:
     """Per-query {median, min, p95} plus the names whose p95/min > 2x —
-    the artifact-side evidence for adjudicating single-run spikes."""
+    the artifact-side evidence for adjudicating single-run spikes.
+
+    With ≥3 repeats the FIRST run is excluded from the stats (it is
+    still visible raw under "runs"): measured per-run traces show run 1
+    carries each query's one-time costs — whole-stage-codegen compile of
+    its unique plan shape, parquet-footer first-touch of its persisted
+    artifacts — at 1.5–4× the settled time (e.g. dedup_containment
+    5.26 → 1.9–2.1 s, multimodal_bmp_stats 2.19 → 0.5 s), so a
+    max-of-3 p95 was flagging warmup, not variance. The flag now means
+    what it says: steady-state runs disagreeing by >2×."""
     stats = {
         name: {
             "median": round(statistics.median(ts), 3),
@@ -95,7 +104,10 @@ def variance_stats(all_runs: dict[str, list[float]]) -> tuple[dict, list[str]]:
                 sorted(ts)[min(len(ts) - 1, int(0.95 * len(ts)))], 3
             ),
         }
-        for name, ts in all_runs.items()
+        for name, ts in (
+            (name, ts[1:] if len(ts) >= 3 else ts)
+            for name, ts in all_runs.items()
+        )
     }
     noisy = sorted(
         name
@@ -144,6 +156,14 @@ def main() -> None:
         )
         for df in (smj, bhj, win):
             _force(df)
+        # Arrow python-runner path: the FIRST mapInPandas / pandas_udf of
+        # a session forks the Python worker pool and opens the Arrow
+        # channel (~1.5 s, measured on multimodal_bmp_stats run-1 spikes)
+        # — absorb it with a nonce passthrough so the multimodal / kernel
+        # families don't bill worker startup to their first scored run
+        _force(
+            spark.range(64).mapInPandas(lambda it: it, "id long")
+        )
         # touch every table once: parquet footer + file-listing caches are
         # per-table, and the first scored query over an untouched table
         # would otherwise pay the cold metadata read

@@ -56,17 +56,22 @@ def test_compact_line_fields():
 
 
 def test_variance_stats_flags_noisy_queries():
+    """With ≥3 repeats the first run is warmup (codegen + artifact
+    first-touch, measured 1.5–4× the settled time) and is EXCLUDED from
+    the stats: a spike confined to run 1 must not flag, a spike among
+    the warm runs must."""
     runs = {
         "steady": [1.0, 1.05, 1.1],
-        "noisy": [1.0, 1.2, 2.5],       # p95 2.5 / min 1.0 > 2x
-        "fast_noisy": [0.1, 0.11, 0.3],  # 3x spread at small absolute scale
+        "warmup_spike": [2.5, 1.0, 1.1],   # run-1-only spike: NOT noisy
+        "noisy": [1.0, 1.2, 2.5],          # warm p95 2.5 / min 1.2 > 2x
+        "fast_noisy": [0.1, 0.11, 0.3],    # 3x warm spread
+        "two_runs": [0.1, 0.5],            # <3 repeats: all runs count
     }
     stats, noisy = bench.variance_stats(runs)
-    assert noisy == ["fast_noisy", "noisy"]
-    assert stats["steady"] == {"median": 1.05, "min": 1.0, "p95": 1.1}
-    assert stats["noisy"]["p95"] == 2.5 and stats["noisy"]["min"] == 1.0
-    # median matches the headline per_query median computation
-    assert stats["noisy"]["median"] == 1.2
+    assert noisy == ["fast_noisy", "noisy", "two_runs"]
+    assert stats["steady"] == {"median": 1.075, "min": 1.05, "p95": 1.1}
+    assert stats["warmup_spike"] == {"median": 1.05, "min": 1.0, "p95": 1.1}
+    assert stats["noisy"]["p95"] == 2.5 and stats["noisy"]["min"] == 1.2
 
 
 def test_compact_line_empty_inventory():

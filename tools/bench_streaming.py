@@ -338,6 +338,55 @@ def bench_cluster_stream(spark, sf_dir: str, work: str) -> dict:
     }
 
 
+def bench_sketch_stream(spark, sf_dir: str, work: str) -> dict:
+    """HLL register stream over the events table (20 landing files →
+    20 micro-batches), plus the read-side estimate and the compaction
+    cost that bounds the shard count (streaming/compaction contract)."""
+    from client_data_ingester_spark.streaming.compaction import (
+        batch_shard_ids,
+        compact_batch_shards,
+    )
+    from client_data_ingester_spark.streaming.sketch_stream import (
+        read_hll_estimate,
+        start_hll_register_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    n_rows = ev.count()
+    src = os.path.join(work, "sketch_events_json")
+    ev.repartition(20).write.mode("overwrite").json(src)
+    regs = os.path.join(work, "hll_regs")
+    ckpt = os.path.join(work, "ckpt_sketch")
+    t0 = time.time()
+    q = start_hll_register_stream(
+        spark, src, ckpt, regs, group_cols=["event_type"]
+    )
+    q.processAllAvailable()
+    lat = _batch_latency(q)
+    q.stop()
+    wall = time.time() - t0
+    t1 = time.time()
+    est = read_hll_estimate(spark, regs, ["event_type"]).count()
+    read_sec = time.time() - t1
+    n_shards = len(batch_shard_ids(regs))
+    t2 = time.time()
+    compact_batch_shards(spark, regs, keep_last=1, min_shards=2)
+    compact_sec = time.time() - t2
+    return {
+        "rows": n_rows,
+        "estimate_groups": est,
+        "sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "batch_latency": lat,
+        "read_estimate_sec": round(read_sec, 2),
+        "shards_before_compact": n_shards,
+        "shards_after_compact": len(batch_shard_ids(regs)),
+        "compact_sec": round(compact_sec, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -353,6 +402,7 @@ def main() -> None:
             "cdc_feed": bench_cdc_feed(spark, sf_dir, work),
             "pq_encode": bench_pq_encode_stream(spark, sf_dir, work),
             "cluster_edges": bench_cluster_stream(spark, sf_dir, work),
+            "sketch_hll": bench_sketch_stream(spark, sf_dir, work),
         }
         print(json.dumps(out))
     finally:
