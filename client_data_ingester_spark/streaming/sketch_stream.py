@@ -52,9 +52,13 @@ def start_hll_register_stream(
     group_cols: list[str] | None = None,
     p: int = DEFAULT_P,
     query_name: str = "hll_registers",
+    reader_options: dict | None = None,
 ) -> StreamingQuery:
     """Tail a directory of event json files; per micro-batch, land that
-    batch's HLL registers in its own idempotent shard dir."""
+    batch's HLL registers in its own idempotent shard dir.
+    ``reader_options`` (e.g. ``{"maxFilesPerTrigger": 1}``) control the
+    micro-batch granularity — the same knob the other file-tailing
+    starters expose."""
     group_cols = list(group_cols or [])
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -64,11 +68,10 @@ def start_hll_register_stream(
             .parquet(f"{register_dir}/batch_id={batch_id}")
         )
 
-    stream = (
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
-        .format("json")
-        .load(source_dir)
-    )
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA).format("json")
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.load(source_dir)
     return (
         stream.writeStream.outputMode("append")
         .queryName(query_name)

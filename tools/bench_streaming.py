@@ -361,7 +361,8 @@ def bench_sketch_stream(spark, sf_dir: str, work: str) -> dict:
     ckpt = os.path.join(work, "ckpt_sketch")
     t0 = time.time()
     q = start_hll_register_stream(
-        spark, src, ckpt, regs, group_cols=["event_type"]
+        spark, src, ckpt, regs, group_cols=["event_type"],
+        reader_options={"maxFilesPerTrigger": 1},
     )
     q.processAllAvailable()
     lat = _batch_latency(q)
