@@ -387,6 +387,45 @@ def rp_bands_for_recall(
     return min(RP_MAX_BANDS, max(1, math.ceil(need)))
 
 
+def rp_recall_curve(
+    bits: int,
+    bands: int,
+    thresholds: "list[float] | None" = None,
+) -> "list[dict]":
+    """The threshold→expected-candidate-recall mapping of an RP geometry
+    — what a user at a LAXER threshold than the 0.95 design point needs
+    before trusting the candidate stage (round-10 finding: measured
+    recall@0.9 is ~0.39 BY DESIGN; the contract holds only at ≥0.95).
+
+    One row per cosine threshold: per-band collision
+    p = (1 − acos(c)/π)^bits and any-of-bands recall 1 − (1−p)^bands —
+    the same collision model the band formula inverts, which matches
+    measurement to 3 decimals at cos 0.9 (RECALL_RP.json) and is
+    validated against exhaustive PLANTED-pair recall at 0.96/0.98/0.995
+    (`tools/measure_rp_recall.py` + the planted-recall canary). Read the
+    geometry of a persisted index from its sidecar
+    (``load_rp_geometry``) and feed it here to see what a given corpus
+    index actually promises:
+
+        geom = load_rp_geometry(path)
+        rp_recall_curve(geom["bits"], geom["bands"])
+    """
+    if thresholds is None:
+        thresholds = [0.80, 0.85, 0.90, 0.92, 0.95, 0.97, 0.99]
+    out = []
+    for c in thresholds:
+        theta = math.acos(max(-1.0, min(1.0, c)))
+        p = (1.0 - theta / math.pi) ** bits
+        out.append(
+            {
+                "cos_threshold": c,
+                "band_collision_p": round(p, 6),
+                "expected_recall": round(1.0 - (1.0 - p) ** bands, 4),
+            }
+        )
+    return out
+
+
 def semantic_cells_k(n_rows: int) -> int:
     """Semantic-cell count for SemDeDup blocking: ``k = isqrt(n)``.
 

@@ -362,3 +362,34 @@ def test_planted_pair_recall_floor_at_design_point(spark, tmp_path):
     rec = _planted_recall(keys, plants)
     assert rec["ge_0.95"]["pairs"] >= 30  # enough plants to mean something
     assert rec["ge_0.95"]["recall"] >= 0.8, rec
+
+
+def test_rp_recall_curve_matches_planted_measurement():
+    """The collision model rp_recall_curve publishes must agree with the
+    EXHAUSTIVE planted-pair measurement in the committed RECALL_RP.json
+    (same geometry, same targets) to ±0.06 absolute — if either the
+    model or the build drifts, the published threshold→recall mapping
+    is the first thing users consult, so it breaks here."""
+    path = os.path.join(REPO_ROOT, "RECALL_RP.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed RECALL_RP.json")
+    rec = json.load(open(path))["sfs"]
+    for sf, e in rec.items():
+        ad = e.get("adaptive", {})
+        planted = ad.get("planted")
+        if not planted:
+            continue
+        curve = {
+            r["cos_threshold"]: r["expected_recall"]
+            for r in S.rp_recall_curve(
+                ad["bits"], ad["bands"],
+                thresholds=[0.92, 0.96, 0.98, 0.995],
+            )
+        }
+        for t_str, row in planted.items():
+            if t_str.startswith("ge_") or row["recall"] is None:
+                continue
+            t = float(t_str)
+            assert abs(curve[t] - row["recall"]) <= 0.06, (
+                sf, t, curve[t], row["recall"]
+            )
