@@ -446,6 +446,57 @@ def in_bucket_star_edges(
     )
 
 
+def incremental_lsh_star_edges(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    band_keys: DataFrame | None = None,
+) -> DataFrame:
+    """``incremental_lsh_candidates`` for CLUSTERING consumers: each new
+    document emits ONE edge per colliding bucket — to the bucket's
+    minimum indexed doc id — instead of one per indexed member.
+
+    Why components are preserved across batches (induction on arrival
+    order): every already-indexed member of bucket B connected into B's
+    component when IT arrived (via its own cross star edge, or the
+    in-batch star of the batch that introduced it), so a new doc only
+    needs ANY single anchor into B. Full emission pays
+    Θ(batch × cluster) edges in steady state — every new duplicate
+    re-enumerates the entire standing cluster — which is the same
+    quadratic the batch path shed with ``in_bucket_star_edges``; this
+    pays O(batch × bands). Keep ``incremental_lsh_candidates`` where the
+    pair list is the answer (the scored incremental-candidates query).
+    """
+    new_bands = (
+        band_keys
+        if band_keys is not None
+        else minhash_band_keys(new_docs, text_col, num_perm, bands, shingle_k)
+    )
+    joined = new_bands.alias("n").join(
+        index.alias("i"),
+        (F.col("n.band") == F.col("i.band"))
+        & (F.col("n.key") == F.col("i.key"))
+        & (F.col("n.doc_id") != F.col("i.doc_id")),
+    )
+    anchored = (
+        joined.select(
+            F.col("n.doc_id").alias("_nd"),
+            F.col("n.band").alias("band"),
+            F.col("n.key").alias("key"),
+            F.col("i.doc_id").alias("_id"),
+        )
+        .groupBy("_nd", "band", "key")
+        .agg(F.min("_id").alias("_anchor"))
+    )
+    return anchored.select(
+        F.least(F.col("_nd"), F.col("_anchor")).alias("doc_a"),
+        F.greatest(F.col("_nd"), F.col("_anchor")).alias("doc_b"),
+    ).distinct()
+
+
 def lsh_spanning_edges(
     docs: DataFrame,
     text_col: str = "text",

@@ -48,9 +48,9 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.dedup import (
     build_cluster_index,
     duplicate_clusters,
-    incremental_lsh_candidates,
+    incremental_lsh_star_edges,
     load_cluster_index,
-    lsh_candidate_pairs,
+    lsh_spanning_edges,
     minhash_band_keys,
     warm_start_clusters,
 )
@@ -85,14 +85,23 @@ def start_cluster_edge_stream(
             "overwrite"
         ).parquet(f"{bands_dir}/batch_id={batch_id}")
         keys = spark.read.parquet(f"{bands_dir}/batch_id={batch_id}")
-        within = lsh_candidate_pairs(
+        # STAR edges, not pair expansion — the only consumers of the
+        # edge shards are connected components (merged_clusters /
+        # refresh), which need the buckets connected, not enumerated:
+        # in-batch O(bucket) stars + ONE cross anchor per (new doc,
+        # bucket) span the same components as the full emission (the
+        # arrival-order induction in incremental_lsh_star_edges; the
+        # streamed==batch equality test pins it), and steady-state
+        # per-batch edge volume drops from Θ(batch × standing cluster)
+        # to O(batch × bands).
+        within = lsh_spanning_edges(
             docs, num_perm=num_perm, bands=bands, band_keys=keys
         )
         # standing index = shards of STRICTLY EARLIER batches (the batch's
         # own shard may already exist on a crash replay — excluding it
-        # keeps in-batch pairs single-sourced from the bucket expansion)
+        # keeps in-batch edges single-sourced from the bucket expansion)
         index = merged_band_index(spark, bands_dir, before_batch=batch_id)
-        cross = incremental_lsh_candidates(
+        cross = incremental_lsh_star_edges(
             docs, index, num_perm=num_perm, bands=bands, band_keys=keys
         )
         within.unionByName(cross).distinct().write.mode(

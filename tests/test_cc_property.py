@@ -9,6 +9,7 @@ union-find, so a disagreement localizes the bug to the contraction."""
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 
 def _uf_components(edges):
@@ -179,3 +180,65 @@ def test_embedding_dup_edges_components_match_pairs(spark, vecs, threshold):
     assert _uf_components(
         [(r["id_a"], r["id_b"]) for r in pairs]
     ) == _uf_components([(r["id_a"], r["id_b"]) for r in edges])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keyed_rows, st.integers(min_value=1, max_value=4))
+def test_incremental_star_edges_span_same_components(spark, rows, n_batches):
+    """The streaming edge emission (per-batch in-batch stars + ONE cross
+    anchor per new-doc bucket) must span the same components as the full
+    pair expansion over the whole corpus — for ANY batch split of any
+    bucket topology. This pins the arrival-order induction the stream
+    relies on: every indexed bucket member connected into its bucket's
+    component when IT arrived, so a new doc needs only one anchor."""
+    from client_data_ingester_spark.operators.dedup import (
+        in_bucket_pairs,
+        in_bucket_star_edges,
+    )
+
+    # drop duplicate (id, band, key) rows; assign each doc id to ONE
+    # batch (its first appearance), as a real doc stream would
+    rows = list(dict.fromkeys(rows))
+    ids = sorted({i for i, _, _ in rows})
+    batch_of = {i: idx % n_batches for idx, i in enumerate(ids)}
+
+    def kdf(rs):
+        return spark.createDataFrame(
+            [(int(i), int(b), int(k)) for i, b, k in rs] or [],
+            "doc_id long, band int, key long",
+        )
+
+    edges = []
+    for bi in range(n_batches):
+        batch_rows = [r for r in rows if batch_of[r[0]] == bi]
+        if not batch_rows:
+            continue
+        earlier = [r for r in rows if batch_of[r[0]] < bi]
+        keys = kdf(batch_rows)
+        within = in_bucket_star_edges(keys, "doc_id", "doc_a", "doc_b")
+        edges += [(r["doc_a"], r["doc_b"]) for r in within.collect()]
+        if earlier:
+            # cross anchor: min earlier id per (new doc, bucket) — the
+            # same reduction incremental_lsh_star_edges applies
+            cross = (
+                keys.alias("n")
+                .join(
+                    kdf(earlier).alias("i"),
+                    (F.col("n.band") == F.col("i.band"))
+                    & (F.col("n.key") == F.col("i.key"))
+                    & (F.col("n.doc_id") != F.col("i.doc_id")),
+                )
+                .groupBy("n.doc_id", "n.band", "n.key")
+                .agg(F.min("i.doc_id").alias("_a"))
+            )
+            edges += [
+                (r["doc_id"], r["_a"]) for r in cross.collect()
+            ]
+    full = in_bucket_pairs(kdf(rows), "doc_id", "doc_a", "doc_b").collect()
+    assert _uf_components(edges) == _uf_components(
+        [(r["doc_a"], r["doc_b"]) for r in full]
+    )
