@@ -129,3 +129,21 @@ def start_dedup_stream_to_parquet(
         .foreachBatch(_write_batch)
         .start()
     )
+
+
+def compact_output(
+    spark: SparkSession,
+    output_dir: str,
+    keep_last: int = 1,
+    min_shards: int = 8,
+) -> "int | None":
+    """Read-side shard bound for the dedup parquet sink: doc rows are NOT
+    set-merged on read (unlike band/edge/register shards), so the fold
+    keys on ``doc_id`` — a crash-window re-fold can then never multiply
+    a document across compaction generations. Run from a maintenance
+    schedule, same contract as ``compaction.compact_batch_shards``."""
+    from .compaction import compact_batch_shards
+
+    return compact_batch_shards(
+        spark, output_dir, keep_last, min_shards, dedupe_cols=["doc_id"]
+    )

@@ -232,3 +232,43 @@ def test_change_feed_prune_bounds_version_dirs(spark, tmp_path):
         .count()
     )
     assert rows > 0
+
+
+def test_dedup_output_compaction_preserves_first_seen_rows(spark, tmp_path):
+    """The dedup sink's convenience compactor folds doc shards keyed on
+    doc_id: the surviving corpus is row-identical and the dir count
+    collapses, on the REAL stream's output."""
+    from client_data_ingester_spark.streaming.dedup_stream import (
+        compact_output,
+        start_dedup_stream_to_parquet,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ts = "2024-01-01T10:{:02d}:00.000Z"
+    q = start_dedup_stream_to_parquet(
+        spark, str(src), ckpt, out, reader_options={"maxFilesPerTrigger": 1}
+    )
+    try:
+        for b in range(8):
+            _write_docs(
+                src / f"b{b}.json",
+                [{"doc_id": b, "ts": ts.format(b), "text": f"text {b}"}],
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert len(batch_shard_ids(out)) == 8
+    assert compact_output(spark, out, keep_last=1, min_shards=4) is not None
+    assert len(batch_shard_ids(out)) == 2
+    after = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert after == before

@@ -126,3 +126,26 @@ def test_every_entry_has_an_oracle():
     oracles = entry.oracle_sql()
     missing = [n for n in qs if n not in oracles]
     assert not missing, f"entries without a DuckDB oracle: {missing}"
+
+
+def test_oracle_geometry_defaults_to_driver_anchor(monkeypatch):
+    """The DRIVER calls oracle_sql() with no environment — it must get
+    the sf0.01-anchored unrolling (8 bits -> 3 bands, 22 semantic
+    cells) regardless of what a local tool run last set; and a tool
+    that sets SPARK_GRAFT_ORACLE_N must move BOTH formula families.
+    Guards the driver contract against env leakage in either
+    direction."""
+    import os
+    import __spark_entry__ as entry
+
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_N", raising=False)
+    o = entry.oracle_sql()
+    assert "LIMIT 22" in o["semantic_dedup_pairs"]
+    # 3 bands -> band ids 0,1,2 unrolled in the near-dup key CTE
+    assert "2 AS band" in o["embedding_near_duplicates"]
+    assert "3 AS band" not in o["embedding_near_duplicates"]
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_N", "2000")
+    o2 = entry.oracle_sql()
+    assert "LIMIT 44" in o2["semantic_dedup_pairs"]      # isqrt(2000)
+    assert "3 AS band" in o2["embedding_near_duplicates"]  # 10 bits -> 4 bands
