@@ -714,7 +714,11 @@ def embedding_dup_edges(
     )
     w = Window.partitionBy("band", "key")
     spokes = keys.select(
-        "id", "band", "key", F.min("id").over(w).alias("_hub")
+        "id",
+        "band",
+        "key",
+        F.min("id").over(w).alias("_hub"),
+        F.count(F.lit(1)).over(w).alias("_bn"),
     ).where(F.col("id") != F.col("_hub"))
     a = corpus.select(F.col(id_col).alias("_ha"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("_hb"), F.col(vec_col).alias("_vb"))
@@ -733,16 +737,22 @@ def embedding_dup_edges(
     hub_pass = hub_scored.filter(F.col("score") >= threshold).select(
         F.col("_ha").alias("id_a"), F.col("_hb").alias("id_b"), "score"
     )
-    failed = spokes.join(
+    # re-expansion SKIPS 2-member buckets (their only pair IS the failed
+    # hub edge — nothing left to check), which under O(1)-occupancy
+    # geometry is most buckets, so a high-threshold run where most hub
+    # edges fail degrades to ~the plain pair cost instead of paying the
+    # hub pass AND a full expansion; and the hub itself is excluded from
+    # a failed member's partners (that pair is the already-failed edge).
+    failed = spokes.where(F.col("_bn") >= 3).join(
         hub_scored.filter(F.col("score") < threshold).select(
             F.col("_ha").alias("_hub"), F.col("_hb").alias("id")
         ),
         ["_hub", "id"],
-    ).select("band", "key", F.col("id").alias("_fx"))
+    ).select("band", "key", F.col("id").alias("_fx"), "_hub")
     expand = (
         failed.join(keys.select(F.col("id").alias("_y"), "band", "key"),
                     ["band", "key"])
-        .where(F.col("_fx") != F.col("_y"))
+        .where((F.col("_fx") != F.col("_y")) & (F.col("_y") != F.col("_hub")))
         .select(
             F.least("_fx", "_y").alias("id_a"),
             F.greatest("_fx", "_y").alias("id_b"),
