@@ -20,16 +20,19 @@ Safety model (why this is correct under crash and replay):
   overwrites its OWN still-unfolded dir, never the compacted one.
 - **Crash mid-compaction**: the fold is staged under ``_compact_tmp``
   (underscore-prefixed paths are invisible to Spark's partition
-  discovery), then published by overwriting the fold set's HIGHEST
-  ``batch_id`` dir, then the now-redundant source dirs are removed. A
-  crash between publish and removal leaves the folded rows present
-  TWICE (in the compacted dir and in not-yet-deleted source dirs) —
+  discovery), a manifest records the intended publish, the source dirs
+  are deleted, and the stage is atomically RENAMED into the fold set's
+  highest ``batch_id`` dir — never an in-place overwrite, whose partial
+  failure could lose the target's exclusive rows. Every crash point is
+  repaired by ``recover_compaction`` (run automatically on the next
+  compact call); the worst read-side states are a bounded
+  folded-rows-missing maintenance window (between source deletion and
+  rename) and duplicate rows from leftover sources (after rename) —
   harmless for every consumer this package points at it, because their
   read-side merges are idempotent by construction: band keys feed
   ``collect_set`` bucket expansion, candidate edges feed ``distinct`` /
   connected components, registers max-merge, first-seen min-merges, and
   doc shards are deduplicated by the caller-supplied ``dedupe_cols``.
-  Re-running compaction converges (it re-folds whatever is left).
 - **Watermarked consumers** (``cluster_stream.refresh_cluster_index``):
   folding shards ≤ K into ``batch_id=K`` can resurface already-folded
   edges above a refresh watermark W < K; ``warm_start_clusters`` is
@@ -64,6 +67,52 @@ def batch_shard_ids(shard_dir: str) -> list[int]:
     return sorted(ids)
 
 
+_TMP = "_compact_tmp"
+_MANIFEST = "_compact_manifest.json"
+
+
+def recover_compaction(shard_dir: str) -> bool:
+    """Complete (or discard) an interrupted compaction, restoring the
+    shard dir to a consistent state. Returns True if there was anything
+    to recover. Idempotent; called automatically at the start of every
+    ``compact_batch_shards`` and safe to call from ops/readers any time.
+
+    Protocol invariants the recovery relies on (see the compact
+    docstring): the manifest is written only AFTER the staged fold is
+    complete (``_SUCCESS`` in the tmp dir), and the rename of tmp →
+    target is atomic. So: manifest + complete tmp ⇒ the publish never
+    happened (or died mid-source-deletion) — finish it; manifest + no
+    complete tmp ⇒ the rename already happened — just finish deleting
+    the leftover sources. Either way no folded row can be lost: it is
+    in tmp, in the published target, or still in its source dir."""
+    import json
+
+    mp = os.path.join(shard_dir, _MANIFEST)
+    if not os.path.exists(mp):
+        return False
+    with open(mp) as fh:
+        m = json.load(fh)
+    tmp = os.path.join(shard_dir, _TMP)
+    target = os.path.join(shard_dir, f"batch_id={m['target']}")
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        for b in m["fold"]:
+            shutil.rmtree(
+                os.path.join(shard_dir, f"batch_id={b}"), ignore_errors=True
+            )
+        os.rename(tmp, target)
+    else:
+        # rename already published the fold; clear leftover sources
+        for b in m["fold"]:
+            if int(b) != int(m["target"]):
+                shutil.rmtree(
+                    os.path.join(shard_dir, f"batch_id={b}"),
+                    ignore_errors=True,
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(mp)
+    return True
+
+
 def compact_batch_shards(
     spark: SparkSession,
     shard_dir: str,
@@ -79,11 +128,42 @@ def compact_batch_shards(
     read-side dir count is bounded by cadence + keep_last, i.e. O(1) in
     total batch count).
 
+    Crash-safe publish protocol (NOT an in-place overwrite of the
+    target — a job dying mid-overwrite would leave the target dir
+    partial while the staged fold is invisible to readers, silently
+    losing the target's exclusive rows on the next fold):
+
+    1. stage the fold under ``_compact_tmp`` (invisible to parquet
+       partition discovery);
+    2. write ``_compact_manifest.json`` recording {target, fold ids} —
+       only after the stage carries ``_SUCCESS``;
+    3. delete the source dirs (including the target's old incarnation);
+    4. atomically ``rename`` tmp → ``batch_id=<target>``;
+    5. remove the manifest.
+
+    A crash at any step is repaired by ``recover_compaction`` (run
+    automatically on the next compact call): before step 2 nothing
+    changed; after it, the staged fold is durable and recovery replays
+    steps 3–5. Readers between steps 3 and 4 see the folded rows
+    missing — a bounded maintenance window, not loss — and readers
+    between 4 and a re-crashed 5 see leftover source dirs as duplicate
+    rows, which every consumer this package points at absorbs
+    (set-merge reads) or ``dedupe_cols`` collapses on the next fold.
+
+    The target id is the fold MAXIMUM on purpose: cross-batch
+    ``before_batch`` pruning keeps seeing every folded row (future and
+    replayed batch ids are strictly larger), and a refresh watermark
+    W < target re-reads folded edges rather than skipping never-folded
+    ones — at-least-once, which ``warm_start_clusters`` is exact under.
+
     ``dedupe_cols``: for sinks whose rows are NOT naturally set-merged
     on read (e.g. per-document output shards), dropDuplicates on these
-    columns during the fold so a crash-window re-fold cannot multiply
+    columns during the fold so duplicate-window re-folds cannot multiply
     rows across compaction generations.
     """
+    import json
+
+    recover_compaction(shard_dir)
     ids = batch_shard_ids(shard_dir)
     if len(ids) < max(min_shards, keep_last + 2):
         return None
@@ -96,16 +176,12 @@ def compact_batch_shards(
     folded: DataFrame = src.select(*data_cols)
     if dedupe_cols:
         folded = folded.dropDuplicates(dedupe_cols)
-    tmp = os.path.join(shard_dir, "_compact_tmp")
+    tmp = os.path.join(shard_dir, _TMP)
     folded.write.mode("overwrite").parquet(tmp)
-    # publish: the tmp read is a fresh scan (grouped by
-    # files.maxPartitionBytes, so a thousand tiny shards re-emerge as a
-    # handful of right-sized files), and overwriting the target — one of
-    # the fold sources — is safe because its bytes were already staged
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(
-        f"{shard_dir}/batch_id={target}"
-    )
-    for b in fold[:-1]:
+    with open(os.path.join(shard_dir, _MANIFEST), "w") as fh:
+        json.dump({"target": target, "fold": fold}, fh)
+    for b in fold:
         shutil.rmtree(f"{shard_dir}/batch_id={b}", ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    os.rename(tmp, f"{shard_dir}/batch_id={target}")
+    os.remove(os.path.join(shard_dir, _MANIFEST))
     return target

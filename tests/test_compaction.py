@@ -272,3 +272,82 @@ def test_dedup_output_compaction_preserves_first_seen_rows(spark, tmp_path):
         for r in spark.read.parquet(out).select("doc_id", "text").collect()
     }
     assert after == before
+
+
+def test_recovery_completes_interrupted_publish(spark, tmp_path):
+    """Crash after the manifest is written but before sources are
+    deleted (the staged fold is durable, the publish never ran):
+    recovery must finish the publish with zero row loss."""
+    import json as _json
+
+    from client_data_ingester_spark.streaming.compaction import (
+        recover_compaction,
+    )
+
+    shard_dir = str(tmp_path / "edges")
+    _write_shards(spark, shard_dir, 6, lambda b: [(b, b + 1)])
+    before = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    }
+    # simulate the crash state: stage the fold of ids 0..4 + manifest,
+    # sources still on disk
+    fold = [0, 1, 2, 3, 4]
+    src = spark.read.option("basePath", shard_dir).parquet(
+        *[f"{shard_dir}/batch_id={b}" for b in fold]
+    )
+    src.select("doc_a", "doc_b").write.mode("overwrite").parquet(
+        f"{shard_dir}/_compact_tmp"
+    )
+    with open(f"{shard_dir}/_compact_manifest.json", "w") as fh:
+        _json.dump({"target": 4, "fold": fold}, fh)
+    assert recover_compaction(shard_dir) is True
+    assert batch_shard_ids(shard_dir) == [4, 5]
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    }
+    assert after == before
+    assert not os.path.exists(f"{shard_dir}/_compact_manifest.json")
+    # nothing left to recover
+    assert recover_compaction(shard_dir) is False
+
+
+def test_recovery_clears_leftover_sources_after_publish(spark, tmp_path):
+    """Crash after the rename published the fold but before the leftover
+    source dirs were deleted: readers see duplicates (absorbed by
+    set-merge), and recovery removes them without touching the
+    published target."""
+    import json as _json
+
+    from client_data_ingester_spark.streaming.compaction import (
+        recover_compaction,
+    )
+
+    shard_dir = str(tmp_path / "edges")
+    _write_shards(spark, shard_dir, 6, lambda b: [(b, b + 1)])
+    before = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    }
+    # simulate: fold of 0..4 already renamed into batch_id=4, but
+    # sources 0..3 were never deleted and the manifest remains
+    fold = [0, 1, 2, 3, 4]
+    src = spark.read.option("basePath", shard_dir).parquet(
+        *[f"{shard_dir}/batch_id={b}" for b in fold]
+    )
+    folded = src.select("doc_a", "doc_b").localCheckpoint()
+    import shutil as _sh
+
+    _sh.rmtree(f"{shard_dir}/batch_id=4")
+    folded.write.mode("overwrite").parquet(f"{shard_dir}/batch_id=4")
+    with open(f"{shard_dir}/_compact_manifest.json", "w") as fh:
+        _json.dump({"target": 4, "fold": fold}, fh)
+    # duplicate window: rows from 0..3 exist twice right now
+    assert recover_compaction(shard_dir) is True
+    assert batch_shard_ids(shard_dir) == [4, 5]
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).select("doc_a", "doc_b").collect()
+    }
+    assert after == before
