@@ -109,15 +109,15 @@ def _index_cache_path(sf_dir: str, kind: str, src_table: str = "embeddings") -> 
     else:
         st = os.stat(src)
         stats.append(f"{st.st_size}:{st.st_mtime_ns}")
-    # v8: RP band keys are the Arrow-batched integer kernel's (sign of
-    # the quantized int64 dot — order-independent, O(1) plan size) and
-    # the band count is recall-targeted (rp_bands_for_recall — 3 bands
-    # at the 8-bit gate geometry) on top of v6's adaptive+occupancy-
-    # capped bits, prefix plane layout, geometry sidecar, and adaptive-k
-    # semantic cells — bumping the version invalidates cached artifacts
-    # whose keys/geometry would silently mismatch the new probe side
+    # v9: the k-means training sampler orders by md5(id) instead of
+    # xxhash64 (engine-portable — the DuckDB oracle can now reproduce
+    # the train_cap sample, which fires at sf0.5+), changing every
+    # sample-trained model's centroids; v8 added the Arrow int64 RP
+    # band-key kernel + recall-targeted band count. Bumping the version
+    # invalidates cached artifacts whose keys/geometry/centroids would
+    # silently mismatch the new probe side.
     key = hashlib.md5(
-        f"v8|{sf_dir}|{src_table}|{'|'.join(stats)}".encode()
+        f"v9|{sf_dir}|{src_table}|{'|'.join(stats)}".encode()
     ).hexdigest()
     cache_root = os.path.join(
         tempfile.gettempdir(), f"cdi_ivf_cache_{os.getuid()}"
@@ -3884,8 +3884,21 @@ def oracle_sql() -> dict[str, str]:
     # geometry rows) — a corpus dense enough to escalate would fail this
     # gate loudly, which is the honest outcome. Plane indexing strides
     # by RP_MAX_BITS — the prefix-property layout rp_band_keys uses.
-    _RP_BITS, _RP_DIM = S.adaptive_rp_bits(_oracle_corpus_n()), 64
-    _RP_BANDS = S.rp_bands_for_recall(_RP_BITS)
+    # Occupancy ESCALATION override (r11 verdict ask #1): escalation
+    # reads bucket occupancy, which a pregenerated formula unroll cannot
+    # see — at sf0.5/sf1 the build escalates past the formula's
+    # (14 bits, 7 bands) to (24, 20), and an oracle stuck at the formula
+    # compares a 2× candidate set. tools/check_correctness.py pre-builds
+    # the RP artifact and exports its ACTUAL geometry here; the driver's
+    # sf0.01 gate leaves these unset (no escalation fires there, pinned
+    # by RECALL_RP.json geometry rows), keeping its oracle byte-stable.
+    _RP_BITS = int(
+        os.environ.get("SPARK_GRAFT_ORACLE_RP_BITS", "0")
+    ) or S.adaptive_rp_bits(_oracle_corpus_n())
+    _RP_DIM = 64
+    _RP_BANDS = int(
+        os.environ.get("SPARK_GRAFT_ORACLE_RP_BANDS", "0")
+    ) or S.rp_bands_for_recall(_RP_BITS)
     _planes = _rp(_RP_BANDS * S.RP_MAX_BITS, _RP_DIM)
 
     # bit j of band b = sign of the QUANTIZED-integer dot — the same
@@ -3967,7 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "s -> (s[1]-s[2])*(s[1]-s[2])), 'sum')"
     )
 
-    def _km_assign(name: str, cents: str) -> str:
+    def _km_assign(name: str, cents: str, src: str = "q") -> str:
         d = _km_dist.format(c=cents)
         return f"""{name} AS (
             SELECT vec_id, qv, c, d FROM (
@@ -3976,7 +3989,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY d, c) AS rn
                 FROM (SELECT q.vec_id, q.qv, {cents}.c,
                              CAST({d} AS BIGINT) AS d
-                      FROM q, {cents}))
+                      FROM {src} q, {cents}))
             WHERE rn = 1)"""
 
     def _km_update(assign: str, cents_out: str) -> str:
@@ -3991,15 +4004,20 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c, pos)
             GROUP BY c)"""
 
-    def _km_cte_chain(k: int) -> list:
+    def _km_cte_chain(k: int, train_cap: "int | None" = None) -> list:
         """The unrolled 3-round Lloyd's CTE chain (q → c0 → a0 → c1 → a1
         → c2 → afinal) for ``k`` seed centroids — shared by the
         kmeans_clusters / kmeans-IVF oracles (k=8, the scored query's
-        parameter) and the semantic-dedup oracles (k =
-        ``semantic_cells_k(500)`` = 22, the adaptive formula evaluated at
-        the sf0.01 gate's 500-vector corpus — pinned by
-        test_scaling_canaries). Training-sample cap is a no-op at ≤4096
-        rows, so the SQL needs no sampling CTE."""
+        parameter, trained uncapped) and the semantic-dedup oracles
+        (k = ``semantic_cells_k(gate corpus)``). ``train_cap`` mirrors
+        ``build_kmeans_index``'s deterministic training sample — the
+        ``train_cap`` rows with the smallest md5(id) (md5 precisely so
+        this unroll CAN reproduce the sample; a Spark-private hash like
+        xxhash64 could not be) — a no-op when the gate corpus fits the
+        cap (sf0.01's 500 / sf0.1's 2000 rows ≤ 4096: those gates'
+        oracles are byte-stable without a sampling CTE), live at
+        sf0.5+ where sampling actually fires. Training CTEs read the
+        ``qt`` sample; ``afinal`` always assigns the FULL corpus."""
         ctes = [
             """q AS (
             SELECT vec_id,
@@ -4008,11 +4026,21 @@ def oracle_sql() -> dict[str, str]:
                                 FLOOR(CAST(x AS DOUBLE) * 1000000)))
                                  AS BIGINT)) AS qv
             FROM embeddings)""",
-            "c0 AS (SELECT CAST(vec_id AS BIGINT) AS c, qv AS cv "
-            f"FROM q ORDER BY vec_id LIMIT {k})",
         ]
+        sampled = train_cap is not None and _oracle_corpus_n() > train_cap
+        train_src = "qt" if sampled else "q"
+        if sampled:
+            ctes.append(
+                "qt AS (SELECT vec_id, qv FROM q "
+                "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+                f"LIMIT {train_cap})"
+            )
+        ctes.append(
+            "c0 AS (SELECT CAST(vec_id AS BIGINT) AS c, qv AS cv "
+            f"FROM {train_src} ORDER BY vec_id LIMIT {k})"
+        )
         for _i in range(2):  # n_iter - 1 update rounds
-            ctes.append(_km_assign(f"a{_i}", f"c{_i}"))
+            ctes.append(_km_assign(f"a{_i}", f"c{_i}", src=train_src))
             ctes.append(_km_update(f"a{_i}", f"c{_i + 1}"))
         ctes.append(_km_assign("afinal", "c2"))
         return ctes
@@ -4084,7 +4112,10 @@ def oracle_sql() -> dict[str, str]:
     # pinned by test_scaling_canaries). afinal supplies the cell per
     # vector, c2 → doubles the per-cell centroid.
     _sem_k = S.semantic_cells_k(_oracle_corpus_n())
-    _sem_ctes = ",\n        ".join(_km_cte_chain(_sem_k))
+    # mirror build_semantic_cells_index's train_cap = max(4096, 50·k)
+    _sem_ctes = ",\n        ".join(
+        _km_cte_chain(_sem_k, train_cap=max(4096, 50 * _sem_k))
+    )
     o["semantic_dedup_pairs"] = f"""
         WITH {_sem_ctes},
         cells AS (SELECT vec_id, c FROM afinal)

@@ -549,16 +549,16 @@ def nb_language_scores(
     if model is not None:
         lp, classes = model
         return _nb_score(tf, doc_lang, lp, classes)
-    lp, classes = _nb_model(tf, doc_lang, cache_model)
+    lp, classes, _handles = _nb_model(tf, doc_lang, cache_model)
+    # _handles (this call's persisted intermediates) are deliberately
+    # left alive: cache_model=True is the caller's opt-in to keep the
+    # reduced model cached for the session (documented in _nb_model)
     return _nb_score(tf, doc_lang, lp, classes)
-
-
-_NB_CACHED: list = []  # persist handles build_nb_index unpersists post-write
 
 
 def _nb_model(
     tf: DataFrame, doc_lang: DataFrame, cache_model: bool = False
-) -> "tuple[DataFrame, DataFrame]":
+) -> "tuple[DataFrame, DataFrame, list]":
     """The NB TRAIN step: reduce (tf, doc_lang) to the ``(lp, classes)``
     model relations.
 
@@ -579,10 +579,11 @@ def _nb_model(
         .agg(F.sum("_tf").alias("_cnt"))
     )
     priors = doc_lang.groupBy("_lang").agg(F.count(F.lit(1)).alias("_nd"))
+    handles: list = []
     if cache_model:
         cc = cc.persist()
         priors = priors.persist()
-        _NB_CACHED.extend([cc, priors])
+        handles = [cc, priors]
     tot = cc.groupBy("_lang").agg(F.sum("_cnt").alias("_tot"))
     vocab = cc.agg(F.countDistinct("w").alias("_v"))
     # corpus total derives from the priors — no extra corpus aggregate
@@ -615,7 +616,7 @@ def _nb_model(
             / (F.col("_tot") + F.col("_v")).cast("double")
         ).alias("_lp"),
     )
-    return lp, classes
+    return lp, classes, handles
 
 
 def _nb_score(
@@ -690,12 +691,13 @@ def build_nb_index(
             F.count(F.lit(1)).alias("_tf")
         )
     doc_lang = docs.select("doc_id", F.col(label_col).alias("_lang"))
-    lp, classes = _nb_model(tf, doc_lang, cache_model=True)
+    lp, classes, handles = _nb_model(tf, doc_lang, cache_model=True)
     lp.write.mode("overwrite").parquet(f"{path}/lp")
     classes.write.mode("overwrite").parquet(f"{path}/classes")
-    for df in _NB_CACHED:
+    # unpersist only THIS call's handles — a shared module-global here
+    # would clobber persisted models of unrelated concurrent callers
+    for df in handles:
         df.unpersist()
-    _NB_CACHED.clear()
 
 
 def load_nb_index(spark, path: str) -> "tuple[DataFrame, DataFrame]":

@@ -616,7 +616,12 @@ def ngram_jaccard_dedup(
 # duplicate clustering (connected components over candidate pairs)
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    reliable: bool = False,
+    check_every: int = 2,
+) -> DataFrame:
     """(doc_id, cluster_id): connected components over candidate-pair edges,
     labeling every member with the cluster's minimum doc id (the keeper).
 
@@ -632,32 +637,45 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     would need 10⁶ of them; this needs ~20). Per round the work is two
     groupBy-min's and two joins on the node id — plain shuffles Catalyst/AQE
     handle like any aggregation, nothing driver-side except the convergence
-    scalar. ``localCheckpoint`` truncates lineage so round N's plan doesn't
-    embed rounds 1..N-1.
+    scalar. Lineage is truncated between rounds through ``ckpt.pin`` so
+    round N's plan doesn't embed rounds 1..N-1 — ``reliable=True`` swaps
+    the executor-local blocks for SparkContext-checkpoint-dir blocks,
+    which survive executor loss on a real cluster (set
+    ``ckpt.ensure_checkpoint_dir`` first); the local default is free on
+    local[N] but non-recoverable at cluster scale.
 
     - large-star(u): every neighbor v > u re-attaches to m = min(Γ(u) ∪ u)
     - small-star(u): u and its neighbors v < u collapse onto their minimum
 
     At the fixpoint the edge set IS the answer: a star per component, every
     member pointing at the component's minimum id. Convergence is detected
-    by a (count, id-sum) checksum going stable — the potential function
-    strictly decreases every non-fixpoint round — then confirmed with an
-    exact set compare before trusting it."""
+    by a (count, id-sum) checksum going stable — then CONFIRMED with an
+    exact consecutive-round set compare before trusting it (so checksum
+    aliasing can never yield a wrong clustering). The checksum runs every
+    ``check_every`` rounds and doubles as the checkpoint-materializing
+    action (``pin(eager=False)``): what used to be 2 scheduled jobs per
+    round — materialize, then aggregate — is 1 job per ``check_every``
+    rounds. At toy scale the contraction is pure scheduler overhead, so
+    this is the whole cost; at 100 TB rounds are shuffle-bound and the
+    worst case is ``check_every - 1`` no-op-sized extra rounds past the
+    fixpoint."""
+    from .ckpt import pin
     # canonical directed edges (hi > lo), deduped, self-loops dropped, and
     # materialized ONCE — otherwise every round re-executes the entire
     # upstream pipeline (LSH, verify, ...) that produced the pairs
-    edges = (
+    edges = pin(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
         )
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
+        eager=False,  # materializes under round 1's checksum action
     )
     prev_chk = None
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         sym = edges.select(
             F.col("hi").alias("u"), F.col("lo").alias("v")
         ).union(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
@@ -677,7 +695,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         ).union(large.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
         sn = lsym.where(F.col("v") < F.col("u"))
         smins = sn.groupBy("u").agg(F.min("v").alias("mn"))
-        new_edges = (
+        new_edges = pin(
             sn.join(smins, "u")
             .where(F.col("v") != F.col("mn"))
             .select(F.col("v").alias("hi"), F.col("mn").alias("lo"))
@@ -685,25 +703,31 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 smins.select(F.col("u").alias("hi"), F.col("mn").alias("lo"))
             )
             .where(F.col("hi") != F.col("lo"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable,
+            eager=False,
         )
-        chk = tuple(
-            new_edges.agg(
-                F.count(F.lit(1)), F.sum(F.col("hi") + F.col("lo"))
-            ).first()
-        )
-        if chk == prev_chk:
-            # checksum-stable; confirm exactly (both are checkpointed, the
-            # compare runs once per clustering, not once per round)
-            if (
-                new_edges.exceptAll(edges).limit(1).count() == 0
-                and edges.exceptAll(new_edges).limit(1).count() == 0
-            ):
-                edges = new_edges
-                converged = True
-                break
-        prev_chk = chk
+        if (it + 1) % max(1, check_every) == 0 or it == max_iter - 1:
+            # one action serves double duty: materializes every pending
+            # round checkpoint in the lineage AND returns the checksum
+            chk = tuple(
+                new_edges.agg(
+                    F.count(F.lit(1)), F.sum(F.col("hi") + F.col("lo"))
+                ).first()
+            )
+            if chk == prev_chk:
+                # checksum-stable; confirm exactly against the previous
+                # ROUND (consecutive-round equality IS a fixpoint: the
+                # operator applied to `edges` reproduced `edges`) — the
+                # compare runs once per clustering, not once per round
+                if (
+                    new_edges.exceptAll(edges).limit(1).count() == 0
+                    and edges.exceptAll(new_edges).limit(1).count() == 0
+                ):
+                    edges = new_edges
+                    converged = True
+                    break
+            prev_chk = chk
         edges = new_edges
     if not converged:
         # a partial contraction is a WRONG clustering (members of one
@@ -729,7 +753,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return member.union(minima)
 
 
-def build_cluster_index(pairs: DataFrame, path: str, max_iter: int = 25) -> None:
+def build_cluster_index(
+    pairs: DataFrame,
+    path: str,
+    max_iter: int = 25,
+    reliable: bool = False,
+) -> None:
     """BUILD STEP: run the large-star/small-star contraction ONCE and persist
     the (doc_id, cluster_id) labeling as parquet.
 
@@ -739,7 +768,7 @@ def build_cluster_index(pairs: DataFrame, path: str, max_iter: int = 25) -> None
     time. The retention-policy consumers (membership, representative
     selection, retained corpus) then PROBE a narrow 2-column table instead
     of each re-paying LSH + the full contraction."""
-    duplicate_clusters(pairs, max_iter=max_iter).write.mode(
+    duplicate_clusters(pairs, max_iter=max_iter, reliable=reliable).write.mode(
         "overwrite"
     ).parquet(path)
 

@@ -678,6 +678,7 @@ def embedding_dup_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     band_keys: DataFrame | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Spanning edge set for the CLUSTERING consumer of embedding
     near-duplicates: connected components over these edges equal those
@@ -730,10 +731,14 @@ def embedding_dup_edges(
         .select(
             "_ha", "_hb", round6(cosine(F.col("_va"), F.col("_vb"))).alias("score")
         )
-        # both branches (pass → edge, fail → re-expand) consume this:
-        # materialize once so the verify join doesn't run twice
-        .localCheckpoint()
     )
+    # both branches (pass → edge, fail → re-expand) consume this:
+    # materialize once so the verify join doesn't run twice. reliable=True
+    # uses the SparkContext checkpoint dir (survives executor loss at
+    # cluster scale) instead of executor-local blocks — see operators.ckpt
+    from .ckpt import pin
+
+    hub_scored = pin(hub_scored, reliable)
     hub_pass = hub_scored.filter(F.col("score") >= threshold).select(
         F.col("_ha").alias("id_a"), F.col("_hb").alias("id_b"), "score"
     )
@@ -779,6 +784,7 @@ def embedding_dup_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     band_keys: DataFrame | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """(vec_id, cluster_id): connected components over embedding
     near-duplicate edges — the retention-policy labeling a 100 TB dedup
@@ -791,9 +797,10 @@ def embedding_dup_clusters(
     from .dedup import duplicate_clusters
 
     edges = embedding_dup_edges(
-        corpus, threshold, bits, bands, dim, id_col, vec_col, band_keys
+        corpus, threshold, bits, bands, dim, id_col, vec_col, band_keys,
+        reliable=reliable,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    return duplicate_clusters(edges).select(
+    return duplicate_clusters(edges, reliable=reliable).select(
         F.col("doc_id").alias(id_col), "cluster_id"
     )
 
@@ -1074,7 +1081,7 @@ def kmeans_model(
 
     ``train_cap`` bounds TRAINING cost for large k: Lloyd's rounds run
     over the ``train_cap`` corpus rows with the smallest
-    ``xxhash64(id)`` (a deterministic uniform sample — TakeOrdered,
+    ``md5(id)`` (a deterministic, engine-portable uniform sample — TakeOrdered,
     scale-safe), while the FINAL assignment still covers the whole
     corpus. With k ∝ √n (see ``semantic_cells_k``) full-corpus training
     would pay n·k distances per round; sample-trained it pays cap·k per
@@ -1098,7 +1105,13 @@ def kmeans_model(
         q
         if train_cap is None
         else q.orderBy(
-            F.xxhash64(F.col(id_col).cast("long")), F.col(id_col)
+            # md5 of the DECIMAL-RENDERED id, not xxhash64: the sample
+            # membership must be reproducible by the DuckDB oracle (md5
+            # is the one hash both engines render identically — the
+            # same cross-engine rule every sketch/sampling op here uses;
+            # xxhash64 is a Spark-private function). Uniform order, id
+            # tie-break, TakeOrdered limit — one corpus scan at build.
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
         ).limit(train_cap)
     )
     centroids = (

@@ -21,13 +21,15 @@ Safety model (why this is correct under crash and replay):
 - **Crash mid-compaction**: the fold is staged under ``_compact_tmp``
   (underscore-prefixed paths are invisible to Spark's partition
   discovery), a manifest records the intended publish, the source dirs
-  are deleted, and the stage is atomically RENAMED into the fold set's
-  highest ``batch_id`` dir — never an in-place overwrite, whose partial
-  failure could lose the target's exclusive rows. Every crash point is
-  repaired by ``recover_compaction`` (run automatically on the next
-  compact call); the worst read-side states are a bounded
-  folded-rows-missing maintenance window (between source deletion and
-  rename) and duplicate rows from leftover sources (after rename) —
+  are deleted, and the stage is INSTALLED into the fold set's highest
+  ``batch_id`` dir through the ``tables.committer`` seam — POSIX
+  atomic rename by default, replay-idempotent DELETE+COPY under the
+  object-store-shaped ``PointerFileCommitter`` — never an in-place
+  overwrite, whose partial failure could lose the target's exclusive
+  rows. Every crash point is repaired by ``recover_compaction`` (run
+  automatically on the next compact call); the worst read-side states
+  are a bounded folded-rows-missing maintenance window (between source
+  deletion and install) and duplicate rows from leftover sources —
   harmless for every consumer this package points at it, because their
   read-side merges are idempotent by construction: band keys feed
   ``collect_set`` bucket expansion, candidate edges feed ``distinct`` /
@@ -47,9 +49,10 @@ ingest path.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..tables.committer import Committer, PosixCommitter
 
 
 def batch_shard_ids(shard_dir: str) -> list[int]:
@@ -71,7 +74,9 @@ _TMP = "_compact_tmp"
 _MANIFEST = "_compact_manifest.json"
 
 
-def recover_compaction(shard_dir: str) -> bool:
+def recover_compaction(
+    shard_dir: str, committer: Committer | None = None
+) -> bool:
     """Complete (or discard) an interrupted compaction, restoring the
     shard dir to a consistent state. Returns True if there was anything
     to recover. Idempotent; called automatically at the start of every
@@ -79,37 +84,51 @@ def recover_compaction(shard_dir: str) -> bool:
 
     Protocol invariants the recovery relies on (see the compact
     docstring): the manifest is written only AFTER the staged fold is
-    complete (``_SUCCESS`` in the tmp dir), and the rename of tmp →
-    target is atomic. So: manifest + complete tmp ⇒ the publish never
-    happened (or died mid-source-deletion) — finish it; manifest + no
-    complete tmp ⇒ the rename already happened — just finish deleting
-    the leftover sources. Either way no folded row can be lost: it is
-    in tmp, in the published target, or still in its source dir."""
+    complete (``_SUCCESS`` in the tmp dir), and ``committer.install_dir``
+    is atomic (POSIX rename) or replay-idempotent (pointer-file
+    DELETE+COPY with ``_SUCCESS`` last). Branching is on the staged
+    dir's ``_SUCCESS``: present ⇒ the install never finalized (or died
+    mid-way) — replay it; absent ⇒ the install finalized
+    (``cleanup_staged`` removes ``_SUCCESS`` before anything else) —
+    just finish deleting the leftover sources. Either way no folded row
+    can be lost: it is in the staged dir, in the published target, or
+    still in its source dir."""
     import json
 
+    committer = committer or PosixCommitter()
     mp = os.path.join(shard_dir, _MANIFEST)
-    if not os.path.exists(mp):
+    raw = committer.get(mp)
+    if raw is None:
         return False
-    with open(mp) as fh:
-        m = json.load(fh)
     tmp = os.path.join(shard_dir, _TMP)
+    try:
+        m = json.loads(raw)
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        # A truncated manifest can only be a pre-atomic-write leftover
+        # (the manifest is published via put_atomic, and it is written
+        # BEFORE any source deletion) — so every source dir is intact
+        # and the staged fold is disposable. Discard and retry.
+        committer.cleanup_staged(tmp)
+        committer.delete(mp)
+        return True
     target = os.path.join(shard_dir, f"batch_id={m['target']}")
     if os.path.exists(os.path.join(tmp, "_SUCCESS")):
         for b in m["fold"]:
-            shutil.rmtree(
-                os.path.join(shard_dir, f"batch_id={b}"), ignore_errors=True
-            )
-        os.rename(tmp, target)
+            if int(b) != int(m["target"]):
+                committer.delete_dir(
+                    os.path.join(shard_dir, f"batch_id={b}")
+                )
+        committer.install_dir(tmp, target)
+        committer.cleanup_staged(tmp)
     else:
-        # rename already published the fold; clear leftover sources
+        # install already finalized; clear leftover sources + staging
         for b in m["fold"]:
             if int(b) != int(m["target"]):
-                shutil.rmtree(
-                    os.path.join(shard_dir, f"batch_id={b}"),
-                    ignore_errors=True,
+                committer.delete_dir(
+                    os.path.join(shard_dir, f"batch_id={b}")
                 )
-        shutil.rmtree(tmp, ignore_errors=True)
-    os.remove(mp)
+        committer.cleanup_staged(tmp)
+    committer.delete(mp)
     return True
 
 
@@ -119,6 +138,7 @@ def compact_batch_shards(
     keep_last: int = 1,
     min_shards: int = 8,
     dedupe_cols: list[str] | None = None,
+    committer: Committer | None = None,
 ) -> int | None:
     """Fold all but the newest ``keep_last`` shard dirs into a single
     ``batch_id=<highest folded id>`` dir. Returns that id, or None when
@@ -135,11 +155,16 @@ def compact_batch_shards(
 
     1. stage the fold under ``_compact_tmp`` (invisible to parquet
        partition discovery);
-    2. write ``_compact_manifest.json`` recording {target, fold ids} —
-       only after the stage carries ``_SUCCESS``;
-    3. delete the source dirs (including the target's old incarnation);
-    4. atomically ``rename`` tmp → ``batch_id=<target>``;
-    5. remove the manifest.
+    2. publish ``_compact_manifest.json`` recording {target, fold ids}
+       via ``committer.put_atomic`` — only after the stage carries
+       ``_SUCCESS`` (atomic publish: a crash mid-write can never leave
+       a truncated manifest permanently blocking compaction);
+    3. delete the non-target source dirs;
+    4. ``committer.install_dir``: POSIX = strict-delete old target +
+       atomic rename; pointer-file (object store) = DELETE old keys +
+       per-object COPY with ``_SUCCESS`` last (replay-idempotent);
+    5. clean the staging dir (``_SUCCESS`` removed first) and remove
+       the manifest.
 
     A crash at any step is repaired by ``recover_compaction`` (run
     automatically on the next compact call): before step 2 nothing
@@ -163,7 +188,8 @@ def compact_batch_shards(
     """
     import json
 
-    recover_compaction(shard_dir)
+    committer = committer or PosixCommitter()
+    recover_compaction(shard_dir, committer)
     ids = batch_shard_ids(shard_dir)
     if len(ids) < max(min_shards, keep_last + 2):
         return None
@@ -178,10 +204,13 @@ def compact_batch_shards(
         folded = folded.dropDuplicates(dedupe_cols)
     tmp = os.path.join(shard_dir, _TMP)
     folded.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(shard_dir, _MANIFEST), "w") as fh:
-        json.dump({"target": target, "fold": fold}, fh)
-    for b in fold:
-        shutil.rmtree(f"{shard_dir}/batch_id={b}", ignore_errors=True)
-    os.rename(tmp, f"{shard_dir}/batch_id={target}")
-    os.remove(os.path.join(shard_dir, _MANIFEST))
+    mp = os.path.join(shard_dir, _MANIFEST)
+    committer.put_atomic(
+        mp, json.dumps({"target": target, "fold": fold}).encode()
+    )
+    for b in fold[:-1]:
+        committer.delete_dir(f"{shard_dir}/batch_id={b}")
+    committer.install_dir(tmp, f"{shard_dir}/batch_id={target}")
+    committer.cleanup_staged(tmp)
+    committer.delete(mp)
     return target

@@ -1,0 +1,265 @@
+"""Storage-commit seam: how control files and staged directories become
+visible, factored out of the two publish sites that used to hardcode
+POSIX atomic rename.
+
+Why this exists (the 100 TB argument): `SnapshotTable._publish` and
+`compaction.compact_batch_shards` both publish by *atomic rename* +
+fsync. That protocol is correct on a POSIX filesystem — and impossible
+on the object stores where a 100 TB table actually lives: S3/GCS have
+neither atomic file rename nor directory rename at all. What they DO
+have is a different, equally workable primitive set:
+
+- **atomic whole-object PUT** — readers see the old object or the new
+  one, never a torn write;
+- **conditional PUT** (S3 ``If-None-Match: *`` / GCS
+  ``x-goog-if-generation-match: 0``) — create-if-absent, the exact
+  semantics POSIX ``O_CREAT|O_EXCL`` gives locally;
+- **LIST / GET / DELETE / server-side COPY**.
+
+So the seam is two implementations of one small interface:
+
+- ``PosixCommitter`` — the existing protocol verbatim: O_EXCL version
+  files, fsync-before-replace pointer swap, directory rename for the
+  staged-fold install. Default; byte-compatible with every table this
+  package has already written.
+- ``PointerFileCommitter`` — uses ONLY the object-store primitive set
+  (emulated on the local filesystem, each emulation mapping 1:1 onto a
+  real store call, noted per method). No rename of anything a reader
+  resolves: the *current* manifest is derived by LISTing the O_EXCL/
+  conditional-put version files and taking the max — the pointer file
+  disappears as a commit primitive and becomes a derived value, which
+  is exactly how Iceberg's catalog-less table spec resolves heads.
+  Directory "install" is DELETE + per-object COPY with the ``_SUCCESS``
+  marker copied LAST, so a half-installed directory is distinguishable
+  from a complete one and the manifest-driven recovery replays it
+  idempotently.
+
+The crash-safety contract both implementations satisfy (pinned by the
+parametrized crash-injection tests in tests/test_compaction.py and
+tests/test_snapshot_committer.py):
+
+1. ``put_if_absent`` is the COMMIT POINT — at most one writer wins a
+   given version; losers observe the collision and retry on a fresh
+   read (SnapshotConflictError upstream).
+2. ``publish_pointer`` after the commit point is advisory: a crash
+   between the two leaves a committed version that ``read_current``
+   still resolves (POSIX: the previous pointer — the version is
+   re-pointed by the next publish; pointer-file: LIST already sees it).
+3. ``install_dir`` may be replayed any number of times after a crash —
+   it is idempotent given the staged dir still carries ``_SUCCESS``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+class Committer:
+    """Interface. All paths are plain strings under a table/shard root."""
+
+    name = "abstract"
+
+    # -- small control blobs ------------------------------------------------
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        """Create-if-absent (the commit point). False = already exists."""
+        raise NotImplementedError
+
+    def put_atomic(self, path: str, payload: bytes) -> None:
+        """Publish a small control blob with all-or-nothing visibility."""
+        raise NotImplementedError
+
+    def get(self, path: str) -> bytes | None:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    # -- current-manifest resolution -----------------------------------------
+    def publish_pointer(self, pointer_path: str, versioned_path: str) -> None:
+        """Make ``pointer_path`` resolve to the committed version."""
+        raise NotImplementedError
+
+    def read_current(self, pointer_path: str, version_prefix: str) -> bytes | None:
+        """Resolve the current manifest payload (None = no table yet).
+
+        ``version_prefix`` is the versioned-manifest path prefix (the
+        part before ``.v<N>``) for implementations that derive the head
+        by listing instead of trusting a pointer file."""
+        raise NotImplementedError
+
+    # -- staged directories ---------------------------------------------------
+    def install_dir(self, staged: str, target: str) -> None:
+        """Make the staged directory's contents the target directory.
+
+        Idempotent while ``staged/_SUCCESS`` exists; after a successful
+        install + ``cleanup_staged`` the staged dir is gone."""
+        raise NotImplementedError
+
+    def cleanup_staged(self, staged: str) -> None:
+        """Remove a staged dir, deleting ``_SUCCESS`` FIRST so recovery
+        can tell a finalized install (no _SUCCESS) from an interrupted
+        one (staged still complete)."""
+        succ = os.path.join(staged, "_SUCCESS")
+        if os.path.exists(succ):
+            os.remove(succ)
+        shutil.rmtree(staged, ignore_errors=True)
+
+    def delete_dir(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+class PosixCommitter(Committer):
+    """The original protocol: O_EXCL version files, fsync-before-replace
+    pointer swap, directory rename installs. Correct on any POSIX
+    filesystem; the default everywhere."""
+
+    name = "posix"
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        return True
+
+    def put_atomic(self, path: str, payload: bytes) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        self._fsync_dir(os.path.dirname(path))
+
+    @staticmethod
+    def _fsync_dir(d: str) -> None:
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def get(self, path: str) -> bytes | None:
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
+    def delete(self, path: str) -> None:
+        if os.path.exists(path):
+            os.remove(path)
+
+    def publish_pointer(self, pointer_path: str, versioned_path: str) -> None:
+        # copy + fsync BEFORE the rename installs it: power loss must not
+        # journal the rename without the data blocks (a truncated pointer
+        # no reader can parse)
+        tmp = versioned_path + ".ptr"
+        with open(versioned_path, "rb") as src, open(tmp, "wb") as dst:
+            dst.write(src.read())
+            dst.flush()
+            os.fsync(dst.fileno())
+        os.replace(tmp, pointer_path)
+        self._fsync_dir(os.path.dirname(pointer_path))
+
+    def read_current(self, pointer_path: str, version_prefix: str) -> bytes | None:
+        return self.get(pointer_path)
+
+    def install_dir(self, staged: str, target: str) -> None:
+        # the target's old incarnation gates the atomic rename: a real
+        # deletion failure must raise inside the manifest-protected
+        # window (the next recover replays), not surface as ENOTEMPTY
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(staged, target)
+
+
+class PointerFileCommitter(Committer):
+    """Object-store-shaped protocol using only PUT / conditional-PUT /
+    GET / LIST / DELETE / COPY, each emulated on the local filesystem.
+
+    Emulation map (what each method is on a real store):
+
+    - ``put_if_absent`` → conditional PUT (``If-None-Match: *``). The
+      local O_EXCL create has the same at-most-one-winner semantics.
+    - ``put_atomic`` → plain PUT (atomic per object on S3/GCS; locally
+      emulated with write-tmp + replace purely to reproduce the
+      atomicity the real store provides natively).
+    - ``read_current`` → LIST the ``<prefix>.v*`` version objects, GET
+      the max. No pointer object participates in commit at all — the
+      head is a derived value, so there is nothing to swap atomically
+      and nothing a stale writer can clobber.
+    - ``install_dir`` → DELETE target keys, server-side COPY staged
+      keys, ``_SUCCESS`` last. Replay-idempotent.
+    """
+
+    name = "pointer"
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return True
+
+    def put_atomic(self, path: str, payload: bytes) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    def get(self, path: str) -> bytes | None:
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
+    def delete(self, path: str) -> None:
+        if os.path.exists(path):
+            os.remove(path)
+
+    def publish_pointer(self, pointer_path: str, versioned_path: str) -> None:
+        # advisory cache only — read_current never trusts it; a crash
+        # here (or a stale writer overwriting it late) costs nothing
+        payload = self.get(versioned_path)
+        if payload is not None:
+            self.put_atomic(pointer_path, payload)
+
+    def read_current(self, pointer_path: str, version_prefix: str) -> bytes | None:
+        d, base = os.path.split(version_prefix)
+        best = -1
+        if os.path.isdir(d):
+            for name in os.listdir(d):  # LIST
+                if name.startswith(base + ".v"):
+                    suffix = name[len(base) + 2 :]
+                    if suffix.isdigit():
+                        best = max(best, int(suffix))
+        if best < 0:
+            return None
+        return self.get(f"{version_prefix}.v{best}")
+
+    def install_dir(self, staged: str, target: str) -> None:
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            raise RuntimeError(
+                f"refusing to install incomplete staged dir {staged}"
+            )
+        self.delete_dir(target)  # DELETE old keys (idempotent on replay)
+        os.makedirs(target, exist_ok=True)
+        names = [n for n in os.listdir(staged) if n != "_SUCCESS"]
+        for n in names:  # server-side COPY per object
+            shutil.copyfile(os.path.join(staged, n), os.path.join(target, n))
+        # _SUCCESS last: a reader (or recovery) seeing it knows every
+        # data object landed before it
+        shutil.copyfile(
+            os.path.join(staged, "_SUCCESS"), os.path.join(target, "_SUCCESS")
+        )
+
+
+def default_committer() -> Committer:
+    return PosixCommitter()

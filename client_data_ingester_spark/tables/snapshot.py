@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .committer import Committer, PosixCommitter
+
 _MANIFEST = "_MANIFEST"
 
 
@@ -93,6 +95,7 @@ class SnapshotTable:
         schema: T.StructType,
         partition_col: str = "client_id",
         keep_versions: int = 3,
+        committer: Committer | None = None,
     ):
         if partition_col not in schema.fieldNames():
             # fail at construction, not at the first write's unresolved-
@@ -106,6 +109,11 @@ class SnapshotTable:
         self.schema = schema
         self.partition_col = partition_col
         self.keep_versions = keep_versions
+        # storage-commit seam: POSIX rename protocol by default;
+        # PointerFileCommitter for object-store-shaped backends (no
+        # rename anywhere — the head manifest is derived by LISTing the
+        # conditional-put version files)
+        self.committer = committer or PosixCommitter()
         os.makedirs(root, exist_ok=True)
 
     # ---- manifest plumbing -------------------------------------------------
@@ -116,21 +124,21 @@ class SnapshotTable:
         return os.path.join(self.root, f"{_MANIFEST}.v{version}")
 
     def current_manifest(self) -> Manifest:
-        path = self._manifest_path()
-        if not os.path.exists(path):
+        payload = self.committer.read_current(
+            self._manifest_path(), os.path.join(self.root, _MANIFEST)
+        )
+        if payload is None:
             return Manifest(version=0, partitions={})
-        with open(path) as f:
-            return Manifest.from_json(f.read())
+        return Manifest.from_json(payload.decode())
 
     def _manifest_at(self, version: int) -> Manifest | None:
         """The manifest as of ``version`` (None if GC'd past the horizon)."""
         if version == 0:
             return Manifest(version=0, partitions={})
-        path = self._manifest_path(version)
-        if not os.path.exists(path):
+        payload = self.committer.get(self._manifest_path(version))
+        if payload is None:
             return None
-        with open(path) as f:
-            return Manifest.from_json(f.read())
+        return Manifest.from_json(payload.decode())
 
     @contextlib.contextmanager
     def _write_lock(self, timeout: float = 60.0, poll: float = 0.05):
@@ -168,33 +176,22 @@ class SnapshotTable:
         was already published by a racing writer, fail loudly instead of
         overwriting its commit (and later GC-ing its data directories)."""
         versioned = self._manifest_path(manifest.version)
-        try:
-            fd = os.open(versioned, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        # the conditional put IS the commit point: at most one writer
+        # wins this version (POSIX: O_CREAT|O_EXCL; object store:
+        # If-None-Match / if-generation-match 0)
+        if not self.committer.put_if_absent(
+            versioned, manifest.to_json().encode()
+        ):
             raise SnapshotConflictError(
                 f"manifest version {manifest.version} already published — "
                 "a concurrent writer won this commit; re-read and retry"
-            ) from None
-        with os.fdopen(fd, "w") as f:
-            f.write(manifest.to_json())
-            f.flush()
-            os.fsync(f.fileno())
-        # the pointer copy must hit disk BEFORE the rename installs it:
-        # an un-fsynced copy + power loss can journal the rename but not
-        # the data blocks, leaving a truncated _MANIFEST that no reader
-        # can parse (the versioned manifest above is fsynced for the same
-        # reason)
-        tmp = versioned + ".ptr"
-        with open(versioned, "rb") as src, open(tmp, "wb") as dst:
-            dst.write(src.read())
-            dst.flush()
-            os.fsync(dst.fileno())
-        os.replace(tmp, self._manifest_path())
-        dfd = os.open(self.root, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+            )
+        # pointer publication AFTER the commit point is advisory: the
+        # POSIX impl fsyncs the copy before os.replace (power loss must
+        # not journal the rename without the data blocks); the
+        # pointer-file impl derives the head from LIST and treats the
+        # pointer as a cache
+        self.committer.publish_pointer(self._manifest_path(), versioned)
         self._gc(manifest)
 
     def _gc(self, latest: Manifest) -> None:
@@ -205,10 +202,9 @@ class SnapshotTable:
         live_dirs: set[str] = set()
         versions_kept = range(max(1, horizon), latest.version + 1)
         for v in versions_kept:
-            p = self._manifest_path(v)
-            if os.path.exists(p):
-                with open(p) as f:
-                    m = Manifest.from_json(f.read())
+            payload = self.committer.get(self._manifest_path(v))
+            if payload is not None:
+                m = Manifest.from_json(payload.decode())
                 for dirs in m.partitions.values():
                     live_dirs.update(dirs)
         for name in os.listdir(self.root):

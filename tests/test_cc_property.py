@@ -135,6 +135,7 @@ def test_star_edges_span_same_components(spark, rows):
     from client_data_ingester_spark.operators.dedup import (
         in_bucket_pairs,
         in_bucket_star_edges,
+        incremental_lsh_star_edges,
     )
 
     keyed = spark.createDataFrame(
@@ -198,6 +199,7 @@ def test_incremental_star_edges_span_same_components(spark, rows, n_batches):
     from client_data_ingester_spark.operators.dedup import (
         in_bucket_pairs,
         in_bucket_star_edges,
+        incremental_lsh_star_edges,
     )
 
     # drop duplicate (id, band, key) rows; assign each doc id to ONE
@@ -222,21 +224,14 @@ def test_incremental_star_edges_span_same_components(spark, rows, n_batches):
         within = in_bucket_star_edges(keys, "doc_id", "doc_a", "doc_b")
         edges += [(r["doc_a"], r["doc_b"]) for r in within.collect()]
         if earlier:
-            # cross anchor: min earlier id per (new doc, bucket) — the
-            # same reduction incremental_lsh_star_edges applies
-            cross = (
-                keys.alias("n")
-                .join(
-                    kdf(earlier).alias("i"),
-                    (F.col("n.band") == F.col("i.band"))
-                    & (F.col("n.key") == F.col("i.key"))
-                    & (F.col("n.doc_id") != F.col("i.doc_id")),
-                )
-                .groupBy("n.doc_id", "n.band", "n.key")
-                .agg(F.min("i.doc_id").alias("_a"))
+            # cross anchors via the PRODUCTION function — a regression
+            # in its join condition or least/greatest canonicalization
+            # fails here, not only in the slower e2e stream test
+            cross = incremental_lsh_star_edges(
+                None, kdf(earlier), band_keys=keys
             )
             edges += [
-                (r["doc_id"], r["_a"]) for r in cross.collect()
+                (r["doc_a"], r["doc_b"]) for r in cross.collect()
             ]
     full = in_bucket_pairs(kdf(rows), "doc_id", "doc_a", "doc_b").collect()
     assert _uf_components(edges) == _uf_components(

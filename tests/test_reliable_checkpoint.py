@@ -1,0 +1,93 @@
+"""Reliable-checkpoint mode for the iterative contraction (r11 ask #3).
+
+``localCheckpoint`` blocks die with their executor — on a cluster an
+executor loss mid-contraction fails the job unrecoverably. The
+``reliable=`` option swaps them for SparkContext-checkpoint-dir blocks.
+These tests pin (1) value equivalence of both modes and of the folded
+``check_every`` convergence cadence, and (2) that reliable mode really
+writes into the checkpoint directory.
+"""
+
+import os
+
+import pytest
+
+from client_data_ingester_spark.operators.ckpt import ensure_checkpoint_dir
+from client_data_ingester_spark.operators.dedup import duplicate_clusters
+
+
+def _pairs(spark):
+    # two chained components (1-2-3-4, 10-11) + an isolated self-dup pair
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)]
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def _labels(df):
+    return {(r["doc_id"], r["cluster_id"]) for r in df.collect()}
+
+
+def test_reliable_contraction_matches_local(spark, tmp_path):
+    ensure_checkpoint_dir(spark, str(tmp_path / "ckpt"))
+    base = _labels(duplicate_clusters(_pairs(spark)))
+    rel = _labels(duplicate_clusters(_pairs(spark), reliable=True))
+    assert rel == base
+    assert base == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (20, 20), (21, 20),
+    }
+    # the reliable blocks actually landed in the checkpoint dir
+    ckpt_files = []
+    for root, _dirs, files in os.walk(str(tmp_path / "ckpt")):
+        ckpt_files += files
+    assert ckpt_files, "reliable mode wrote nothing to the checkpoint dir"
+
+
+@pytest.mark.parametrize("check_every", [1, 3])
+def test_check_every_cadence_is_value_neutral(spark, check_every):
+    base = _labels(duplicate_clusters(_pairs(spark)))
+    alt = _labels(duplicate_clusters(_pairs(spark), check_every=check_every))
+    assert alt == base
+
+
+def test_long_chain_still_converges(spark):
+    # 40-node chain: O(log n) rounds with the folded check cadence
+    rows = [(i, i + 1) for i in range(40)]
+    out = _labels(
+        duplicate_clusters(
+            spark.createDataFrame(rows, "doc_a long, doc_b long")
+        )
+    )
+    assert out == {(i, 0) for i in range(41)}
+
+
+def test_embedding_dup_clusters_reliable_matches(spark, tmp_path):
+    import numpy as np
+
+    ensure_checkpoint_dir(spark, str(tmp_path / "ckpt"))
+    from client_data_ingester_spark.operators.similarity import (
+        embedding_dup_clusters,
+    )
+
+    rng = np.random.RandomState(7)
+    base_vecs = rng.randn(6, 8)
+    rows = []
+    vid = 0
+    for v in base_vecs:
+        v = v / np.linalg.norm(v)
+        for _ in range(3):  # 3 exact clones per base → 6 clusters of 3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    kw = dict(threshold=0.99, bits=4, bands=2, dim=8)
+    base = {
+        (r["vec_id"], r["cluster_id"])
+        for r in embedding_dup_clusters(corpus, **kw).collect()
+    }
+    rel = {
+        (r["vec_id"], r["cluster_id"])
+        for r in embedding_dup_clusters(corpus, reliable=True, **kw).collect()
+    }
+    assert rel == base
+    assert len(base) == 18  # every vector labeled

@@ -1,0 +1,115 @@
+"""SnapshotTable behind the storage-commit seam (VERDICT r11 ask #2).
+
+The POSIX protocol (O_EXCL version files + fsync-before-replace pointer
+swap) cannot run on S3/GCS — no atomic rename exists there. The
+``PointerFileCommitter`` reformulates the publish using only primitives
+object stores actually have (conditional PUT, atomic whole-object PUT,
+LIST/GET/DELETE/COPY): the conditional put of the versioned manifest is
+the commit point, and the head is DERIVED by listing version files —
+nothing is ever renamed. These tests pin that the full table contract
+(ingest round-trip, time travel, conflict detection, GC, crash between
+commit point and pointer publication) holds under BOTH implementations.
+"""
+
+import os
+
+import pytest
+
+from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+from client_data_ingester_spark.tables import SnapshotTable
+from client_data_ingester_spark.tables.committer import (
+    PointerFileCommitter,
+    PosixCommitter,
+)
+from client_data_ingester_spark.tables.snapshot import (
+    _MANIFEST,
+    SnapshotConflictError,
+)
+
+COMMITTERS = [PosixCommitter, PointerFileCommitter]
+
+
+def _df(spark, client_id, skus):
+    rows = [
+        (i + 1, client_id, sku, None, None, None, None, None, True,
+         None, None, None)
+        for i, sku in enumerate(skus)
+    ]
+    return spark.createDataFrame(rows, CLIENT_PRODUCTS_SCHEMA)
+
+
+def _skus(df):
+    return sorted(r["sku"] for r in df.select("sku").collect())
+
+
+@pytest.mark.parametrize("committer_cls", COMMITTERS)
+def test_roundtrip_and_time_travel(spark, tmp_path, committer_cls):
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA,
+        committer=committer_cls(),
+    )
+    t.overwrite_partitions(_df(spark, 1, ["A", "B"]), [1])
+    t.overwrite_partitions(_df(spark, 2, ["C"]), [2])
+    t.overwrite_partitions(_df(spark, 1, ["A2"]), [1])
+    assert t.current_manifest().version == 3
+    assert _skus(t.read(spark)) == ["A2", "C"]
+    # time travel to v2: client 1 still has its first incarnation
+    assert _skus(t.read(spark, version=2)) == ["A", "B", "C"]
+    # partition-scoped read resolves only that tenant's dirs
+    assert _skus(t.read(spark, partition_value=2)) == ["C"]
+
+
+@pytest.mark.parametrize("committer_cls", COMMITTERS)
+def test_version_collision_detected(spark, tmp_path, committer_cls):
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA,
+        committer=committer_cls(),
+    )
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    # a racing writer published v2 behind our back (conditional-put
+    # collision — the commit point must fail loudly, not clobber).
+    # NB: capture the payload BEFORE open() truncates the v2 file into
+    # existence — the pointer committer derives the head by LISTing.
+    payload = t.current_manifest().to_json()
+    with open(os.path.join(t.root, f"{_MANIFEST}.v2"), "w") as f:
+        f.write(payload)
+    with pytest.raises(SnapshotConflictError):
+        t._publish(
+            type(t.current_manifest())(version=2, partitions={}, props={})
+        )
+
+
+def test_pointer_committer_resolves_head_without_pointer(spark, tmp_path):
+    """Crash between the commit point (conditional put of the versioned
+    manifest) and the pointer publication: the pointer-file committer
+    derives the head from LIST, so the committed version is immediately
+    visible with NO pointer file at all."""
+    c = PointerFileCommitter()
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA, committer=c
+    )
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    t.overwrite_partitions(_df(spark, 1, ["B"]), [1])
+    # simulate the crash: delete the advisory pointer entirely
+    os.remove(os.path.join(t.root, _MANIFEST))
+    assert t.current_manifest().version == 2
+    assert _skus(t.read(spark)) == ["B"]
+    # and a STALE pointer (written by a slow loser) is equally ignored
+    with open(os.path.join(t.root, _MANIFEST), "w") as f:
+        f.write(t._manifest_at(1).to_json())
+    assert t.current_manifest().version == 2
+
+
+@pytest.mark.parametrize("committer_cls", COMMITTERS)
+def test_gc_keeps_head_readable(spark, tmp_path, committer_cls):
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA,
+        keep_versions=2, committer=committer_cls(),
+    )
+    for i in range(6):
+        t.overwrite_partitions(_df(spark, 1, [f"S{i}"]), [1])
+    assert t.current_manifest().version == 6
+    assert _skus(t.read(spark)) == ["S5"]
+    # GC'd versions are gone; retained window still time-travels
+    assert t._manifest_at(2) is None
+    assert _skus(t.read(spark, version=5)) == ["S4"]

@@ -82,9 +82,13 @@ def main() -> int:
     only = set(sys.argv[2:])
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            # Spark-written tables are directories of part files (the
+            # scaledata corpora); the driver's single-file testdata
+            # keeps the bare path
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     spark = get_spark("correctness", cpus=os.environ.get("SPARK_GRAFT_CPUS", 8))
     qs = entry.queries()
     # the adaptive-geometry oracles (RP bits/bands, SemDeDup cells)
@@ -94,6 +98,13 @@ def main() -> int:
     os.environ["SPARK_GRAFT_ORACLE_N"] = str(
         con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
     )
+    # occupancy escalation is data-driven — the formula unroll can't see
+    # it (at sf0.5 the RP build escalates (14,7) → (24,20) and a
+    # formula-geometry oracle compares a 2× candidate set). Pre-build
+    # the artifact and hand its ACTUAL geometry to the oracle unroll.
+    geom = entry._rp_index(spark, sf_dir)[1]
+    os.environ["SPARK_GRAFT_ORACLE_RP_BITS"] = str(geom["bits"])
+    os.environ["SPARK_GRAFT_ORACLE_RP_BANDS"] = str(geom["bands"])
     oracles = entry.oracle_sql()
     unknown = only - set(qs)
     if unknown:
