@@ -240,14 +240,13 @@ class SnapshotTable:
         travel included; reading under a narrower schema prunes the extra
         columns (contract pinned by tests/test_schema_evolution.py)."""
         if version is not None:
-            path = self._manifest_path(version)
-            if not os.path.exists(path):
+            payload = self.committer.get(self._manifest_path(version))
+            if payload is None:
                 raise ValueError(
                     f"version {version} is not available (GC horizon is "
                     f"{self.keep_versions} versions)"
                 )
-            with open(path) as f:
-                manifest = Manifest.from_json(f.read())
+            manifest = Manifest.from_json(payload.decode())
         else:
             manifest = self.current_manifest()
         if partition_value is not None:

@@ -1,0 +1,207 @@
+"""Tenant-cardinality and tenant-skew measurement (VERDICT r11 asks #4/#5).
+
+Every committed scaling artifact scales ROWS; this tool scales the two
+multi-tenant axes the 100 TB design actually fears:
+
+Part A — client cardinality. The products table partitions by client_id
+(SURVEY §1.1): at 10k+ tenants the costs that could grow with TENANT
+COUNT rather than data size are (a) manifest size/parse time, (b) the
+per-ingest merge (must stay O(file + that tenant's partition), never
+O(clients)), (c) a tenant-scoped search (must resolve one tenant's dirs
+from the manifest, never list the table). Measured at 100 / 1k / 10k
+clients with constant per-tenant data.
+
+Part B — tenant skew. Per-file commits are per-tenant (the reference's
+Postgres-parity contract), so "one client holds 90% of the batch" can
+never skew a multi-tenant shuffle — there isn't one; the skewed tenant
+just pays for its own rows. Measured: the same total row volume merged
+(a) uniformly across 10 tenants and (b) with one tenant holding 90%,
+plus (c) the intra-file hot-sku pathology (every row the same sku —
+the LWW fold's groupBy key), which map-side partial aggregation absorbs.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=scaledata/sf0.5 python tools/bench_tenants.py
+Prints one JSON line; the PLANS.md table is transcribed from it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from client_data_ingester_spark.ingestion import (  # noqa: E402
+    ParserConfig,
+    ingest_data,
+)
+from client_data_ingester_spark.queries.products import list_products  # noqa: E402
+from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA  # noqa: E402
+from client_data_ingester_spark.session import get_spark  # noqa: E402
+from client_data_ingester_spark.tables import SnapshotTable  # noqa: E402
+
+CFG = ParserConfig(
+    "csv",
+    {
+        "sku": ("sku", "text"),
+        "title": ("title", "text"),
+        "qty": ("stock_quantity", "integer"),
+        "price": ("max_price", "decimal"),
+        "active": ("active", "boolean"),
+    },
+)
+
+
+def _seed_rows(spark, n_clients: int, per_client: int):
+    """(id, client_id, sku, ...) seed matching CLIENT_PRODUCTS_SCHEMA."""
+    base = spark.range(n_clients * per_client).select(
+        (F.col("id") + 1).alias("id"),
+        (F.col("id") % n_clients + 1).cast("long").alias("client_id"),
+        F.concat(
+            F.lit("SKU-"),
+            (F.col("id") % n_clients + 1).cast("string"),
+            F.lit("-"),
+            (F.col("id") / n_clients).cast("long").cast("string"),
+        ).alias("sku"),
+    )
+    for f in CLIENT_PRODUCTS_SCHEMA.fields:
+        if f.name in ("id", "client_id", "sku"):
+            continue
+        if f.name == "active":
+            base = base.withColumn("active", F.lit(True))
+        elif f.name == "title":
+            base = base.withColumn(
+                "title", F.concat(F.lit("Item "), F.col("sku"))
+            )
+        else:
+            base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return base.select(*[f.name for f in CLIENT_PRODUCTS_SCHEMA.fields])
+
+
+def _client_csv(spark, work: str, name: str, client: int, n_rows: int,
+                hot_sku: bool = False) -> str:
+    path = os.path.join(work, name)
+    sku = (
+        F.lit(f"HOT-{client}")
+        if hot_sku
+        else F.concat(F.lit(f"SKU-{client}-U"), F.col("id").cast("string"))
+    )
+    (
+        spark.range(n_rows)
+        .select(
+            sku.alias("sku"),
+            F.concat(F.lit("Upd "), F.col("id").cast("string")).alias("title"),
+            (F.col("id") % 100).cast("string").alias("qty"),
+            F.concat(F.lit("$"), (F.col("id") % 997).cast("string")).alias(
+                "price"
+            ),
+            F.lit("1").alias("active"),
+        )
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(path)
+    )
+    return path
+
+
+def part_a(spark, work: str) -> list[dict]:
+    out = []
+    for n_clients in (100, 1000, 10000):
+        root = os.path.join(work, f"t{n_clients}")
+        table = SnapshotTable(root, CLIENT_PRODUCTS_SCHEMA)
+        seed = _seed_rows(spark, n_clients, 30)
+        t0 = time.time()
+        table.overwrite_partitions(
+            seed, list(range(1, n_clients + 1)), props={"max_id": 0}
+        )
+        seed_s = time.time() - t0
+
+        csv = _client_csv(spark, work, f"upd_{n_clients}.csv", 7, 1000)
+        t0 = time.time()
+        rep = ingest_data(spark, table, csv, CFG, client_id=7)
+        ingest_s = time.time() - t0
+        assert rep.success, rep.message
+
+        t0 = time.time()
+        rows = list_products(
+            table.read(spark, partition_value=7), 7, q="sku-7", limit=50
+        ).collect()
+        search_s = time.time() - t0
+
+        t0 = time.time()
+        m = table.current_manifest()
+        manifest_s = time.time() - t0
+        mp = os.path.join(root, "_MANIFEST")
+        out.append(
+            {
+                "n_clients": n_clients,
+                "seed_s": round(seed_s, 2),
+                "ingest_1client_s": round(ingest_s, 2),
+                "search_1tenant_s": round(search_s, 2),
+                "search_rows": len(rows),
+                "manifest_parse_s": round(manifest_s, 4),
+                "manifest_bytes": os.path.getsize(mp),
+                "tenant7_dirs": len(m.partitions.get("7", [])),
+                "total_dirs": len(
+                    {d for ds in m.partitions.values() for d in ds}
+                ),
+            }
+        )
+    return out
+
+
+def part_b(spark, work: str, total_rows: int) -> dict:
+    def run(name: str, sizes: list[int], hot: bool = False) -> float:
+        root = os.path.join(work, f"skew_{name}")
+        table = SnapshotTable(root, CLIENT_PRODUCTS_SCHEMA)
+        walls = []
+        for i, n in enumerate(sizes, start=1):
+            csv = _client_csv(
+                spark, work, f"{name}_{i}.csv", i, n, hot_sku=hot
+            )
+            t0 = time.time()
+            rep = ingest_data(spark, table, csv, CFG, client_id=i)
+            walls.append(time.time() - t0)
+            assert rep.success, rep.message
+        return sum(walls), max(walls)
+
+    n10 = total_rows // 10
+    uni_total, uni_max = run("uniform", [n10] * 10)
+    skew_sizes = [int(total_rows * 0.9)] + [total_rows // 90] * 9
+    skew_total, skew_max = run("skewed", skew_sizes)
+    hot_total, hot_max = run("hotsku", [n10], hot=True)
+    flat_total, flat_max = run("flatsku", [n10])
+    return {
+        "total_rows": total_rows,
+        "uniform_total_s": round(uni_total, 2),
+        "uniform_max_merge_s": round(uni_max, 2),
+        "skewed_total_s": round(skew_total, 2),
+        "skewed_max_merge_s": round(skew_max, 2),
+        "skew_over_uniform": round(skew_total / uni_total, 3),
+        "hot_sku_merge_s": round(hot_total, 2),
+        "flat_sku_merge_s": round(flat_total, 2),
+        "hot_over_flat": round(hot_total / flat_total, 3),
+    }
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    total_rows = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "3000000"))
+    spark = get_spark("bench-tenants", cpus=cpus)
+    work = tempfile.mkdtemp(prefix="bench_tenants_")
+    try:
+        a = part_a(spark, work)
+        b = part_b(spark, work, total_rows)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"tenant_cardinality": a, "tenant_skew": b}))
+
+
+if __name__ == "__main__":
+    main()
