@@ -1823,12 +1823,19 @@ def oracle_sql() -> dict[str, str]:
     )
     charge = f"{disc_price} * (CAST(1 AS {DEC}) + {money('l_tax')})"
 
+    # the big money sums go DECIMAL → VARCHAR → DOUBLE: DuckDB's direct
+    # DECIMAL→DOUBLE cast is 1 ulp off correctly-rounded once the sum
+    # needs >15 significant digits (hugeint→double then /10^scale — two
+    # roundings), while Spark's BigDecimal→double and DuckDB's
+    # string→double are both correctly rounded. Invisible at the
+    # driver's sf0.01 gate; caught by the sf0.5 gate where Q1's
+    # whole-fact sums reach 17 digits.
     o["q1_pricing_summary"] = f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM({money('l_quantity')}) AS DOUBLE) AS sum_qty,
-               CAST(SUM({money('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
-               CAST(SUM({disc_price}) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM({charge}) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM({money('l_quantity')}) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM({money('l_extendedprice')}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM({disc_price}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM({charge}) AS VARCHAR) AS DOUBLE) AS sum_charge,
                CAST(FLOOR(CAST(SUM({money('l_quantity')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_qty,
                CAST(FLOOR(CAST(SUM({money('l_extendedprice')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_price,
                CAST(FLOOR(CAST(SUM({money('l_discount')}) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS DOUBLE) AS avg_disc,

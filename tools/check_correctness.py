@@ -159,6 +159,23 @@ def main() -> int:
             sm = row_multiset(srows, [c.lower() for c in scols])
             om = row_multiset(orows, ocols)
             if sm != om:
+                # Second chance at DECIMAL-EXACT binding: the pandas
+                # fetch coerces DuckDB DECIMAL to float64 (the driver's
+                # binding — correct to mirror at its sf0.01 gate, where
+                # every aggregate fits float64 exactly), but above ~15
+                # significant digits (sf0.5 fact sums) the float64
+                # rendering diverges from Spark's exact Decimal. Re-pull
+                # the oracle rows via fetchall() (Decimal-preserving):
+                # an exact-multiset match means the ENGINES agree and
+                # only the measurement channel saturated.
+                orows2 = con.sql(sql).fetchall()
+                om2 = row_multiset(orows2, ocols)
+                if om2 == sm:
+                    print(
+                        f"PASS {name} ({len(srows)} rows, {spark_t:.1f}s) "
+                        "[decimal-exact; pandas-binding precision artifact]"
+                    )
+                    continue
                 diff_s = {k: v for k, v in sm.items() if om.get(k) != v}
                 diff_o = {k: v for k, v in om.items() if sm.get(k) != v}
                 print(f"FAIL {name}: value mismatch "
