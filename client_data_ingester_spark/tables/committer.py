@@ -53,6 +53,38 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
+
+
+def _stage_payload(tmp: str, payload: bytes, durable: bool) -> None:
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        if durable:
+            f.flush()
+            os.fsync(f.fileno())
+
+
+def _link_commit(path: str, payload: bytes, durable: bool) -> bool:
+    """Create ``path`` with ``payload`` if absent — atomically WITH the
+    payload. A real conditional PUT is atomic whole-object: readers see
+    the committed object complete or not at all. A bare O_CREAT|O_EXCL
+    open-then-write exposes an empty/partial version file to LIST+GET
+    readers (``read_current`` would parse a torn manifest), so the
+    payload lands under a unique staging name first and ``os.link`` into
+    the final name is the create-if-absent commit point (EEXIST = a
+    racing writer won). A crash mid-stage leaves only ``.put.*`` litter
+    that head resolution already ignores (non-numeric version suffix)."""
+    tmp = f"{path}.put.{uuid.uuid4().hex}"
+    try:
+        _stage_payload(tmp, payload, durable)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 class Committer:
@@ -117,14 +149,9 @@ class PosixCommitter(Committer):
     name = "posix"
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not _link_commit(path, payload, durable=True):
             return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        self._fsync_dir(os.path.dirname(path))
         return True
 
     def put_atomic(self, path: str, payload: bytes) -> None:
@@ -200,13 +227,7 @@ class PointerFileCommitter(Committer):
     name = "pointer"
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
-        return True
+        return _link_commit(path, payload, durable=False)
 
     def put_atomic(self, path: str, payload: bytes) -> None:
         tmp = path + ".tmp"
@@ -251,13 +272,23 @@ class PointerFileCommitter(Committer):
             )
         self.delete_dir(target)  # DELETE old keys (idempotent on replay)
         os.makedirs(target, exist_ok=True)
-        names = [n for n in os.listdir(staged) if n != "_SUCCESS"]
-        for n in names:  # server-side COPY per object
-            shutil.copyfile(os.path.join(staged, n), os.path.join(target, n))
+        # server-side COPY per object under the staged prefix (object
+        # stores have no directories — "nested dirs" are just key
+        # prefixes, so a partitioned staged layout copies the same way)
+        succ_rel = "_SUCCESS"
+        for dirpath, _, filenames in os.walk(staged):
+            rel = os.path.relpath(dirpath, staged)
+            for n in filenames:
+                key = n if rel == "." else os.path.join(rel, n)
+                if key == succ_rel:
+                    continue
+                dst = os.path.join(target, key)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(os.path.join(dirpath, n), dst)
         # _SUCCESS last: a reader (or recovery) seeing it knows every
         # data object landed before it
         shutil.copyfile(
-            os.path.join(staged, "_SUCCESS"), os.path.join(target, "_SUCCESS")
+            os.path.join(staged, succ_rel), os.path.join(target, succ_rel)
         )
 
 

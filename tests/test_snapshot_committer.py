@@ -101,6 +101,69 @@ def test_pointer_committer_resolves_head_without_pointer(spark, tmp_path):
 
 
 @pytest.mark.parametrize("committer_cls", COMMITTERS)
+def test_put_if_absent_is_atomic_with_payload(tmp_path, committer_cls,
+                                              monkeypatch):
+    """The commit point must expose the version object complete or not
+    at all (a real conditional PUT is atomic whole-object). Before the
+    link-commit fix, O_EXCL created an EMPTY version file first and
+    wrote the payload after — a concurrent LIST+GET ``read_current``
+    could parse a torn manifest. Pin: a put that dies mid-payload
+    leaves NOTHING visible at the final path, head resolution still
+    returns the prior version, and a clean retry wins."""
+    from client_data_ingester_spark.tables import committer as cm
+
+    c = committer_cls()
+    prefix = str(tmp_path / "m")
+    assert c.put_if_absent(prefix + ".v1", b'{"version": 1}')
+
+    real_stage = cm._stage_payload
+
+    def torn_stage(tmp, payload, durable):
+        real_stage(tmp, payload[: len(payload) // 2], durable)
+        raise OSError("simulated crash mid-payload")
+
+    monkeypatch.setattr(cm, "_stage_payload", torn_stage)
+    with pytest.raises(OSError):
+        c.put_if_absent(prefix + ".v2", b'{"version": 2}')
+    assert not os.path.exists(prefix + ".v2")
+    # head resolution (pointer impl LISTs; posix impl reads the pointer)
+    # never sees a torn v2 — and no staging litter is left behind
+    assert c.read_current(prefix + ".ptr", prefix) in (
+        None, b'{"version": 1}'
+    )
+    assert not [n for n in os.listdir(tmp_path) if ".put." in n]
+    monkeypatch.setattr(cm, "_stage_payload", real_stage)
+    assert c.put_if_absent(prefix + ".v2", b'{"version": 2}')
+    # and the loser of a genuine collision still observes False
+    assert not c.put_if_absent(prefix + ".v2", b"other")
+    with open(prefix + ".v2", "rb") as f:
+        assert f.read() == b'{"version": 2}'
+
+
+def test_pointer_install_dir_copies_nested_prefixes(tmp_path):
+    """Object stores have no directories — a partitioned staged layout
+    is just nested key prefixes, and install must COPY all of them
+    (shutil.copyfile on a flat listing raised IsADirectoryError)."""
+    c = PointerFileCommitter()
+    staged = tmp_path / "stage"
+    (staged / "part=a").mkdir(parents=True)
+    (staged / "f1.parquet").write_bytes(b"x")
+    (staged / "part=a" / "f2.parquet").write_bytes(b"y")
+    (staged / "_SUCCESS").write_bytes(b"")
+    target = tmp_path / "t"
+    target.mkdir()
+    (target / "stale.parquet").write_bytes(b"z")
+    c.install_dir(str(staged), str(target))
+    assert (target / "f1.parquet").read_bytes() == b"x"
+    assert (target / "part=a" / "f2.parquet").read_bytes() == b"y"
+    assert not (target / "stale.parquet").exists()
+    assert (target / "_SUCCESS").exists()
+    # replay-idempotent while the staged _SUCCESS remains
+    c.install_dir(str(staged), str(target))
+    assert (target / "part=a" / "f2.parquet").read_bytes() == b"y"
+
+
+@pytest.mark.parametrize("committer_cls", COMMITTERS)
 def test_gc_keeps_head_readable(spark, tmp_path, committer_cls):
     t = SnapshotTable(
         str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA,
