@@ -335,7 +335,7 @@ def _ingest(
     # the rest of the session).
     try:
         for _attempt in range(5):
-            manifest = table.current_manifest()
+            manifest = table.current_doc()
             id_base = int(manifest.props.get("max_id", 0))
             current = table.read(
                 spark,

@@ -94,7 +94,7 @@ class ChangeFeedPublisher:
         a horizon error — downstream consumers must full-resync from the
         snapshot itself in that case, since the skipped diffs are gone."""
         if version is None:
-            version = self.table.current_manifest().version
+            version = self.table.current_doc().version
         self._advance(version)
         return version
 
@@ -146,7 +146,7 @@ class ChangeFeedPublisher:
         horizon (a predecessor manifest is gone): the missing diffs are
         unrecoverable, so the publisher refuses to skip silently — call
         :meth:`seed` and have consumers full-resync."""
-        current = self.table.current_manifest().version
+        current = self.table.current_doc().version
         emitted = []
         for v in range(self.last_published() + 1, current + 1):
             out_dir = os.path.join(self.feed_dir, f"version={v}")

@@ -111,7 +111,7 @@ def start_ingest_stream(
         if batch_df.isEmpty():
             return
         # replay guard: epoch committed atomically with the publish below
-        manifest = table.current_manifest()
+        manifest = table.current_doc()
         if int(epoch_id) <= int(manifest.props.get(txn_key, -1)):
             return
         # row order within the micro-batch (monotonically_increasing_id is
@@ -177,7 +177,7 @@ def start_ingest_stream(
             # rows and mint colliding surrogate ids
             last_conflict: Exception | None = None
             for _ in range(5):
-                manifest = table.current_manifest()
+                manifest = table.current_doc()
                 current = table.read(spark, client_id)
                 id_base = int(manifest.props.get("max_id", 0))
                 merged = merge_products(

@@ -39,6 +39,7 @@ Postgres row locks) is enforced two ways:
 from __future__ import annotations
 
 import contextlib
+import hashlib
 import json
 import os
 import shutil
@@ -54,6 +55,7 @@ from pyspark.sql import types as T
 from .committer import Committer, PosixCommitter
 
 _MANIFEST = "_MANIFEST"
+_GROUP_PREFIX = "_MGROUP."
 
 
 class SnapshotConflictError(RuntimeError):
@@ -88,6 +90,75 @@ class Manifest:
         )
 
 
+class _VersionDoc:
+    """A parsed version file, group-lazy for the sharded layout.
+
+    Version files are SELF-DESCRIBING (``layout`` key, absent = the
+    legacy single-blob form), so a table can hold a mix of layouts —
+    e.g. across a migration — and every reader resolves each version
+    by what that version actually wrote. For the sharded layout,
+    ``partitions_for`` loads exactly ONE group file (O(clients/groups)
+    bytes); only ``all_partitions`` pays the full O(clients) load."""
+
+    def __init__(self, table: "SnapshotTable", obj: dict):
+        self._table = table
+        self.obj = obj
+        self.version: int = obj["version"]
+        self.props: dict = obj.get("props", {})
+        self._group_cache: dict[int, dict] = {}
+
+    @property
+    def layout(self) -> str:
+        return self.obj.get("layout", "single")
+
+    @property
+    def groups(self) -> dict[str, str]:
+        """gid (as str) -> group-file sha (sharded layout only)."""
+        return self.obj.get("groups", {})
+
+    def group_content(self, gid: int) -> dict:
+        """{"parts": {value: [dirs]}, "shared": [dirs]} for one group."""
+        if gid in self._group_cache:
+            return self._group_cache[gid]
+        sha = self.groups.get(str(gid))
+        if sha is None:
+            content = {"parts": {}, "shared": []}
+        else:
+            payload = self._table.committer.get(
+                self._table._group_path(gid, sha)
+            )
+            if payload is None:
+                raise ValueError(
+                    f"group file g{gid}.{sha} referenced by version "
+                    f"{self.version} is missing (vacuumed too aggressively?)"
+                )
+            content = json.loads(payload.decode())
+        self._group_cache[gid] = content
+        return content
+
+    def partitions_for(self, value: str) -> list[str]:
+        if self.layout == "single":
+            return self.obj["partitions"].get(value, [])
+        return self.group_content(self._table._group_of(value))[
+            "parts"
+        ].get(value, [])
+
+    def all_partitions(self) -> dict[str, list[str]]:
+        if self.layout == "single":
+            return dict(self.obj["partitions"])
+        out: dict[str, list[str]] = {}
+        for gid in self.groups:
+            out.update(self.group_content(int(gid))["parts"])
+        return out
+
+    def to_manifest(self) -> Manifest:
+        return Manifest(
+            version=self.version,
+            partitions=self.all_partitions(),
+            props=self.props,
+        )
+
+
 class SnapshotTable:
     def __init__(
         self,
@@ -96,7 +167,16 @@ class SnapshotTable:
         partition_col: str = "client_id",
         keep_versions: int = 3,
         committer: Committer | None = None,
+        manifest_layout: str = "single",
+        manifest_groups: int = 64,
     ):
+        if manifest_layout not in ("single", "sharded"):
+            raise ValueError(
+                f"manifest_layout must be 'single' or 'sharded', got "
+                f"{manifest_layout!r}"
+            )
+        if manifest_groups < 1:
+            raise ValueError("manifest_groups must be >= 1")
         if partition_col not in schema.fieldNames():
             # fail at construction, not at the first write's unresolved-
             # column AnalysisException (e.g. a users/clients table left on
@@ -114,6 +194,15 @@ class SnapshotTable:
         # rename anywhere — the head manifest is derived by LISTing the
         # conditional-put version files)
         self.committer = committer or PosixCommitter()
+        # manifest layout: "single" (one JSON blob, rewritten whole per
+        # commit — fine to ~10k tenants, measured) or "sharded"
+        # (Iceberg-shaped manifest list + per-group manifest files: a
+        # commit rewrites only the groups its partitions hash into, so
+        # write amplification is O(clients/groups + groups) instead of
+        # O(clients)). Self-describing per version — switching the
+        # layout on an existing table migrates it at the next commit.
+        self.manifest_layout = manifest_layout
+        self.manifest_groups = manifest_groups
         os.makedirs(root, exist_ok=True)
 
     # ---- manifest plumbing -------------------------------------------------
@@ -123,22 +212,46 @@ class SnapshotTable:
             return os.path.join(self.root, _MANIFEST)
         return os.path.join(self.root, f"{_MANIFEST}.v{version}")
 
-    def current_manifest(self) -> Manifest:
+    def _group_path(self, gid: int, sha: str) -> str:
+        return os.path.join(self.root, f"{_GROUP_PREFIX}g{gid}.{sha}.json")
+
+    def _group_of(self, value: str) -> int:
+        # md5 (the package-wide cross-engine-determinism convention) so
+        # the value->group mapping is stable across sessions/engines
+        return (
+            int(hashlib.md5(value.encode()).hexdigest()[:8], 16)
+            % self.manifest_groups
+        )
+
+    def current_doc(self) -> _VersionDoc:
+        """The current version file, parsed but group-lazy: O(groups)
+        bytes, no partition materialization. The cheap accessor for
+        writers and version/props readers (the ingest hot path)."""
         payload = self.committer.read_current(
             self._manifest_path(), os.path.join(self.root, _MANIFEST)
         )
         if payload is None:
-            return Manifest(version=0, partitions={})
-        return Manifest.from_json(payload.decode())
+            return _VersionDoc(self, {"version": 0, "partitions": {}})
+        return _VersionDoc(self, json.loads(payload.decode()))
 
-    def _manifest_at(self, version: int) -> Manifest | None:
-        """The manifest as of ``version`` (None if GC'd past the horizon)."""
+    def _doc_at(self, version: int) -> _VersionDoc | None:
         if version == 0:
-            return Manifest(version=0, partitions={})
+            return _VersionDoc(self, {"version": 0, "partitions": {}})
         payload = self.committer.get(self._manifest_path(version))
         if payload is None:
             return None
-        return Manifest.from_json(payload.decode())
+        return _VersionDoc(self, json.loads(payload.decode()))
+
+    def current_manifest(self) -> Manifest:
+        """Fully-materialized view (all partitions). O(clients) under
+        the sharded layout — tools and full readers only; writers and
+        the ingest path use ``current_doc``."""
+        return self.current_doc().to_manifest()
+
+    def _manifest_at(self, version: int) -> Manifest | None:
+        """The manifest as of ``version`` (None if GC'd past the horizon)."""
+        doc = self._doc_at(version)
+        return None if doc is None else doc.to_manifest()
 
     @contextlib.contextmanager
     def _write_lock(self, timeout: float = 60.0, poll: float = 0.05):
@@ -170,20 +283,24 @@ class SnapshotTable:
                 os.unlink(path)
 
     def _publish(self, manifest: Manifest) -> None:
-        """Atomically swap the manifest pointer (POSIX rename).
+        """Publish a fully-materialized manifest in the single-blob
+        layout (tests and legacy callers)."""
+        self._commit_version(manifest.version, manifest.to_json().encode())
 
-        The versioned manifest is created with O_EXCL: if this exact version
-        was already published by a racing writer, fail loudly instead of
-        overwriting its commit (and later GC-ing its data directories)."""
-        versioned = self._manifest_path(manifest.version)
+    def _commit_version(self, version: int, payload: bytes) -> None:
+        """The commit point + pointer publication + retention GC.
+
+        The versioned file is created via conditional put: if this exact
+        version was already published by a racing writer, fail loudly
+        instead of overwriting its commit (and later GC-ing its data
+        directories)."""
+        versioned = self._manifest_path(version)
         # the conditional put IS the commit point: at most one writer
         # wins this version (POSIX: O_CREAT|O_EXCL; object store:
         # If-None-Match / if-generation-match 0)
-        if not self.committer.put_if_absent(
-            versioned, manifest.to_json().encode()
-        ):
+        if not self.committer.put_if_absent(versioned, payload):
             raise SnapshotConflictError(
-                f"manifest version {manifest.version} already published — "
+                f"manifest version {version} already published — "
                 "a concurrent writer won this commit; re-read and retry"
             )
         # pointer publication AFTER the commit point is advisory: the
@@ -192,30 +309,215 @@ class SnapshotTable:
         # pointer-file impl derives the head from LIST and treats the
         # pointer as a cache
         self.committer.publish_pointer(self._manifest_path(), versioned)
-        self._gc(manifest)
+        obj = json.loads(payload.decode())
+        if obj.get("layout", "single") == "sharded":
+            self._gc_ledger(version)
+        else:
+            self._gc_full_sweep(version)
 
-    def _gc(self, latest: Manifest) -> None:
-        """Drop manifests/data dirs older than keep_versions generations."""
-        horizon = latest.version - self.keep_versions
+    def _gc_full_sweep(self, latest_version: int) -> None:
+        """Single-layout retention: recompute the live set from the kept
+        versions and sweep the root listing. O(table entries) per commit
+        — correct at the single layout's tenant scale; the sharded
+        layout replaces this with the O(commit) ledger walk below."""
+        horizon = latest_version - self.keep_versions
         if horizon <= 0:
             return
         live_dirs: set[str] = set()
-        versions_kept = range(max(1, horizon), latest.version + 1)
-        for v in versions_kept:
-            payload = self.committer.get(self._manifest_path(v))
-            if payload is not None:
-                m = Manifest.from_json(payload.decode())
-                for dirs in m.partitions.values():
+        live_groups: set[str] = set()
+        for v in range(max(1, horizon), latest_version + 1):
+            doc = self._doc_at(v)
+            if doc is not None:
+                for dirs in doc.all_partitions().values():
                     live_dirs.update(dirs)
+                for gid, sha in doc.groups.items():
+                    live_groups.add(os.path.basename(
+                        self._group_path(int(gid), sha)
+                    ))
         for name in os.listdir(self.root):
             full = os.path.join(self.root, name)
-            if name.startswith(_MANIFEST):
+            if name.startswith(_GROUP_PREFIX):
+                # group files written by older sharded versions of a
+                # table now publishing single-layout manifests
+                if name not in live_groups:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(full)
+            elif name.startswith(_MANIFEST):
                 suffix = name[len(_MANIFEST) :]
                 if suffix.startswith(".v") and suffix[2:].isdigit():
                     if int(suffix[2:]) < horizon:
                         os.unlink(full)
             elif os.path.isdir(full) and name not in live_dirs:
                 shutil.rmtree(full, ignore_errors=True)
+
+    def _gc_ledger(self, latest_version: int) -> None:
+        """Sharded-layout retention: O(commit), no root listing.
+
+        Each sharded version file carries the deletion ledger its commit
+        computed exactly: ``removed_dirs`` (single-owner data dirs its
+        writes displaced — referenced only by versions OLDER than it)
+        and ``freed_groups`` (group files it replaced — ditto, and group
+        shas are salted with the gid so a freed sha can never be another
+        group's live file). Both become safe to delete the moment the
+        retention horizon reaches the version that recorded them. The
+        walk descends from the horizon until the first already-deleted
+        version file, so an interrupted GC self-heals on the next
+        publish. Shared dirs (multi-partition commits) are never
+        ledger-deleted — ``vacuum()`` is their maintenance path."""
+        horizon = latest_version - self.keep_versions
+        if horizon <= 0:
+            return
+        v = horizon
+        while v >= 1:
+            path = self._manifest_path(v)
+            payload = self.committer.get(path)
+            if payload is None:
+                break
+            try:
+                obj = json.loads(payload.decode())
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                obj = {}
+            for d in obj.get("removed_dirs", []):
+                shutil.rmtree(
+                    os.path.join(self.root, d), ignore_errors=True
+                )
+            for gref in obj.get("freed_groups", []):
+                self.committer.delete(
+                    self._group_path(int(gref[0]), gref[1])
+                )
+            if v < horizon:
+                self.committer.delete(path)
+            v -= 1
+
+    # ---- commit encoding -----------------------------------------------------
+
+    @staticmethod
+    def _group_payload(content: dict) -> bytes:
+        return json.dumps(
+            {
+                "parts": content.get("parts", {}),
+                "shared": sorted(content.get("shared", [])),
+            },
+            sort_keys=True,
+        ).encode()
+
+    def _write_group(self, gid: int, content: dict) -> str:
+        """Write one group manifest file, content-addressed WITHIN its
+        group (sha salted with the gid: two groups with identical
+        content — e.g. both empty — must never share a file, or freeing
+        one group's old sha would delete the other's live file)."""
+        payload = self._group_payload(content)
+        sha = hashlib.md5(f"g{gid}:".encode() + payload).hexdigest()[:16]
+        # idempotent: same content => same name; a concurrent identical
+        # write losing the conditional put changes nothing
+        self.committer.put_if_absent(self._group_path(gid, sha), payload)
+        return sha
+
+    def _encode_commit(
+        self,
+        doc: _VersionDoc,
+        new_version: int,
+        values: list[str],
+        dir_name: str,
+        new_props: dict,
+    ) -> bytes:
+        """Encode the next version file for a commit that points every
+        partition in ``values`` at ``dir_name`` and carries the rest of
+        the table forward by reference."""
+        if self.manifest_layout == "single":
+            parts = doc.all_partitions()
+            for v in values:
+                parts[v] = [dir_name]
+            return Manifest(
+                version=new_version, partitions=parts, props=new_props
+            ).to_json().encode()
+        # sharded: rewrite ONLY the groups the written partitions hash
+        # into; every other group rides forward as an untouched sha.
+        if doc.layout == "single" and doc.obj.get("partitions"):
+            # layout migration: this commit regroups the whole single
+            # blob. Carried dirs' ownership is unknown (the single
+            # layout never tracked which dirs back multiple
+            # partitions), so all of them are conservatively marked
+            # shared — never ledger-deleted; vacuum() reclaims them
+            # once genuinely unreferenced.
+            migrated: dict[int, dict] = {}
+            for v, ds in doc.all_partitions().items():
+                g = migrated.setdefault(
+                    self._group_of(v), {"parts": {}, "shared": set()}
+                )
+                g["parts"][v] = list(ds)
+                g["shared"].update(ds)
+            doc = _VersionDoc(
+                self,
+                {
+                    "version": doc.version,
+                    "layout": "sharded",
+                    "n_groups": self.manifest_groups,
+                    "groups": {},
+                    "props": doc.props,
+                },
+            )
+            doc._group_cache = {
+                gid: {
+                    "parts": g["parts"],
+                    "shared": sorted(g["shared"]),
+                }
+                for gid, g in migrated.items()
+            }
+            # every migrated group must land in the new version file
+            # even if this commit doesn't touch it
+            forced_groups = set(migrated)
+        else:
+            forced_groups = set()
+        groups_map = dict(doc.groups)
+        shared_commit = len(values) > 1  # one dir backing many partitions
+        changed: dict[int, list[str]] = {}
+        for gid in forced_groups:
+            changed.setdefault(gid, [])
+        for v in values:
+            changed.setdefault(self._group_of(v), []).append(v)
+        removed: list[str] = []
+        freed: list[list] = []
+        for gid, vals in sorted(changed.items()):
+            content = doc.group_content(gid)
+            parts = dict(content.get("parts", {}))
+            shared = set(content.get("shared", []))
+            for v in vals:
+                for d in parts.get(v, []):
+                    # single-owner dirs die with their partition and go
+                    # on this version's deletion ledger; shared dirs
+                    # (multi-partition commits) are vacuum()'s job —
+                    # another partition may still reference them
+                    if d not in shared and d != dir_name:
+                        removed.append(d)
+                parts[v] = [dir_name]
+            if shared_commit:
+                shared.add(dir_name)
+            live = {d for ds in parts.values() for d in ds}
+            content = {
+                "parts": parts,
+                "shared": sorted(shared & live),
+            }
+            old_sha = groups_map.get(str(gid))
+            if parts:
+                sha = self._write_group(gid, content)
+                if old_sha is not None and old_sha != sha:
+                    freed.append([gid, old_sha])
+                groups_map[str(gid)] = sha
+            elif old_sha is not None:
+                freed.append([gid, old_sha])
+                del groups_map[str(gid)]
+        return json.dumps(
+            {
+                "version": new_version,
+                "layout": "sharded",
+                "n_groups": self.manifest_groups,
+                "groups": groups_map,
+                "props": new_props,
+                "removed_dirs": sorted(set(removed)),
+                "freed_groups": freed,
+            }
+        ).encode()
 
     # ---- read --------------------------------------------------------------
 
@@ -240,19 +542,22 @@ class SnapshotTable:
         travel included; reading under a narrower schema prunes the extra
         columns (contract pinned by tests/test_schema_evolution.py)."""
         if version is not None:
-            payload = self.committer.get(self._manifest_path(version))
-            if payload is None:
+            doc = self._doc_at(version)
+            if doc is None:
                 raise ValueError(
                     f"version {version} is not available (GC horizon is "
                     f"{self.keep_versions} versions)"
                 )
-            manifest = Manifest.from_json(payload.decode())
         else:
-            manifest = self.current_manifest()
+            doc = self.current_doc()
         if partition_value is not None:
-            dirs = manifest.partitions.get(str(partition_value), [])
+            # group-scoped resolution: under the sharded layout this
+            # loads ONE group file — O(clients/groups), not O(clients)
+            dirs = doc.partitions_for(str(partition_value))
         else:
-            dirs = sorted({d for ds in manifest.partitions.values() for d in ds})
+            dirs = sorted(
+                {d for ds in doc.all_partitions().values() for d in ds}
+            )
         if not dirs:
             return spark.createDataFrame([], schema=self.schema)
         paths = [os.path.join(self.root, d) for d in dirs]
@@ -293,28 +598,28 @@ class SnapshotTable:
         """
         values = [str(v) for v in partition_values]
         with self._write_lock():
-            manifest = self.current_manifest()
-            if expected_version is not None and manifest.version != expected_version:
-                expected = self._manifest_at(expected_version)
+            doc = self.current_doc()
+            if expected_version is not None and doc.version != expected_version:
+                expected = self._doc_at(expected_version)
                 if expected is None or any(
-                    manifest.partitions.get(v) != expected.partitions.get(v)
+                    doc.partitions_for(v) != expected.partitions_for(v)
                     for v in values
                 ):
                     raise SnapshotConflictError(
                         f"partition(s) {values} changed since version "
-                        f"{expected_version} (now {manifest.version}); "
+                        f"{expected_version} (now {doc.version}); "
                         "re-read and retry the merge"
                     )
             if (
                 expected_max_id is not None
-                and int(manifest.props.get("max_id", 0)) != expected_max_id
+                and int(doc.props.get("max_id", 0)) != expected_max_id
             ):
                 raise SnapshotConflictError(
                     f"max_id advanced from {expected_max_id} to "
-                    f"{manifest.props.get('max_id', 0)} since the merge was "
+                    f"{doc.props.get('max_id', 0)} since the merge was "
                     "computed; re-read and retry (surrogate ids would collide)"
                 )
-            new_version = manifest.version + 1
+            new_version = doc.version + 1
             dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, dir_name)
             try:
@@ -328,10 +633,7 @@ class SnapshotTable:
                     .write.mode("overwrite")
                     .parquet(out)
                 )
-                new_partitions = dict(manifest.partitions)
-                for v in values:
-                    new_partitions[v] = [dir_name]
-                new_props = dict(manifest.props)
+                new_props = dict(doc.props)
                 if props:
                     new_props.update(props)
                 if any(f.name == "id" for f in self.schema.fields):
@@ -352,12 +654,11 @@ class SnapshotTable:
                         new_props["max_id"] = max(
                             int(max_id), int(new_props.get("max_id", 0))
                         )
-                self._publish(
-                    Manifest(
-                        version=new_version,
-                        partitions=new_partitions,
-                        props=new_props,
-                    )
+                self._commit_version(
+                    new_version,
+                    self._encode_commit(
+                        doc, new_version, values, dir_name, new_props
+                    ),
                 )
             except BaseException:
                 # the staged dir is not referenced by any manifest yet —
@@ -418,16 +719,16 @@ class SnapshotTable:
         instead of silently dropping the racer's rows (the caller re-reads
         and retries — see AuthService._rmw)."""
         with self._write_lock():
-            manifest = self.current_manifest()
+            doc = self.current_doc()
             if (
                 expected_version is not None
-                and manifest.version != expected_version
+                and doc.version != expected_version
             ):
                 raise SnapshotConflictError(
-                    f"table advanced to v{manifest.version} since the "
+                    f"table advanced to v{doc.version} since the "
                     f"caller read v{expected_version}; re-read and retry"
                 )
-            new_version = manifest.version + 1
+            new_version = doc.version + 1
             dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, dir_name)
             try:
@@ -448,19 +749,167 @@ class SnapshotTable:
                     F.max("id").alias("max_id"),
                 ).first()
                 vals = [str(v) for v in (agg["vals"] or [])]
-                props = dict(manifest.props)
+                props = dict(doc.props)
                 if "id" in written.columns and agg["max_id"] is not None:
                     props["max_id"] = max(
                         int(agg["max_id"]), int(props.get("max_id", 0))
                     )
-                self._publish(
-                    Manifest(
-                        version=new_version,
-                        partitions={v: [dir_name] for v in vals},
-                        props=props,
-                    )
+                self._commit_version(
+                    new_version,
+                    self._encode_replace_all(
+                        doc, new_version, vals, dir_name, props
+                    ),
                 )
             except BaseException:
                 shutil.rmtree(out, ignore_errors=True)
                 raise
         return self.current_manifest()
+
+    def _encode_replace_all(
+        self,
+        doc: _VersionDoc,
+        new_version: int,
+        vals: list[str],
+        dir_name: str,
+        props: dict,
+    ) -> bytes:
+        """Encode a full-table replacement: every previous partition is
+        dropped, every value in ``vals`` points at ``dir_name``."""
+        if self.manifest_layout == "single":
+            return Manifest(
+                version=new_version,
+                partitions={v: [dir_name] for v in vals},
+                props=props,
+            ).to_json().encode()
+        removed: list[str] = []
+        freed: list[list] = []
+        if doc.layout == "sharded":
+            for gid_str, old_sha in doc.groups.items():
+                content = doc.group_content(int(gid_str))
+                shared = set(content.get("shared", []))
+                for ds in content.get("parts", {}).values():
+                    for d in ds:
+                        if d not in shared and d != dir_name:
+                            removed.append(d)
+                freed.append([int(gid_str), old_sha])
+        # (single-layout predecessor: displaced dirs' ownership is
+        # unknown — vacuum() reclaims them; nothing to free)
+        shared_commit = len(vals) > 1
+        grouped: dict[int, list[str]] = {}
+        for v in vals:
+            grouped.setdefault(self._group_of(v), []).append(v)
+        groups_map: dict[str, str] = {}
+        for gid, gvals in sorted(grouped.items()):
+            groups_map[str(gid)] = self._write_group(
+                gid,
+                {
+                    "parts": {v: [dir_name] for v in gvals},
+                    "shared": [dir_name] if shared_commit else [],
+                },
+            )
+        return json.dumps(
+            {
+                "version": new_version,
+                "layout": "sharded",
+                "n_groups": self.manifest_groups,
+                "groups": groups_map,
+                "props": props,
+                "removed_dirs": sorted(set(removed)),
+                "freed_groups": freed,
+            }
+        ).encode()
+
+    # ---- maintenance ---------------------------------------------------------
+
+    def vacuum(self) -> dict[str, int]:
+        """Full-sweep reclamation of everything the per-commit GC
+        intentionally leaves behind: SHARED data dirs (multi-partition
+        commits — the ledger can't prove them dead without a global
+        reference check, which is exactly what this is), dirs displaced
+        across a layout migration, staging litter from crashed writers,
+        and orphaned group files. O(table entries) — a scheduled
+        maintenance call (Iceberg's remove_orphan_files split), never
+        the commit path. Takes the writer lock so an in-flight commit's
+        not-yet-referenced staging can't be swept."""
+        with self._write_lock():
+            latest = self.current_doc().version
+            # a crash between commit point and pointer publish can leave
+            # a committed version ABOVE the pointer (see recover()) —
+            # its artifacts are live, so the sweep's live set must span
+            # up to the true max committed version, not the pointer
+            for name in os.listdir(self.root):
+                suffix = name[len(_MANIFEST) :] if name.startswith(
+                    _MANIFEST
+                ) else ""
+                if suffix.startswith(".v") and suffix[2:].isdigit():
+                    latest = max(latest, int(suffix[2:]))
+            horizon = latest - self.keep_versions
+            live_dirs: set[str] = set()
+            live_groups: set[str] = set()
+            live_manifests: set[str] = set()
+            for v in range(max(1, horizon), latest + 1):
+                doc = self._doc_at(v)
+                if doc is None:
+                    continue
+                live_manifests.add(os.path.basename(self._manifest_path(v)))
+                for dirs in doc.all_partitions().values():
+                    live_dirs.update(dirs)
+                for gid, sha in doc.groups.items():
+                    live_groups.add(
+                        os.path.basename(self._group_path(int(gid), sha))
+                    )
+            stats = {"dirs": 0, "groups": 0, "manifests": 0, "litter": 0}
+            keep_files = {_MANIFEST, _MANIFEST + ".lock"} | live_manifests
+            for name in os.listdir(self.root):
+                full = os.path.join(self.root, name)
+                if os.path.isdir(full):
+                    if name not in live_dirs:
+                        shutil.rmtree(full, ignore_errors=True)
+                        stats["dirs"] += 1
+                elif name.startswith(_GROUP_PREFIX):
+                    if name not in live_groups:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(full)
+                        stats["groups"] += 1
+                elif name.startswith(_MANIFEST) and name not in keep_files:
+                    suffix = name[len(_MANIFEST) :]
+                    if suffix.startswith(".v") and suffix[2:].isdigit():
+                        # only strictly below the horizon: a version
+                        # ABOVE the pointer (a crash between commit
+                        # point and pointer publish, pre-recover())
+                        # is a committed snapshot, not garbage
+                        if int(suffix[2:]) < max(1, horizon):
+                            with contextlib.suppress(FileNotFoundError):
+                                os.unlink(full)
+                            stats["manifests"] += 1
+                    else:
+                        # .put./.tmp/.ptr staging leftovers
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(full)
+                        stats["litter"] += 1
+            return stats
+
+    def recover(self) -> int:
+        """Re-point the advisory head pointer at the highest committed
+        version. Repairs the one crash the commit protocol cannot heal
+        in-band under the POSIX committer: a writer that died BETWEEN
+        the commit point (versioned manifest created) and the pointer
+        publication leaves the pointer at N-1 while version N exists —
+        every subsequent publish then computes N and loses the
+        conditional put forever. (The pointer-file committer derives
+        the head by LIST and never wedges; running this on it is a
+        harmless no-op refresh of the advisory cache.) Run after
+        clearing the crashed writer's stale lock file."""
+        with self._write_lock():
+            best = -1
+            for name in os.listdir(self.root):
+                suffix = name[len(_MANIFEST) :] if name.startswith(
+                    _MANIFEST
+                ) else ""
+                if suffix.startswith(".v") and suffix[2:].isdigit():
+                    best = max(best, int(suffix[2:]))
+            if best >= 1:
+                self.committer.publish_pointer(
+                    self._manifest_path(), self._manifest_path(best)
+                )
+            return max(best, 0)

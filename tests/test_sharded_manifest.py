@@ -1,0 +1,303 @@
+"""Sharded manifest layout: Iceberg-shaped manifest list + per-group
+manifest files (the tenant-cardinality seam PLANS.md's round-12 tenant
+measurements point at).
+
+The single-blob manifest is O(clients) bytes REWRITTEN PER COMMIT — fine
+to ~10k tenants (measured: 299 KB / 4.2 ms parse), pathological at 1M
+(~30 MB per single-tenant ingest). The sharded layout hashes each
+partition value into one of ``manifest_groups`` group files and a commit
+rewrites only the groups it touches plus a small version file (the
+manifest list), so write amplification is O(clients/groups + groups).
+Retention GC becomes an O(commit) deletion-ledger walk instead of a
+root listing; shared data dirs (multi-partition commits) are reclaimed
+by the explicit ``vacuum()`` maintenance call — the same
+commit-path/maintenance split Iceberg draws with remove_orphan_files.
+"""
+
+import json
+import os
+
+import pytest
+
+from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+from client_data_ingester_spark.tables import SnapshotTable
+from client_data_ingester_spark.tables.committer import (
+    PointerFileCommitter,
+    PosixCommitter,
+)
+from client_data_ingester_spark.tables.snapshot import (
+    _GROUP_PREFIX,
+    _MANIFEST,
+    SnapshotConflictError,
+)
+
+COMMITTERS = [PosixCommitter, PointerFileCommitter]
+
+
+def _df(spark, client_id, skus):
+    rows = [
+        (i + 1, client_id, sku, None, None, None, None, None, True,
+         None, None, None)
+        for i, sku in enumerate(skus)
+    ]
+    return spark.createDataFrame(rows, CLIENT_PRODUCTS_SCHEMA)
+
+
+def _skus(df):
+    return sorted(r["sku"] for r in df.select("sku").collect())
+
+
+def _sharded(tmp_path, committer_cls=PosixCommitter, **kw):
+    kw.setdefault("manifest_groups", 8)
+    return SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA,
+        committer=committer_cls(), manifest_layout="sharded", **kw,
+    )
+
+
+def _group_files(root):
+    return sorted(n for n in os.listdir(root) if n.startswith(_GROUP_PREFIX))
+
+
+def _data_dirs(root):
+    return sorted(
+        n for n in os.listdir(root)
+        if os.path.isdir(os.path.join(root, n))
+    )
+
+
+@pytest.mark.parametrize("committer_cls", COMMITTERS)
+def test_roundtrip_time_travel_and_pruned_read(spark, tmp_path, committer_cls):
+    t = _sharded(tmp_path, committer_cls)
+    t.overwrite_partitions(_df(spark, 1, ["A", "B"]), [1])
+    t.overwrite_partitions(_df(spark, 2, ["C"]), [2])
+    t.overwrite_partitions(_df(spark, 1, ["A2"]), [1])
+    assert t.current_manifest().version == 3
+    assert _skus(t.read(spark)) == ["A2", "C"]
+    assert _skus(t.read(spark, version=2)) == ["A", "B", "C"]
+    # partition-scoped read resolves through ONE group file
+    assert _skus(t.read(spark, partition_value=2)) == ["C"]
+    assert _skus(t.read(spark, partition_value=1)) == ["A2"]
+
+
+def test_commit_rewrites_only_touched_groups(spark, tmp_path):
+    """The write-amplification contract: a single-tenant commit writes
+    one new group file + one version file; every other group's sha rides
+    forward untouched."""
+    t = _sharded(tmp_path, manifest_groups=16)
+    # spread tenants over several groups
+    for cid in range(1, 9):
+        t.overwrite_partitions(_df(spark, cid, [f"S{cid}"]), [cid])
+    doc_before = t.current_doc()
+    groups_before = dict(doc_before.groups)
+    t.overwrite_partitions(_df(spark, 3, ["S3b"]), [3])
+    doc_after = t.current_doc()
+    gid = t._group_of("3")
+    changed = {
+        g for g in set(groups_before) | set(doc_after.groups)
+        if groups_before.get(g) != doc_after.groups.get(g)
+    }
+    assert changed == {str(gid)}
+    # and the version file itself is small: group shas + props, not
+    # a partitions blob
+    payload = json.loads(
+        t.committer.get(t._manifest_path(doc_after.version)).decode()
+    )
+    assert "partitions" not in payload
+    assert payload["layout"] == "sharded"
+
+
+def test_version_file_bytes_sublinear_in_tenant_count(spark, tmp_path):
+    """The headline bound: metadata bytes written per single-tenant
+    commit must NOT grow linearly with total tenant count (the single
+    layout's defect). Seed N tenants in one overwrite_all, then measure
+    the one-tenant commit's new-file bytes at N=60 vs N=240: the
+    version file is O(groups) and the touched group file O(N/groups),
+    so the total must grow far slower than the 4x tenant growth."""
+    import pyspark.sql.functions as F
+
+    sizes = {}
+    for n in (60, 240):
+        t = SnapshotTable(
+            str(tmp_path / f"t{n}"), CLIENT_PRODUCTS_SCHEMA,
+            manifest_layout="sharded", manifest_groups=8,
+        )
+        cols = []
+        for f in CLIENT_PRODUCTS_SCHEMA.fields:
+            if f.name == "id":
+                cols.append(F.col("id").cast(f.dataType).alias("id"))
+            elif f.name == "client_id":
+                cols.append((F.col("id") + 1).cast(f.dataType).alias(f.name))
+            elif f.name == "sku":
+                cols.append(F.concat(F.lit("S"), F.col("id")).alias("sku"))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        seed = spark.range(n).select(*cols)
+        t.overwrite_all(seed)
+        before = {
+            n_: os.path.getsize(os.path.join(t.root, n_))
+            for n_ in os.listdir(t.root)
+            if not os.path.isdir(os.path.join(t.root, n_))
+        }
+        t.overwrite_partitions(_df(spark, 1, ["X"]), [1])
+        after = {
+            n_: os.path.getsize(os.path.join(t.root, n_))
+            for n_ in os.listdir(t.root)
+            if not os.path.isdir(os.path.join(t.root, n_))
+        }
+        sizes[n] = sum(
+            sz for n_, sz in after.items()
+            if n_ not in before or before[n_] != sz
+        )
+    # 4x tenants -> metadata write grows, but by the group-file share
+    # (4x/8 groups) + a constant version file: well under 2x total
+    assert sizes[240] < 2 * sizes[60], sizes
+
+
+def test_ledger_gc_reclaims_single_owner_dirs(spark, tmp_path):
+    """Displaced single-owner dirs die via the deletion ledger the
+    moment the horizon reaches the displacing version — no root
+    listing; old version files and freed group files go with them."""
+    t = _sharded(tmp_path, keep_versions=2)
+    for i in range(6):
+        t.overwrite_partitions(_df(spark, 1, [f"S{i}"]), [1])
+    assert t.current_manifest().version == 6
+    # horizon = 4: dirs displaced at versions <= 4 are gone; the
+    # retained window (v4..v6 readable, v5/v6 dirs + v4's surviving
+    # dir) stays intact
+    dirs = _data_dirs(t.root)
+    assert len(dirs) == 3, dirs  # v4, v5, v6 incarnations of tenant 1
+    assert _skus(t.read(spark)) == ["S5"]
+    assert _skus(t.read(spark, version=5)) == ["S4"]
+    assert t._manifest_at(2) is None
+    # freed group files are reclaimed too: only shas referenced by the
+    # retained versions remain
+    live = set()
+    for v in (4, 5, 6):
+        doc = t._doc_at(v)
+        for gid, sha in doc.groups.items():
+            live.add(os.path.basename(t._group_path(int(gid), sha)))
+    assert set(_group_files(t.root)) == live
+
+
+def test_shared_dirs_survive_ledger_and_fall_to_vacuum(spark, tmp_path):
+    """A multi-partition commit's dir is referenced by several tenants:
+    displacing ONE of them must not ledger-delete the dir (the others
+    still read it); vacuum() reclaims it only once every reference is
+    past retention."""
+    t = _sharded(tmp_path, keep_versions=1)
+    both = _df(spark, 1, ["A"]).union(_df(spark, 2, ["B"]))
+    t.overwrite_partitions(both, [1, 2])  # one dir, two partitions
+    shared_dir = t.current_doc().partitions_for("1")[0]
+    t.overwrite_partitions(_df(spark, 1, ["A2"]), [1])
+    # push tenant 1's displacement past the horizon
+    t.overwrite_partitions(_df(spark, 1, ["A3"]), [1])
+    t.overwrite_partitions(_df(spark, 1, ["A4"]), [1])
+    # tenant 2 still reads the shared dir
+    assert os.path.isdir(os.path.join(t.root, shared_dir))
+    assert _skus(t.read(spark, partition_value=2)) == ["B"]
+    stats = t.vacuum()
+    # still referenced by tenant 2 -> vacuum keeps it
+    assert os.path.isdir(os.path.join(t.root, shared_dir))
+    assert _skus(t.read(spark, partition_value=2)) == ["B"]
+    # displace tenant 2 too and age it out; now vacuum reclaims
+    t.overwrite_partitions(_df(spark, 2, ["B2"]), [2])
+    t.overwrite_partitions(_df(spark, 2, ["B3"]), [2])
+    stats = t.vacuum()
+    assert not os.path.isdir(os.path.join(t.root, shared_dir))
+    assert stats["dirs"] >= 1
+    assert _skus(t.read(spark)) == ["A4", "B3"]
+
+
+def test_layout_migration_single_to_sharded_and_back(spark, tmp_path):
+    """Version files are self-describing: constructing the table with
+    the other layout migrates it at the next commit, and reads spanning
+    mixed-layout versions resolve each version by what it wrote."""
+    root = str(tmp_path / "t")
+    single = SnapshotTable(root, CLIENT_PRODUCTS_SCHEMA)
+    single.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    single.overwrite_partitions(_df(spark, 2, ["B"]), [2])
+    sharded = SnapshotTable(
+        root, CLIENT_PRODUCTS_SCHEMA, manifest_layout="sharded",
+        manifest_groups=8,
+    )
+    # reads the single-layout head fine
+    assert _skus(sharded.read(spark)) == ["A", "B"]
+    # next commit migrates: tenant 2's dirs carry into group files
+    sharded.overwrite_partitions(_df(spark, 1, ["A2"]), [1])
+    assert sharded.current_doc().layout == "sharded"
+    assert _skus(sharded.read(spark)) == ["A2", "B"]
+    assert _skus(sharded.read(spark, partition_value=2)) == ["B"]
+    # time travel across the layout boundary
+    assert _skus(sharded.read(spark, version=2)) == ["A", "B"]
+    # and back: a single-layout writer on the sharded table
+    single2 = SnapshotTable(root, CLIENT_PRODUCTS_SCHEMA)
+    single2.overwrite_partitions(_df(spark, 2, ["B2"]), [2])
+    assert single2.current_doc().layout == "single"
+    assert _skus(single2.read(spark)) == ["A2", "B2"]
+
+
+def test_conflict_detection_under_sharded(spark, tmp_path):
+    t = _sharded(tmp_path)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    v1 = t.current_doc().version
+    t.overwrite_partitions(_df(spark, 1, ["A2"]), [1])
+    with pytest.raises(SnapshotConflictError):
+        t.overwrite_partitions(
+            _df(spark, 1, ["A3"]), [1], expected_version=v1
+        )
+    # an unrelated tenant's commit does NOT conflict a stale-version
+    # writer whose own partitions are unchanged
+    t.overwrite_partitions(
+        _df(spark, 2, ["B"]), [2],
+        expected_version=t.current_doc().version,
+    )
+
+
+def test_group_assignment_is_md5_stable(tmp_path):
+    """The value->group mapping must be engine- and session-stable
+    (md5, the package convention) — a drifting hash would orphan every
+    partition from its group file."""
+    t = _sharded(tmp_path, manifest_groups=16)
+    assert t._group_of("1") == 8
+    assert t._group_of("tenant-42") == 6
+
+
+def test_recover_unwedges_crashed_pointer(spark, tmp_path):
+    """Crash between the commit point and the POSIX pointer publish:
+    version N exists, pointer says N-1, and every publish computes N
+    and conflicts forever. recover() re-points the head."""
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    t.overwrite_partitions(_df(spark, 1, ["B"]), [1])
+    # simulate the crash: hand-commit v3 without publishing the pointer
+    m = t.current_manifest()
+    m.version = 3
+    assert t.committer.put_if_absent(
+        t._manifest_path(3), m.to_json().encode()
+    )
+    assert t.current_doc().version == 2  # wedged: pointer still at 2
+    with pytest.raises(SnapshotConflictError):
+        t.overwrite_partitions(_df(spark, 1, ["C"]), [1])
+    assert t.recover() == 3
+    assert t.current_doc().version == 3
+    t.overwrite_partitions(_df(spark, 1, ["C"]), [1])
+    assert t.current_doc().version == 4
+    assert _skus(t.read(spark)) == ["C"]
+
+
+def test_vacuum_preserves_commit_above_stale_pointer(spark, tmp_path):
+    """vacuum() before recover(): the committed-but-unpointed version's
+    manifest, group files, and data dirs are live, not garbage."""
+    t = _sharded(tmp_path)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    # stage a real v2 commit, then roll the pointer back to simulate
+    # the crash-before-pointer-publish state
+    t.overwrite_partitions(_df(spark, 1, ["B"]), [1])
+    t.committer.publish_pointer(
+        t._manifest_path(), t._manifest_path(1)
+    )
+    assert t.current_doc().version == 1
+    t.vacuum()
+    assert t.recover() == 2
+    assert _skus(t.read(spark)) == ["B"]
