@@ -190,17 +190,83 @@ def part_b(spark, work: str, total_rows: int) -> dict:
     }
 
 
+def _meta_files(root: str) -> dict[str, int]:
+    return {
+        n: os.path.getsize(os.path.join(root, n))
+        for n in os.listdir(root)
+        if not os.path.isdir(os.path.join(root, n))
+    }
+
+
+def part_c(spark, work: str) -> list[dict]:
+    """Part C — manifest-layout write amplification. A single-tenant
+    commit against the single-blob layout rewrites the whole O(clients)
+    manifest (twice: version file + pointer); the sharded layout
+    rewrites one group file + an O(groups) manifest list. Measured as
+    the metadata bytes a one-tenant ingest writes, plus the tenant-
+    scoped dir-resolution time (ONE group file vs the whole blob)."""
+    out = []
+    for n_clients in (1000, 10000, 100000):
+        for layout in ("single", "sharded"):
+            root = os.path.join(work, f"c_{layout}_{n_clients}")
+            table = SnapshotTable(
+                root,
+                CLIENT_PRODUCTS_SCHEMA,
+                manifest_layout=layout,
+                manifest_groups=256,
+            )
+            seed = _seed_rows(spark, n_clients, 5)
+            table.overwrite_partitions(
+                seed, list(range(1, n_clients + 1)), props={"max_id": 0}
+            )
+            before = _meta_files(root)
+            csv = _client_csv(
+                spark, work, f"c_{layout}_{n_clients}.csv", 7, 200
+            )
+            t0 = time.time()
+            rep = ingest_data(spark, table, csv, CFG, client_id=7)
+            ingest_s = time.time() - t0
+            assert rep.success, rep.message
+            after = _meta_files(root)
+            meta_bytes = sum(
+                sz
+                for n, sz in after.items()
+                if n not in before or before[n] != sz
+            )
+            t0 = time.time()
+            dirs = table.current_doc().partitions_for("7")
+            resolve_s = time.time() - t0
+            out.append(
+                {
+                    "n_clients": n_clients,
+                    "layout": layout,
+                    "commit_metadata_bytes": meta_bytes,
+                    "ingest_1client_s": round(ingest_s, 2),
+                    "tenant_resolve_s": round(resolve_s, 5),
+                    "tenant_dirs": len(dirs),
+                }
+            )
+            shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     total_rows = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "3000000"))
+    parts = os.environ.get("SPARK_GRAFT_TENANT_PARTS", "abc")
     spark = get_spark("bench-tenants", cpus=cpus)
     work = tempfile.mkdtemp(prefix="bench_tenants_")
+    result = {}
     try:
-        a = part_a(spark, work)
-        b = part_b(spark, work, total_rows)
+        if "a" in parts:
+            result["tenant_cardinality"] = part_a(spark, work)
+        if "b" in parts:
+            result["tenant_skew"] = part_b(spark, work, total_rows)
+        if "c" in parts:
+            result["manifest_layouts"] = part_c(spark, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    print(json.dumps({"tenant_cardinality": a, "tenant_skew": b}))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
