@@ -263,6 +263,67 @@ def test_group_assignment_is_md5_stable(tmp_path):
     assert t._group_of("tenant-42") == 6
 
 
+def test_full_ingest_path_on_sharded_table(spark, tmp_path):
+    """The reference-parity ingest service (validate -> LWW fold ->
+    full-outer merge -> id mint -> report, with the optimistic-
+    concurrency version/max_id guards) composes with the sharded layout
+    unchanged: the service reads version/props through the group-lazy
+    doc and publishes through the same commit point."""
+    import csv as _csv
+    import io
+
+    from client_data_ingester_spark.ingestion import (
+        ParserConfig,
+        ingest_data,
+    )
+
+    cfg = ParserConfig(
+        "csv",
+        {
+            "sku": ("sku", "text"),
+            "title": ("title", "text"),
+            "active": ("active", "boolean"),
+        },
+    )
+
+    def _csv_bytes(rows):
+        buf = io.StringIO()
+        w = _csv.DictWriter(buf, fieldnames=["sku", "title", "active"])
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+        return buf.getvalue().encode()
+
+    t = _sharded(tmp_path)
+    rep = ingest_data(
+        spark, t,
+        _csv_bytes([
+            {"sku": "A", "title": "one", "active": "1"},
+            {"sku": "B", "title": "two", "active": "1"},
+        ]),
+        cfg, client_id=1,
+    )
+    assert rep.success, rep.message
+    rep2 = ingest_data(
+        spark, t,
+        _csv_bytes([{"sku": "A", "title": "one v2", "active": "0"}]),
+        cfg, client_id=1,
+    )
+    assert rep2.success, rep2.message
+    got = {
+        r["sku"]: r.asDict()
+        for r in t.read(spark, partition_value=1).collect()
+    }
+    assert set(got) == {"A", "B"}
+    assert got["A"]["title"] == "one v2"
+    assert got["A"]["active"] is False
+    assert got["B"]["title"] == "two"
+    # ids minted across commits stay unique; max_id rode the doc props
+    assert got["A"]["id"] != got["B"]["id"]
+    assert int(t.current_doc().props["max_id"]) >= 2
+    assert t.current_doc().layout == "sharded"
+
+
 def test_recover_unwedges_crashed_pointer(spark, tmp_path):
     """Crash between the commit point and the POSIX pointer publish:
     version N exists, pointer says N-1, and every publish computes N
