@@ -90,6 +90,30 @@ class Manifest:
         )
 
 
+class _DocManifest(Manifest):
+    """A lazy :class:`Manifest` view over a version doc — the writers'
+    return value. The hot callers (ingest service, streaming ingest)
+    read only ``version``/``props``; under the sharded layout eagerly
+    materializing ``partitions`` to build a return nobody reads would
+    cost one GET per group per commit. First access loads them."""
+
+    def __init__(self, doc: "_VersionDoc"):
+        self._doc = doc
+        self._parts: dict | None = None
+        self.version = doc.version
+        self.props = doc.props
+
+    @property
+    def partitions(self) -> dict:  # type: ignore[override]
+        if self._parts is None:
+            self._parts = self._doc.all_partitions()
+        return self._parts
+
+    @partitions.setter
+    def partitions(self, value: dict) -> None:
+        self._parts = value
+
+
 class _VersionDoc:
     """A parsed version file, group-lazy for the sharded layout.
 
@@ -665,7 +689,7 @@ class SnapshotTable:
                 # remove it so conflict/retry loops don't leak disk
                 shutil.rmtree(out, ignore_errors=True)
                 raise
-        return self.current_manifest()
+        return _DocManifest(self.current_doc())
 
     def compact(
         self,
@@ -763,7 +787,7 @@ class SnapshotTable:
             except BaseException:
                 shutil.rmtree(out, ignore_errors=True)
                 raise
-        return self.current_manifest()
+        return _DocManifest(self.current_doc())
 
     def _encode_replace_all(
         self,
