@@ -70,15 +70,23 @@ class Manifest:
     # table-level metadata carried across versions (e.g. max assigned
     # surrogate id — avoids a full-table max() scan per ingest)
     props: dict = field(default_factory=dict)
+    # dir name -> partition values whose rows in that dir are STALE: a
+    # multi-partition commit writes one dir for several values; when one
+    # of them is later overwritten, its old rows remain inside the dir
+    # the OTHER values still reference. Full-table reads anti-filter
+    # these (tenant-scoped reads never see them — they only scan the
+    # tenant's own dirs and filter on the tenant key).
+    stale: dict[str, list[str]] = field(default_factory=dict)
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "partitions": self.partitions,
-                "props": self.props,
-            }
-        )
+        obj = {
+            "version": self.version,
+            "partitions": self.partitions,
+            "props": self.props,
+        }
+        if self.stale:
+            obj["stale"] = self.stale
+        return json.dumps(obj)
 
     @classmethod
     def from_json(cls, payload: str) -> "Manifest":
@@ -87,6 +95,7 @@ class Manifest:
             version=obj["version"],
             partitions=obj["partitions"],
             props=obj.get("props", {}),
+            stale=obj.get("stale", {}),
         )
 
 
@@ -100,6 +109,7 @@ class _DocManifest(Manifest):
     def __init__(self, doc: "_VersionDoc"):
         self._doc = doc
         self._parts: dict | None = None
+        self._stale: dict | None = None
         self.version = doc.version
         self.props = doc.props
 
@@ -112,6 +122,16 @@ class _DocManifest(Manifest):
     @partitions.setter
     def partitions(self, value: dict) -> None:
         self._parts = value
+
+    @property
+    def stale(self) -> dict:  # type: ignore[override]
+        if self._stale is None:
+            self._stale = self._doc.stale_map()
+        return self._stale
+
+    @stale.setter
+    def stale(self, value: dict) -> None:
+        self._stale = value
 
 
 class _VersionDoc:
@@ -175,11 +195,25 @@ class _VersionDoc:
             out.update(self.group_content(int(gid))["parts"])
         return out
 
+    def stale_map(self) -> dict[str, list[str]]:
+        """dir -> values whose rows inside that (shared) dir were
+        superseded by a later single-value overwrite (see Manifest.stale)."""
+        if self.layout == "single":
+            return dict(self.obj.get("stale", {}))
+        out: dict[str, list[str]] = {}
+        for gid in self.groups:
+            for d, vals in self.group_content(int(gid)).get(
+                "stale", {}
+            ).items():
+                out.setdefault(d, []).extend(vals)
+        return out
+
     def to_manifest(self) -> Manifest:
         return Manifest(
             version=self.version,
             partitions=self.all_partitions(),
             props=self.props,
+            stale=self.stale_map(),
         )
 
 
@@ -417,13 +451,18 @@ class SnapshotTable:
 
     @staticmethod
     def _group_payload(content: dict) -> bytes:
-        return json.dumps(
-            {
-                "parts": content.get("parts", {}),
-                "shared": sorted(content.get("shared", [])),
-            },
-            sort_keys=True,
-        ).encode()
+        obj = {
+            "parts": content.get("parts", {}),
+            "shared": sorted(content.get("shared", [])),
+        }
+        stale = {
+            d: sorted(set(vs))
+            for d, vs in content.get("stale", {}).items()
+            if vs
+        }
+        if stale:
+            obj["stale"] = stale
+        return json.dumps(obj, sort_keys=True).encode()
 
     def _write_group(self, gid: int, content: dict) -> str:
         """Write one group manifest file, content-addressed WITHIN its
@@ -450,10 +489,27 @@ class SnapshotTable:
         the table forward by reference."""
         if self.manifest_layout == "single":
             parts = doc.all_partitions()
+            stale = {d: list(vs) for d, vs in doc.stale_map().items()}
+            displaced: list[tuple[str, str]] = []
             for v in values:
+                for d in parts.get(v, []):
+                    if d != dir_name:
+                        displaced.append((v, d))
                 parts[v] = [dir_name]
+            referenced = {d for ds in parts.values() for d in ds}
+            for v, d in displaced:
+                # the displaced dir is still referenced by OTHER values:
+                # v's old rows inside it are now stale for full reads
+                if d in referenced and v not in stale.setdefault(d, []):
+                    stale[d].append(v)
+            stale = {
+                d: sorted(vs) for d, vs in stale.items() if d in referenced
+            }
             return Manifest(
-                version=new_version, partitions=parts, props=new_props
+                version=new_version,
+                partitions=parts,
+                props=new_props,
+                stale=stale,
             ).to_json().encode()
         # sharded: rewrite ONLY the groups the written partitions hash
         # into; every other group rides forward as an untouched sha.
@@ -467,10 +523,21 @@ class SnapshotTable:
             migrated: dict[int, dict] = {}
             for v, ds in doc.all_partitions().items():
                 g = migrated.setdefault(
-                    self._group_of(v), {"parts": {}, "shared": set()}
+                    self._group_of(v),
+                    {"parts": {}, "shared": set(), "stale": {}},
                 )
                 g["parts"][v] = list(ds)
                 g["shared"].update(ds)
+            # stale entries follow each stale VALUE's group (a stale-only
+            # value may have no live partition entry — its group must
+            # still carry the filter)
+            for d, vs in doc.stale_map().items():
+                for v in vs:
+                    g = migrated.setdefault(
+                        self._group_of(v),
+                        {"parts": {}, "shared": set(), "stale": {}},
+                    )
+                    g["stale"].setdefault(d, []).append(v)
             doc = _VersionDoc(
                 self,
                 {
@@ -485,6 +552,7 @@ class SnapshotTable:
                 gid: {
                     "parts": g["parts"],
                     "shared": sorted(g["shared"]),
+                    "stale": g["stale"],
                 }
                 for gid, g in migrated.items()
             }
@@ -506,13 +574,24 @@ class SnapshotTable:
             content = doc.group_content(gid)
             parts = dict(content.get("parts", {}))
             shared = set(content.get("shared", []))
+            stale = {
+                d: list(vs)
+                for d, vs in content.get("stale", {}).items()
+            }
             for v in vals:
                 for d in parts.get(v, []):
-                    # single-owner dirs die with their partition and go
-                    # on this version's deletion ledger; shared dirs
-                    # (multi-partition commits) are vacuum()'s job —
-                    # another partition may still reference them
-                    if d not in shared and d != dir_name:
+                    if d == dir_name:
+                        continue
+                    if d in shared:
+                        # another partition may still reference this dir
+                        # (possibly in another group): v's rows inside it
+                        # are stale for full reads from now on; the dir
+                        # itself is vacuum()'s job
+                        if v not in stale.setdefault(d, []):
+                            stale[d].append(v)
+                    else:
+                        # single-owner: dies with its partition via this
+                        # version's deletion ledger
                         removed.append(d)
                 parts[v] = [dir_name]
             if shared_commit:
@@ -521,6 +600,7 @@ class SnapshotTable:
             content = {
                 "parts": parts,
                 "shared": sorted(shared & live),
+                "stale": stale,
             }
             old_sha = groups_map.get(str(gid))
             if parts:
@@ -584,12 +664,48 @@ class SnapshotTable:
             )
         if not dirs:
             return spark.createDataFrame([], schema=self.schema)
-        paths = [os.path.join(self.root, d) for d in dirs]
-        df = spark.read.schema(self.schema).parquet(*paths)
         if partition_value is not None:
             # Dir-level pruning already happened; keep the predicate for
-            # parquet row-group stats + correctness if dirs are shared.
-            df = df.filter(F.col(self.partition_col) == F.lit(partition_value))
+            # parquet row-group stats + correctness if dirs are shared
+            # (it also drops any OTHER tenant's stale rows in a shared
+            # dir — a tenant read never needs the stale map).
+            paths = [os.path.join(self.root, d) for d in dirs]
+            return (
+                spark.read.schema(self.schema)
+                .parquet(*paths)
+                .filter(F.col(self.partition_col) == F.lit(partition_value))
+            )
+        # full read: shared dirs may hold rows of values that were later
+        # overwritten elsewhere (this version's stale map records exactly
+        # which) — those dirs are scanned with an anti-filter; everything
+        # else rides one plain multi-path scan
+        stale = doc.stale_map()
+        dtype = self.schema[self.partition_col].dataType
+        clean = [d for d in dirs if not stale.get(d)]
+        parts = []
+        if clean:
+            parts.append(
+                spark.read.schema(self.schema).parquet(
+                    *[os.path.join(self.root, d) for d in clean]
+                )
+            )
+        for d in dirs:
+            vals = stale.get(d)
+            if not vals:
+                continue
+            # stored keys are strings; render them in the column's type
+            # the same way changes.py does (try_cast, so a key that can't
+            # round-trip never silently drops live rows — it just doesn't
+            # match)
+            lits = [F.lit(v).try_cast(dtype) for v in sorted(set(vals))]
+            parts.append(
+                spark.read.schema(self.schema)
+                .parquet(os.path.join(self.root, d))
+                .filter(~F.col(self.partition_col).isin(*lits))
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
 
     # ---- write -------------------------------------------------------------

@@ -347,6 +347,124 @@ def test_recover_unwedges_crashed_pointer(spark, tmp_path):
     assert _skus(t.read(spark)) == ["C"]
 
 
+@pytest.mark.parametrize("layout", ["single", "sharded"])
+def test_full_read_excludes_stale_rows_in_shared_dirs(
+    spark, tmp_path, layout
+):
+    """The shared-dir staleness bug (found by the randomized oracle
+    below, present in BOTH layouts): a multi-partition commit writes one
+    dir for several tenants; overwriting ONE of them later leaves its
+    old rows inside the dir the others still reference, and a full-table
+    read returned them alongside the new rows. The version's stale map
+    now anti-filters exactly those (value, dir) combinations; tenant
+    reads and time travel stay exact."""
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA,
+        manifest_layout=layout, manifest_groups=8,
+    )
+    both = _df(spark, 1, ["A1"]).union(_df(spark, 2, ["B1"]))
+    t.overwrite_partitions(both, [1, 2])  # one shared dir
+    t.overwrite_partitions(_df(spark, 1, ["A2"]), [1])
+    # full read must NOT resurrect tenant 1's superseded A1 row
+    assert _skus(t.read(spark)) == ["A2", "B1"]
+    # tenant reads exact on both sides
+    assert _skus(t.read(spark, partition_value=1)) == ["A2"]
+    assert _skus(t.read(spark, partition_value=2)) == ["B1"]
+    # time travel to the shared version still sees the original rows
+    assert _skus(t.read(spark, version=1)) == ["A1", "B1"]
+    # a second displacement accumulates; the other tenant's view holds
+    t.overwrite_partitions(_df(spark, 2, ["B2"]), [2])
+    assert _skus(t.read(spark)) == ["A2", "B2"]
+    assert _skus(t.read(spark, version=2)) == ["A2", "B1"]
+
+
+def test_randomized_op_sequence_matches_python_oracle(spark, tmp_path):
+    """Seeded randomized sequence over the sharded table — single- and
+    multi-tenant overwrites, full replaces, compactions, vacuums —
+    checked after every op against a pure-Python model: head reads,
+    tenant-scoped reads, and time travel across the whole retention
+    window. This is the machine check on the ledger-GC invariants the
+    design argues by hand (single-owner vs shared dir ownership,
+    freed-sha safety, horizon timing): a dir deleted one version too
+    early, or a group file freed while an older retained version still
+    references it, surfaces as a read mismatch or a missing-file raise
+    somewhere in the sweep."""
+    import random
+
+    rng = random.Random(42)
+    t = _sharded(tmp_path, keep_versions=2, manifest_groups=4)
+    model: dict[str, list[str]] = {}  # tenant -> skus at head
+    history: dict[int, dict[str, list[str]]] = {0: {}}
+
+    def commit(values, skus_per_value):
+        df = None
+        for v, skus in zip(values, skus_per_value):
+            part = _df(spark, int(v), skus)
+            df = part if df is None else df.union(part)
+            model[v] = list(skus)
+        t.overwrite_partitions(df, [int(v) for v in values])
+        history[t.current_doc().version] = {
+            k: list(vs) for k, vs in model.items()
+        }
+
+    tenants = [str(i) for i in range(1, 7)]
+    for step in range(24):
+        op = rng.random()
+        if op < 0.55:
+            v = rng.choice(tenants)
+            commit([v], [[f"{v}-s{step}-{j}" for j in range(rng.randint(1, 2))]])
+        elif op < 0.75:
+            vs = rng.sample(tenants, rng.randint(2, 3))
+            commit(vs, [[f"{v}-m{step}"] for v in vs])
+        elif op < 0.85 and model:
+            # full replace: two tenants survive, everyone else dropped
+            keep = rng.sample(tenants, 2)
+            df = _df(spark, int(keep[0]), [f"{keep[0]}-r{step}"]).union(
+                _df(spark, int(keep[1]), [f"{keep[1]}-r{step}"])
+            )
+            t.overwrite_all(df)
+            model.clear()
+            model[keep[0]] = [f"{keep[0]}-r{step}"]
+            model[keep[1]] = [f"{keep[1]}-r{step}"]
+            history[t.current_doc().version] = {
+                k: list(vs) for k, vs in model.items()
+            }
+        elif op < 0.95 and model:
+            v = rng.choice(sorted(model))
+            t.compact(spark, int(v), target_files=1)
+            history[t.current_doc().version] = {
+                k: list(vs) for k, vs in model.items()
+            }
+        else:
+            t.vacuum()
+
+        # head read == model
+        expect = sorted(s for vs in model.values() for s in vs)
+        assert _skus(t.read(spark)) == expect, f"step {step} head diverged"
+        # tenant-scoped read == model
+        v = rng.choice(tenants)
+        assert _skus(t.read(spark, partition_value=int(v))) == sorted(
+            model.get(v, [])
+        ), f"step {step} tenant {v} diverged"
+        # time travel: every version inside the retention window must
+        # reproduce its historical model exactly
+        head = t.current_doc().version
+        for tv in range(max(1, head - t.keep_versions), head + 1):
+            if tv not in history:
+                continue
+            hist = sorted(
+                s for vs in history[tv].values() for s in vs
+            )
+            assert _skus(t.read(spark, version=tv)) == hist, (
+                f"step {step} time travel v{tv} diverged"
+            )
+    # closing sweep: vacuum must not disturb any retained read
+    t.vacuum()
+    assert _skus(t.read(spark)) == sorted(
+        s for vs in model.values() for s in vs
+    )
+
+
 def test_vacuum_preserves_commit_above_stale_pointer(spark, tmp_path):
     """vacuum() before recover(): the committed-but-unpointed version's
     manifest, group files, and data dirs are live, not garbage."""
