@@ -696,12 +696,25 @@ class SnapshotTable:
             # stored keys are strings; render them in the column's type
             # the same way changes.py does (try_cast, so a key that can't
             # round-trip never silently drops live rows — it just doesn't
-            # match)
-            lits = [F.lit(v).try_cast(dtype) for v in sorted(set(vals))]
+            # match). Null-safe: a NULL partition key must survive the
+            # anti-filter unless 'None' itself is the stale value (bare
+            # ~isin() is NULL for NULL inputs and would drop the row).
+            uniq = sorted(set(vals))
+            pc = F.col(self.partition_col)
+            is_stale = F.coalesce(
+                pc.isin(
+                    *[F.lit(v).try_cast(dtype) for v in uniq if v != "None"]
+                )
+                if any(v != "None" for v in uniq)
+                else F.lit(False),
+                F.lit(False),
+            )
+            if "None" in uniq:
+                is_stale = is_stale | pc.isNull()
             parts.append(
                 spark.read.schema(self.schema)
                 .parquet(os.path.join(self.root, d))
-                .filter(~F.col(self.partition_col).isin(*lits))
+                .filter(~is_stale)
             )
         df = parts[0]
         for p in parts[1:]:

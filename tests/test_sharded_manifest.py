@@ -378,6 +378,40 @@ def test_full_read_excludes_stale_rows_in_shared_dirs(
     assert _skus(t.read(spark, version=2)) == ["A2", "B1"]
 
 
+def test_stale_filter_is_null_safe(spark, tmp_path):
+    """A NULL partition key inside a degraded shared dir must survive
+    the stale anti-filter (bare ~isin() is NULL for NULL inputs and
+    would silently drop the row from full reads). The products schema
+    forbids NULL client_id, so this uses a generic nullable-key table."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("sku", T.StringType(), True),
+        ]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    t = SnapshotTable(
+        str(tmp_path / "t"), schema, partition_col="k"
+    )
+    both = mk([(None, "NULLSKU"), (2, "B1")])
+    t.overwrite_partitions(both, [None, 2])  # shared dir, one NULL key
+    t.overwrite_partitions(mk([(2, "B2")]), [2])
+    # tenant 2's B1 is stale; the NULL-key row must remain visible
+    assert _skus(t.read(spark)) == ["B2", "NULLSKU"]
+    # and a stale 'None' partition is itself filtered correctly
+    t2 = SnapshotTable(
+        str(tmp_path / "t2"), schema, partition_col="k"
+    )
+    t2.overwrite_partitions(both, [None, 2])
+    t2.overwrite_partitions(mk([(None, "NULLSKU2")]), [None])
+    assert _skus(t2.read(spark)) == ["B1", "NULLSKU2"]
+
+
 def test_randomized_op_sequence_matches_python_oracle(spark, tmp_path):
     """Seeded randomized sequence over the sharded table — single- and
     multi-tenant overwrites, full replaces, compactions, vacuums —
