@@ -570,3 +570,99 @@ def test_compaction_races_live_stream(spark, tmp_path):
     # no staging/manifest residue survived the races
     assert not os.path.exists(f"{out}/_compact_tmp")
     assert not os.path.exists(f"{out}/_compact_manifest.json")
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _crashing_committer(inner, crash_after):
+    """Delegate every committer call to ``inner`` but raise after the
+    first ``crash_after`` calls succeed — a systematic crash injector
+    that hits EVERY call boundary of the publish protocol, not just
+    hand-picked points."""
+    from client_data_ingester_spark.tables.committer import Committer
+
+    class Crashing(Committer):
+        def __init__(self):
+            self.calls = 0
+
+        def _guard(self):
+            self.calls += 1
+            if self.calls > crash_after:
+                raise _InjectedCrash(f"injected after {crash_after}")
+
+    def _wrap(name):
+        def m(self, *a, **kw):
+            self._guard()
+            return getattr(inner, name)(*a, **kw)
+        return m
+
+    for name in (
+        "put_if_absent", "put_atomic", "get", "delete",
+        "publish_pointer", "read_current", "install_dir",
+        "cleanup_staged", "delete_dir",
+    ):
+        setattr(Crashing, name, _wrap(name))
+    return Crashing()
+
+
+@pytest.mark.parametrize(
+    "committer_cls", [PosixCommitter, PointerFileCommitter]
+)
+def test_crash_sweep_every_protocol_boundary(spark, tmp_path, committer_cls):
+    """Sweep a crash across EVERY committer-call boundary of
+    compact_batch_shards (manifest publish, each source deletion, the
+    install, staging cleanup, manifest removal — plus the recovery
+    reads), under BOTH commit protocols. After each crash: (a) no row
+    may be lost — the union of live shards and the staged fold still
+    holds every row; (b) a plain re-run (which recovers first) must
+    converge to the exact no-crash end state."""
+    expected = {(b, b + 1) for b in range(8)}
+
+    def visible_rows(shard_dir):
+        rows = set()
+        ids = batch_shard_ids(shard_dir)
+        if ids:
+            df = spark.read.parquet(
+                *[f"{shard_dir}/batch_id={b}" for b in ids]
+            )
+            rows |= {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+        tmp = os.path.join(shard_dir, "_compact_tmp")
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            df = spark.read.parquet(tmp)
+            rows |= {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+        return rows
+
+    crash_points = 0
+    k = 0
+    while True:
+        shard_dir = str(tmp_path / f"sweep_{committer_cls.__name__}_{k}")
+        _write_shards(spark, shard_dir, 8, lambda b: [(b, b + 1)])
+        try:
+            compact_batch_shards(
+                spark, shard_dir, keep_last=1, min_shards=2,
+                committer=_crashing_committer(committer_cls(), k),
+            )
+            completed = True
+        except _InjectedCrash:
+            completed = False
+            crash_points += 1
+        # (a) crash state never loses a row (staged ∪ shards ⊇ all)
+        assert visible_rows(shard_dir) >= expected, f"rows lost at k={k}"
+        # (b) recovery + refold converges to the no-crash end state
+        compact_batch_shards(
+            spark, shard_dir, keep_last=1, min_shards=2,
+            committer=committer_cls(),
+        )
+        assert visible_rows(shard_dir) == expected, f"diverged at k={k}"
+        ids = batch_shard_ids(shard_dir)
+        assert len(ids) <= 2, f"dirs not bounded at k={k}: {ids}"
+        assert not os.path.exists(
+            os.path.join(shard_dir, "_compact_manifest.json")
+        )
+        if completed:
+            break
+        k += 1
+    # the sweep must have actually exercised the protocol's interior
+    assert crash_points >= 6, crash_points
