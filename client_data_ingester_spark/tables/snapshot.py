@@ -775,6 +775,7 @@ class SnapshotTable:
             new_version = doc.version + 1
             dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, dir_name)
+            reached_commit = False
             try:
                 (
                     df.select(
@@ -807,16 +808,24 @@ class SnapshotTable:
                         new_props["max_id"] = max(
                             int(max_id), int(new_props.get("max_id", 0))
                         )
-                self._commit_version(
-                    new_version,
-                    self._encode_commit(
-                        doc, new_version, values, dir_name, new_props
-                    ),
+                payload = self._encode_commit(
+                    doc, new_version, values, dir_name, new_props
                 )
-            except BaseException:
-                # the staged dir is not referenced by any manifest yet —
-                # remove it so conflict/retry loops don't leak disk
-                shutil.rmtree(out, ignore_errors=True)
+                reached_commit = True
+                self._commit_version(new_version, payload)
+            except BaseException as e:
+                # clean the staged dir ONLY when the commit point was
+                # provably not reached (or provably lost: a version
+                # collision). An exception AFTER the conditional put —
+                # pointer publish or GC raising — leaves a COMMITTED
+                # version referencing this dir; deleting it would
+                # corrupt the table. Such dirs are live; a genuinely
+                # failed put inside _commit_version leaks one staged
+                # dir for vacuum(), the correct bias.
+                if not reached_commit or isinstance(
+                    e, SnapshotConflictError
+                ):
+                    shutil.rmtree(out, ignore_errors=True)
                 raise
         return _DocManifest(self.current_doc())
 
@@ -884,6 +893,7 @@ class SnapshotTable:
             new_version = doc.version + 1
             dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
             out = os.path.join(self.root, dir_name)
+            reached_commit = False
             try:
                 (
                     df.select(
@@ -907,14 +917,18 @@ class SnapshotTable:
                     props["max_id"] = max(
                         int(agg["max_id"]), int(props.get("max_id", 0))
                     )
-                self._commit_version(
-                    new_version,
-                    self._encode_replace_all(
-                        doc, new_version, vals, dir_name, props
-                    ),
+                payload = self._encode_replace_all(
+                    doc, new_version, vals, dir_name, props
                 )
-            except BaseException:
-                shutil.rmtree(out, ignore_errors=True)
+                reached_commit = True
+                self._commit_version(new_version, payload)
+            except BaseException as e:
+                # see overwrite_partitions: never delete the staged dir
+                # once the commit point may have succeeded
+                if not reached_commit or isinstance(
+                    e, SnapshotConflictError
+                ):
+                    shutil.rmtree(out, ignore_errors=True)
                 raise
         return _DocManifest(self.current_doc())
 

@@ -499,6 +499,97 @@ def test_randomized_op_sequence_matches_python_oracle(spark, tmp_path):
     )
 
 
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _crashing_committer(inner, crash_after):
+    """Delegate to ``inner`` but raise after ``crash_after`` successful
+    calls — sweeps a crash across every boundary of the snapshot commit
+    protocol (conditional put, pointer publish, GC reads/deletes)."""
+    from client_data_ingester_spark.tables.committer import Committer
+
+    class Crashing(Committer):
+        def __init__(self):
+            self.calls = 0
+
+        def _guard(self):
+            self.calls += 1
+            if self.calls > crash_after:
+                raise _InjectedCrash(f"after {crash_after}")
+
+    def _wrap(name):
+        def m(self, *a, **kw):
+            self._guard()
+            return getattr(inner, name)(*a, **kw)
+        return m
+
+    for name in (
+        "put_if_absent", "put_atomic", "get", "delete",
+        "publish_pointer", "read_current", "install_dir",
+        "cleanup_staged", "delete_dir",
+    ):
+        setattr(Crashing, name, _wrap(name))
+    return Crashing()
+
+
+@pytest.mark.parametrize("committer_cls", COMMITTERS)
+@pytest.mark.parametrize("layout", ["single", "sharded"])
+def test_publish_crash_sweep_converges(spark, tmp_path, committer_cls, layout):
+    """Sweep a crash across every committer-call boundary of a snapshot
+    commit (group writes, the conditional-put commit point, pointer
+    publish, ledger/sweep GC), under both protocols and both layouts.
+    After each crash: recover() + a retried commit must land the write
+    exactly once, with reads (head, tenant, retained time travel)
+    consistent. This drives recover() through the real wedge (POSIX
+    crash between commit point and pointer publish) rather than the
+    hand-built simulation above."""
+    k = 0
+    crash_points = 0
+    while True:
+        root = str(tmp_path / f"sweep_{layout}_{committer_cls.__name__}_{k}")
+        t = SnapshotTable(
+            root, CLIENT_PRODUCTS_SCHEMA, committer=committer_cls(),
+            manifest_layout=layout, manifest_groups=4, keep_versions=2,
+        )
+        # settled history so GC boundaries are inside the sweep
+        for i in range(4):
+            t.overwrite_partitions(_df(spark, 1, [f"S{i}"]), [1])
+        t.overwrite_partitions(_df(spark, 2, ["T0"]), [2])
+        base_version = t.current_doc().version
+        crasher = SnapshotTable(
+            root, CLIENT_PRODUCTS_SCHEMA,
+            committer=_crashing_committer(committer_cls(), k),
+            manifest_layout=layout, manifest_groups=4, keep_versions=2,
+        )
+        try:
+            crasher.overwrite_partitions(_df(spark, 1, ["NEW"]), [1])
+            completed = True
+        except _InjectedCrash:
+            completed = False
+            crash_points += 1
+        # repair: clear the crashed writer's lock, re-point the head,
+        # then retry the commit (idempotent if it already landed)
+        lock = os.path.join(root, _MANIFEST + ".lock")
+        if os.path.exists(lock):
+            os.remove(lock)
+        t.recover()
+        if _skus(t.read(spark, partition_value=1)) != ["NEW"]:
+            t.overwrite_partitions(_df(spark, 1, ["NEW"]), [1])
+        assert _skus(t.read(spark, partition_value=1)) == ["NEW"], f"k={k}"
+        assert _skus(t.read(spark, partition_value=2)) == ["T0"], f"k={k}"
+        assert _skus(t.read(spark)) == ["NEW", "T0"], f"k={k}"
+        # retained time travel still resolves
+        head = t.current_doc().version
+        assert head >= base_version + 1
+        for v in range(max(1, head - t.keep_versions), head + 1):
+            t.read(spark, version=v).collect()
+        if completed:
+            break
+        k += 1
+    assert crash_points >= 3, crash_points
+
+
 def test_vacuum_preserves_commit_above_stale_pointer(spark, tmp_path):
     """vacuum() before recover(): the committed-but-unpointed version's
     manifest, group files, and data dirs are live, not garbage."""
