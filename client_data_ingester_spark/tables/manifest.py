@@ -227,6 +227,18 @@ def build_manifest_for_snapshot(
     executors. This is the 100 TB path — the driver handles directory
     *names* (O(partitions)), never the file tree."""
     snap = table.current_manifest()
+    if getattr(snap, "stale", None):
+        # a degraded shared dir holds rows of partitions that were
+        # later overwritten elsewhere; SnapshotTable.read anti-filters
+        # them, but this module reads the listed files RAW — a zone-map
+        # scan would resurrect the superseded rows and break the
+        # pruned-read ≡ full-scan contract. Refuse loudly: compact the
+        # partitions still referencing the degraded dirs first.
+        raise ValueError(
+            "snapshot has stale rows in shared dirs "
+            f"({sorted(snap.stale)}); compact the partitions that still "
+            "reference them before building a zone-map manifest"
+        )
     dirs = sorted(
         {
             os.path.join(table.root, d)

@@ -316,3 +316,33 @@ def test_pruned_read_equals_full_scan_for_any_range(spark, events_by_day):
             r["event_id"] for r in pruned.select("event_id").collect()
         )
         assert got == want, (lo, hi)
+
+
+def test_snapshot_manifest_refuses_stale_snapshots(spark, tmp_path):
+    """A degraded shared dir (multi-partition commit, one partition later
+    overwritten) holds superseded rows that SnapshotTable.read
+    anti-filters — but the zone-map path reads listed files RAW, so
+    building a manifest over such a snapshot must refuse loudly instead
+    of silently violating the pruned-read ≡ full-scan contract."""
+    import pytest as _pytest
+
+    from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+    from client_data_ingester_spark.tables import SnapshotTable
+    from client_data_ingester_spark.tables import manifest as mf
+
+    t = SnapshotTable(str(tmp_path / "snap"), CLIENT_PRODUCTS_SCHEMA)
+
+    def _rows(cid, skus):
+        return spark.createDataFrame(
+            [
+                (i + 1, cid, s, None, None, None, None, None, True,
+                 None, None, None)
+                for i, s in enumerate(skus)
+            ],
+            CLIENT_PRODUCTS_SCHEMA,
+        )
+
+    t.overwrite_partitions(_rows(1, ["A"]).union(_rows(2, ["B"])), [1, 2])
+    t.overwrite_partitions(_rows(1, ["A2"]), [1])  # degrades the shared dir
+    with _pytest.raises(ValueError, match="stale rows in shared dirs"):
+        mf.build_manifest_for_snapshot(spark, t, ["stock_quantity"])
