@@ -499,6 +499,59 @@ def test_randomized_op_sequence_matches_python_oracle(spark, tmp_path):
     )
 
 
+def test_streaming_ingest_on_sharded_pointer_table(spark, tmp_path):
+    """The object-store-shaped 1M-tenant configuration in one piece:
+    Structured-Streaming ingest (epoch-transactional foreachBatch merge)
+    onto a SHARDED-manifest table committed through the
+    POINTER-FILE protocol — the exact stack a cloud deployment runs."""
+    from client_data_ingester_spark.ingestion.mapping import ParserConfig
+    from client_data_ingester_spark.streaming import start_ingest_stream
+
+    cfg = ParserConfig(
+        "csv",
+        {
+            "sku": ("sku", "text"),
+            "title": ("title", "text"),
+            "active": ("active", "boolean"),
+        },
+    )
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA,
+        committer=PointerFileCommitter(),
+        manifest_layout="sharded", manifest_groups=8,
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "f1.csv").write_text(
+        "sku,title,active\nS1,First,1\nS2,Second,1\n"
+    )
+    q = start_ingest_stream(
+        spark, t, str(landing), str(tmp_path / "ckpt"), cfg,
+        client_id=1, source_columns=["sku", "title", "active"],
+    )
+    q.awaitTermination(120)
+    assert _skus(t.read(spark, partition_value=1)) == ["S1", "S2"]
+    (landing / "f2.csv").write_text(
+        "sku,title,active\nS1,Updated,0\nS3,Third,1\n"
+    )
+    q2 = start_ingest_stream(
+        spark, t, str(landing), str(tmp_path / "ckpt"), cfg,
+        client_id=1, source_columns=["sku", "title", "active"],
+    )
+    q2.awaitTermination(120)
+    got = {
+        r["sku"]: r.asDict()
+        for r in t.read(spark, partition_value=1).collect()
+    }
+    assert set(got) == {"S1", "S2", "S3"}
+    assert got["S1"]["title"] == "Updated"
+    assert got["S1"]["active"] is False
+    assert t.current_doc().layout == "sharded"
+    # head resolution survives losing the advisory pointer entirely
+    os.remove(os.path.join(t.root, _MANIFEST))
+    assert _skus(t.read(spark, partition_value=1)) == ["S1", "S2", "S3"]
+
+
 class _InjectedCrash(RuntimeError):
     pass
 
