@@ -346,3 +346,90 @@ def test_snapshot_manifest_refuses_stale_snapshots(spark, tmp_path):
     t.overwrite_partitions(_rows(1, ["A2"]), [1])  # degrades the shared dir
     with _pytest.raises(ValueError, match="stale rows in shared dirs"):
         mf.build_manifest_for_snapshot(spark, t, ["stock_quantity"])
+
+
+def test_churn_fuzz_pruned_read_always_equals_full_scan(spark, tmp_path):
+    """Seeded churn fuzz on the stale-manifest contract: files are added
+    and whole day-dirs removed WITHOUT rebuilding the manifest, with
+    occasional update_manifest refreshes, and after every step a pruned
+    read over a random range must equal the full scan + filter exactly.
+    Unmanifested files must always be scanned (evidence-based keep);
+    vanished manifested files must drop out instead of failing."""
+    import random
+
+    from client_data_ingester_spark.tables.manifest import (
+        build_manifest,
+        update_manifest,
+    )
+
+    rng = random.Random(7)
+    path = str(tmp_path / "churn")
+
+    def write_day(day, base):
+        (
+            spark.range(40)
+            .select(
+                (F.col("id") + base).cast("double").alias("value"),
+                F.lit(day).alias("event_date"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/event_date={day}")
+        )
+
+    days = []
+    for d in range(4):
+        write_day(f"2024-01-{d+1:02d}", d * 100)
+        days.append(f"2024-01-{d+1:02d}")
+    # the persisted flow (write_manifest): the in-memory relations from
+    # build/update are LAZY — their footer reads re-execute at every
+    # evaluation, against files later churn deletes. Real deployments
+    # persist the manifest; the fuzz models exactly that.
+    built = build_manifest(spark, path, ["value"])
+    manifest = spark.createDataFrame(built.collect(), built.schema)
+
+    def check(step):
+        # Spark's session file-status cache can serve stale listings
+        # after external file churn — standard refreshByPath territory,
+        # orthogonal to the manifest contract under test
+        spark.catalog.refreshByPath(path)
+        lo = float(rng.randint(-50, 450))
+        hi = lo + rng.randint(10, 200)
+        got = sorted(
+            r["value"]
+            for r in read_pruned(
+                spark, path, manifest, "value", lo, hi
+            ).collect()
+        )
+        want = sorted(
+            r["value"]
+            for r in spark.read.parquet(path)
+            .filter((F.col("value") >= lo) & (F.col("value") <= hi))
+            .collect()
+        )
+        assert got == want, f"step {step}: pruned != full for [{lo},{hi}]"
+
+    next_day = 4
+    for step in range(12):
+        op = rng.random()
+        if op < 0.45:
+            # new day lands; manifest NOT rebuilt (stale-manifest state)
+            write_day(f"2024-01-{next_day+1:02d}", next_day * 100)
+            days.append(f"2024-01-{next_day+1:02d}")
+            next_day += 1
+        elif op < 0.7 and len(days) > 1:
+            # a manifested day vanishes (compaction/GC analogue)
+            gone = days.pop(rng.randrange(len(days)))
+            import shutil as _sh
+
+            _sh.rmtree(f"{path}/event_date={gone}")
+        else:
+            # refresh: stats catch up with the live tree. Materialize the
+            # result (the write_manifest flow): the returned relation is
+            # LAZY, so its footer reads would otherwise re-execute at
+            # every later evaluation — against files later churn deletes
+            refreshed = update_manifest(spark, path, ["value"], manifest)
+            manifest = spark.createDataFrame(
+                refreshed.collect(), refreshed.schema
+            )
+        check(step)
