@@ -1,18 +1,26 @@
-"""Versioned-snapshot parquet tables with atomic manifest swap.
+"""Versioned-snapshot parquet tables with an atomic commit point.
 
 Replaces the reference's Postgres transactionality (single ``db.commit()`` per
 ingested file, B/ingestion/service.py:108) in a pure-parquet world. Design
 goals, in order:
 
-1. **Atomicity**: a writer stages new parquet directories, then atomically
-   swaps a manifest pointer (`os.replace`). A crash before the swap leaves the
-   old manifest — readers never see a partial ingest (SURVEY §1.5 / §4.2.4).
+1. **Atomicity**: a writer stages new parquet directories, then commits a
+   versioned manifest through the ``tables.committer`` seam — a conditional
+   put is the commit point (POSIX: O_EXCL + fsync'd pointer swap; object
+   store: ``If-None-Match`` PUT with the head derived by LIST). A crash
+   before the commit point leaves the old manifest — readers never see a
+   partial ingest (SURVEY §1.5 / §4.2.4).
 2. **No full-table rewrite per ingest**: the manifest maps partition key
    (``client_id``) → data directories, Iceberg-manifest-style. Ingesting one
    client's file writes only that client's new directory and re-points the
    manifest; other clients' files are referenced untouched. At 100 TB with
    thousands of tenants this is the difference between an O(file) and an
-   O(table) write.
+   O(table) write. Past ~10k tenants the manifest itself becomes the
+   write-amplification bound — ``manifest_layout="sharded"`` splits it into
+   a manifest list + per-group manifest files (commit cost
+   O(clients/groups + groups), retention GC an O(commit) deletion ledger,
+   ``vacuum()`` the full-sweep maintenance path; measured: 87 KB metadata
+   per one-tenant commit at 1M tenants vs ~60 MB single-blob).
 3. **Partition pruning**: a tenant-scoped read resolves only that tenant's
    directories from the manifest — file-level pruning before Spark even plans
    the scan (the manifest is the coarse index; parquet row-group stats do the
