@@ -505,6 +505,7 @@ def nb_language_scores(
     cache_model: bool = False,
     tf: DataFrame | None = None,
     model: "tuple[DataFrame, DataFrame] | None" = None,
+    model_out: dict | None = None,
 ) -> DataFrame:
     """Multinomial Naive Bayes language classifier, trained ON the corpus
     and applied back to it — the distributed shape of the model-based
@@ -540,7 +541,14 @@ def nb_language_scores(
     persisted write-time artifact (``build_nb_index``): training is a
     pure function of the corpus, so at scale it belongs at write time
     and scoring becomes ONE broadcast-join pass over the tf relation
-    (the same build/probe split as the IVF/RP/k-means indexes)."""
+    (the same build/probe split as the IVF/RP/k-means indexes).
+
+    ``model_out``: pass a dict to receive the trained model —
+    ``model_out["model"]`` is the ``(lp, classes)`` pair (reusable as
+    ``model=`` on later calls) and ``model_out["release"]`` is a
+    zero-arg callable that unpersists the ``cache_model=True``
+    intermediates (a no-op otherwise). Without it a cache_model caller
+    has no way to ever free the executor storage the cache pins."""
     if tf is None:
         tf = word_rows(docs, text_col).groupBy("doc_id", "w").agg(
             F.count(F.lit(1)).alias("_tf")
@@ -549,10 +557,16 @@ def nb_language_scores(
     if model is not None:
         lp, classes = model
         return _nb_score(tf, doc_lang, lp, classes)
-    lp, classes, _handles = _nb_model(tf, doc_lang, cache_model)
-    # _handles (this call's persisted intermediates) are deliberately
-    # left alive: cache_model=True is the caller's opt-in to keep the
-    # reduced model cached for the session (documented in _nb_model)
+    lp, classes, handles = _nb_model(tf, doc_lang, cache_model)
+    if model_out is not None:
+        # hand the caller the trained relations and an explicit release
+        # for the cache_model=True persists — without this the handles
+        # were unreachable and executor storage stayed pinned for the
+        # session (ADVICE r12)
+        model_out["model"] = (lp, classes)
+        model_out["release"] = lambda: [
+            h.unpersist() for h in handles
+        ] and None
     return _nb_score(tf, doc_lang, lp, classes)
 
 

@@ -788,7 +788,10 @@ def load_cluster_index(spark, path: str) -> DataFrame:
 
 
 def warm_start_clusters(
-    old_labels: DataFrame, new_edges: DataFrame, max_iter: int = 25
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Incremental connected components: fold ``new_edges`` into a previous
     ``duplicate_clusters`` labeling WITHOUT re-contracting the full edge
@@ -841,10 +844,22 @@ def warm_start_clusters(
     if super_edges.isEmpty():
         return lab
     # delta-sized contraction: nodes are old roots and brand-new doc ids
-    super_labels = duplicate_clusters(super_edges, max_iter=max_iter)
-    remap = super_labels.select(
-        F.col("doc_id").alias("_old_root"), F.col("cluster_id").alias("_new_root")
-    ).localCheckpoint()  # delta-sized; broadcast below
+    super_labels = duplicate_clusters(
+        super_edges, max_iter=max_iter, reliable=reliable
+    )
+    from .ckpt import pin
+
+    # delta-sized; broadcast below. Same reliable= seam as the
+    # contraction rounds: executor-local blocks are fine interactively,
+    # durable checkpoints on a cluster where an executor loss mid-remap
+    # must recover instead of failing the refresh.
+    remap = pin(
+        super_labels.select(
+            F.col("doc_id").alias("_old_root"),
+            F.col("cluster_id").alias("_new_root"),
+        ),
+        reliable,
+    )
     updated = lab.join(
         F.broadcast(remap), lab.cluster_id == F.col("_old_root")
     ).select("doc_id", F.col("_new_root").alias("cluster_id"))

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.ckpt import pin
 from ..operators.dedup import (
     build_cluster_index,
     duplicate_clusters,
@@ -225,7 +226,10 @@ def _write_watermark(path: str, max_batch_id: int) -> None:
 
 
 def refresh_cluster_index(
-    spark: SparkSession, state_dir: str, path: str
+    spark: SparkSession,
+    state_dir: str,
+    path: str,
+    reliable: bool = False,
 ) -> None:
     """Land the streamed labeling in the SAME persisted-artifact format
     the batch endgame probes (``load_cluster_index``) — the maintenance
@@ -262,7 +266,11 @@ def refresh_cluster_index(
     )
     old = load_cluster_index(spark, path)
     # materialize BEFORE the overwrite (the new labels derive from the
-    # files the write is about to replace)
-    updated = warm_start_clusters(old, new_edges).localCheckpoint()
+    # files the write is about to replace); reliable=True routes the
+    # pin through the durable checkpoint dir so a cluster refresh
+    # survives executor loss between the read and the overwrite
+    updated = pin(
+        warm_start_clusters(old, new_edges, reliable=reliable), reliable
+    )
     updated.write.mode("overwrite").parquet(path)
     _write_watermark(path, max(batch_ids))

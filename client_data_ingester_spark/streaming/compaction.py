@@ -104,10 +104,19 @@ def recover_compaction(
     try:
         m = json.loads(raw)
     except (json.JSONDecodeError, UnicodeDecodeError):
-        # A truncated manifest can only be a pre-atomic-write leftover
-        # (the manifest is published via put_atomic, and it is written
-        # BEFORE any source deletion) — so every source dir is intact
-        # and the staged fold is disposable. Discard and retry.
+        m = None
+    if (
+        not isinstance(m, dict)
+        or "target" not in m
+        or "fold" not in m
+    ):
+        # A truncated or key-incomplete manifest can only be a
+        # pre-atomic-write leftover (the manifest is published via
+        # put_atomic with both keys, and it is written BEFORE any
+        # source deletion) — so every source dir is intact and the
+        # staged fold is disposable. Discard and retry; raising a
+        # KeyError here instead would permanently wedge compaction
+        # (recovery runs at the start of every compact call).
         committer.cleanup_staged(tmp)
         committer.delete(mp)
         return True

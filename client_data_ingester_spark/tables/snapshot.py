@@ -64,6 +64,8 @@ from .committer import Committer, PosixCommitter
 
 _MANIFEST = "_MANIFEST"
 _GROUP_PREFIX = "_MGROUP."
+_IDSEQ = "_IDSEQ"
+_STAGING_PREFIX = "_STAGING."
 
 
 class SnapshotConflictError(RuntimeError):
@@ -289,6 +291,121 @@ class SnapshotTable:
             % self.manifest_groups
         )
 
+    def _max_committed_version(self) -> int:
+        """Highest versioned-manifest number on disk (-1 = none): the
+        true committed head, independent of the advisory pointer."""
+        best = -1
+        for name in os.listdir(self.root):
+            suffix = name[len(_MANIFEST) :] if name.startswith(
+                _MANIFEST
+            ) else ""
+            if suffix.startswith(".v") and suffix[2:].isdigit():
+                best = max(best, int(suffix[2:]))
+        return best
+
+    # ---- surrogate-id sequence ---------------------------------------------
+
+    def _seq_path(self, k: int) -> str:
+        return os.path.join(self.root, f"{_IDSEQ}.v{k}")
+
+    def _seq_head(self) -> tuple[int, int | None]:
+        """(highest sequence file number, its value) — (0, None) when no
+        sequence exists yet (a table that has only seen serial writers)."""
+        for _ in range(100):
+            best = 0
+            for name in os.listdir(self.root):
+                if name.startswith(_IDSEQ + ".v"):
+                    s = name[len(_IDSEQ) + 2 :]
+                    if s.isdigit():
+                        best = max(best, int(s))
+            if not best:
+                return 0, None
+            payload = self.committer.get(self._seq_path(best))
+            if payload is not None:
+                return best, int(payload.decode())
+            # the head file vanished between LIST and GET — only GC of
+            # an OLDER file can do that (the winner of k+1 deletes k-1,
+            # so a deleted k implies k+1 and k+2 exist); re-list sees
+            # strictly newer heads, so this terminates with progress
+        raise SnapshotConflictError(
+            "id-sequence head unreadable after 100 re-lists"
+        )
+
+    def reserve_id_block(self, n: int) -> int:
+        """Atomically reserve ``n`` surrogate ids; returns ``base`` — the
+        caller owns ids ``base+1 .. base+n`` exclusively.
+
+        This is the concurrent-writer replacement for the
+        ``expected_max_id`` guard: instead of minting from the manifest's
+        ``max_id`` and conflicting (full merge recompute) whenever ANY
+        writer advanced it, each writer CAS-reserves a disjoint block up
+        front — a DB sequence in object-store primitives (the reference
+        gets this from its Postgres sequence). The sequence is a chain of
+        conditional-put files ``_IDSEQ.v{k}`` whose content is the next
+        unreserved id; reserving = create ``v{k+1}`` with value+n. Gaps
+        (crashed reservers, update-only files) burn id-space, never
+        uniqueness — identical to a DB sequence's rollback gaps.
+
+        Initialization bridges from the serial world: with no sequence
+        files the base comes from the manifest's ``max_id``, so a table's
+        first reserving writer continues exactly where legacy commits
+        left off. MIXING modes concurrently on one table is not safe —
+        a props-minting writer cannot see in-flight reservations; a
+        table's minting writers must either all reserve (this package's
+        ingest paths do) or all pass ``expected_max_id``.
+
+        Retention: the winner of ``v{k+1}`` deletes ``v{k-1}``, keeping
+        at most two live files; the invariant "a deleted k implies k+1
+        and k+2 exist" makes the LIST→GET race in ``_seq_head`` safely
+        re-listable (see there). O(1) small blobs per reservation."""
+        if n <= 0:
+            raise ValueError(f"reserve_id_block needs n >= 1, got {n}")
+        for _ in range(200):
+            k, val = self._seq_head()
+            if val is None:
+                val = int(self.current_doc().props.get("max_id", 0))
+            if self.committer.put_if_absent(
+                self._seq_path(k + 1), str(val + n).encode()
+            ):
+                if k >= 2:
+                    with contextlib.suppress(OSError):
+                        self.committer.delete(self._seq_path(k - 1))
+                return val
+        raise SnapshotConflictError(
+            "id-sequence reservation lost the CAS 200 times; "
+            "pathological writer contention"
+        )
+
+    # ---- staging intents ------------------------------------------------
+
+    def _intent_path(self, dir_name: str) -> str:
+        return os.path.join(self.root, _STAGING_PREFIX + dir_name)
+
+    def _stage_intent(self, dir_name: str) -> None:
+        """Mark ``dir_name`` as an in-flight staged write. Data staging
+        now happens OUTSIDE the write lock (so concurrent writers'
+        Spark jobs overlap), which means a racer's commit-path GC sweep
+        or a vacuum() can run while this dir is half-written and not
+        yet referenced by any manifest — the intent file is what tells
+        them "not garbage, in flight". Removed after the commit (the
+        manifest reference protects the dir from then on) or with the
+        staged dir on failure; a crashed writer's leaked intent+dir
+        fall to vacuum(orphan_grace_seconds)."""
+        self.committer.put_atomic(
+            self._intent_path(dir_name), str(os.getpid()).encode()
+        )
+
+    def _clear_intent(self, dir_name: str) -> None:
+        with contextlib.suppress(OSError):
+            self.committer.delete(self._intent_path(dir_name))
+
+    def _intent_dirs(self) -> set[str]:
+        return {
+            name[len(_STAGING_PREFIX) :]
+            for name in os.listdir(self.root)
+            if name.startswith(_STAGING_PREFIX)
+        }
+
     def current_doc(self) -> _VersionDoc:
         """The current version file, parsed but group-lazy: O(groups)
         bytes, no partition materialization. The cheap accessor for
@@ -365,6 +482,23 @@ class SnapshotTable:
         # wins this version (POSIX: O_CREAT|O_EXCL; object store:
         # If-None-Match / if-generation-match 0)
         if not self.committer.put_if_absent(versioned, payload):
+            # Self-heal a wedged head before surfacing the conflict: a
+            # writer that crashed BETWEEN the commit point and the
+            # pointer publish leaves the pointer at N-1 while version N
+            # exists — under the POSIX committer every later publish
+            # would recompute N, lose this put, and conflict forever
+            # until recover() ran manually (ADVICE r12). Re-pointing at
+            # the true max committed version makes the caller's re-read
+            # see the committed head and retry against N+1. (Pointer
+            # publication is advisory, so re-publishing here is safe
+            # even when the collision is a live racing writer — the
+            # pointer-file committer derives heads by LIST and treats
+            # this as a harmless cache refresh.)
+            best = self._max_committed_version()
+            if best >= version:
+                self.committer.publish_pointer(
+                    self._manifest_path(), self._manifest_path(best)
+                )
             raise SnapshotConflictError(
                 f"manifest version {version} already published — "
                 "a concurrent writer won this commit; re-read and retry"
@@ -400,6 +534,7 @@ class SnapshotTable:
                     live_groups.add(os.path.basename(
                         self._group_path(int(gid), sha)
                     ))
+        staging = self._intent_dirs()
         for name in os.listdir(self.root):
             full = os.path.join(self.root, name)
             if name.startswith(_GROUP_PREFIX):
@@ -414,7 +549,11 @@ class SnapshotTable:
                     if int(suffix[2:]) < horizon:
                         os.unlink(full)
             elif os.path.isdir(full) and name not in live_dirs:
-                shutil.rmtree(full, ignore_errors=True)
+                # a dir no kept version references is garbage UNLESS a
+                # concurrent writer is mid-stage on it (staging happens
+                # outside the write lock; the intent file is its shield)
+                if name not in staging:
+                    shutil.rmtree(full, ignore_errors=True)
 
     def _gc_ledger(self, latest_version: int) -> None:
         """Sharded-layout retention: O(commit), no root listing.
@@ -423,8 +562,9 @@ class SnapshotTable:
         computed exactly: ``removed_dirs`` (single-owner data dirs its
         writes displaced — referenced only by versions OLDER than it)
         and ``freed_groups`` (group files it replaced — ditto, and group
-        shas are salted with the gid so a freed sha can never be another
-        group's live file). Both become safe to delete the moment the
+        shas are salted with the gid AND the writing version so a freed
+        sha can never be another group's — or a later identical
+        rewrite's — live file). Both become safe to delete the moment the
         retention horizon reaches the version that recorded them. The
         walk descends from the horizon until the first already-deleted
         version file, so an interrupted GC self-heals on the next
@@ -472,15 +612,24 @@ class SnapshotTable:
             obj["stale"] = stale
         return json.dumps(obj, sort_keys=True).encode()
 
-    def _write_group(self, gid: int, content: dict) -> str:
-        """Write one group manifest file, content-addressed WITHIN its
-        group (sha salted with the gid: two groups with identical
-        content — e.g. both empty — must never share a file, or freeing
-        one group's old sha would delete the other's live file)."""
+    def _write_group(self, gid: int, content: dict, version: int) -> str:
+        """Write one group manifest file, content-addressed within its
+        group AND the writing version. Both salts are load-bearing for
+        the deletion ledger: the gid salt keeps two groups with
+        identical content (e.g. both empty) from sharing a file, and
+        the VERSION salt keeps a later commit that reproduces a group's
+        exact prior content from reusing a sha an intermediate
+        version's ``freed_groups`` ledger has already scheduled for
+        deletion — without it, the horizon reaching that intermediate
+        version would delete a group file the newest version still
+        references (ADVICE r12)."""
         payload = self._group_payload(content)
-        sha = hashlib.md5(f"g{gid}:".encode() + payload).hexdigest()[:16]
-        # idempotent: same content => same name; a concurrent identical
-        # write losing the conditional put changes nothing
+        sha = hashlib.md5(
+            f"g{gid}:v{version}:".encode() + payload
+        ).hexdigest()[:16]
+        # idempotent: same content + same target version => same name; a
+        # concurrent identical write losing the conditional put changes
+        # nothing (the racer then loses the version commit point anyway)
         self.committer.put_if_absent(self._group_path(gid, sha), payload)
         return sha
 
@@ -612,7 +761,7 @@ class SnapshotTable:
             }
             old_sha = groups_map.get(str(gid))
             if parts:
-                sha = self._write_group(gid, content)
+                sha = self._write_group(gid, content, new_version)
                 if old_sha is not None and old_sha != sha:
                     freed.append([gid, old_sha])
                 groups_map[str(gid)] = sha
@@ -707,13 +856,20 @@ class SnapshotTable:
             # match). Null-safe: a NULL partition key must survive the
             # anti-filter unless 'None' itself is the stale value (bare
             # ~isin() is NULL for NULL inputs and would drop the row).
+            # For a STRING partition column the str(None) key convention
+            # conflates NULL with the literal "None" — writes treat them
+            # as one partition (overwrite_partitions keys on str(v)), so
+            # the stale filter must drop BOTH when "None" is stale, or a
+            # literal-"None" tenant's superseded rows leak into full
+            # reads forever (ADVICE r12).
             uniq = sorted(set(vals))
             pc = F.col(self.partition_col)
+            in_keys = [v for v in uniq if v != "None"]
+            if "None" in uniq and isinstance(dtype, T.StringType):
+                in_keys.append("None")
             is_stale = F.coalesce(
-                pc.isin(
-                    *[F.lit(v).try_cast(dtype) for v in uniq if v != "None"]
-                )
-                if any(v != "None" for v in uniq)
+                pc.isin(*[F.lit(v).try_cast(dtype) for v in in_keys])
+                if in_keys
                 else F.lit(False),
                 F.lit(False),
             )
@@ -758,83 +914,145 @@ class SnapshotTable:
         assign ids from the same base and collide across tenants.
         """
         values = [str(v) for v in partition_values]
-        with self._write_lock():
-            doc = self.current_doc()
-            if expected_version is not None and doc.version != expected_version:
-                expected = self._doc_at(expected_version)
-                if expected is None or any(
-                    doc.partitions_for(v) != expected.partitions_for(v)
-                    for v in values
-                ):
-                    raise SnapshotConflictError(
-                        f"partition(s) {values} changed since version "
-                        f"{expected_version} (now {doc.version}); "
-                        "re-read and retry the merge"
-                    )
-            if (
-                expected_max_id is not None
-                and int(doc.props.get("max_id", 0)) != expected_max_id
-            ):
-                raise SnapshotConflictError(
-                    f"max_id advanced from {expected_max_id} to "
-                    f"{doc.props.get('max_id', 0)} since the merge was "
-                    "computed; re-read and retry (surrogate ids would collide)"
+        # ---- stage OUTSIDE the write lock ---------------------------------
+        # The Spark job that materializes ``df`` is the expensive part of a
+        # commit; holding the lock across it serialized every concurrent
+        # writer's data write end-to-end. Staged dirs are invisible until a
+        # manifest references them, so staging needs no mutual exclusion —
+        # only protection from a racer's commit-path GC / vacuum sweeping a
+        # dir no manifest references yet, which the staging-intent marker
+        # provides (see _stage_intent). The version in the dir name is a
+        # readability hint (the head observed at stage time + 1); the
+        # commit below may land at a higher version after a rebase.
+        dir_name = (
+            f"v{self.current_doc().version + 1:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.root, dir_name)
+        self._stage_intent(dir_name)
+        committed = False
+        reached_commit = False
+        try:
+            (
+                df.select(
+                    *[
+                        F.col(f.name).cast(f.dataType)
+                        for f in self.schema.fields
+                    ]
                 )
-            new_version = doc.version + 1
-            dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
-            out = os.path.join(self.root, dir_name)
-            reached_commit = False
-            try:
-                (
-                    df.select(
-                        *[
-                            F.col(f.name).cast(f.dataType)
-                            for f in self.schema.fields
-                        ]
-                    )
-                    .write.mode("overwrite")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            data_max_id = None
+            if any(f.name == "id" for f in self.schema.fields):
+                # max_id must come from the DATA, not the caller's row
+                # count: insert ids are id_base + row-index + 1 and the
+                # row index is sparse (monotonically_increasing_id puts
+                # partition p's rows at p·2^33+n), so assigned ids can
+                # exceed any count-derived bound — trusting the caller
+                # here let a later ingest re-assign live ids. One
+                # column, one partition's parquet: a cheap stats read.
+                data_max_id = (
+                    df.sparkSession.read.schema(self.schema)
                     .parquet(out)
+                    .agg(F.max("id"))
+                    .first()[0]
                 )
-                new_props = dict(doc.props)
-                if props:
-                    new_props.update(props)
-                if any(f.name == "id" for f in self.schema.fields):
-                    # max_id must come from the DATA, not the caller's row
-                    # count: insert ids are id_base + row-index + 1 and the
-                    # row index is sparse (monotonically_increasing_id puts
-                    # partition p's rows at p·2^33+n), so assigned ids can
-                    # exceed any count-derived bound — trusting the caller
-                    # here let a later ingest re-assign live ids. One
-                    # column, one partition's parquet: a cheap stats read.
-                    max_id = (
-                        df.sparkSession.read.schema(self.schema)
-                        .parquet(out)
-                        .agg(F.max("id"))
-                        .first()[0]
-                    )
-                    if max_id is not None:
-                        new_props["max_id"] = max(
-                            int(max_id), int(new_props.get("max_id", 0))
+            # ---- commit loop: manifest-only work per attempt ---------------
+            # A losing writer REBASES instead of recomputing: on a version
+            # collision (a racer that bypassed the in-process lock won the
+            # conditional put), re-read the head and re-encode this commit's
+            # delta — "my partitions point at my staged dir" — onto it.
+            # The staged data never moves; only the few touched manifest
+            # groups are rewritten. Data-level staleness (the racer touched
+            # MY partitions, or the id ledger this merge minted from moved)
+            # still surfaces as SnapshotConflictError to the caller, whose
+            # re-merge is the one genuine data recompute.
+            last: SnapshotConflictError | None = None
+            for _ in range(5):
+                with self._write_lock():
+                    doc = self.current_doc()
+                    if (
+                        expected_version is not None
+                        and doc.version != expected_version
+                    ):
+                        expected = self._doc_at(expected_version)
+                        if expected is None or any(
+                            doc.partitions_for(v)
+                            != expected.partitions_for(v)
+                            for v in values
+                        ):
+                            raise SnapshotConflictError(
+                                f"partition(s) {values} changed since "
+                                f"version {expected_version} (now "
+                                f"{doc.version}); re-read and retry the "
+                                "merge"
+                            )
+                    if (
+                        expected_max_id is not None
+                        and int(doc.props.get("max_id", 0))
+                        != expected_max_id
+                    ):
+                        raise SnapshotConflictError(
+                            f"max_id advanced from {expected_max_id} to "
+                            f"{doc.props.get('max_id', 0)} since the merge "
+                            "was computed; re-read and retry (surrogate "
+                            "ids would collide)"
                         )
-                payload = self._encode_commit(
-                    doc, new_version, values, dir_name, new_props
+                    if not os.path.isdir(out):
+                        # an over-aggressive vacuum(orphan_grace) reclaimed
+                        # the staged dir mid-flight; the data must be
+                        # restaged — checked under the lock vacuum holds,
+                        # so the answer is race-free
+                        raise SnapshotConflictError(
+                            f"staged dir {dir_name} vanished before commit "
+                            "(vacuum grace too aggressive?); re-stage"
+                        )
+                    new_version = doc.version + 1
+                    new_props = dict(doc.props)
+                    if props:
+                        new_props.update(props)
+                    if data_max_id is not None:
+                        new_props["max_id"] = max(
+                            int(data_max_id),
+                            int(new_props.get("max_id", 0)),
+                        )
+                    payload = self._encode_commit(
+                        doc, new_version, values, dir_name, new_props
+                    )
+                    reached_commit = True
+                    try:
+                        self._commit_version(new_version, payload)
+                        committed = True
+                        break
+                    except SnapshotConflictError as e:
+                        # the put provably LOST — version N belongs to the
+                        # racer, nothing of ours is referenced; rebase
+                        reached_commit = False
+                        last = e
+                        continue
+            if not committed:
+                raise last or SnapshotConflictError(
+                    "lost the version race 5 times"
                 )
-                reached_commit = True
-                self._commit_version(new_version, payload)
-            except BaseException as e:
-                # clean the staged dir ONLY when the commit point was
-                # provably not reached (or provably lost: a version
-                # collision). An exception AFTER the conditional put —
-                # pointer publish or GC raising — leaves a COMMITTED
-                # version referencing this dir; deleting it would
-                # corrupt the table. Such dirs are live; a genuinely
-                # failed put inside _commit_version leaks one staged
-                # dir for vacuum(), the correct bias.
-                if not reached_commit or isinstance(
-                    e, SnapshotConflictError
-                ):
-                    shutil.rmtree(out, ignore_errors=True)
-                raise
+        except BaseException as e:
+            # clean the staged dir ONLY when the commit point was
+            # provably not reached (or provably lost: a version
+            # collision). An exception AFTER the conditional put —
+            # pointer publish or GC raising — leaves a COMMITTED
+            # version referencing this dir; deleting it would
+            # corrupt the table. Such dirs are live; a genuinely
+            # failed put inside _commit_version leaks one staged
+            # dir for vacuum(), the correct bias.
+            if not committed and (
+                not reached_commit or isinstance(e, SnapshotConflictError)
+            ):
+                shutil.rmtree(out, ignore_errors=True)
+            raise
+        finally:
+            # after a successful commit the manifest reference protects
+            # the dir; after a cleanup there is nothing to protect; a
+            # process crash skips this and vacuum's grace reclaims both
+            self._clear_intent(dir_name)
         return _DocManifest(self.current_doc())
 
     def compact(
@@ -888,56 +1106,87 @@ class SnapshotTable:
         a publish that landed in between raises ``SnapshotConflictError``
         instead of silently dropping the racer's rows (the caller re-reads
         and retries — see AuthService._rmw)."""
-        with self._write_lock():
-            doc = self.current_doc()
-            if (
-                expected_version is not None
-                and doc.version != expected_version
+        # same stage-outside-lock + intent + rebase-loop structure as
+        # overwrite_partitions (see there for the why of each piece)
+        dir_name = (
+            f"v{self.current_doc().version + 1:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.root, dir_name)
+        self._stage_intent(dir_name)
+        committed = False
+        reached_commit = False
+        try:
+            (
+                df.select(
+                    *[
+                        F.col(f.name).cast(f.dataType)
+                        for f in self.schema.fields
+                    ]
+                )
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            spark = df.sparkSession
+            written = spark.read.schema(self.schema).parquet(out)
+            agg = written.agg(
+                F.collect_set(self.partition_col).alias("vals"),
+                F.max("id").alias("max_id"),
+            ).first()
+            vals = [str(v) for v in (agg["vals"] or [])]
+            data_max_id = (
+                agg["max_id"] if "id" in written.columns else None
+            )
+            last: SnapshotConflictError | None = None
+            for _ in range(5):
+                with self._write_lock():
+                    doc = self.current_doc()
+                    if (
+                        expected_version is not None
+                        and doc.version != expected_version
+                    ):
+                        raise SnapshotConflictError(
+                            f"table advanced to v{doc.version} since the "
+                            f"caller read v{expected_version}; re-read "
+                            "and retry"
+                        )
+                    if not os.path.isdir(out):
+                        raise SnapshotConflictError(
+                            f"staged dir {dir_name} vanished before "
+                            "commit (vacuum grace too aggressive?); "
+                            "re-stage"
+                        )
+                    new_version = doc.version + 1
+                    props = dict(doc.props)
+                    if data_max_id is not None:
+                        props["max_id"] = max(
+                            int(data_max_id), int(props.get("max_id", 0))
+                        )
+                    payload = self._encode_replace_all(
+                        doc, new_version, vals, dir_name, props
+                    )
+                    reached_commit = True
+                    try:
+                        self._commit_version(new_version, payload)
+                        committed = True
+                        break
+                    except SnapshotConflictError as e:
+                        reached_commit = False
+                        last = e
+                        continue
+            if not committed:
+                raise last or SnapshotConflictError(
+                    "lost the version race 5 times"
+                )
+        except BaseException as e:
+            # see overwrite_partitions: never delete the staged dir
+            # once the commit point may have succeeded
+            if not committed and (
+                not reached_commit or isinstance(e, SnapshotConflictError)
             ):
-                raise SnapshotConflictError(
-                    f"table advanced to v{doc.version} since the "
-                    f"caller read v{expected_version}; re-read and retry"
-                )
-            new_version = doc.version + 1
-            dir_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
-            out = os.path.join(self.root, dir_name)
-            reached_commit = False
-            try:
-                (
-                    df.select(
-                        *[
-                            F.col(f.name).cast(f.dataType)
-                            for f in self.schema.fields
-                        ]
-                    )
-                    .write.mode("overwrite")
-                    .parquet(out)
-                )
-                spark = df.sparkSession
-                written = spark.read.schema(self.schema).parquet(out)
-                agg = written.agg(
-                    F.collect_set(self.partition_col).alias("vals"),
-                    F.max("id").alias("max_id"),
-                ).first()
-                vals = [str(v) for v in (agg["vals"] or [])]
-                props = dict(doc.props)
-                if "id" in written.columns and agg["max_id"] is not None:
-                    props["max_id"] = max(
-                        int(agg["max_id"]), int(props.get("max_id", 0))
-                    )
-                payload = self._encode_replace_all(
-                    doc, new_version, vals, dir_name, props
-                )
-                reached_commit = True
-                self._commit_version(new_version, payload)
-            except BaseException as e:
-                # see overwrite_partitions: never delete the staged dir
-                # once the commit point may have succeeded
-                if not reached_commit or isinstance(
-                    e, SnapshotConflictError
-                ):
-                    shutil.rmtree(out, ignore_errors=True)
-                raise
+                shutil.rmtree(out, ignore_errors=True)
+            raise
+        finally:
+            self._clear_intent(dir_name)
         return _DocManifest(self.current_doc())
 
     def _encode_replace_all(
@@ -981,6 +1230,7 @@ class SnapshotTable:
                     "parts": {v: [dir_name] for v in gvals},
                     "shared": [dir_name] if shared_commit else [],
                 },
+                new_version,
             )
         return json.dumps(
             {
@@ -996,7 +1246,7 @@ class SnapshotTable:
 
     # ---- maintenance ---------------------------------------------------------
 
-    def vacuum(self) -> dict[str, int]:
+    def vacuum(self, orphan_grace_seconds: float = 3600.0) -> dict[str, int]:
         """Full-sweep reclamation of everything the per-commit GC
         intentionally leaves behind: SHARED data dirs (multi-partition
         commits — the ledger can't prove them dead without a global
@@ -1004,20 +1254,23 @@ class SnapshotTable:
         across a layout migration, staging litter from crashed writers,
         and orphaned group files. O(table entries) — a scheduled
         maintenance call (Iceberg's remove_orphan_files split), never
-        the commit path. Takes the writer lock so an in-flight commit's
-        not-yet-referenced staging can't be swept."""
+        the commit path. Takes the writer lock so an in-flight COMMIT
+        can't interleave; data STAGING happens outside the lock, so
+        in-flight staged dirs are recognized by their intent markers
+        and skipped until the intent is older than
+        ``orphan_grace_seconds`` (Iceberg's remove_orphan_files
+        ``older_than`` split) — a crashed writer's leak is reclaimed, a
+        live slow writer is not. A writer whose stage outlives the
+        grace AND races a vacuum fails its commit loudly (the staged
+        dir is re-checked under the lock) rather than publishing a
+        dangling reference."""
         with self._write_lock():
             latest = self.current_doc().version
             # a crash between commit point and pointer publish can leave
             # a committed version ABOVE the pointer (see recover()) —
             # its artifacts are live, so the sweep's live set must span
             # up to the true max committed version, not the pointer
-            for name in os.listdir(self.root):
-                suffix = name[len(_MANIFEST) :] if name.startswith(
-                    _MANIFEST
-                ) else ""
-                if suffix.startswith(".v") and suffix[2:].isdigit():
-                    latest = max(latest, int(suffix[2:]))
+            latest = max(latest, self._max_committed_version())
             horizon = latest - self.keep_versions
             live_dirs: set[str] = set()
             live_groups: set[str] = set()
@@ -1035,12 +1288,40 @@ class SnapshotTable:
                     )
             stats = {"dirs": 0, "groups": 0, "manifests": 0, "litter": 0}
             keep_files = {_MANIFEST, _MANIFEST + ".lock"} | live_manifests
+            now = time.time()
+            fresh_intents: set[str] = set()  # dir names under live stage
+            for name in os.listdir(self.root):
+                if not name.startswith(_STAGING_PREFIX):
+                    continue
+                full = os.path.join(self.root, name)
+                try:
+                    age = now - os.stat(full).st_mtime
+                except OSError:
+                    continue
+                if age < orphan_grace_seconds:
+                    fresh_intents.add(name[len(_STAGING_PREFIX) :])
+                else:
+                    # crashed writer: reclaim the marker; its dir (if it
+                    # ever appeared) falls to the sweep below
+                    with contextlib.suppress(OSError):
+                        os.unlink(full)
+                    stats["litter"] += 1
+            seq_head = self._seq_head()[0]
             for name in os.listdir(self.root):
                 full = os.path.join(self.root, name)
                 if os.path.isdir(full):
-                    if name not in live_dirs:
+                    if name not in live_dirs and name not in fresh_intents:
                         shutil.rmtree(full, ignore_errors=True)
                         stats["dirs"] += 1
+                elif name.startswith(_IDSEQ + ".v"):
+                    # keep the top two sequence files (the _seq_head
+                    # LIST→GET race needs head-1 to survive); older ones
+                    # are leaks from crashed reservers
+                    s = name[len(_IDSEQ) + 2 :]
+                    if s.isdigit() and int(s) < seq_head - 1:
+                        with contextlib.suppress(OSError):
+                            os.unlink(full)
+                        stats["litter"] += 1
                 elif name.startswith(_GROUP_PREFIX):
                     if name not in live_groups:
                         with contextlib.suppress(FileNotFoundError):
@@ -1076,13 +1357,7 @@ class SnapshotTable:
         harmless no-op refresh of the advisory cache.) Run after
         clearing the crashed writer's stale lock file."""
         with self._write_lock():
-            best = -1
-            for name in os.listdir(self.root):
-                suffix = name[len(_MANIFEST) :] if name.startswith(
-                    _MANIFEST
-                ) else ""
-                if suffix.startswith(".v") and suffix[2:].isdigit():
-                    best = max(best, int(suffix[2:]))
+            best = self._max_committed_version()
             if best >= 1:
                 self.committer.publish_pointer(
                     self._manifest_path(), self._manifest_path(best)

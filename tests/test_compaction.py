@@ -666,3 +666,34 @@ def test_crash_sweep_every_protocol_boundary(spark, tmp_path, committer_cls):
         k += 1
     # the sweep must have actually exercised the protocol's interior
     assert crash_points >= 6, crash_points
+
+
+def test_recovery_discards_key_incomplete_manifest(spark, tmp_path):
+    """ADVICE r12: a VALID-JSON manifest missing 'target' or 'fold' must
+    take the same discard branch as a truncated one — raising KeyError
+    would permanently wedge compaction (recover runs at the start of
+    every compact call). Like the truncated case, such a manifest can
+    only predate any source deletion, so sources are intact."""
+    from client_data_ingester_spark.streaming.compaction import (
+        recover_compaction,
+    )
+
+    shard_dir = str(tmp_path / "edges")
+    _write_shards(spark, shard_dir, 6, lambda b: [(b, b + 1)])
+    before = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).collect()
+    }
+    for bad in ('{"target": 4}', '{"fold": [0, 1]}', '[1, 2]', '"x"'):
+        with open(f"{shard_dir}/_compact_manifest.json", "w") as fh:
+            fh.write(bad)
+        assert recover_compaction(shard_dir) is True
+        assert not os.path.exists(f"{shard_dir}/_compact_manifest.json")
+    # sources intact; a fresh compaction proceeds normally
+    out = compact_batch_shards(spark, shard_dir, keep_last=1, min_shards=4)
+    assert out == 4
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(shard_dir).collect()
+    }
+    assert after == before

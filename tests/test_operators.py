@@ -2400,3 +2400,54 @@ def test_json_props_agg_survives_dirty_payload(spark):
     rows = {r["k_bucket"]: r["n"] for r in json_props_agg(ev).collect()}
     assert rows[7] == 1
     assert rows[None] == 2
+
+
+def test_nb_langid_model_out_release_unpersists(spark):
+    """ADVICE r12: cache_model=True persisted the reduced model but gave
+    the caller no handle to ever unpersist it. model_out now returns
+    the trained (lp, classes) pair and an explicit release()."""
+    from client_data_ingester_spark.operators import corpus as C
+
+    rows = [
+        (1, "der hund und die katze", "de"),
+        (2, "the dog and the cat", "en"),
+        (3, "die katze und der vogel", "de"),
+        (4, "the cat and the bird", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persisted()
+    out: dict = {}
+    scored = {
+        r.doc_id: r.pred_lang
+        for r in C.nb_language_scores(
+            docs, cache_model=True, model_out=out
+        ).collect()
+    }
+    assert scored == {1: "de", 2: "en", 3: "de", 4: "en"}
+    assert n_persisted() == before + 2  # cc + priors pinned
+    # the trained model is reusable without retraining
+    lp, classes = out["model"]
+    again = {
+        r.doc_id: r.pred_lang
+        for r in C.nb_language_scores(docs, model=(lp, classes)).collect()
+    }
+    assert again == scored
+    # release() frees exactly the cache_model persists
+    out["release"]()
+    assert n_persisted() == before
+
+
+def test_nb_langid_model_out_without_cache_is_noop_release(spark):
+    from client_data_ingester_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb", "x"), (2, "ccc ddd", "y")],
+        "doc_id long, text string, lang string",
+    )
+    out: dict = {}
+    C.nb_language_scores(docs, cache_model=False, model_out=out).collect()
+    out["release"]()  # no handles → harmless no-op
+    assert "model" in out

@@ -91,3 +91,54 @@ def test_embedding_dup_clusters_reliable_matches(spark, tmp_path):
     }
     assert rel == base
     assert len(base) == 18  # every vector labeled
+
+
+def test_warm_start_reliable_matches_local(spark, tmp_path):
+    """r12 verdict ask #4: the warm-start remap pin is now routed
+    through the same reliable= seam as the contraction rounds."""
+    from client_data_ingester_spark.operators.dedup import (
+        warm_start_clusters,
+    )
+
+    ensure_checkpoint_dir(spark, str(tmp_path / "ckpt"))
+    old = duplicate_clusters(_pairs(spark))
+    new_edges = spark.createDataFrame(
+        [(4, 10), (30, 31)], "doc_a long, doc_b long"
+    )  # merges 1-..-4 with 10-11; adds a brand-new component
+    base = _labels(warm_start_clusters(old, new_edges))
+    rel = _labels(warm_start_clusters(old, new_edges, reliable=True))
+    assert rel == base
+    assert base == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (10, 1), (11, 1),
+        (20, 20), (21, 20), (30, 30), (31, 30),
+    }
+
+
+def test_refresh_cluster_index_reliable_matches(spark, tmp_path):
+    """refresh_cluster_index(reliable=True) lands the identical artifact
+    through the durable-checkpoint path."""
+    from client_data_ingester_spark.streaming.cluster_stream import (
+        refresh_cluster_index,
+    )
+
+    ensure_checkpoint_dir(spark, str(tmp_path / "ckpt"))
+
+    def run(tag, reliable):
+        state = str(tmp_path / f"state_{tag}")
+        idx = str(tmp_path / f"idx_{tag}")
+        for b, rows in enumerate([[(1, 2), (2, 3)], [(3, 4), (8, 9)]]):
+            spark.createDataFrame(
+                rows, "doc_a long, doc_b long"
+            ).write.mode("overwrite").parquet(
+                f"{state}/edges/batch_id={b}"
+            )
+            refresh_cluster_index(spark, state, idx, reliable=reliable)
+        return {
+            (r["doc_id"], r["cluster_id"])
+            for r in spark.read.parquet(idx).collect()
+        }
+
+    base = run("local", False)
+    rel = run("rel", True)
+    assert rel == base
+    assert base == {(1, 1), (2, 1), (3, 1), (4, 1), (8, 8), (9, 8)}

@@ -658,3 +658,65 @@ def test_vacuum_preserves_commit_above_stale_pointer(spark, tmp_path):
     t.vacuum()
     assert t.recover() == 2
     assert _skus(t.read(spark)) == ["B"]
+
+
+def test_group_shas_are_version_salted(spark, tmp_path):
+    """ADVICE r12: group files were content-addressed per gid but not
+    per version — a later commit reproducing a group's exact prior
+    content reused the old sha, which an intermediate version's
+    freed_groups ledger would delete when the horizon reached it,
+    deleting the LIVE file. The sha is now salted with the writing
+    version, so identical content at different versions gets distinct
+    files and a freed sha can never be a later rewrite's live file."""
+    t = _sharded(tmp_path)
+    content = {"parts": {"7": ["d1"]}, "shared": []}
+    s1 = t._write_group(3, content, version=1)
+    s2 = t._write_group(3, content, version=2)
+    assert s1 != s2
+    # the hazard end-to-end in miniature: v2's ledger frees v1's sha;
+    # deleting it must not touch the v2 rewrite's file
+    t.committer.delete(t._group_path(3, s1))
+    assert t.committer.get(t._group_path(3, s2)) is not None
+    # and within one version the write stays idempotent (replay-safe)
+    assert t._write_group(3, content, version=2) == s2
+
+
+def test_stale_filter_handles_literal_none_string_key(spark, tmp_path):
+    """ADVICE r12: writes key partitions via str(value), so for a STRING
+    partition column NULL and the literal "None" are ONE partition.
+    The stale anti-filter only dropped NULL rows — a literal-"None"
+    tenant's superseded rows in a shared dir leaked into full reads
+    forever. Both spellings must now be filtered together."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), True),
+            T.StructField("sku", T.StringType(), True),
+        ]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    for layout in ("single", "sharded"):
+        t = SnapshotTable(
+            str(tmp_path / f"t_{layout}"), schema, partition_col="k",
+            manifest_layout=layout, manifest_groups=8,
+        )
+        # one shared dir holding the literal-"None" tenant, a NULL-key
+        # row (same partition under the str() convention), and tenant x
+        both = mk([("None", "LIT1"), (None, "NUL1"), ("x", "X1")])
+        t.overwrite_partitions(both, ["None", "x"])
+        # overwrite the "None" partition: BOTH old spellings are stale
+        t.overwrite_partitions(mk([("None", "LIT2")]), ["None"])
+        assert _skus(t.read(spark)) == ["LIT2", "X1"], layout
+        # tenant x untouched; "None" tenant reads its new row only
+        assert _skus(t.read(spark, partition_value="x")) == ["X1"], layout
+        assert _skus(t.read(spark, partition_value="None")) == [
+            "LIT2"
+        ], layout
+        # time travel still sees the original shared version intact
+        assert _skus(t.read(spark, version=1)) == [
+            "LIT1", "NUL1", "X1",
+        ], layout

@@ -176,3 +176,45 @@ def test_gc_keeps_head_readable(spark, tmp_path, committer_cls):
     # GC'd versions are gone; retained window still time-travels
     assert t._manifest_at(2) is None
     assert _skus(t.read(spark, version=5)) == ["S4"]
+
+
+def test_posix_publish_self_heals_wedged_pointer(spark, tmp_path,
+                                                 monkeypatch):
+    """ADVICE r12: under the POSIX committer a crash BETWEEN the commit
+    point (versioned manifest created) and the pointer publish left the
+    pointer at N-1; every later publish recomputed N, lost the
+    conditional put, and raised SnapshotConflictError until recover()
+    was run manually. The collision path now re-derives the head and
+    re-points before surfacing the conflict, so one ordinary retry
+    self-heals."""
+    c = PosixCommitter()
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA, committer=c
+    )
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+
+    real_publish = PosixCommitter.publish_pointer
+    calls = {"n": 0}
+
+    def crash_once(self, pointer_path, versioned_path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash after the commit point")
+        return real_publish(self, pointer_path, versioned_path)
+
+    monkeypatch.setattr(PosixCommitter, "publish_pointer", crash_once)
+    with pytest.raises(OSError):
+        t.overwrite_partitions(_df(spark, 1, ["B"]), [1])
+    # v2 is committed but the pointer still says v1 (the wedged state)
+    assert os.path.exists(os.path.join(t.root, f"{_MANIFEST}.v2"))
+    assert t.current_manifest().version == 1
+
+    # first retry: computes v2 from the stale pointer, collides, HEALS
+    # the pointer, and raises for the caller to re-read
+    with pytest.raises(SnapshotConflictError):
+        t.overwrite_partitions(_df(spark, 1, ["C"]), [1])
+    assert t.current_manifest().version == 2
+    # second attempt succeeds against the healed head — no recover()
+    t.overwrite_partitions(_df(spark, 1, ["C"]), [1])
+    assert t.current_manifest().version == 3
+    assert _skus(t.read(spark)) == ["C"]
