@@ -321,13 +321,32 @@ def _ingest(
     batch_ts = _batch_timestamp()
     deactivated_count = 0
     ingested_sku_count = 0
+    # Surrogate-id block reservation (the concurrent-writer path): every
+    # minted id is id_base + row_idx + 1 with row_idx ≤ max(_row_idx), so
+    # reserving max+1 ids up front gives this ingest an exclusive block —
+    # two tenants ingesting concurrently can no longer collide on ids, and
+    # the publish no longer needs the expected_max_id guard that forced a
+    # FULL MERGE RECOMPUTE whenever any other tenant advanced the ledger.
+    # One tiny agg over the already-cached staged relation; the block is
+    # reserved once and reused across conflict retries (same writer, same
+    # ids — re-merging with the same base is idempotent id-wise).
+    max_idx = staged.agg(F.max(ROW_IDX_COL)).first()[0]
+    if max_idx is None:
+        id_base = 0  # no rows can insert; the base is never used
+        reserved_top = None
+    else:
+        id_base = table.reserve_id_block(int(max_idx) + 1)
+        reserved_top = id_base + int(max_idx) + 1
     # Optimistic-concurrency loop: the merge is computed against a snapshot
     # PINNED to the manifest version read here, and the publish passes that
-    # version (+ the id base) as the expected state. A concurrent writer that
-    # lands in between makes overwrite_partitions raise instead of letting
-    # this publish silently drop the racer's rows (or mint colliding ids) —
-    # we then re-read the new snapshot and re-merge. This is the parquet-
-    # world equivalent of the reference's Postgres transaction serialization.
+    # version as the expected state. A concurrent writer that lands in
+    # between ON THIS PARTITION makes overwrite_partitions raise instead of
+    # letting this publish silently drop the racer's rows — we then re-read
+    # the new snapshot and re-merge. Writers on OTHER partitions no longer
+    # conflict at all: ids come from the reserved block and the commit
+    # rebases its manifest delta onto the new head (tables/snapshot.py).
+    # This is the parquet-world equivalent of the reference's Postgres
+    # transaction serialization, minus its cross-tenant serialization.
     last_conflict: SnapshotConflictError | None = None
     # try/finally so ANY exit — success, conflict exhaustion, or an
     # unexpected error from merge/overwrite — releases the cached staged
@@ -336,7 +355,6 @@ def _ingest(
     try:
         for _attempt in range(5):
             manifest = table.current_doc()
-            id_base = int(manifest.props.get("max_id", 0))
             current = table.read(
                 spark,
                 client_id,
@@ -368,15 +386,20 @@ def _ingest(
                 id_base,
             )
             try:
-                # props carries a count-derived FLOOR only;
-                # overwrite_partitions raises it to max(id) of the written
-                # data (sparse row indexes can exceed it)
+                # props carries the reserved block's top as a FLOOR (every
+                # minted id is ≤ it by construction); overwrite_partitions
+                # still raises it to max(id) of the written data and the
+                # head's own max_id, so the ledger never falls below a
+                # live id even across out-of-order concurrent commits
                 table.overwrite_partitions(
                     merged,
                     [client_id],
-                    props={"max_id": id_base + max(processed_count, 1)},
+                    props=(
+                        {"max_id": reserved_top}
+                        if reserved_top is not None
+                        else None
+                    ),
                     expected_version=manifest.version,
-                    expected_max_id=id_base,
                 )
                 break
             except SnapshotConflictError as e:

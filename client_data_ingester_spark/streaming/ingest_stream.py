@@ -169,17 +169,29 @@ def start_ingest_stream(
             batch_ts = _dt.datetime.now(_dt.timezone.utc).replace(
                 tzinfo=None, microsecond=0
             )
+            # id-block reservation, as in the batch path (service.py):
+            # the epoch's inserts mint from an exclusively-reserved block,
+            # so writers on OTHER partitions never force a re-merge (the
+            # commit rebases its manifest delta onto the new head) and can
+            # never collide on ids. An epoch REPLAY after a crash reserves
+            # a fresh block — burned ids, never duplicate ones (the
+            # txn_key guard above skips epochs that already committed).
+            max_idx = updates.agg(F.max(ROW_IDX_COL)).first()[0]
+            if max_idx is None:
+                id_base, reserved_top = 0, None
+            else:
+                id_base = table.reserve_id_block(int(max_idx) + 1)
+                reserved_top = id_base + int(max_idx) + 1
             # same optimistic-concurrency loop as the batch path
             # (service.py): the merge is derived from a snapshot read, so
-            # a concurrent writer (batch ingest, another stream on a
-            # different txn_key) landing in between must force a re-read
-            # and re-merge — an unguarded publish would drop the racer's
-            # rows and mint colliding surrogate ids
+            # a concurrent writer ON THIS PARTITION (batch ingest, another
+            # stream on a different txn_key) landing in between must force
+            # a re-read and re-merge — an unguarded publish would drop the
+            # racer's rows
             last_conflict: Exception | None = None
             for _ in range(5):
                 manifest = table.current_doc()
                 current = table.read(spark, client_id)
-                id_base = int(manifest.props.get("max_id", 0))
                 merged = merge_products(
                     current,
                     updates,
@@ -190,18 +202,16 @@ def start_ingest_stream(
                     id_base,
                 )
                 try:
-                    # max_id here is a count-derived floor;
-                    # overwrite_partitions raises it to max(id) of the
-                    # written data (sparse row indexes)
+                    props = {txn_key: int(epoch_id)}
+                    if reserved_top is not None:
+                        # the block top is a floor; overwrite_partitions
+                        # keeps the ledger monotone vs head and data
+                        props["max_id"] = reserved_top
                     table.overwrite_partitions(
                         merged,
                         [client_id],
-                        props={
-                            "max_id": id_base + max(processed_count, 1),
-                            txn_key: int(epoch_id),
-                        },
+                        props=props,
                         expected_version=manifest.version,
-                        expected_max_id=id_base,
                     )
                     break
                 except SnapshotConflictError as e:

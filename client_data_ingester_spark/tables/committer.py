@@ -51,6 +51,7 @@ tests/test_snapshot_committer.py):
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import uuid
@@ -172,13 +173,18 @@ class PosixCommitter(Committer):
             os.close(dfd)
 
     def get(self, path: str) -> bytes | None:
-        if not os.path.exists(path):
+        # open-and-catch, not exists-then-open: a concurrent DELETE (e.g.
+        # the id-sequence GC) between the check and the read must read as
+        # "absent" — exactly a store GET returning 404 — not raise
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
             return None
-        with open(path, "rb") as f:
-            return f.read()
 
     def delete(self, path: str) -> None:
-        if os.path.exists(path):
+        # idempotent, like a store DELETE: a racing deleter is a no-op
+        with contextlib.suppress(FileNotFoundError):
             os.remove(path)
 
     def publish_pointer(self, pointer_path: str, versioned_path: str) -> None:
@@ -236,13 +242,15 @@ class PointerFileCommitter(Committer):
         os.replace(tmp, path)
 
     def get(self, path: str) -> bytes | None:
-        if not os.path.exists(path):
+        # GET-after-DELETE is a 404 on a real store, never an error
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
             return None
-        with open(path, "rb") as f:
-            return f.read()
 
     def delete(self, path: str) -> None:
-        if os.path.exists(path):
+        with contextlib.suppress(FileNotFoundError):
             os.remove(path)
 
     def publish_pointer(self, pointer_path: str, versioned_path: str) -> None:

@@ -308,16 +308,21 @@ class SnapshotTable:
     def _seq_path(self, k: int) -> str:
         return os.path.join(self.root, f"{_IDSEQ}.v{k}")
 
+    def _seq_slots(self) -> list[int]:
+        """Id-sequence slot numbers on disk (may be empty)."""
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith(_IDSEQ + ".v"):
+                s = name[len(_IDSEQ) + 2 :]
+                if s.isdigit():
+                    out.append(int(s))
+        return out
+
     def _seq_head(self) -> tuple[int, int | None]:
         """(highest sequence file number, its value) — (0, None) when no
         sequence exists yet (a table that has only seen serial writers)."""
         for _ in range(100):
-            best = 0
-            for name in os.listdir(self.root):
-                if name.startswith(_IDSEQ + ".v"):
-                    s = name[len(_IDSEQ) + 2 :]
-                    if s.isdigit():
-                        best = max(best, int(s))
+            best = max(self._seq_slots(), default=0)
             if not best:
                 return 0, None
             payload = self.committer.get(self._seq_path(best))
@@ -354,23 +359,46 @@ class SnapshotTable:
         table's minting writers must either all reserve (this package's
         ingest paths do) or all pass ``expected_max_id``.
 
-        Retention: the winner of ``v{k+1}`` deletes ``v{k-1}``, keeping
-        at most two live files; the invariant "a deleted k implies k+1
-        and k+2 exist" makes the LIST→GET race in ``_seq_head`` safely
-        re-listable (see there). O(1) small blobs per reservation."""
+        Retention: a verified winner of ``v{k+1}`` sweeps every slot
+        below ``v{k}``, keeping at most two live files in steady state;
+        the invariant "a deleted slot implies a higher slot exists"
+        makes the LIST→GET race in ``_seq_head`` safely re-listable
+        (see there).
+
+        ABA guard (a real bug the threaded reservation test caught):
+        because old slot NUMBERS are deleted, a reserver stale by ≥3
+        slots can win ``put_if_absent`` on a RECYCLED slot and believe
+        it owns a block some earlier winner already handed out. A win
+        is therefore only trusted after a verify LIST shows no slot
+        above ours: a zombie re-creation always has higher slots (its
+        slot was deleted by the winner of slot+2), so it self-aborts,
+        deletes its file, and retries against the true head. The verify
+        can also abort a LEGITIMATE winner whose successor landed
+        before its LIST — that block is burned (a gap, like a rolled-
+        back DB sequence), never duplicated. Two LISTs + ≤1 small PUT
+        per reservation."""
         if n <= 0:
             raise ValueError(f"reserve_id_block needs n >= 1, got {n}")
         for _ in range(200):
             k, val = self._seq_head()
             if val is None:
                 val = int(self.current_doc().props.get("max_id", 0))
-            if self.committer.put_if_absent(
+            if not self.committer.put_if_absent(
                 self._seq_path(k + 1), str(val + n).encode()
             ):
-                if k >= 2:
-                    with contextlib.suppress(OSError):
-                        self.committer.delete(self._seq_path(k - 1))
-                return val
+                continue
+            slots = self._seq_slots()
+            if max(slots) > k + 1:
+                # zombie (or raced) win — never hand out this block
+                self.committer.delete(self._seq_path(k + 1))
+                continue
+            # verified winner: sweep every slot below k (keeping k as the
+            # _seq_head LIST→GET fallback) — aborted winners and crashed
+            # reservers can't accumulate litter
+            for j in slots:
+                if j < k:
+                    self.committer.delete(self._seq_path(j))
+            return val
         raise SnapshotConflictError(
             "id-sequence reservation lost the CAS 200 times; "
             "pathological writer contention"
@@ -1009,12 +1037,19 @@ class SnapshotTable:
                         )
                     new_version = doc.version + 1
                     new_props = dict(doc.props)
+                    head_max_id = int(new_props.get("max_id", 0))
                     if props:
                         new_props.update(props)
-                    if data_max_id is not None:
+                    if "max_id" in new_props or data_max_id is not None:
+                        # the ledger is MONOTONE: a caller's floor (e.g. a
+                        # reserved block top) must never lower it below a
+                        # concurrent later-block writer's already-committed
+                        # value, and the written data raises it past any
+                        # sparse-row-index overshoot
                         new_props["max_id"] = max(
-                            int(data_max_id),
                             int(new_props.get("max_id", 0)),
+                            head_max_id,
+                            int(data_max_id or 0),
                         )
                     payload = self._encode_commit(
                         doc, new_version, values, dir_name, new_props

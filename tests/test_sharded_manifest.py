@@ -326,8 +326,11 @@ def test_full_ingest_path_on_sharded_table(spark, tmp_path):
 
 def test_recover_unwedges_crashed_pointer(spark, tmp_path):
     """Crash between the commit point and the POSIX pointer publish:
-    version N exists, pointer says N-1, and every publish computes N
-    and conflicts forever. recover() re-points the head."""
+    version N exists, pointer says N-1. recover() re-points the head
+    explicitly — and since r13 the publish path ALSO self-heals: the
+    version collision re-derives the head and the commit-rebase loop
+    retries against it in the same call, so the very first publish
+    lands instead of conflicting until a manual recover()."""
     t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
     t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
     t.overwrite_partitions(_df(spark, 1, ["B"]), [1])
@@ -338,13 +341,22 @@ def test_recover_unwedges_crashed_pointer(spark, tmp_path):
         t._manifest_path(3), m.to_json().encode()
     )
     assert t.current_doc().version == 2  # wedged: pointer still at 2
-    with pytest.raises(SnapshotConflictError):
-        t.overwrite_partitions(_df(spark, 1, ["C"]), [1])
+    # explicit repair path still works on an idle table
     assert t.recover() == 3
     assert t.current_doc().version == 3
     t.overwrite_partitions(_df(spark, 1, ["C"]), [1])
     assert t.current_doc().version == 4
     assert _skus(t.read(spark)) == ["C"]
+    # and the IN-BAND repair: wedge again, then publish without recover()
+    m = t.current_manifest()
+    m.version = 5
+    assert t.committer.put_if_absent(
+        t._manifest_path(5), m.to_json().encode()
+    )
+    assert t.current_doc().version == 4  # wedged again
+    t.overwrite_partitions(_df(spark, 1, ["D"]), [1])  # heals + commits
+    assert t.current_doc().version == 6
+    assert _skus(t.read(spark)) == ["D"]
 
 
 @pytest.mark.parametrize("layout", ["single", "sharded"])

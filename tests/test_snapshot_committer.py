@@ -209,12 +209,11 @@ def test_posix_publish_self_heals_wedged_pointer(spark, tmp_path,
     assert os.path.exists(os.path.join(t.root, f"{_MANIFEST}.v2"))
     assert t.current_manifest().version == 1
 
-    # first retry: computes v2 from the stale pointer, collides, HEALS
-    # the pointer, and raises for the caller to re-read
-    with pytest.raises(SnapshotConflictError):
-        t.overwrite_partitions(_df(spark, 1, ["C"]), [1])
-    assert t.current_manifest().version == 2
-    # second attempt succeeds against the healed head — no recover()
+    # the next publish heals in-band: the v2 collision re-points the
+    # head, and the commit-rebase loop retries against it in the SAME
+    # call — no SnapshotConflictError surfaces, no manual recover()
     t.overwrite_partitions(_df(spark, 1, ["C"]), [1])
     assert t.current_manifest().version == 3
     assert _skus(t.read(spark)) == ["C"]
+    # the crashed-but-committed v2 still time-travels
+    assert _skus(t.read(spark, version=2)) == ["B"]

@@ -250,6 +250,91 @@ def part_c(spark, work: str) -> list[dict]:
     return out
 
 
+def part_d(spark, work: str, n_writers: int, rows_each: int) -> dict:
+    """Part D — disjoint-tenant concurrent commit throughput (r12
+    verdict ask #1). N single-tenant ingests run (a) serially and (b)
+    from N concurrent threads against ONE table. With id-block
+    reservation + manifest-rebase commits there is no cross-tenant
+    serialization left except the manifest encode itself (millis under
+    the write lock), so the concurrent wall should approach the longest
+    single ingest plus scheduler sharing — not the serial sum. Also
+    counts merge recomputes (must be zero for disjoint tenants)."""
+    import threading
+
+    from client_data_ingester_spark.ingestion import service as svc
+
+    csvs = {
+        cid: _client_csv(
+            spark, work, f"d_{cid}.csv", cid, rows_each
+        )
+        for cid in range(1, n_writers + 1)
+    }
+
+    real_merge = svc.merge_products
+    counter = {"merges": 0}
+    lock = threading.Lock()
+
+    def counting_merge(*a, **kw):
+        with lock:
+            counter["merges"] += 1
+        return real_merge(*a, **kw)
+
+    def run(mode: str) -> tuple[float, int]:
+        root = os.path.join(work, f"d_{mode}")
+        table = SnapshotTable(root, CLIENT_PRODUCTS_SCHEMA)
+        counter["merges"] = 0
+        svc.merge_products = counting_merge
+        try:
+            t0 = time.time()
+            if mode == "serial":
+                for cid in range(1, n_writers + 1):
+                    rep = ingest_data(
+                        spark, table, csvs[cid], CFG, client_id=cid
+                    )
+                    assert rep.success, rep.message
+            else:
+                reports = {}
+
+                def w(cid):
+                    reports[cid] = ingest_data(
+                        spark, table, csvs[cid], CFG, client_id=cid
+                    )
+
+                ts = [
+                    threading.Thread(target=w, args=(cid,))
+                    for cid in range(1, n_writers + 1)
+                ]
+                for th in ts:
+                    th.start()
+                for th in ts:
+                    th.join()
+                assert all(r.success for r in reports.values()), {
+                    c: r.message
+                    for c, r in reports.items()
+                    if not r.success
+                }
+            wall = time.time() - t0
+        finally:
+            svc.merge_products = real_merge
+        assert table.current_manifest().version == n_writers
+        n = table.read(spark).count()
+        assert n == n_writers * rows_each, n
+        return wall, counter["merges"]
+
+    serial_s, serial_merges = run("serial")
+    conc_s, conc_merges = run("concurrent")
+    return {
+        "n_writers": n_writers,
+        "rows_each": rows_each,
+        "serial_s": round(serial_s, 2),
+        "concurrent_s": round(conc_s, 2),
+        "speedup": round(serial_s / conc_s, 2),
+        "serial_merges": serial_merges,
+        "concurrent_merges": conc_merges,
+        "recomputes": conc_merges - n_writers,
+    }
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     total_rows = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "3000000"))
@@ -264,6 +349,13 @@ def main() -> None:
             result["tenant_skew"] = part_b(spark, work, total_rows)
         if "c" in parts:
             result["manifest_layouts"] = part_c(spark, work)
+        if "d" in parts:
+            result["concurrent_writers"] = part_d(
+                spark,
+                work,
+                int(os.environ.get("SPARK_GRAFT_WRITERS", "8")),
+                int(os.environ.get("SPARK_GRAFT_WRITER_ROWS", "50000")),
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(result))
