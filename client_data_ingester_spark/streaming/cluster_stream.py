@@ -55,6 +55,7 @@ from ..operators.dedup import (
     minhash_band_keys,
     warm_start_clusters,
 )
+from .compaction import batch_shard_ids, read_complete_shards
 from .dedup_stream import _doc_stream
 
 _EDGE_SCHEMA = "doc_a long, doc_b long"
@@ -156,11 +157,9 @@ def merged_band_index(
     ``before_batch`` restricts to shards of strictly earlier batches.
     An empty/missing state dir reads as an empty index (the correct
     nothing-indexed-yet state), not a path error."""
-    if not os.path.isdir(bands_dir):
+    df = read_complete_shards(spark, bands_dir)
+    if df is None:
         return spark.createDataFrame([], _BAND_SCHEMA)
-    df = spark.read.option("basePath", bands_dir).parquet(
-        f"{bands_dir}/batch_id=*"
-    )
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < before_batch)
     return df.select("doc_id", "band", "key")
@@ -171,14 +170,10 @@ def merged_edges(spark: SparkSession, state_dir: str) -> DataFrame:
     (distinct union of shards — replays overwrite their own dir, and the
     read-side distinct absorbs any overlap)."""
     edges_dir = f"{state_dir}/edges"
-    if not os.path.isdir(edges_dir):
+    df = read_complete_shards(spark, edges_dir)
+    if df is None:
         return spark.createDataFrame([], _EDGE_SCHEMA)
-    return (
-        spark.read.option("basePath", edges_dir)
-        .parquet(f"{edges_dir}/batch_id=*")
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return df.select("doc_a", "doc_b").distinct()
 
 
 def merged_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -193,16 +188,8 @@ def merged_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def _edge_batch_ids(edges_dir: str) -> list[int]:
-    if not os.path.isdir(edges_dir):
-        return []
-    ids = []
-    for d in os.listdir(edges_dir):
-        if d.startswith("batch_id="):
-            try:
-                ids.append(int(d.split("=", 1)[1]))
-            except ValueError:
-                continue
-    return sorted(ids)
+    # complete (_SUCCESS-gated) ids only — see compaction.batch_shard_ids
+    return batch_shard_ids(edges_dir)
 
 
 def _watermark_path(path: str) -> str:

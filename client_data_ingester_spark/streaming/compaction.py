@@ -55,19 +55,95 @@ from pyspark.sql import DataFrame, SparkSession
 from ..tables.committer import Committer, PosixCommitter
 
 
+def _complete(shard_dir: str, d: str) -> bool:
+    return os.path.exists(os.path.join(shard_dir, d, "_SUCCESS"))
+
+
 def batch_shard_ids(shard_dir: str) -> list[int]:
     """Sorted numeric ``batch_id=N`` partition ids under ``shard_dir``
-    (missing dir → empty list: the nothing-streamed-yet state)."""
+    (missing dir → empty list: the nothing-streamed-yet state).
+
+    Only COMPLETE dirs — ones carrying Spark's ``_SUCCESS`` marker —
+    are listed. This is the reader-side gate for the object-store
+    install protocol (r12 verdict ask #2): ``PointerFileCommitter.
+    install_dir`` is DELETE + per-object COPY with ``_SUCCESS`` copied
+    LAST, so a reader racing a compaction install sees the target dir
+    either absent-of-marker (skipped here: reads as the documented
+    folded-rows-missing maintenance window) or fully installed — never
+    a torn subset of the folded rows. Every foreachBatch sink in this
+    package writes through Spark's parquet committer, which emits
+    ``_SUCCESS`` per job (don't disable
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` on these
+    paths)."""
     if not os.path.isdir(shard_dir):
         return []
     ids = []
     for d in os.listdir(shard_dir):
-        if d.startswith("batch_id="):
+        if d.startswith("batch_id=") and _complete(shard_dir, d):
             try:
                 ids.append(int(d.split("=", 1)[1]))
             except ValueError:
                 continue
     return sorted(ids)
+
+
+def read_complete_shards(
+    spark: SparkSession, shard_dir: str, schema=None
+) -> DataFrame | None:
+    """The safe merge-on-read scan: complete shards only, resilient to a
+    compaction racing the read. None = nothing streamed yet.
+
+    Two races a live fold can inflict on a reader, both absorbed here:
+
+    - LIST→ANALYZE: a source dir listed as complete is deleted before
+      the DataFrame resolves its paths (PATH_NOT_FOUND at analysis) —
+      re-list and retry; the listing converges because the fold deletes
+      each source exactly once.
+    - ANALYZE→SCAN: a file resolved at analysis is deleted before a
+      task reads it — ``ignoreMissingFiles`` turns that into the
+      documented folded-rows-missing window instead of a task failure
+      (the consumers' read-side merges are idempotent set-merges, so
+      missing-then-refolded rows are exact on the next read).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    for _ in range(5):
+        paths = complete_shard_paths(shard_dir)
+        if not paths:
+            return None
+        reader = spark.read.option("basePath", shard_dir).option(
+            "ignoreMissingFiles", "true"
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        try:
+            return reader.parquet(*paths)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            continue
+    raise RuntimeError(
+        f"shard listing under {shard_dir} would not settle after 5 "
+        "retries; is something deleting shards continuously?"
+    )
+
+
+def complete_shard_paths(shard_dir: str) -> list[str]:
+    """Full paths of every COMPLETE ``batch_id=*`` dir (numeric or not,
+    e.g. ``batch_id=compacted``) — the safe read set for merge-on-read
+    consumers. See ``batch_shard_ids`` for the torn-install rationale;
+    pass these explicitly (with ``option("basePath", shard_dir)`` to
+    keep the partition column) instead of globbing the parent dir,
+    which would scan a mid-install target's partial files."""
+    if not os.path.isdir(shard_dir):
+        return []
+    return [
+        os.path.join(shard_dir, d)
+        for d in sorted(os.listdir(shard_dir))
+        if d.startswith("batch_id=")
+        and os.path.isdir(os.path.join(shard_dir, d))
+        and _complete(shard_dir, d)
+    ]
 
 
 _TMP = "_compact_tmp"

@@ -54,10 +54,15 @@ ROUTED_SCHEMA = T.StructType(
 
 def read_routed(spark: SparkSession, routed_dir: str) -> DataFrame:
     """Read a clean/quarantine dir with the explicit routed schema —
-    safe when every batch so far routed zero documents to this side."""
-    return spark.read.schema(ROUTED_SCHEMA).option(
-        "basePath", routed_dir
-    ).parquet(routed_dir)
+    safe when every batch so far routed zero documents to this side,
+    and gated on complete (_SUCCESS-carrying) shards so a racing
+    compaction install never exposes a torn fold."""
+    from .compaction import read_complete_shards
+
+    df = read_complete_shards(spark, routed_dir, schema=ROUTED_SCHEMA)
+    if df is None:
+        return spark.createDataFrame([], ROUTED_SCHEMA)
+    return df
 
 
 def start_decontam_stream(

@@ -97,13 +97,9 @@ def read_codes(spark: SparkSession, codes_dir: str) -> DataFrame:
     shards; replays are idempotent per shard dir). Returns an EMPTY
     typed relation before the first commit so pollers never hit
     path-not-found."""
-    import os
+    from .compaction import read_complete_shards
 
-    if not os.path.isdir(codes_dir):
+    df = read_complete_shards(spark, codes_dir, schema=CODES_SCHEMA)
+    if df is None:
         return spark.createDataFrame([], CODES_SCHEMA)
-    return (
-        spark.read.schema(CODES_SCHEMA)
-        .option("basePath", codes_dir)
-        .parquet(codes_dir)
-        .select("vec_id", "sub", "code", "dist_sq")
-    )
+    return df.select("vec_id", "sub", "code", "dist_sq")

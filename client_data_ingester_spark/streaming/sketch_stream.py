@@ -94,20 +94,17 @@ def merged_registers(
     first batch must see "nothing streamed yet", not PATH_NOT_FOUND).
     Group-column types come from ``EVENT_STREAM_SCHEMA`` — the only
     source these register streams ever read."""
-    import os
+    from .compaction import read_complete_shards
 
     group_cols = list(group_cols or [])
-    if not os.path.isdir(register_dir):
+    df = read_complete_shards(spark, register_dir)
+    if df is None:
         fields = [EVENT_STREAM_SCHEMA[c] for c in group_cols] + [
             T.StructField("bucket", T.LongType()),
             T.StructField("r", T.IntegerType()),
         ]
         return spark.createDataFrame([], T.StructType(fields))
-    return (
-        spark.read.parquet(register_dir)
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    return df.groupBy(*group_cols, "bucket").agg(F.max("r").alias("r"))
 
 
 def read_hll_estimate(
@@ -195,11 +192,12 @@ def read_cms_estimate(
     standard CMS min-over-rows probe."""
     from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_estimate
 
-    import os
+    from .compaction import read_complete_shards
 
     depth = CMS_DEPTH if depth is None else depth
     width = CMS_WIDTH if width is None else width
-    if not os.path.isdir(register_dir):
+    df = read_complete_shards(spark, register_dir)
+    if df is None:
         # before the first commit: zero increments, so every probe
         # estimates from the empty register table instead of the reader
         # crashing with PATH_NOT_FOUND (poller contract shared with
@@ -208,9 +206,5 @@ def read_cms_estimate(
             [], "r INT, bucket BIGINT, cnt BIGINT"
         )
     else:
-        merged = (
-            spark.read.parquet(register_dir)
-            .groupBy("r", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
+        merged = df.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
     return cms_estimate(merged, probes, key_col, depth, width)

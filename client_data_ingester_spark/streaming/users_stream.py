@@ -70,18 +70,17 @@ def merged_first_seen(spark: SparkSession, shard_dir: str) -> DataFrame:
 
     Before the stream's first micro-batch commits a shard the directory
     does not exist yet; readers polling early get an EMPTY registry (the
-    correct zero-users state) instead of a path-not-found error."""
-    import os
+    correct zero-users state) instead of a path-not-found error. Only
+    COMPLETE (_SUCCESS-carrying) shards are read, so a racing compaction
+    install can never expose a torn fold (compaction.batch_shard_ids)."""
+    from .compaction import read_complete_shards
 
-    if not os.path.isdir(shard_dir):
+    df = read_complete_shards(spark, shard_dir)
+    if df is None:
         return spark.createDataFrame(
             [], "user_id long, _first timestamp"
         )
-    return (
-        spark.read.parquet(shard_dir)
-        .groupBy("user_id")
-        .agg(F.min("_first").alias("_first"))
-    )
+    return df.groupBy("user_id").agg(F.min("_first").alias("_first"))
 
 
 def read_cumulative_users(
