@@ -166,6 +166,15 @@ class _VersionDoc:
         return self.obj.get("layout", "single")
 
     @property
+    def n_groups(self) -> int:
+        """The group count THIS VERSION was written with. Resolution
+        must use this, never the constructing table's ``manifest_groups``
+        — a table handle constructed with a different group count (or a
+        version written before a ``reshard()``) would otherwise hash
+        tenants into the wrong group and read them as empty."""
+        return int(self.obj.get("n_groups", self._table.manifest_groups))
+
+    @property
     def groups(self) -> dict[str, str]:
         """gid (as str) -> group-file sha (sharded layout only)."""
         return self.obj.get("groups", {})
@@ -193,9 +202,9 @@ class _VersionDoc:
     def partitions_for(self, value: str) -> list[str]:
         if self.layout == "single":
             return self.obj["partitions"].get(value, [])
-        return self.group_content(self._table._group_of(value))[
-            "parts"
-        ].get(value, [])
+        return self.group_content(
+            self._table._group_of(value, self.n_groups)
+        )["parts"].get(value, [])
 
     def all_partitions(self) -> dict[str, list[str]]:
         if self.layout == "single":
@@ -283,12 +292,14 @@ class SnapshotTable:
     def _group_path(self, gid: int, sha: str) -> str:
         return os.path.join(self.root, f"{_GROUP_PREFIX}g{gid}.{sha}.json")
 
-    def _group_of(self, value: str) -> int:
+    def _group_of(self, value: str, n_groups: int | None = None) -> int:
         # md5 (the package-wide cross-engine-determinism convention) so
-        # the value->group mapping is stable across sessions/engines
-        return (
-            int(hashlib.md5(value.encode()).hexdigest()[:8], 16)
-            % self.manifest_groups
+        # the value->group mapping is stable across sessions/engines.
+        # ``n_groups`` lets callers resolve under a specific VERSION's
+        # group count (see _VersionDoc.n_groups) instead of the
+        # constructor's.
+        return int(hashlib.md5(value.encode()).hexdigest()[:8], 16) % (
+            self.manifest_groups if n_groups is None else n_groups
         )
 
     def _max_committed_version(self) -> int:
@@ -698,6 +709,13 @@ class SnapshotTable:
             ).to_json().encode()
         # sharded: rewrite ONLY the groups the written partitions hash
         # into; every other group rides forward as an untouched sha.
+        # The group count is ADOPTED from the head doc when it is
+        # already sharded — a handle constructed with a different
+        # manifest_groups must not scatter this commit's partitions
+        # under a foreign modulus (reshard() is the explicit way to
+        # change the count); the constructor value applies only on the
+        # single→sharded migration commit.
+        ng = doc.n_groups if doc.layout == "sharded" else self.manifest_groups
         if doc.layout == "single" and doc.obj.get("partitions"):
             # layout migration: this commit regroups the whole single
             # blob. Carried dirs' ownership is unknown (the single
@@ -708,7 +726,7 @@ class SnapshotTable:
             migrated: dict[int, dict] = {}
             for v, ds in doc.all_partitions().items():
                 g = migrated.setdefault(
-                    self._group_of(v),
+                    self._group_of(v, ng),
                     {"parts": {}, "shared": set(), "stale": {}},
                 )
                 g["parts"][v] = list(ds)
@@ -719,7 +737,7 @@ class SnapshotTable:
             for d, vs in doc.stale_map().items():
                 for v in vs:
                     g = migrated.setdefault(
-                        self._group_of(v),
+                        self._group_of(v, ng),
                         {"parts": {}, "shared": set(), "stale": {}},
                     )
                     g["stale"].setdefault(d, []).append(v)
@@ -728,7 +746,7 @@ class SnapshotTable:
                 {
                     "version": doc.version,
                     "layout": "sharded",
-                    "n_groups": self.manifest_groups,
+                    "n_groups": ng,
                     "groups": {},
                     "props": doc.props,
                 },
@@ -752,7 +770,7 @@ class SnapshotTable:
         for gid in forced_groups:
             changed.setdefault(gid, [])
         for v in values:
-            changed.setdefault(self._group_of(v), []).append(v)
+            changed.setdefault(self._group_of(v, ng), []).append(v)
         removed: list[str] = []
         freed: list[list] = []
         for gid, vals in sorted(changed.items()):
@@ -800,7 +818,7 @@ class SnapshotTable:
             {
                 "version": new_version,
                 "layout": "sharded",
-                "n_groups": self.manifest_groups,
+                "n_groups": ng,
                 "groups": groups_map,
                 "props": new_props,
                 "removed_dirs": sorted(set(removed)),
@@ -1280,6 +1298,101 @@ class SnapshotTable:
         ).encode()
 
     # ---- maintenance ---------------------------------------------------------
+
+    @staticmethod
+    def recommended_manifest_groups(n_clients: int) -> int:
+        """Group count ≈ √clients, rounded to a power of two and clamped
+        to [16, 65536]. A one-tenant commit writes O(clients/groups)
+        bytes (its group file) + O(groups) bytes (the manifest list);
+        the sum is minimized at groups = √clients, which also makes
+        bytes-per-commit ≈ bytes-per-tenant-resolve. Anchors: 1k → 32,
+        100k → 256, 1M → 1024."""
+        import math
+
+        if n_clients < 1:
+            return 16
+        g = 2 ** round(math.log2(max(1.0, math.sqrt(n_clients))))
+        return int(max(16, min(65536, g)))
+
+    def reshard(self, new_groups: int) -> Manifest:
+        """Re-shard the manifest under a new group count (r12 verdict
+        ask #5) — the maintenance path for a table created small (e.g.
+        256 groups) that grew 100×. ONE conditional-put commit, zero
+        data movement: every partition's dir list, stale entries, and
+        shared markers are regrouped under the new modulus and written
+        as fresh group files; the old group files ride this version's
+        ``freed_groups`` ledger and are reclaimed when the retention
+        horizon reaches it. Readers are untouched mid-flight — every
+        version resolves under the ``n_groups`` it recorded
+        (``_VersionDoc.n_groups``), so time travel across the reshard
+        keeps working and a concurrent ingest's rebased commit adopts
+        the new count from the head doc. Also migrates a single-blob
+        table (all carried dirs conservatively shared, as in the
+        ordinary layout migration). O(clients) metadata — a scheduled
+        maintenance call, never the commit path."""
+        if new_groups < 1:
+            raise ValueError("new_groups must be >= 1")
+        with self._write_lock():
+            doc = self.current_doc()
+            new_version = doc.version + 1
+            parts = doc.all_partitions()
+            stale = doc.stale_map()
+            if doc.layout == "sharded":
+                shared: set[str] = set()
+                for gid in doc.groups:
+                    shared.update(
+                        doc.group_content(int(gid)).get("shared", [])
+                    )
+                freed = [
+                    [int(g), sha] for g, sha in sorted(doc.groups.items())
+                ]
+            else:
+                # single-blob predecessor: per-dir ownership was never
+                # tracked — mark everything shared (vacuum reclaims)
+                shared = {d for ds in parts.values() for d in ds}
+                freed = []
+            grouped: dict[int, dict] = {}
+
+            def slot(v: str) -> dict:
+                return grouped.setdefault(
+                    self._group_of(v, new_groups),
+                    {"parts": {}, "shared": set(), "stale": {}},
+                )
+
+            for v, ds in parts.items():
+                g = slot(v)
+                g["parts"][v] = list(ds)
+                g["shared"].update(d for d in ds if d in shared)
+            for d, vs in stale.items():
+                for v in vs:
+                    slot(v)["stale"].setdefault(d, []).append(v)
+            groups_map: dict[str, str] = {}
+            for gid, g in sorted(grouped.items()):
+                groups_map[str(gid)] = self._write_group(
+                    gid,
+                    {
+                        "parts": g["parts"],
+                        "shared": sorted(g["shared"]),
+                        "stale": g["stale"],
+                    },
+                    new_version,
+                )
+            payload = json.dumps(
+                {
+                    "version": new_version,
+                    "layout": "sharded",
+                    "n_groups": new_groups,
+                    "groups": groups_map,
+                    "props": dict(doc.props),
+                    "removed_dirs": [],
+                    "freed_groups": freed,
+                }
+            ).encode()
+            self._commit_version(new_version, payload)
+            # keep the handle consistent for paths that still consult
+            # the constructor value (fresh migrations, replace-all)
+            self.manifest_groups = new_groups
+        return _DocManifest(self.current_doc())
 
     def vacuum(self, orphan_grace_seconds: float = 3600.0) -> dict[str, int]:
         """Full-sweep reclamation of everything the per-commit GC

@@ -393,3 +393,76 @@ def test_rp_recall_curve_matches_planted_measurement():
             assert abs(curve[t] - row["recall"]) <= 0.06, (
                 sf, t, curve[t], row["recall"]
             )
+
+
+def test_big_geometry_near_dups_match_duckdb_unroll(spark, tmp_path,
+                                                    monkeypatch):
+    """r12 verdict ask #3: the PRODUCTION geometry (bits=24, bands=20 —
+    what occupancy escalation picks at sf0.5/sf1) exercised on every
+    pytest run, not once per round. A small clone/perturbation corpus
+    goes through the REAL big-geometry path — the Arrow int64 band-key
+    kernel at full 24-bit width, min-band single emission across 20
+    bands, exact-cosine verify — and must be hash-exact against the
+    driver's DuckDB formula unroll at the same forced geometry (the
+    cross-engine contract the sf0.5/sf1 gates proved; this canary keeps
+    it from rotting between scaled runs)."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entry
+
+    dim, seed = 64, 20260813
+    rng = np.random.RandomState(seed)
+    rows = []
+    vid = 0
+    for base in range(12):
+        v = rng.randn(dim)
+        v /= np.linalg.norm(v)
+        # one exact clone (collides in EVERY band — min-band emission),
+        # one light and one heavy perturbation (collide in SOME bands)
+        for noise in (0.0, 0.0, 0.02, 0.15):
+            w = v + noise * rng.randn(dim)
+            w /= np.linalg.norm(w)
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    # plus unrelated singletons (should pair with nothing)
+    for _ in range(12):
+        w = rng.randn(dim)
+        w /= np.linalg.norm(w)
+        rows.append((vid, [float(x) for x in w]))
+        vid += 1
+
+    # ONE parquet both engines read, so doubles are bit-identical
+    pq = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.parquet(pq)
+    corpus = spark.read.parquet(pq)
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_RP_BITS", "24")
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_RP_BANDS", "20")
+    sql = entry.oracle_sql()["embedding_near_duplicates"]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{pq}/*.parquet'")
+    want = {
+        (a, b, int(round(s * 1_000_000)))
+        for a, b, s in con.sql(sql).fetchall()
+    }
+
+    got_rows = S.embedding_near_duplicates(
+        corpus, threshold=0.3, bits=24, bands=20, dim=dim
+    ).collect()
+    got = {
+        (r["id_a"], r["id_b"], int(round(r["score"] * 1_000_000)))
+        for r in got_rows
+    }
+    # min-band emission: exactly one row per pair even for all-band
+    # colliders (the exact clones)
+    assert len(got_rows) == len({(r["id_a"], r["id_b"]) for r in got_rows})
+    assert got == want
+    # the corpus actually exercised the interesting cases: clone pairs
+    # (score 1.0) and partial-band colliders below 1.0
+    scores = {s for _, _, s in got}
+    assert 1_000_000 in scores and any(s < 1_000_000 for s in scores)
+    assert len(got) >= 12, len(got)

@@ -335,6 +335,60 @@ def part_d(spark, work: str, n_writers: int, rows_each: int) -> dict:
     }
 
 
+def part_e(spark, work: str, n_clients: int) -> dict:
+    """Part E — reshard() before/after (r12 verdict ask #5): a table
+    created with a group count far too small for its tenant cardinality
+    (16 groups at 100k tenants → ~6.3k tenants per group file) pays
+    O(clients/groups) metadata per one-tenant commit; reshard to the
+    recommended √clients count and measure the same commit again."""
+    root = os.path.join(work, "reshard")
+    table = SnapshotTable(
+        root, CLIENT_PRODUCTS_SCHEMA,
+        manifest_layout="sharded", manifest_groups=16,
+    )
+    seed = _seed_rows(spark, n_clients, 5)
+    table.overwrite_partitions(
+        seed, list(range(1, n_clients + 1)), props={"max_id": 0}
+    )
+
+    def one_commit() -> tuple[int, float, float]:
+        before = _meta_files(root)
+        csv = _client_csv(spark, work, "e.csv", 7, 200)
+        t0 = time.time()
+        rep = ingest_data(spark, table, csv, CFG, client_id=7)
+        ingest_s = time.time() - t0
+        assert rep.success, rep.message
+        after = _meta_files(root)
+        meta = sum(
+            sz for n, sz in after.items()
+            if n not in before or before[n] != sz
+        )
+        t0 = time.time()
+        table.current_doc().partitions_for("7")
+        return meta, ingest_s, time.time() - t0
+
+    meta16, ingest16, resolve16 = one_commit()
+    rec = SnapshotTable.recommended_manifest_groups(n_clients)
+    t0 = time.time()
+    table.reshard(rec)
+    reshard_s = time.time() - t0
+    meta_rec, ingest_rec, resolve_rec = one_commit()
+    assert table.current_doc().n_groups == rec
+    return {
+        "n_clients": n_clients,
+        "groups_before": 16,
+        "groups_after": rec,
+        "reshard_s": round(reshard_s, 2),
+        "commit_metadata_bytes_before": meta16,
+        "commit_metadata_bytes_after": meta_rec,
+        "metadata_ratio": round(meta16 / max(1, meta_rec), 1),
+        "ingest_s_before": round(ingest16, 2),
+        "ingest_s_after": round(ingest_rec, 2),
+        "tenant_resolve_s_before": round(resolve16, 5),
+        "tenant_resolve_s_after": round(resolve_rec, 5),
+    }
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     total_rows = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "3000000"))
@@ -355,6 +409,12 @@ def main() -> None:
                 work,
                 int(os.environ.get("SPARK_GRAFT_WRITERS", "8")),
                 int(os.environ.get("SPARK_GRAFT_WRITER_ROWS", "50000")),
+            )
+        if "e" in parts:
+            result["reshard"] = part_e(
+                spark,
+                work,
+                int(os.environ.get("SPARK_GRAFT_RESHARD_CLIENTS", "100000")),
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
