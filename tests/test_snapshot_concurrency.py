@@ -462,3 +462,140 @@ def test_interleaved_ingest_sequences_match_python_oracle(spark, tmp_path):
     # concurrently-reserved blocks never collide
     assert len(set(all_ids)) == len(all_ids)
     assert max(all_ids) <= int(t.current_manifest().props["max_id"])
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _crashing_committer(inner, crash_after):
+    """Raise after ``crash_after`` successful committer calls — sweeps a
+    crash across every storage boundary of the FULL ingest path
+    (id-block reservation CAS, staging intent, conditional-put commit,
+    pointer publish, GC deletes)."""
+    from client_data_ingester_spark.tables.committer import Committer
+
+    class Crashing(Committer):
+        def __init__(self):
+            self.calls = 0
+
+        def _guard(self):
+            self.calls += 1
+            if self.calls > crash_after:
+                raise _InjectedCrash(f"after {crash_after}")
+
+    def _wrap(name):
+        def m(self, *a, **kw):
+            self._guard()
+            return getattr(inner, name)(*a, **kw)
+        return m
+
+    for name in (
+        "put_if_absent", "put_atomic", "get", "delete",
+        "publish_pointer", "read_current", "install_dir",
+        "cleanup_staged", "delete_dir",
+    ):
+        setattr(Crashing, name, _wrap(name))
+    return Crashing()
+
+
+def test_ingest_crash_sweep_converges(spark, tmp_path):
+    """Service-level crash sweep over the NEW commit machinery: crash
+    the ingest at every committer-call boundary (reservation CAS,
+    intent put, version commit, pointer publish, ledger GC), then
+    retry with a healthy committer. Every retry must succeed, the
+    table must hold exactly the file's rows (upsert idempotence), ids
+    stay unique and covered by the ledger, and nothing torn survives
+    (the failure surfaces as the reference's failure REPORT, never a
+    partial write)."""
+    from client_data_ingester_spark.ingestion import (
+        ParserConfig, ingest_data,
+    )
+    from client_data_ingester_spark.tables.committer import PosixCommitter
+
+    cfg = ParserConfig(
+        "csv", {"sku": ("sku", "text"), "title": ("title", "text")}
+    )
+    csv = b"sku,title\nA,PA\nB,PB\nC,PC\n"
+    k = 0
+    crash_points = 0
+    while True:
+        root = str(tmp_path / f"ing_{k}")
+        crasher = SnapshotTable(
+            root, CLIENT_PRODUCTS_SCHEMA,
+            committer=_crashing_committer(PosixCommitter(), k),
+        )
+        rep = ingest_data(spark, crasher, csv, cfg, client_id=1)
+        if not rep.success:
+            crash_points += 1
+            assert rep.message.startswith("Error processing data:"), (
+                k, rep.message
+            )
+        # retry through a healthy handle (idempotent upsert)
+        t = SnapshotTable(root, CLIENT_PRODUCTS_SCHEMA)
+        rep2 = ingest_data(spark, t, csv, cfg, client_id=1)
+        assert rep2.success, (k, rep2.message)
+        rows = t.read(spark, 1).collect()
+        assert sorted(r["sku"] for r in rows) == ["A", "B", "C"], k
+        ids = [r["id"] for r in rows]
+        assert len(set(ids)) == 3, (k, ids)
+        assert max(ids) <= int(t.current_manifest().props["max_id"]), k
+        # a crashed stage leaves at most vacuum-able litter, never a
+        # manifest-referenced dangling dir
+        t.vacuum(orphan_grace_seconds=0.0)
+        assert sorted(
+            r["sku"] for r in t.read(spark, 1).collect()
+        ) == ["A", "B", "C"], k
+        if rep.success:
+            break
+        k += 1
+    assert crash_points >= 5, crash_points
+
+
+def test_reshard_races_concurrent_ingests(spark, tmp_path):
+    """reshard() while ingests are mid-flight: writers staged under the
+    old group count must commit correctly onto the resharded head (the
+    commit adopts the HEAD doc's n_groups), and nothing is lost."""
+    import threading
+
+    from client_data_ingester_spark.ingestion import (
+        ParserConfig, ingest_data,
+    )
+
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA,
+        manifest_layout="sharded", manifest_groups=8,
+    )
+    cfg = ParserConfig(
+        "csv", {"sku": ("sku", "text"), "title": ("title", "text")}
+    )
+    reports = []
+    lock = threading.Lock()
+
+    def writer(cid):
+        for step in range(3):
+            data = f"sku,title\nW{cid}-{step},P\n".encode()
+            r = ingest_data(spark, t, data, cfg, client_id=cid)
+            with lock:
+                reports.append((cid, step, r))
+
+    def resharder():
+        t.reshard(32)
+        t.reshard(16)
+
+    threads = [
+        threading.Thread(target=writer, args=(cid,)) for cid in (1, 2, 3)
+    ] + [threading.Thread(target=resharder)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert all(r.success for _, _, r in reports), [
+        (c, s, r.message) for c, s, r in reports if not r.success
+    ]
+    assert t.current_doc().n_groups in (16, 32)
+    for cid in (1, 2, 3):
+        got = {r["sku"] for r in t.read(spark, cid).collect()}
+        assert got == {f"W{cid}-{s}" for s in range(3)}, cid
+    all_ids = [r["id"] for r in t.read(spark).collect()]
+    assert len(set(all_ids)) == len(all_ids)

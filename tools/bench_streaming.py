@@ -93,7 +93,9 @@ def _batch_latency(q) -> dict:
     }
 
 
-def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
+def bench_ingest_stream(spark, sf_dir: str, work: str,
+                        table_kw: dict | None = None,
+                        tag: str = "") -> dict:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     src = li.select(
         F.concat(
@@ -118,15 +120,19 @@ def bench_ingest_stream(spark, sf_dir: str, work: str) -> dict:
     src.repartition(n_files).write.option("header", True).mode(
         "overwrite"
     ).csv(landing)
+    # table_kw selects the storage configuration: default posix+single,
+    # or the production-shaped sharded-manifest + PointerFileCommitter
+    # (r12 verdict ask #6 — latency percentiles on BOTH configs)
     table = SnapshotTable(
-        os.path.join(work, "products"), CLIENT_PRODUCTS_SCHEMA
+        os.path.join(work, f"products{tag}"), CLIENT_PRODUCTS_SCHEMA,
+        **(table_kw or {}),
     )
     t0 = time.time()
     q = start_ingest_stream(
         spark,
         table,
         landing,
-        os.path.join(work, "ckpt_ingest"),
+        os.path.join(work, f"ckpt_ingest{tag}"),
         CFG,
         client_id=1,
         source_columns=["sku", "title", "qty", "price", "active"],
@@ -393,21 +399,50 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench-streaming", cpus=cpus)
     work = tempfile.mkdtemp(prefix="bench_streaming_")
+    parts = os.environ.get(
+        "SPARK_GRAFT_STREAM_PARTS",
+        "ingest,ingest_sharded_pointer,dedup,cdc_feed,pq_encode,"
+        "cluster_edges,sketch_hll",
+    ).split(",")
+    benches = {
+        "ingest": lambda: bench_ingest_stream(spark, sf_dir, work),
+        # the production-shaped storage config: sharded manifests +
+        # object-store-protocol committer — same workload, so the two
+        # ingest rows are a direct latency-percentile comparison
+        "ingest_sharded_pointer": lambda: bench_ingest_stream(
+            spark, sf_dir, work,
+            table_kw={
+                "manifest_layout": "sharded",
+                "manifest_groups": 64,
+                "committer": _pointer_committer(),
+            },
+            tag="_sp",
+        ),
+        "dedup": lambda: bench_dedup_stream(spark, sf_dir, work),
+        "cdc_feed": lambda: bench_cdc_feed(spark, sf_dir, work),
+        "pq_encode": lambda: bench_pq_encode_stream(spark, sf_dir, work),
+        "cluster_edges": lambda: bench_cluster_stream(spark, sf_dir, work),
+        "sketch_hll": lambda: bench_sketch_stream(spark, sf_dir, work),
+    }
     try:
         out = {
             "metric": "streaming_throughput",
             "unit": "rows/sec",
             "sf_dir": sf_dir,
-            "ingest": bench_ingest_stream(spark, sf_dir, work),
-            "dedup": bench_dedup_stream(spark, sf_dir, work),
-            "cdc_feed": bench_cdc_feed(spark, sf_dir, work),
-            "pq_encode": bench_pq_encode_stream(spark, sf_dir, work),
-            "cluster_edges": bench_cluster_stream(spark, sf_dir, work),
-            "sketch_hll": bench_sketch_stream(spark, sf_dir, work),
         }
+        for name in parts:
+            out[name] = benches[name]()
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _pointer_committer():
+    from client_data_ingester_spark.tables.committer import (
+        PointerFileCommitter,
+    )
+
+    return PointerFileCommitter()
 
 
 if __name__ == "__main__":
