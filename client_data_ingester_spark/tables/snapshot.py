@@ -31,17 +31,28 @@ goals, in order:
 
 This is a deliberately small, crash-safe subset of what Delta/Iceberg provide
 (those jars aren't in this image — SURVEY §4.1 "Transactionality").
-Writer serialization (the reference serializes per-tenant writes through
-Postgres row locks) is enforced two ways:
+Concurrent writers (the reference serializes per-tenant writes through
+Postgres row locks; since round 13 disjoint tenants here are genuinely
+concurrent) compose four mechanisms:
 
-- a per-table lock file (``_MANIFEST.lock``, O_CREAT|O_EXCL) is held across
-  read-manifest → stage data → publish in ``overwrite_partitions`` /
-  ``overwrite_all``, so two in-process writers can't interleave and both
-  publish version N+1 (the lost-update race);
-- ``_publish`` independently creates the versioned manifest with O_EXCL and
-  raises ``SnapshotConflictError`` if that version already exists — a
-  belt-and-braces guard against writers that bypass the lock (e.g. a crashed
-  writer's stale lock being removed manually).
+- **staging outside the lock**: the expensive Spark data write happens with
+  NO mutual exclusion (staged dirs are invisible until a manifest references
+  them); ``_STAGING.<dir>`` intent markers shield in-flight dirs from a
+  racer's commit-path GC and from ``vacuum`` (which reclaims them only past
+  ``orphan_grace_seconds``);
+- a per-table lock file (``_MANIFEST.lock``, O_CREAT|O_EXCL) held only
+  across the short commit section (read head → validate → encode →
+  conditional put), so same-host writers can't both compute version N+1;
+- the O_EXCL/conditional-put versioned manifest is the true COMMIT POINT —
+  a collision (a writer that bypassed the lock, e.g. cross-host) re-derives
+  the head, re-points the advisory pointer, and the commit loop REBASES:
+  the manifest delta is re-encoded onto the new head without recomputing
+  data; only a racer that touched the SAME partitions (``expected_version``)
+  or moved the id ledger (``expected_max_id``) surfaces
+  ``SnapshotConflictError`` for the caller to re-merge;
+- surrogate-id minting reserves disjoint blocks up front through the
+  ``_IDSEQ`` conditional-put CAS chain (``reserve_id_block``), so id
+  collisions cannot force cross-tenant serialization.
 """
 
 from __future__ import annotations

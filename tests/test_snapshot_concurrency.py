@@ -599,3 +599,40 @@ def test_reshard_races_concurrent_ingests(spark, tmp_path):
         assert got == {f"W{cid}-{s}" for s in range(3)}, cid
     all_ids = [r["id"] for r in t.read(spark).collect()]
     assert len(set(all_ids)) == len(all_ids)
+
+
+def test_reserve_id_block_disjoint_across_processes(tmp_path):
+    """The id-sequence CAS is cross-PROCESS, not just cross-thread: six
+    separate Python processes hammer reserve_id_block on one table root
+    and every handed-out block must be disjoint (O_EXCL link-commit has
+    host-wide at-most-one-winner semantics, like a store conditional
+    PUT). No Spark session is involved — reservation is pure metadata."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "t")
+    script = (
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from client_data_ingester_spark.schemas import "
+        "CLIENT_PRODUCTS_SCHEMA\n"
+        "from client_data_ingester_spark.tables import SnapshotTable\n"
+        "t = SnapshotTable(sys.argv[1], CLIENT_PRODUCTS_SCHEMA)\n"
+        "print(','.join(str(t.reserve_id_block(7)) for _ in range(25)))\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for _ in range(6)
+    ]
+    bases = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-500:]
+        bases += [int(x) for x in out.decode().strip().split(",")]
+    assert len(bases) == 150
+    assert len(set(bases)) == 150
+    srt = sorted(bases)
+    assert all(b - a >= 7 for a, b in zip(srt, srt[1:]))
