@@ -191,7 +191,15 @@ def start_ingest_stream(
             last_conflict: Exception | None = None
             for _ in range(5):
                 manifest = table.current_doc()
-                current = table.read(spark, client_id)
+                # pin the read to the version the conflict guard
+                # compares against (the batch path's convention): an
+                # unpinned read could see a commit newer than
+                # expected_version and spend a wasted conflict retry
+                current = table.read(
+                    spark,
+                    client_id,
+                    version=manifest.version if manifest.version else None,
+                )
                 merged = merge_products(
                     current,
                     updates,
