@@ -584,8 +584,18 @@ class SnapshotTable:
                     live_groups.add(os.path.basename(
                         self._group_path(int(gid), sha)
                     ))
+        # ORDER MATTERS: snapshot the dir listing BEFORE the intent
+        # listing. Staging (outside the write lock) puts the intent
+        # marker before creating the dir, so a writer racing this sweep
+        # either staged before the dir listing (its intent is then seen
+        # below and shields the dir) or after it (its dir isn't in the
+        # snapshot at all). Listing intents first had a window — stage
+        # lands between the two listings — where a half-written dir got
+        # swept mid-Spark-write, which can surface as a silently-torn
+        # COMMITTED dir (rmtree races the parquet job commit).
+        listing = os.listdir(self.root)
         staging = self._intent_dirs()
-        for name in os.listdir(self.root):
+        for name in listing:
             full = os.path.join(self.root, name)
             if name.startswith(_GROUP_PREFIX):
                 # group files written by older sharded versions of a
@@ -1448,6 +1458,11 @@ class SnapshotTable:
             stats = {"dirs": 0, "groups": 0, "manifests": 0, "litter": 0}
             keep_files = {_MANIFEST, _MANIFEST + ".lock"} | live_manifests
             now = time.time()
+            # dir listing FIRST, intent listing second — same ordering
+            # argument as _gc_full_sweep: a stage landing between the
+            # two listings is then either intent-shielded or absent
+            # from the dir snapshot, never a sweepable half-written dir
+            listing = os.listdir(self.root)
             fresh_intents: set[str] = set()  # dir names under live stage
             for name in os.listdir(self.root):
                 if not name.startswith(_STAGING_PREFIX):
@@ -1466,7 +1481,7 @@ class SnapshotTable:
                         os.unlink(full)
                     stats["litter"] += 1
             seq_head = self._seq_head()[0]
-            for name in os.listdir(self.root):
+            for name in listing:
                 full = os.path.join(self.root, name)
                 if os.path.isdir(full):
                     if name not in live_dirs and name not in fresh_intents:
