@@ -72,6 +72,60 @@ def _batch_timestamp() -> _dt.datetime:
     return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None, microsecond=0)
 
 
+_MONO_STRIDE = 1 << 33  # monotonically_increasing_id partition stride
+
+
+def dense_row_idx(staged: DataFrame) -> "tuple[DataFrame, int]":
+    """Map the parser's sparse ``monotonically_increasing_id`` row index
+    to a DENSE per-batch index, order-isomorphically (same fold winners,
+    same insert order). Returns ``(df, id_span)`` where every rewritten
+    index is in ``[0, id_span)``.
+
+    Why (r13 review): surrogate-id blocks are reserved as
+    ``max(row_idx)+1`` ids. The raw monotonic index embeds the partition
+    id in its upper bits, so a 32-partition file "spans" ~31·2^33 ≈
+    2.7e11 indexes — every ingest (even a pure-update batch that mints
+    nothing) would burn that much id-space from the shared sequence.
+    The dense mapping is the standard zipWithIndex decomposition, done
+    as ONE small aggregate over the already-cached staged relation
+    (per-partition counts → driver-side cumulative offsets → broadcast
+    map): ``dense = offset[upper_bits] + lower_bits``. Lower bits are
+    consecutive per partition at the source; post-parse filters may
+    leave gaps, so offsets use ``max(lower)+1`` — the span stays ≤ the
+    file's physical row count. Driver state is O(partitions)."""
+    pid = F.shiftright(F.col(ROW_IDX_COL), 33)
+    low = F.col(ROW_IDX_COL).bitwiseAND(F.lit(_MONO_STRIDE - 1))
+    per = (
+        staged.groupBy(pid.alias("_pid"))
+        .agg(F.max(low).alias("_maxn"))
+        .collect()
+    )
+    if not per:
+        return staged, 0
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(per, key=lambda r: r["_pid"]):
+        offsets[int(r["_pid"])] = acc
+        acc += int(r["_maxn"]) + 1
+    if len(offsets) == 1 and 0 in offsets:
+        # already dense (driver-side parsers emit 0..n-1 directly)
+        return staged, acc
+    mapping = F.create_map(
+        *[
+            F.lit(x)
+            for p, o in offsets.items()
+            for x in (int(p), int(o))
+        ]
+    )
+    return (
+        staged.withColumn(
+            ROW_IDX_COL,
+            (F.element_at(mapping, pid) + low).cast("long"),
+        ),
+        acc,
+    )
+
+
 def fold_duplicate_skus(updates: DataFrame, mapped_cols: list[str]) -> DataFrame:
     """Intra-file last-write-wins column fold for duplicate non-empty skus.
 
@@ -322,21 +376,22 @@ def _ingest(
     deactivated_count = 0
     ingested_sku_count = 0
     # Surrogate-id block reservation (the concurrent-writer path): every
-    # minted id is id_base + row_idx + 1 with row_idx ≤ max(_row_idx), so
-    # reserving max+1 ids up front gives this ingest an exclusive block —
-    # two tenants ingesting concurrently can no longer collide on ids, and
-    # the publish no longer needs the expected_max_id guard that forced a
-    # FULL MERGE RECOMPUTE whenever any other tenant advanced the ledger.
-    # One tiny agg over the already-cached staged relation; the block is
-    # reserved once and reused across conflict retries (same writer, same
-    # ids — re-merging with the same base is idempotent id-wise).
-    max_idx = staged.agg(F.max(ROW_IDX_COL)).first()[0]
-    if max_idx is None:
+    # minted id is id_base + row_idx + 1, and after the dense rewrite
+    # row_idx < id_span ≤ file rows, so reserving id_span ids up front
+    # gives this ingest an exclusive, TIGHT block — two tenants ingesting
+    # concurrently can no longer collide on ids, and the publish no
+    # longer needs the expected_max_id guard that forced a FULL MERGE
+    # RECOMPUTE whenever any other tenant advanced the ledger. One tiny
+    # agg over the already-cached staged relation; the block is reserved
+    # once and reused across conflict retries (same writer, same ids —
+    # re-merging with the same base is idempotent id-wise).
+    updates, id_span = dense_row_idx(updates)
+    if id_span == 0:
         id_base = 0  # no rows can insert; the base is never used
         reserved_top = None
     else:
-        id_base = table.reserve_id_block(int(max_idx) + 1)
-        reserved_top = id_base + int(max_idx) + 1
+        id_base = table.reserve_id_block(id_span)
+        reserved_top = id_base + id_span
     # Optimistic-concurrency loop: the merge is computed against a snapshot
     # PINNED to the manifest version read here, and the publish passes that
     # version as the expected state. A concurrent writer that lands in

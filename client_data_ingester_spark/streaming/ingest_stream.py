@@ -38,7 +38,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..ingestion.mapping import ParserConfig, compile_mapping
 from ..ingestion.parsers import ROW_IDX_COL
-from ..ingestion.service import merge_products
+from ..ingestion.service import dense_row_idx, merge_products
 from ..tables.snapshot import SnapshotConflictError, SnapshotTable
 
 _log = logging.getLogger(__name__)
@@ -170,18 +170,20 @@ def start_ingest_stream(
                 tzinfo=None, microsecond=0
             )
             # id-block reservation, as in the batch path (service.py):
-            # the epoch's inserts mint from an exclusively-reserved block,
-            # so writers on OTHER partitions never force a re-merge (the
-            # commit rebases its manifest delta onto the new head) and can
-            # never collide on ids. An epoch REPLAY after a crash reserves
-            # a fresh block — burned ids, never duplicate ones (the
-            # txn_key guard above skips epochs that already committed).
-            max_idx = updates.agg(F.max(ROW_IDX_COL)).first()[0]
-            if max_idx is None:
+            # the epoch's inserts mint from an exclusively-reserved TIGHT
+            # block (dense row indexes — id-space cost is epoch rows, not
+            # partitions·2^33), so writers on OTHER partitions never
+            # force a re-merge (the commit rebases its manifest delta
+            # onto the new head) and can never collide on ids. An epoch
+            # REPLAY after a crash reserves a fresh block — burned ids,
+            # never duplicate ones (the txn_key guard above skips epochs
+            # that already committed).
+            updates, id_span = dense_row_idx(updates)
+            if id_span == 0:
                 id_base, reserved_top = 0, None
             else:
-                id_base = table.reserve_id_block(int(max_idx) + 1)
-                reserved_top = id_base + int(max_idx) + 1
+                id_base = table.reserve_id_block(id_span)
+                reserved_top = id_base + id_span
             # same optimistic-concurrency loop as the batch path
             # (service.py): the merge is derived from a snapshot read, so
             # a concurrent writer ON THIS PARTITION (batch ingest, another
@@ -191,6 +193,17 @@ def start_ingest_stream(
             last_conflict: Exception | None = None
             for _ in range(5):
                 manifest = table.current_doc()
+                # re-check the replay guard EVERY attempt, not just at
+                # entry: a crash between the commit point and the
+                # pointer publish leaves this epoch committed behind a
+                # stale pointer — the replay's first attempt then
+                # collides, the collision self-heals the pointer, and
+                # without this re-check the retry would re-merge
+                # against the healed head (which already contains this
+                # epoch) and apply it TWICE (duplicated always-insert
+                # rows with fresh ids). Found by the r13 review.
+                if int(epoch_id) <= int(manifest.props.get(txn_key, -1)):
+                    return
                 # pin the read to the version the conflict guard
                 # compares against (the batch path's convention): an
                 # unpinned read could see a commit newer than

@@ -404,7 +404,16 @@ class SnapshotTable:
         for _ in range(200):
             k, val = self._seq_head()
             if val is None:
-                val = int(self.current_doc().props.get("max_id", 0))
+                # bridge from the TRUE committed head, not the advisory
+                # pointer: a writer that crashed between the commit
+                # point and the pointer publish leaves the pointer's
+                # max_id behind the committed one, and seeding from it
+                # would hand out a block overlapping already-committed
+                # ids (r13 review)
+                head = self._doc_at(max(self._max_committed_version(), 0))
+                val = int(
+                    (head.props if head is not None else {}).get("max_id", 0)
+                )
             if not self.committer.put_if_absent(
                 self._seq_path(k + 1), str(val + n).encode()
             ):
@@ -595,6 +604,23 @@ class SnapshotTable:
         # COMMITTED dir (rmtree races the parquet job commit).
         listing = os.listdir(self.root)
         staging = self._intent_dirs()
+        # lock-BYPASSING racers (cross-host writers on shared storage):
+        # one may have COMMITTED a version above ours and cleared its
+        # intent after our intent listing — extend the live set to the
+        # true committed head, derived AFTER both listings. A commit
+        # landing after this check still had its intent alive at the
+        # intent listing (intents clear only post-commit), so its dirs
+        # are staging-shielded instead (r13 review).
+        true_latest = self._max_committed_version()
+        for v in range(latest_version + 1, true_latest + 1):
+            doc = self._doc_at(v)
+            if doc is not None:
+                for dirs in doc.all_partitions().values():
+                    live_dirs.update(dirs)
+                for gid, sha in doc.groups.items():
+                    live_groups.add(os.path.basename(
+                        self._group_path(int(gid), sha)
+                    ))
         for name in listing:
             full = os.path.join(self.root, name)
             if name.startswith(_GROUP_PREFIX):
@@ -1065,14 +1091,21 @@ class SnapshotTable:
                             "was computed; re-read and retry (surrogate "
                             "ids would collide)"
                         )
-                    if not os.path.isdir(out):
+                    if not os.path.isdir(out) or not os.path.exists(
+                        self._intent_path(dir_name)
+                    ):
                         # an over-aggressive vacuum(orphan_grace) reclaimed
-                        # the staged dir mid-flight; the data must be
-                        # restaged — checked under the lock vacuum holds,
-                        # so the answer is race-free
+                        # the stage mid-flight; the data must be restaged.
+                        # The INTENT marker is the authoritative check —
+                        # vacuum deletes it BEFORE the dir, and an rmtree
+                        # racing a still-running Spark write can leave a
+                        # recreated-but-torn dir whose isdir() passes (r13
+                        # review); the intent cannot be recreated, so its
+                        # absence fails the commit loudly. Checked under
+                        # the lock vacuum holds, so the answer is race-free.
                         raise SnapshotConflictError(
-                            f"staged dir {dir_name} vanished before commit "
-                            "(vacuum grace too aggressive?); re-stage"
+                            f"staged dir {dir_name} was reclaimed before "
+                            "commit (vacuum grace too aggressive?); re-stage"
                         )
                     new_version = doc.version + 1
                     new_props = dict(doc.props)
@@ -1223,9 +1256,12 @@ class SnapshotTable:
                             f"caller read v{expected_version}; re-read "
                             "and retry"
                         )
-                    if not os.path.isdir(out):
+                    if not os.path.isdir(out) or not os.path.exists(
+                        self._intent_path(dir_name)
+                    ):
+                        # intent-gated like overwrite_partitions (see there)
                         raise SnapshotConflictError(
-                            f"staged dir {dir_name} vanished before "
+                            f"staged dir {dir_name} was reclaimed before "
                             "commit (vacuum grace too aggressive?); "
                             "re-stage"
                         )
@@ -1292,10 +1328,14 @@ class SnapshotTable:
                 freed.append([int(gid_str), old_sha])
         # (single-layout predecessor: displaced dirs' ownership is
         # unknown — vacuum() reclaims them; nothing to free)
+        # adopt the head doc's group count like _encode_commit does: a
+        # full replace through a handle constructed with the default
+        # manifest_groups must not silently revert a reshard()
+        ng = doc.n_groups if doc.layout == "sharded" else self.manifest_groups
         shared_commit = len(vals) > 1
         grouped: dict[int, list[str]] = {}
         for v in vals:
-            grouped.setdefault(self._group_of(v), []).append(v)
+            grouped.setdefault(self._group_of(v, ng), []).append(v)
         groups_map: dict[str, str] = {}
         for gid, gvals in sorted(grouped.items()):
             groups_map[str(gid)] = self._write_group(
@@ -1310,7 +1350,7 @@ class SnapshotTable:
             {
                 "version": new_version,
                 "layout": "sharded",
-                "n_groups": self.manifest_groups,
+                "n_groups": ng,
                 "groups": groups_map,
                 "props": props,
                 "removed_dirs": sorted(set(removed)),
@@ -1480,6 +1520,25 @@ class SnapshotTable:
                     with contextlib.suppress(OSError):
                         os.unlink(full)
                     stats["litter"] += 1
+            # cross-host lock-bypassing racer guard, as in
+            # _gc_full_sweep: extend the live set to any version
+            # committed after the initial scan (its intent was alive at
+            # the intent listing above if it committed later still)
+            true_latest = self._max_committed_version()
+            for v in range(latest + 1, true_latest + 1):
+                doc = self._doc_at(v)
+                if doc is None:
+                    continue
+                live_manifests.add(
+                    os.path.basename(self._manifest_path(v))
+                )
+                keep_files.add(os.path.basename(self._manifest_path(v)))
+                for dirs in doc.all_partitions().values():
+                    live_dirs.update(dirs)
+                for gid, sha in doc.groups.items():
+                    live_groups.add(
+                        os.path.basename(self._group_path(int(gid), sha))
+                    )
             seq_head = self._seq_head()[0]
             for name in listing:
                 full = os.path.join(self.root, name)
@@ -1490,9 +1549,14 @@ class SnapshotTable:
                 elif name.startswith(_IDSEQ + ".v"):
                     # keep the top two sequence files (the _seq_head
                     # LIST→GET race needs head-1 to survive); older ones
-                    # are leaks from crashed reservers
+                    # are leaks from crashed reservers, and a non-digit
+                    # suffix is _link_commit staging litter
+                    # (_IDSEQ.v7.put.<uuid>) from a reserver that died
+                    # mid-stage (r13 review)
                     s = name[len(_IDSEQ) + 2 :]
-                    if s.isdigit() and int(s) < seq_head - 1:
+                    if (s.isdigit() and int(s) < seq_head - 1) or (
+                        not s.isdigit()
+                    ):
                         with contextlib.suppress(OSError):
                             os.unlink(full)
                         stats["litter"] += 1

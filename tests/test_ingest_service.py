@@ -609,3 +609,64 @@ def test_duplicate_target_full_ingest_last_column_wins(spark, products_table):
     assert not rep2.success
     assert "invalid value" in rep2.message
     assert "D2" not in rows_of(spark, products_table, 1)
+
+
+def test_dense_row_idx_order_isomorphic_and_tight(spark):
+    """r13 review: id blocks are sized by max(row_idx)+1, so the sparse
+    monotonically_increasing_id index (partition id in the upper bits)
+    burned ~partitions·2^33 ids per ingest. dense_row_idx must rewrite
+    it to a tight per-batch index that preserves ORDER exactly (fold
+    winners and insert order are order-functions of the index)."""
+    from client_data_ingester_spark.ingestion.parsers import ROW_IDX_COL
+    from client_data_ingester_spark.ingestion.service import dense_row_idx
+
+    stride = 1 << 33
+    sparse = [0, 1, stride, stride + 1, 3 * stride + 5]  # gaps included
+    df = spark.createDataFrame(
+        [(f"r{i}", idx) for i, idx in enumerate(sparse)],
+        f"sku string, {ROW_IDX_COL} long",
+    )
+    out, span = dense_row_idx(df)
+    rows = {r["sku"]: r[ROW_IDX_COL] for r in out.collect()}
+    # tight: span ≤ Σ (max_lower+1) per partition = 2 + 2 + 6 = 10
+    assert span == 10
+    assert all(0 <= v < span for v in rows.values())
+    # order-isomorphic to the sparse input
+    order_old = sorted(range(len(sparse)), key=lambda i: sparse[i])
+    order_new = sorted(range(len(sparse)), key=lambda i: rows[f"r{i}"])
+    assert order_old == order_new
+    assert len(set(rows.values())) == len(rows)
+    # already-dense input (driver-side parsers) passes through unchanged
+    dense_in = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(4)], f"sku string, {ROW_IDX_COL} long"
+    )
+    out2, span2 = dense_row_idx(dense_in)
+    assert span2 == 4
+    assert {r["sku"]: r[ROW_IDX_COL] for r in out2.collect()} == {
+        f"d{i}": i for i in range(4)
+    }
+
+
+def test_ingest_id_space_consumption_is_row_bounded(spark, tmp_path):
+    """The id ledger advances by at most the file's row count per ingest
+    (tight reserved blocks), never by the 2^33 partition stride."""
+    from client_data_ingester_spark.ingestion import (
+        ParserConfig, ingest_data,
+    )
+    from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+    from client_data_ingester_spark.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    cfg = ParserConfig(
+        "csv", {"sku": ("sku", "text"), "title": ("title", "text")}
+    )
+    csv = ("sku,title\n" + "".join(
+        f"S{i},P{i}\n" for i in range(50)
+    )).encode()
+    assert ingest_data(spark, t, csv, cfg, client_id=1).success
+    after1 = int(t.current_manifest().props["max_id"])
+    assert after1 <= 50
+    # a pure-UPDATE batch (same skus) still only burns ≤ row-count ids
+    assert ingest_data(spark, t, csv, cfg, client_id=1).success
+    after2 = int(t.current_manifest().props["max_id"])
+    assert after2 - after1 <= 50
