@@ -48,6 +48,7 @@ ingest path.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +88,30 @@ def batch_shard_ids(shard_dir: str) -> list[int]:
     return sorted(ids)
 
 
+def _is_missing_path_error(e: Exception) -> bool:
+    """True when an AnalysisException means "a path vanished between LIST
+    and ANALYZE". Must cover every form Spark uses across versions: the
+    error-class attribute (3.4+), its name in the message, and the legacy
+    "Path does not exist" text (pre-error-class builds) — matching only
+    one form turns the benign LIST→ANALYZE race into a spurious re-raise
+    on other Spark versions (r13 ADVICE)."""
+    klass = ""
+    # Spark 4 renamed getErrorClass → getCondition (the old name warns);
+    # try the new spelling first, keep the old for 3.4-3.5
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            with contextlib.suppress(Exception):
+                klass = fn() or ""
+            break
+    msg = str(e)
+    return (
+        "PATH_NOT_FOUND" in klass
+        or "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+    )
+
+
 def read_complete_shards(
     spark: SparkSession, shard_dir: str, schema=None
 ) -> DataFrame | None:
@@ -119,7 +144,7 @@ def read_complete_shards(
         try:
             return reader.parquet(*paths)
         except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
+            if not _is_missing_path_error(e):
                 raise
             continue
     raise RuntimeError(

@@ -1,3 +1,3 @@
-from .snapshot import SnapshotTable
+from .snapshot import IdModeError, SnapshotConflictError, SnapshotTable
 
-__all__ = ["SnapshotTable"]
+__all__ = ["IdModeError", "SnapshotConflictError", "SnapshotTable"]

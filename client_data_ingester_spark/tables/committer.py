@@ -47,6 +47,32 @@ tests/test_snapshot_committer.py):
    re-pointed by the next publish; pointer-file: LIST already sees it).
 3. ``install_dir`` may be replayed any number of times after a crash —
    it is idempotent given the staged dir still carries ``_SUCCESS``.
+
+What the protocol REQUIRES from the store (the assumptions a real
+S3/GCS backend must satisfy — pinned by the store-fault adversary in
+tests/test_snapshot_committer.py):
+
+- **Read-after-write consistency for LIST and GET** (S3 provides this
+  since Dec 2020; GCS always has). Two places depend on it hard:
+  ``read_current`` derives the head from LIST, and
+  ``reserve_id_block``'s verify-LIST must see every slot already PUT —
+  a LIST that misses a just-PUT higher slot would let a zombie
+  reservation hand out a duplicate block. On an eventually-consistent
+  store this committer is NOT safe for id reservation.
+- **Conditional PUT is atomic and exactly-once decided** — but its
+  RESPONSE may be lost (5xx/timeout after a success). Callers absorb
+  that: ``_commit_version`` re-GETs on collision and byte-compares to
+  detect its own lost-response win; ``reserve_id_block`` treats an
+  "already exists" for its own slot as a burned block (a gap, never a
+  duplicate). A retrying SDK under this committer must surface the
+  collision, not invent idempotency.
+- **Partial failure of multi-object operations is the caller's
+  problem**: ``install_dir`` (DELETE + per-object COPY) may die after
+  any k objects; the ``_SUCCESS``-last ordering keeps a half-installed
+  target distinguishable, and BOTH crash-replay and caller-level retry
+  re-run it idempotently. No cross-object atomicity is assumed.
+- **DELETE and GET of a missing key are benign** (404 == no-op /
+  None), matching store semantics; nothing interprets them as errors.
 """
 
 from __future__ import annotations
@@ -74,18 +100,34 @@ def _link_commit(path: str, payload: bytes, durable: bool) -> bool:
     payload lands under a unique staging name first and ``os.link`` into
     the final name is the create-if-absent commit point (EEXIST = a
     racing writer won). A crash mid-stage leaves only ``.put.*`` litter
-    that head resolution already ignores (non-numeric version suffix)."""
-    tmp = f"{path}.put.{uuid.uuid4().hex}"
-    try:
-        _stage_payload(tmp, payload, durable)
+    that head resolution already ignores (non-numeric version suffix).
+
+    A racing litter sweep (``vacuum``) that unlinks the staging tmp
+    between the stage and the link makes ``os.link`` raise
+    ``FileNotFoundError`` — that is a lost STAGE, not a lost commit
+    (nothing was published), so the payload is restaged under a fresh
+    name and the link retried. vacuum age-gates ``.put.*`` deletion by
+    ``orphan_grace_seconds`` precisely so a live staging can only hit
+    this window against a misconfigured (grace≈0) sweep; the retry
+    makes even that sweep merely slow, not fatal (r13 ADVICE)."""
+    for _ in range(5):
+        tmp = f"{path}.put.{uuid.uuid4().hex}"
         try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+            _stage_payload(tmp, payload, durable)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+            except FileNotFoundError:
+                continue
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
+    raise OSError(
+        f"conditional-put staging for {path} was swept 5 times in a row; "
+        "is a vacuum running with orphan_grace_seconds≈0 in a loop?"
+    )
 
 
 class Committer:

@@ -61,7 +61,9 @@ import contextlib
 import hashlib
 import json
 import os
+import random
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -77,6 +79,22 @@ _MANIFEST = "_MANIFEST"
 _GROUP_PREFIX = "_MGROUP."
 _IDSEQ = "_IDSEQ"
 _STAGING_PREFIX = "_STAGING."
+
+# How often a live writer refreshes its staging-intent mtime (the vacuum
+# grace clock). Far below any sane orphan_grace_seconds (default 1h) so a
+# legitimately slow Spark stage — plausible at 100 TB — never ages out
+# mid-write (r13 ADVICE); tests monkeypatch it down to exercise the beat.
+_INTENT_KEEPALIVE_INTERVAL = 60.0
+
+
+class IdModeError(RuntimeError):
+    """A legacy ``expected_max_id``-minting commit hit a table whose id
+    space is governed by ``reserve_id_block`` reservations. Deliberately
+    NOT a :class:`SnapshotConflictError`: retrying cannot help (the
+    modes are structurally incompatible — a props-minting writer cannot
+    see in-flight reservations, so ids would silently overlap), and
+    conflict-retry loops must not mask it as transient. The fix is to
+    switch the caller to ``reserve_id_block``."""
 
 
 class SnapshotConflictError(RuntimeError):
@@ -376,10 +394,16 @@ class SnapshotTable:
         Initialization bridges from the serial world: with no sequence
         files the base comes from the manifest's ``max_id``, so a table's
         first reserving writer continues exactly where legacy commits
-        left off. MIXING modes concurrently on one table is not safe —
-        a props-minting writer cannot see in-flight reservations; a
-        table's minting writers must either all reserve (this package's
-        ingest paths do) or all pass ``expected_max_id``.
+        left off. MIXING modes on one table is REFUSED, not merely
+        documented-unsafe: once any ``_IDSEQ`` slot exists, an
+        ``expected_max_id``-minting commit raises :class:`IdModeError`
+        (checked before staging AND under the write lock in
+        ``overwrite_partitions``) — a props-minting writer cannot see
+        in-flight reservations, so letting it through could mint
+        overlapping ids with no loud failure. A table's minting writers
+        either all reserve (this package's ingest paths do) or all pass
+        ``expected_max_id``; the first reservation permanently switches
+        the table to reservation mode.
 
         Retention: a verified winner of ``v{k+1}`` sweeps every slot
         below ``v{k}``, keeping at most two live files in steady state;
@@ -457,6 +481,42 @@ class SnapshotTable:
     def _clear_intent(self, dir_name: str) -> None:
         with contextlib.suppress(OSError):
             self.committer.delete(self._intent_path(dir_name))
+
+    def _refresh_intent(self, dir_name: str) -> None:
+        """Bump the intent's mtime — the clock vacuum's grace reads."""
+        with contextlib.suppress(OSError):
+            os.utime(self._intent_path(dir_name))
+
+    def _start_intent_keepalive(self, dir_name: str):
+        """Keep a staging intent FRESH for as long as the write is alive;
+        returns a stop() callable for the writer's ``finally``.
+
+        vacuum's grace is keyed to the intent file's mtime; without a
+        refresh, a legitimate Spark stage running longer than
+        ``orphan_grace_seconds`` (default 1h — plausible at the design's
+        100 TB scale) that races a vacuum gets its staged dir reclaimed
+        and must restage (r13 ADVICE). A daemon heartbeat touches the
+        intent every ``_INTENT_KEEPALIVE_INTERVAL`` seconds while the
+        stage+commit runs, so only a CRASHED writer's intent ever ages
+        out — exactly the writer the grace exists to reclaim. The thread
+        is pure-local (one utime/minute), and a crash kills it with the
+        process, freezing the mtime clock."""
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(_INTENT_KEEPALIVE_INTERVAL):
+                self._refresh_intent(dir_name)
+
+        t = threading.Thread(
+            target=_beat, name=f"intent-keepalive-{dir_name}", daemon=True
+        )
+        t.start()
+
+        def _stop() -> None:
+            stop.set()
+            t.join(timeout=5.0)
+
+        return _stop
 
     def _intent_dirs(self) -> set[str]:
         return {
@@ -540,7 +600,19 @@ class SnapshotTable:
         # the conditional put IS the commit point: at most one writer
         # wins this version (POSIX: O_CREAT|O_EXCL; object store:
         # If-None-Match / if-generation-match 0)
-        if not self.committer.put_if_absent(versioned, payload):
+        won = self.committer.put_if_absent(versioned, payload)
+        if not won and self.committer.get(versioned) == payload:
+            # SELF-WIN with a lost response (r13 verdict ask #3): on a
+            # real store the conditional PUT can succeed while the
+            # client sees a 5xx/timeout — the SDK's retry then gets
+            # "already exists" FOR OUR OWN COMMIT. Treating that as a
+            # foreign conflict is worse than wasted work: the caller's
+            # cleanup path could delete a staged dir this committed
+            # manifest references. The payload embeds this attempt's
+            # unique staged-dir name (uuid), so byte-equality proves
+            # the committed object is ours — proceed as the winner.
+            won = True
+        if not won:
             # Self-heal a wedged head before surfacing the conflict: a
             # writer that crashed BETWEEN the commit point and the
             # pointer publish leaves the pointer at N-1 while version N
@@ -1007,6 +1079,16 @@ class SnapshotTable:
         assign ids from the same base and collide across tenants.
         """
         values = [str(v) for v in partition_values]
+        if expected_max_id is not None and self._seq_slots():
+            # fail BEFORE the expensive Spark stage; the authoritative
+            # (race-free) re-check runs under the write lock below — a
+            # reservation chain can appear mid-stage
+            raise IdModeError(
+                "this table's id space is governed by reserve_id_block "
+                "reservations; an expected_max_id-minting commit cannot "
+                "prove its ids are unclaimed. Reserve a block instead "
+                "of minting from max_id."
+            )
         # ---- stage OUTSIDE the write lock ---------------------------------
         # The Spark job that materializes ``df`` is the expensive part of a
         # commit; holding the lock across it serialized every concurrent
@@ -1022,6 +1104,7 @@ class SnapshotTable:
         )
         out = os.path.join(self.root, dir_name)
         self._stage_intent(dir_name)
+        stop_keepalive = self._start_intent_keepalive(dir_name)
         committed = False
         reached_commit = False
         try:
@@ -1080,6 +1163,21 @@ class SnapshotTable:
                                 f"{doc.version}); re-read and retry the "
                                 "merge"
                             )
+                    if expected_max_id is not None and self._seq_slots():
+                        # MODE EXCLUSIVITY, enforced (r13 verdict ask #2):
+                        # this caller minted ids from the max_id it read,
+                        # but the table has an _IDSEQ reservation chain —
+                        # some writer holds a block ABOVE max_id that this
+                        # commit's guard cannot see, so "max_id unchanged"
+                        # no longer proves the minted ids are unclaimed.
+                        # Refuse loudly instead of overlapping silently.
+                        raise IdModeError(
+                            "this table's id space is governed by "
+                            "reserve_id_block reservations; an "
+                            "expected_max_id-minting commit cannot prove "
+                            "its ids are unclaimed. Reserve a block "
+                            "instead of minting from max_id."
+                        )
                     if (
                         expected_max_id is not None
                         and int(doc.props.get("max_id", 0))
@@ -1159,6 +1257,7 @@ class SnapshotTable:
             # after a successful commit the manifest reference protects
             # the dir; after a cleanup there is nothing to protect; a
             # process crash skips this and vacuum's grace reclaims both
+            stop_keepalive()
             self._clear_intent(dir_name)
         return _DocManifest(self.current_doc())
 
@@ -1220,6 +1319,7 @@ class SnapshotTable:
         )
         out = os.path.join(self.root, dir_name)
         self._stage_intent(dir_name)
+        stop_keepalive = self._start_intent_keepalive(dir_name)
         committed = False
         reached_commit = False
         try:
@@ -1296,6 +1396,7 @@ class SnapshotTable:
                 shutil.rmtree(out, ignore_errors=True)
             raise
         finally:
+            stop_keepalive()
             self._clear_intent(dir_name)
         return _DocManifest(self.current_doc())
 
@@ -1540,6 +1641,22 @@ class SnapshotTable:
                         os.path.basename(self._group_path(int(gid), sha))
                     )
             seq_head = self._seq_head()[0]
+
+            def _aged_out(path: str) -> bool:
+                # age gate for control-file litter, same rationale as
+                # the _STAGING grace: reserve_id_block runs OUTSIDE the
+                # write lock and a cross-host lock-bypassing committer
+                # may be mid-conditional-put right now — their
+                # _link_commit staging tmps look identical to a crashed
+                # writer's leak. Only mtime distinguishes them; a live
+                # writer's tmp is seconds old, a leak outlives the
+                # grace. (_link_commit additionally retries a swept
+                # stage, so even a mis-gated sweep is non-fatal.)
+                try:
+                    return now - os.stat(path).st_mtime >= orphan_grace_seconds
+                except OSError:
+                    return False  # already gone — a racer cleaned it
+
             for name in listing:
                 full = os.path.join(self.root, name)
                 if os.path.isdir(full):
@@ -1549,13 +1666,16 @@ class SnapshotTable:
                 elif name.startswith(_IDSEQ + ".v"):
                     # keep the top two sequence files (the _seq_head
                     # LIST→GET race needs head-1 to survive); older ones
-                    # are leaks from crashed reservers, and a non-digit
-                    # suffix is _link_commit staging litter
-                    # (_IDSEQ.v7.put.<uuid>) from a reserver that died
-                    # mid-stage (r13 review)
+                    # are leaks from crashed reservers — slot numbers
+                    # below head-1 are provably dead (the winner-sweep
+                    # invariant), no age gate needed. A non-digit suffix
+                    # is _link_commit staging litter
+                    # (_IDSEQ.v7.put.<uuid>): a crashed reserver's leak
+                    # OR a LIVE reserver mid-stage (reservation runs
+                    # outside the write lock) — age-gated (r13 ADVICE).
                     s = name[len(_IDSEQ) + 2 :]
                     if (s.isdigit() and int(s) < seq_head - 1) or (
-                        not s.isdigit()
+                        not s.isdigit() and _aged_out(full)
                     ):
                         with contextlib.suppress(OSError):
                             os.unlink(full)
@@ -1576,8 +1696,11 @@ class SnapshotTable:
                             with contextlib.suppress(FileNotFoundError):
                                 os.unlink(full)
                             stats["manifests"] += 1
-                    else:
-                        # .put./.tmp/.ptr staging leftovers
+                    elif _aged_out(full):
+                        # .put./.tmp/.ptr staging leftovers — age-gated:
+                        # a cross-host lock-bypassing committer (the
+                        # exact racer the rebase loop supports) may be
+                        # mid-put on one of these right now (r13 ADVICE)
                         with contextlib.suppress(FileNotFoundError):
                             os.unlink(full)
                         stats["litter"] += 1

@@ -819,3 +819,48 @@ def test_reader_races_live_compaction(spark, tmp_path, committer_cls):
     for s in observed:
         assert TAIL <= s <= FULL, s
     assert _visible_edge_set(spark, shard_dir) == FULL
+
+
+def test_missing_path_predicate_covers_all_spark_error_forms():
+    """r13 ADVICE: the LIST→ANALYZE retry must recognize a vanished path
+    in every form Spark emits it — errorClass attribute (3.4+), the
+    class name in the message, and the legacy 'Path does not exist'
+    text — and must NOT swallow unrelated analysis errors."""
+    from client_data_ingester_spark.streaming.compaction import (
+        _is_missing_path_error,
+    )
+
+    class _ErrWithClass(Exception):
+        def __init__(self, msg, klass):
+            super().__init__(msg)
+            self._k = klass
+
+        def getErrorClass(self):
+            return self._k
+
+    assert _is_missing_path_error(
+        _ErrWithClass("[PATH_NOT_FOUND] Path does not exist: file:/x",
+                      "PATH_NOT_FOUND")
+    )
+    # error class only (message localized/reworded)
+    assert _is_missing_path_error(_ErrWithClass("gone", "PATH_NOT_FOUND"))
+
+    # Spark 4 spelling: getCondition, no getErrorClass at all
+    class _ErrWithCondition(Exception):
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+
+    assert _is_missing_path_error(_ErrWithCondition("gone"))
+    # legacy pre-error-class message, getErrorClass absent entirely
+    assert _is_missing_path_error(
+        Exception("Path does not exist: file:/tmp/shards/batch_id=3")
+    )
+    # getErrorClass returning None must not break the message fallback
+    assert _is_missing_path_error(
+        _ErrWithClass("[PATH_NOT_FOUND] nope", None)
+    )
+    # unrelated analysis errors re-raise
+    assert not _is_missing_path_error(
+        _ErrWithClass("[UNRESOLVED_COLUMN] no such column", "UNRESOLVED_COLUMN")
+    )
+    assert not _is_missing_path_error(Exception("schema mismatch"))

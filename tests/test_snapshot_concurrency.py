@@ -8,6 +8,7 @@ from writers that bypassed the lock.
 """
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -636,3 +637,182 @@ def test_reserve_id_block_disjoint_across_processes(tmp_path):
     assert len(set(bases)) == 150
     srt = sorted(bases)
     assert all(b - a >= 7 for a, b in zip(srt, srt[1:]))
+
+
+# ---- round 14: vacuum litter age-gating, intent keepalive, id-mode ------
+
+
+def test_vacuum_age_gates_control_file_litter(spark, tmp_path):
+    """Fresh `.put.`/`.tmp`/`.ptr` litter is a LIVE writer mid-stage
+    (reserve_id_block and cross-host committers run outside the write
+    lock) — vacuum must leave it until it outlives the grace, exactly
+    like staging intents (r13 ADVICE)."""
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    litter = [
+        os.path.join(t.root, "_IDSEQ.v7.put.deadbeef"),
+        os.path.join(t.root, f"{_MANIFEST}.v9.put.deadbeef"),
+        os.path.join(t.root, f"{_MANIFEST}.tmp"),
+        os.path.join(t.root, f"{_MANIFEST}.v1.ptr"),
+    ]
+    for p in litter:
+        with open(p, "wb") as f:
+            f.write(b"42")
+    t.vacuum()  # default 1h grace: everything is seconds old → kept
+    for p in litter:
+        assert os.path.exists(p), p
+    stats = t.vacuum(orphan_grace_seconds=0.0)  # aged out → reclaimed
+    for p in litter:
+        assert not os.path.exists(p), p
+    assert stats["litter"] >= len(litter)
+    # dead NUMERIC slots below head-1 need no age gate (winner-sweep
+    # invariant proves them dead): with head at v9, v3 goes immediately
+    for k in (3, 9):
+        with open(os.path.join(t.root, f"_IDSEQ.v{k}"), "w") as f:
+            f.write("100")
+    t.vacuum()
+    assert not os.path.exists(os.path.join(t.root, "_IDSEQ.v3"))
+    assert os.path.exists(os.path.join(t.root, "_IDSEQ.v9"))
+    assert {r["sku"] for r in t.read(spark, 1).collect()} == {"A"}
+
+
+def test_link_commit_restages_after_swept_tmp(tmp_path, monkeypatch):
+    """A litter sweep that unlinks the conditional-put staging tmp between
+    stage and link must cost a retry, not the commit: os.link raising
+    FileNotFoundError restages under a fresh name (r13 ADVICE)."""
+    from client_data_ingester_spark.tables import committer as cm
+
+    real_stage = cm._stage_payload
+    swept = {"n": 0}
+
+    def hostile_stage(tmp, payload, durable):
+        real_stage(tmp, payload, durable)
+        if swept["n"] < 2:  # sweep the first two stagings
+            swept["n"] += 1
+            os.unlink(tmp)
+
+    monkeypatch.setattr(cm, "_stage_payload", hostile_stage)
+    target = str(tmp_path / "_IDSEQ.v1")
+    assert cm._link_commit(target, b"7", durable=False) is True
+    assert swept["n"] == 2
+    with open(target, "rb") as f:
+        assert f.read() == b"7"
+    # litter from the swept attempts is gone; only the committed file and
+    # the directory remain
+    assert sorted(os.listdir(tmp_path)) == ["_IDSEQ.v1"]
+    # an every-time sweep (vacuum looping with grace 0) fails LOUDLY
+    # after bounded retries instead of spinning
+    swept["n"] = -10**9
+    with pytest.raises(OSError):
+        cm._link_commit(str(tmp_path / "_IDSEQ.v2"), b"8", durable=False)
+
+
+def test_intent_keepalive_refreshes_mtime(spark, tmp_path, monkeypatch):
+    """A live slow writer's staging intent stays FRESH under the vacuum
+    grace clock: the keepalive beat touches the intent's mtime, so only
+    crashed writers age out (r13 ADVICE)."""
+    from client_data_ingester_spark.tables import snapshot as sn
+
+    monkeypatch.setattr(sn, "_INTENT_KEEPALIVE_INTERVAL", 0.05)
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    t._stage_intent("v000042-cafebabe")
+    path = t._intent_path("v000042-cafebabe")
+    old = time.time() - 7200  # pretend the stage started two hours ago
+    os.utime(path, (old, old))
+    stop = t._start_intent_keepalive("v000042-cafebabe")
+    try:
+        deadline = time.time() + 5.0
+        while os.stat(path).st_mtime < old + 3600 and time.time() < deadline:
+            time.sleep(0.02)
+        # the beat refreshed an hours-old intent → a racing vacuum with
+        # the default grace now keeps the staged dir
+        assert os.stat(path).st_mtime >= old + 3600
+        staged = os.path.join(t.root, "v000042-cafebabe")
+        os.makedirs(staged)
+        t.vacuum()
+        assert os.path.isdir(staged)
+    finally:
+        stop()
+    # after stop() the clock freezes: no beat revives an aged-out intent
+    os.utime(path, (old, old))
+    time.sleep(0.2)
+    assert os.stat(path).st_mtime <= old + 1
+
+
+def test_expected_max_id_refused_once_table_reserves(spark, tmp_path):
+    """Verdict r13 ask #2: mixing id-minting modes is REFUSED, not
+    documented — a legacy expected_max_id writer on a table with an
+    _IDSEQ chain gets IdModeError (loud, non-retriable), never
+    overlapping ids."""
+    from client_data_ingester_spark.tables import IdModeError
+
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    base = int(t.current_manifest().props["max_id"])
+    t.reserve_id_block(10)  # the table is now reservation-governed
+    with pytest.raises(IdModeError):
+        t.overwrite_partitions(
+            _df(spark, 1, ["B"]), [1], expected_max_id=base
+        )
+    # IdModeError is not a retriable conflict
+    assert not issubclass(IdModeError, SnapshotConflictError)
+    # nothing was staged or committed by the refused writer
+    assert t.current_manifest().version == 1
+    assert {r["sku"] for r in t.read(spark, 1).collect()} == {"A"}
+
+
+def test_expected_max_id_refused_when_reservation_lands_mid_stage(
+    spark, tmp_path, monkeypatch
+):
+    """The authoritative mode check runs UNDER the write lock: a
+    reservation chain appearing after the legacy writer's pre-stage
+    check (it passed: no slots yet) still refuses the commit."""
+    from client_data_ingester_spark.tables import IdModeError
+
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    base = int(t.current_manifest().props["max_id"])
+    real_slots = type(t)._seq_slots
+    calls = {"n": 0}
+
+    def racing_slots(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # pre-stage check sees a clean table; a reserver lands while
+            # the legacy writer's Spark stage runs
+            self.reserve_id_block(5)
+            return []
+        return real_slots(self)
+
+    dirs_before = {
+        d for d in os.listdir(t.root)
+        if os.path.isdir(os.path.join(t.root, d))
+    }
+    monkeypatch.setattr(type(t), "_seq_slots", racing_slots)
+    with pytest.raises(IdModeError):
+        t.overwrite_partitions(
+            _df(spark, 1, ["B"]), [1], expected_max_id=base
+        )
+    monkeypatch.undo()
+    # the refused writer's staged dir was cleaned up (commit never won)
+    assert t.current_manifest().version == 1
+    dirs_after = {
+        d for d in os.listdir(t.root)
+        if os.path.isdir(os.path.join(t.root, d))
+    }
+    assert dirs_after == dirs_before
+
+
+def test_reserving_writers_unaffected_by_mode_guard(spark, tmp_path):
+    """The enforcement must not touch the package's own ingest protocol:
+    reserving writers (props floor, no expected_max_id) commit freely on
+    a reservation-governed table."""
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    base = t.reserve_id_block(10)
+    m = t.overwrite_partitions(
+        _df(spark, 1, ["A", "B"]), [1], props={"max_id": base + 10}
+    )
+    assert m.version == 2
+    assert int(m.props["max_id"]) >= base + 10
