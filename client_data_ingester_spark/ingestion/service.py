@@ -35,6 +35,8 @@ Behavioral contracts replicated exactly (each has a test):
 from __future__ import annotations
 
 import datetime as _dt
+import random
+import time
 from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any
@@ -52,6 +54,23 @@ _DATA_COLS = [
     for f in CLIENT_PRODUCTS_SCHEMA.fields
     if f.name not in ("id", "client_id", "sku", "active", "last_changed_on")
 ]
+
+# Same-partition contention knobs (r13 verdict ask #4). Optimistic
+# concurrency means N same-tenant writers lose up to N-1 re-merge rounds
+# each in the worst case — 5 attempts starved writer #6+ in the 8-writer
+# liveness test. 12 attempts bounds liveness to ~12 concurrent writers ON
+# ONE TENANT (disjoint tenants never re-merge at all — they rebase); the
+# exponential decorrelated jitter desynchronizes the losers so each round
+# isn't a lockstep re-merge herd against the same head.
+_MERGE_MAX_ATTEMPTS = 12
+_BACKOFF_BASE_S = 0.05
+_BACKOFF_CAP_S = 1.0
+
+
+def _conflict_backoff(attempt: int) -> None:
+    time.sleep(
+        random.uniform(0.0, min(_BACKOFF_CAP_S, _BACKOFF_BASE_S * 2**attempt))
+    )
 
 
 @dataclass
@@ -408,7 +427,13 @@ def _ingest(
     # DataFrame exactly once (a leak here pins executor storage memory for
     # the rest of the session).
     try:
-        for _attempt in range(5):
+        for _attempt in range(_MERGE_MAX_ATTEMPTS):
+            if _attempt:
+                # jittered backoff AFTER a lost round, BEFORE re-reading
+                # the head: desynchronizes the losing herd so re-merges
+                # spread across the winner's commit window instead of
+                # all racing the same next head (r13 verdict ask #4)
+                _conflict_backoff(_attempt)
             manifest = table.current_doc()
             current = table.read(
                 spark,

@@ -38,7 +38,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..ingestion.mapping import ParserConfig, compile_mapping
 from ..ingestion.parsers import ROW_IDX_COL
-from ..ingestion.service import dense_row_idx, merge_products
+from ..ingestion.service import (
+    _MERGE_MAX_ATTEMPTS,
+    _conflict_backoff,
+    dense_row_idx,
+    merge_products,
+)
 from ..tables.snapshot import SnapshotConflictError, SnapshotTable
 
 _log = logging.getLogger(__name__)
@@ -191,7 +196,12 @@ def start_ingest_stream(
             # a re-read and re-merge — an unguarded publish would drop the
             # racer's rows
             last_conflict: Exception | None = None
-            for _ in range(5):
+            for _attempt in range(_MERGE_MAX_ATTEMPTS):
+                if _attempt:
+                    # same contention policy as the batch path
+                    # (service._conflict_backoff): jitter the losing
+                    # herd, bound liveness at ~12 same-tenant writers
+                    _conflict_backoff(_attempt)
                 manifest = table.current_doc()
                 # re-check the replay guard EVERY attempt, not just at
                 # entry: a crash between the commit point and the

@@ -237,3 +237,66 @@ def test_incremental_star_edges_span_same_components(spark, rows, n_batches):
     assert _uf_components(edges) == _uf_components(
         [(r["doc_a"], r["doc_b"]) for r in full]
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        max_size=120,
+    )
+)
+@settings(deadline=None, max_examples=60)
+def test_check_correctness_union_find_oracle_matches_bfs(pairs):
+    """The scaled-gate oracle override (tools/check_correctness.py
+    _union_find_clusters) must label exactly like the recursive-CTE
+    closure it replaces: min node id per connected component, one row
+    per node appearing in >= 1 pair. Pinned against an independent BFS
+    closure so the override can adjudicate sf0.5 with the same standard
+    as the SQL (r13 verdict ask #1)."""
+    import duckdb
+
+    from tools.check_correctness import _union_find_clusters
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    con = duckdb.connect()
+    if pairs:
+        values = ", ".join(
+            f"({min(a, b)}, {max(a, b)})" for a, b in pairs
+        )
+        sql = (
+            "SELECT DISTINCT * FROM (VALUES "
+            + values
+            + ") AS t(id_a, id_b)"
+        )
+    else:
+        sql = "SELECT 1 AS id_a, 2 AS id_b WHERE FALSE"
+    rows, cols = _union_find_clusters(con, sql)
+    assert cols == ["vec_id", "cluster_id"]
+    # independent BFS closure
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in comp:
+                        comp.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        seen |= comp
+        label = min(comp)
+        for u in comp:
+            expected[u] = label
+    assert dict(rows) == expected
+    assert len(rows) == len(expected)

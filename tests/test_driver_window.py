@@ -149,3 +149,37 @@ def test_oracle_geometry_defaults_to_driver_anchor(monkeypatch):
     o2 = entry.oracle_sql()
     assert "LIMIT 44" in o2["semantic_dedup_pairs"]      # isqrt(2000)
     assert "3 AS band" in o2["embedding_near_duplicates"]  # 10 bits -> 4 bands
+
+
+def test_rotation_constants_match_driver_contract():
+    """r13 verdict ask #7: pin the LITERAL rotation arithmetic so a
+    future registry edit (or a silent _WINDOW drift away from the
+    driver's actual 50-entry scoring window) can't shrink coverage
+    without failing CI. The observed driver behavior across r11-r13:
+    exactly 50 CORRECTNESS rows per round."""
+    import json
+    import math
+
+    names = _names()
+    assert entry._WINDOW == 50, (
+        "the driver scores 50 entries/round (observed r11-r13); if the "
+        "driver widened its window, update _WINDOW AND this pin together"
+    )
+    k = entry.coverage_rounds(len(names))
+    # ceil(total / window) is the floor any rotation needs; pinned
+    # entries consume window slots every round, so k may exceed it —
+    # but never the advertised 3-round bound
+    assert math.ceil(len(names) / entry._WINDOW) <= k <= 3
+    # cross-check against the newest recorded driver round: it scored
+    # exactly _WINDOW entries (the contract the rotation is sized for)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(
+        p for p in os.listdir(here)
+        if p.startswith("CORRECTNESS_r") and p.endswith(".json")
+    )
+    if rounds:
+        latest = json.load(open(os.path.join(here, rounds[-1])))
+        assert len(latest) == entry._WINDOW, (
+            f"driver scored {len(latest)} entries in {rounds[-1]}, "
+            f"_WINDOW says {entry._WINDOW} — rotation arithmetic is stale"
+        )

@@ -389,6 +389,107 @@ def part_e(spark, work: str, n_clients: int) -> dict:
     }
 
 
+def part_f(spark, work: str, n_writers: int, rows_each: int) -> dict:
+    """Part F — SAME-tenant contention (r13 verdict ask #4). N threads
+    ingest disjoint sku files into ONE tenant: the rebase path can't help
+    (every loser must re-merge against the winner's head), so this
+    measures the optimistic-concurrency worst case — completion wall,
+    per-writer attempt counts, and total merge recomputes vs N — under
+    the round-14 policy (12-attempt budget + decorrelated-jitter
+    backoff). Expectation: all N land (liveness), recomputes ≈
+    N·(N-1)/2 worst-case bound but measured well below it (the backoff
+    spreads losers across winners' commit windows), wall ≈ serial sum
+    (same-partition work is inherently serialized by correctness — the
+    win is liveness + no thundering-herd waste, not speedup)."""
+    import threading
+
+    from client_data_ingester_spark.ingestion import service as svc
+
+    # distinct sku namespaces per writer (client arg of _client_csv is
+    # baked into the skus) — every row must survive the same-tenant fold
+    csvs = {
+        w: _client_csv(spark, work, f"f_{w}.csv", w, rows_each)
+        for w in range(1, n_writers + 1)
+    }
+    real_merge = svc.merge_products
+    lock = threading.Lock()
+    merge_counts: dict[int, int] = {}
+    tags = threading.local()
+
+    def counting_merge(*a, **kw):
+        with lock:
+            merge_counts[tags.w] = merge_counts.get(tags.w, 0) + 1
+        return real_merge(*a, **kw)
+
+    def run(mode: str) -> tuple[float, list[float], dict[int, int]]:
+        root = os.path.join(work, f"f_{mode}")
+        table = SnapshotTable(root, CLIENT_PRODUCTS_SCHEMA)
+        merge_counts.clear()
+        svc.merge_products = counting_merge
+        walls: dict[int, float] = {}
+        try:
+            t0 = time.time()
+            if mode == "serial":
+                for w in range(1, n_writers + 1):
+                    tags.w = w
+                    s = time.time()
+                    rep = ingest_data(
+                        spark, table, csvs[w], CFG, client_id=1
+                    )
+                    walls[w] = time.time() - s
+                    assert rep.success, rep.message
+            else:
+                reports = {}
+
+                def worker(w):
+                    tags.w = w
+                    s = time.time()
+                    reports[w] = ingest_data(
+                        spark, table, csvs[w], CFG, client_id=1
+                    )
+                    walls[w] = time.time() - s
+
+                ts = [
+                    threading.Thread(target=worker, args=(w,))
+                    for w in range(1, n_writers + 1)
+                ]
+                for th in ts:
+                    th.start()
+                for th in ts:
+                    th.join()
+                assert all(r.success for r in reports.values()), {
+                    w: r.message
+                    for w, r in reports.items()
+                    if not r.success
+                }
+            wall = time.time() - t0
+        finally:
+            svc.merge_products = real_merge
+        n = table.read(spark, partition_value=1).count()
+        assert n == n_writers * rows_each, n
+        return wall, sorted(walls.values()), dict(merge_counts)
+
+    serial_wall, _, serial_counts = run("serial")
+    conc_wall, conc_writer_walls, conc_counts = run("concurrent")
+    recomputes = sum(conc_counts.values()) - n_writers
+    return {
+        "n_writers": n_writers,
+        "rows_each": rows_each,
+        "serial_s": round(serial_wall, 2),
+        "concurrent_s": round(conc_wall, 2),
+        "serial_merges": sum(serial_counts.values()),
+        "concurrent_merges": sum(conc_counts.values()),
+        "recomputes": recomputes,
+        "worst_case_recompute_bound": n_writers * (n_writers - 1) // 2,
+        "attempts_max": max(conc_counts.values()),
+        "attempts_budget": svc._MERGE_MAX_ATTEMPTS,
+        "writer_wall_p50_s": round(
+            conc_writer_walls[len(conc_writer_walls) // 2], 2
+        ),
+        "writer_wall_max_s": round(conc_writer_walls[-1], 2),
+    }
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     total_rows = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "3000000"))
@@ -415,6 +516,13 @@ def main() -> None:
                 spark,
                 work,
                 int(os.environ.get("SPARK_GRAFT_RESHARD_CLIENTS", "100000")),
+            )
+        if "f" in parts:
+            result["same_tenant_contention"] = part_f(
+                spark,
+                work,
+                int(os.environ.get("SPARK_GRAFT_WRITERS", "8")),
+                int(os.environ.get("SPARK_GRAFT_WRITER_ROWS", "50000")),
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -77,6 +77,59 @@ def row_multiset(rows, columns):
     return out
 
 
+def _union_find_clusters(con, pairs_sql: str):
+    """Driver-side union-find oracle for ``embedding_dup_clusters``
+    (r13 verdict ask #1 — the board's one indirect cell).
+
+    The recursive-CTE closure oracle is an ORACLE-COST wall at scale
+    (DuckDB's `reach` relation over the sf0.5 corpus's ~11M-row
+    symmetric pair list ran > 2 h), but the adjudication doesn't need
+    SQL recursion: the pair relation itself is already hash-exact
+    against DuckDB (``embedding_near_duplicates``), so exact cluster
+    labels follow from a union-find over those pairs — same semantics
+    as the CTE (min node id labels each component), seconds instead of
+    hours. Spark-side reference: the operator under test feeds
+    ``dedup.duplicate_clusters``'s large-star/small-star contraction
+    (client_data_ingester_spark/operators/dedup.py:619), whose fixpoint
+    is exactly min-label connected components.
+
+    Returns (rows, columns) shaped like the SQL oracle:
+    (vec_id, cluster_id) for every node that appears in >= 1 pair."""
+    df = con.sql(pairs_sql).df()
+    a = df["id_a"].to_numpy(dtype=np.int64)
+    b = df["id_b"].to_numpy(dtype=np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by MIN id so the final find() walk ends at the
+            # component's minimum — the cluster label both the SQL
+            # oracle (MIN(r)) and the Spark contraction converge to
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    rows = [(node, find(node)) for node in parent]
+    return rows, ["vec_id", "cluster_id"]
+
+
+# Per-query oracle overrides: (predicate(corpus_rows), fn(con, oracles)).
+# Used when the SQL twin is correctness-equivalent but computationally
+# intractable at the gate's scale; the SQL stays in oracle_sql() (the
+# driver's sf0.01 gate still runs it — small corpora keep proving the
+# SQL itself).
+UF_ORACLE_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_UF_ORACLE_MIN", "5000"))
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -136,14 +189,24 @@ def main() -> int:
         if sql is None:
             print(f"PASS? {name}: rows-only ({len(srows)} rows, {spark_t:.1f}s)")
             continue
+        corpus_n = int(os.environ["SPARK_GRAFT_ORACLE_N"])
+        use_uf = (
+            name == "embedding_dup_clusters" and corpus_n >= UF_ORACLE_MIN_ROWS
+        )
         try:
-            rel = con.sql(sql)
-            ocols = [c.lower() for c in rel.columns]
-            # pandas fetch, NOT fetchall(): the driver's oracle binding goes
-            # through pandas, which coerces HUGEINT/DECIMAL to float64 — the
-            # local gate must see the same renderings the driver hashes.
-            odf = rel.df()
-            orows = list(odf.itertuples(index=False, name=None))
+            if use_uf:
+                orows, ocols = _union_find_clusters(
+                    con, oracles["embedding_near_duplicates"]
+                )
+            else:
+                rel = con.sql(sql)
+                ocols = [c.lower() for c in rel.columns]
+                # pandas fetch, NOT fetchall(): the driver's oracle binding
+                # goes through pandas, which coerces HUGEINT/DECIMAL to
+                # float64 — the local gate must see the same renderings the
+                # driver hashes.
+                odf = rel.df()
+                orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             failures.append(name)
@@ -158,7 +221,19 @@ def main() -> int:
         if ok:
             sm = row_multiset(srows, [c.lower() for c in scols])
             om = row_multiset(orows, ocols)
-            if sm != om:
+            if sm != om and use_uf:
+                # no decimal second chance here — all-int output, and
+                # re-pulling would run the intractable recursive SQL
+                diff_s = {k: v for k, v in sm.items() if om.get(k) != v}
+                diff_o = {k: v for k, v in om.items() if sm.get(k) != v}
+                print(f"FAIL {name}: value mismatch [union-find oracle] "
+                      f"({len(diff_s)} spark-only, {len(diff_o)} oracle-only)")
+                for k in list(diff_s)[:3]:
+                    print(f"    spark: {k}")
+                for k in list(diff_o)[:3]:
+                    print(f"    oracle: {k}")
+                ok = False
+            elif sm != om:
                 # Second chance at DECIMAL-EXACT binding: the pandas
                 # fetch coerces DuckDB DECIMAL to float64 (the driver's
                 # binding — correct to mirror at its sf0.01 gate, where
@@ -186,7 +261,8 @@ def main() -> int:
                     print(f"    oracle: {k}")
                 ok = False
         if ok:
-            print(f"PASS {name} ({len(srows)} rows, {spark_t:.1f}s)")
+            tag = " [union-find oracle]" if use_uf else ""
+            print(f"PASS {name} ({len(srows)} rows, {spark_t:.1f}s){tag}")
         else:
             failures.append(name)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
