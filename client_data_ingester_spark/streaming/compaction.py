@@ -109,6 +109,14 @@ def _is_missing_path_error(e: Exception) -> bool:
         "PATH_NOT_FOUND" in klass
         or "PATH_NOT_FOUND" in msg
         or "Path does not exist" in msg
+        # schema-inference footer reads (schema=None) run as a Spark JOB
+        # before the scan's ignoreMissingFiles applies: a file deleted
+        # between LIST and the footer read surfaces as a SparkException/
+        # Py4JJavaError wrapping java.io.FileNotFoundException, not an
+        # AnalysisException (observed from the racing-reader adversary
+        # in test_compaction — the reader thread died where a retry was
+        # due). The Java stack is embedded in the message text.
+        or "FileNotFoundException" in msg
     )
 
 
@@ -129,6 +137,12 @@ def read_complete_shards(
       documented folded-rows-missing window instead of a task failure
       (the consumers' read-side merges are idempotent set-merges, so
       missing-then-refolded rows are exact on the next read).
+
+    With ``schema=None`` a third window opens BETWEEN those two: schema
+    inference reads parquet footers in a Spark job before the scan's
+    ``ignoreMissingFiles`` option exists, so a deletion there raises a
+    SparkException (FileNotFoundException in the Java stack) instead of
+    an AnalysisException — absorbed by the same re-list-and-retry.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
@@ -145,6 +159,15 @@ def read_complete_shards(
             return reader.parquet(*paths)
         except AnalysisException as e:
             if not _is_missing_path_error(e):
+                raise
+            continue
+        except Exception as e:
+            # Py4JJavaError / SparkException from the schema-inference
+            # footer job — only the vanished-file form is retriable
+            if type(e).__name__ not in (
+                "Py4JJavaError",
+                "SparkException",
+            ) or not _is_missing_path_error(e):
                 raise
             continue
     raise RuntimeError(

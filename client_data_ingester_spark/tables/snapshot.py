@@ -483,9 +483,14 @@ class SnapshotTable:
             self.committer.delete(self._intent_path(dir_name))
 
     def _refresh_intent(self, dir_name: str) -> None:
-        """Bump the intent's mtime — the clock vacuum's grace reads."""
+        """Bump the intent's mtime — the clock vacuum's grace reads.
+        Routed through the committer seam: a re-PUT refreshes
+        LastModified on a real object store, where a plain utime has no
+        equivalent."""
         with contextlib.suppress(OSError):
-            os.utime(self._intent_path(dir_name))
+            self.committer.put_atomic(
+                self._intent_path(dir_name), str(os.getpid()).encode()
+            )
 
     def _start_intent_keepalive(self, dir_name: str):
         """Keep a staging intent FRESH for as long as the write is alive;
@@ -1573,7 +1578,15 @@ class SnapshotTable:
         live slow writer is not. A writer whose stage outlives the
         grace AND races a vacuum fails its commit loudly (the staged
         dir is re-checked under the lock) rather than publishing a
-        dangling reference."""
+        dangling reference.
+
+        Id-sequence retention note (r13 review): in steady state the
+        next verified reservation winner sweeps dead ``_IDSEQ`` slots,
+        so a table that KEEPS being written needs no vacuum for them —
+        but a table that stops being written retains at most two slot
+        files plus any crashed-reserver ``.put.*`` litter until this
+        call runs. Bounded (a few hundred bytes), but vacuum is the
+        only reclaimer once writers stop."""
         with self._write_lock():
             latest = self.current_doc().version
             # a crash between commit point and pointer publish can leave

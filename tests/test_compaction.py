@@ -864,3 +864,26 @@ def test_missing_path_predicate_covers_all_spark_error_forms():
         _ErrWithClass("[UNRESOLVED_COLUMN] no such column", "UNRESOLVED_COLUMN")
     )
     assert not _is_missing_path_error(Exception("schema mismatch"))
+
+
+def test_missing_path_predicate_covers_footer_job_failures():
+    """schema=None inference reads footers in a Spark job BEFORE the
+    scan's ignoreMissingFiles exists — a mid-race deletion surfaces as
+    Py4JJavaError/SparkException with FileNotFoundException buried in
+    the Java stack text (observed from the racing-reader adversary).
+    The retry predicate must catch that form and still re-raise
+    unrelated job failures."""
+    from client_data_ingester_spark.streaming.compaction import (
+        _is_missing_path_error,
+    )
+
+    java_stack = (
+        "An error occurred while calling o1.parquet.\n"
+        ": org.apache.spark.SparkException: Job aborted due to stage "
+        "failure: ... Caused by: java.io.FileNotFoundException: File "
+        "file:/tmp/shards/batch_id=3/part-0.parquet does not exist"
+    )
+    assert _is_missing_path_error(Exception(java_stack))
+    assert not _is_missing_path_error(
+        Exception("Job aborted: java.lang.OutOfMemoryError: heap")
+    )
