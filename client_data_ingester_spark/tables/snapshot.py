@@ -61,7 +61,6 @@ import contextlib
 import hashlib
 import json
 import os
-import random
 import shutil
 import threading
 import time

@@ -122,11 +122,13 @@ def _union_find_clusters(con, pairs_sql: str):
     return rows, ["vec_id", "cluster_id"]
 
 
-# Per-query oracle overrides: (predicate(corpus_rows), fn(con, oracles)).
-# Used when the SQL twin is correctness-equivalent but computationally
-# intractable at the gate's scale; the SQL stays in oracle_sql() (the
-# driver's sf0.01 gate still runs it — small corpora keep proving the
-# SQL itself).
+# Corpus size at which embedding_dup_clusters switches from the
+# recursive-CTE SQL oracle to the union-find override above. Below the
+# threshold the SQL twin stays the adjudicator (cheap there — and the
+# driver's own sf0.01 gate always runs the SQL, so small corpora keep
+# proving the oracle_sql() entry itself); above it the SQL is an
+# oracle-cost wall, not a correctness statement. Set to 1 to force the
+# override (used to validate UF == SQL at sf0.01).
 UF_ORACLE_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_UF_ORACLE_MIN", "5000"))
 
 
