@@ -61,6 +61,7 @@ import contextlib
 import hashlib
 import json
 import os
+import random
 import shutil
 import threading
 import time
@@ -84,6 +85,18 @@ _STAGING_PREFIX = "_STAGING."
 # legitimately slow Spark stage — plausible at 100 TB — never ages out
 # mid-write (r13 ADVICE); tests monkeypatch it down to exercise the beat.
 _INTENT_KEEPALIVE_INTERVAL = 60.0
+
+# Rebase-loop budget for the commit section (version-CAS collisions from
+# lock-BYPASSING racers, e.g. cross-host writers on shared storage; the
+# in-process write lock already serializes same-host commits). Each
+# attempt is manifest-only work (no data recompute), so a generous budget
+# costs nothing; the jitter desynchronizes a cross-host herd the same way
+# the caller-level merge backoff does (measured in bench_tenants part F).
+_REBASE_MAX_ATTEMPTS = 12
+
+
+def _rebase_backoff(attempt: int) -> None:
+    time.sleep(random.uniform(0.0, min(0.5, 0.02 * 2**attempt)))
 
 
 class IdModeError(RuntimeError):
@@ -1148,7 +1161,12 @@ class SnapshotTable:
             # still surfaces as SnapshotConflictError to the caller, whose
             # re-merge is the one genuine data recompute.
             last: SnapshotConflictError | None = None
-            for _ in range(5):
+            for _rebase in range(_REBASE_MAX_ATTEMPTS):
+                if _rebase:
+                    # a lost CAS means a lock-bypassing racer is live:
+                    # jitter before re-entering the lock so a cross-host
+                    # herd doesn't lockstep-collide on every version
+                    _rebase_backoff(_rebase)
                 with self._write_lock():
                     doc = self.current_doc()
                     if (
@@ -1241,7 +1259,7 @@ class SnapshotTable:
                         continue
             if not committed:
                 raise last or SnapshotConflictError(
-                    "lost the version race 5 times"
+                    f"lost the version race {_REBASE_MAX_ATTEMPTS} times"
                 )
         except BaseException as e:
             # clean the staged dir ONLY when the commit point was
@@ -1287,7 +1305,13 @@ class SnapshotTable:
         and the compaction retries against the new version. Compaction mints
         no ids, so it does not guard max_id.
         """
-        for _ in range(5):
+        for _attempt in range(5):
+            if _attempt:
+                # maintenance yields to the live writer it keeps losing
+                # to: jittered pause before re-reading, same policy as
+                # the ingest merge loop (each attempt here is a full
+                # partition rewrite, so the budget stays small)
+                _rebase_backoff(_attempt)
             manifest = self.current_manifest()
             df = self.read(
                 spark,
@@ -1348,7 +1372,9 @@ class SnapshotTable:
                 agg["max_id"] if "id" in written.columns else None
             )
             last: SnapshotConflictError | None = None
-            for _ in range(5):
+            for _rebase in range(_REBASE_MAX_ATTEMPTS):
+                if _rebase:
+                    _rebase_backoff(_rebase)  # see overwrite_partitions
                 with self._write_lock():
                     doc = self.current_doc()
                     if (
@@ -1389,7 +1415,7 @@ class SnapshotTable:
                         continue
             if not committed:
                 raise last or SnapshotConflictError(
-                    "lost the version race 5 times"
+                    f"lost the version race {_REBASE_MAX_ATTEMPTS} times"
                 )
         except BaseException as e:
             # see overwrite_partitions: never delete the staged dir
