@@ -40,6 +40,7 @@ from ..ingestion.mapping import ParserConfig, compile_mapping
 from ..ingestion.parsers import ROW_IDX_COL
 from ..ingestion.service import (
     _MERGE_MAX_ATTEMPTS,
+    _MERGE_STALL_LIMIT,
     _conflict_backoff,
     dense_row_idx,
     merge_products,
@@ -196,12 +197,17 @@ def start_ingest_stream(
             # a re-read and re-merge — an unguarded publish would drop the
             # racer's rows
             last_conflict: Exception | None = None
-            for _attempt in range(_MERGE_MAX_ATTEMPTS):
-                if _attempt:
-                    # same contention policy as the batch path
-                    # (service._conflict_backoff): jitter the losing
-                    # herd, bound liveness at ~12 same-tenant writers
-                    _conflict_backoff(_attempt)
+            losses = 0
+            stalled = 0
+            last_version = -1
+            while True:
+                if losses:
+                    # same contention policy as the batch path: jitter
+                    # the losing herd; progress-based retry (see
+                    # service.py — a loss where the head advanced burns
+                    # no stall budget, so liveness holds for any finite
+                    # writer count)
+                    _conflict_backoff(min(losses, 10))
                 manifest = table.current_doc()
                 # re-check the replay guard EVERY attempt, not just at
                 # entry: a crash between the commit point and the
@@ -247,9 +253,19 @@ def start_ingest_stream(
                     break
                 except SnapshotConflictError as e:
                     last_conflict = e
+                    losses += 1
+                    stalled = (
+                        stalled + 1
+                        if manifest.version == last_version
+                        else 0
+                    )
+                    last_version = manifest.version
+                    if (
+                        stalled >= _MERGE_STALL_LIMIT
+                        or losses >= _MERGE_MAX_ATTEMPTS
+                    ):
+                        raise last_conflict
                     continue
-            else:
-                raise last_conflict
         finally:
             staged.unpersist()
 

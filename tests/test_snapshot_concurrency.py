@@ -880,3 +880,40 @@ def test_eight_same_tenant_writers_all_land(spark, tmp_path):
     assert len(set(ids)) == len(ids)
     # bounded attempts: nobody needed more than the policy's budget
     assert max(merge_counts.values()) <= svc._MERGE_MAX_ATTEMPTS
+
+
+def test_merge_retry_is_progress_based(spark, tmp_path, monkeypatch):
+    """A conflict where the head ADVANCED burns no stall budget (live
+    contention, any finite N eventually wins); a conflict with the head
+    PARKED (wedged lock, reclaimed stage) fails after _MERGE_STALL_LIMIT
+    consecutive stuck rounds — not after the 64-round absolute backstop."""
+    from client_data_ingester_spark.ingestion import (
+        ParserConfig,
+        ingest_data,
+    )
+    from client_data_ingester_spark.ingestion import service as svc
+
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])
+    cfg = ParserConfig(
+        "csv", {"sku": ("sku", "text"), "title": ("title", "text")}
+    )
+    calls = {"n": 0}
+    real = type(t).overwrite_partitions
+
+    def stuck_overwrite(self, *a, **kw):
+        calls["n"] += 1
+        raise SnapshotConflictError("simulated parked-head conflict")
+
+    monkeypatch.setattr(type(t), "overwrite_partitions", stuck_overwrite)
+    rep = ingest_data(
+        spark, t, b"sku,title\nB,Item B\n", cfg, client_id=1
+    )
+    monkeypatch.setattr(type(t), "overwrite_partitions", real)
+    assert not rep.success
+    # stall budget, not the absolute backstop: head never moved, so the
+    # loop must give up after _MERGE_STALL_LIMIT consecutive stuck rounds
+    assert calls["n"] <= svc._MERGE_STALL_LIMIT + 2
+    assert calls["n"] < svc._MERGE_MAX_ATTEMPTS
+    # the table is untouched
+    assert {r["sku"] for r in t.read(spark, 1).collect()} == {"A"}
