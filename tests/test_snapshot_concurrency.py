@@ -917,3 +917,74 @@ def test_merge_retry_is_progress_based(spark, tmp_path, monkeypatch):
     assert calls["n"] < svc._MERGE_MAX_ATTEMPTS
     # the table is untouched
     assert {r["sku"] for r in t.read(spark, 1).collect()} == {"A"}
+
+
+def test_concurrent_ingests_survive_lossy_store(spark, tmp_path):
+    """End-to-end integration of the store-fault model (r13 verdict ask
+    #3) with the full ingest stack: 4 threads ingest the same tenant
+    through a PointerFileCommitter whose conditional-PUT responses are
+    randomly lost (every third win swallowed). Self-win detection plus
+    gap-burning reservations must keep the final table EXACT — all rows
+    present, ids unique, no staged dir referenced by any version
+    missing from disk."""
+    import threading
+
+    from client_data_ingester_spark.ingestion import (
+        ParserConfig,
+        ingest_data,
+    )
+    from client_data_ingester_spark.tables.committer import (
+        PointerFileCommitter,
+    )
+
+    class LossyStore(PointerFileCommitter):
+        def __init__(self):
+            self.calls = 0
+            self.lost = 0
+            self._lock = threading.Lock()
+
+        def put_if_absent(self, path, payload):
+            won = super().put_if_absent(path, payload)
+            with self._lock:
+                self.calls += 1
+                if won and self.calls % 3 == 0:
+                    self.lost += 1
+                    return False  # success response lost
+            return won
+
+    store = LossyStore()
+    t = SnapshotTable(
+        str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA, committer=store
+    )
+    cfg = ParserConfig(
+        "csv", {"sku": ("sku", "text"), "title": ("title", "text")}
+    )
+    n = 4
+    reports = {}
+
+    def run(w):
+        data = (
+            "sku,title\n"
+            + "".join(f"L{w}-{i},Item {w}-{i}\n" for i in range(3))
+        ).encode()
+        reports[w] = ingest_data(spark, t, data, cfg, client_id=1)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert store.lost >= 1, "fault injector never fired"
+    assert all(r.success for r in reports.values()), {
+        w: r.message for w, r in reports.items() if not r.success
+    }
+    rows = t.read(spark, 1).collect()
+    assert {r["sku"] for r in rows} == {
+        f"L{w}-{i}" for w in range(n) for i in range(3)
+    }
+    ids = [r["id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    # no committed version references a vanished dir
+    for dirs in t.current_doc().all_partitions().values():
+        for d in dirs:
+            assert os.path.isdir(os.path.join(t.root, d)), d
