@@ -453,7 +453,8 @@ def test_duplicate_clusters_deep_chain_converges_sublinearly(spark):
     min-label propagation moves the minimum one hop per round and would
     need ~99 rounds, so passing at 10 pins the O(log n) large-star/
     small-star contraction — a deep component is no longer an operational
-    cliff at the default budget."""
+    cliff at the default budget. ``local_max_edges=0`` forces the
+    distributed rounds (the driver-side fast path would hide them)."""
     from client_data_ingester_spark.operators.dedup import duplicate_clusters
 
     pairs = spark.createDataFrame(
@@ -461,9 +462,75 @@ def test_duplicate_clusters_deep_chain_converges_sublinearly(spark):
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in duplicate_clusters(pairs, max_iter=10).collect()
+        for r in duplicate_clusters(
+            pairs, max_iter=10, local_max_edges=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(101)}
+
+
+def test_duplicate_clusters_local_and_distributed_paths_agree(spark):
+    """The size-gated driver-side fast path and the large-star/small-star
+    rounds must be the SAME function: randomized multigraphs (chains,
+    cycles, dups, reversed edges) solved both ways and against an
+    independent union-find oracle."""
+    import random
+
+    from client_data_ingester_spark.operators.dedup import duplicate_clusters
+
+    def uf(edges):
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {(n, find(n)) for n in parent}
+
+    rng = random.Random(20260816)
+    for _ in range(4):
+        edges = [
+            (rng.randint(0, 60), rng.randint(0, 60)) for _ in range(120)
+        ]
+        real = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        local = {
+            (r["doc_id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs).collect()
+        }
+        dist = {
+            (r["doc_id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs, local_max_edges=0).collect()
+        }
+        assert local == dist == uf(real)
+
+
+def test_duplicate_clusters_local_path_schema_and_empties(spark):
+    """Fast-path output must carry the INPUT id type (an int32 edge list
+    must not silently widen to long and break a downstream join), and a
+    pairs relation that is empty — or all self-loops — must yield an
+    empty labeling on both paths."""
+    from client_data_ingester_spark.operators.dedup import duplicate_clusters
+
+    ints = spark.createDataFrame([(1, 2), (2, 3)], "doc_a int, doc_b int")
+    out = duplicate_clusters(ints)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "int", "int",
+    ]
+    assert {(r[0], r[1]) for r in out.collect()} == {(1, 1), (2, 1), (3, 1)}
+
+    for rows in ([], [(7, 7), (9, 9)]):
+        empty = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        assert duplicate_clusters(empty).count() == 0
+        assert duplicate_clusters(empty, local_max_edges=0).count() == 0
 
 
 # ---------------------------------------------------------------------------

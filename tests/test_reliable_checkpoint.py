@@ -12,8 +12,17 @@ import os
 
 import pytest
 
+from client_data_ingester_spark.operators import dedup
 from client_data_ingester_spark.operators.ckpt import ensure_checkpoint_dir
 from client_data_ingester_spark.operators.dedup import duplicate_clusters
+
+
+@pytest.fixture(autouse=True)
+def _force_distributed_contraction(monkeypatch):
+    # this file pins the DISTRIBUTED contraction's reliable= seam; the
+    # size-gated driver-side fast path (which never checkpoints) would
+    # make every assertion here vacuous at these toy edge counts
+    monkeypatch.setattr(dedup, "LOCAL_SOLVE_MAX_EDGES", 0)
 
 
 def _pairs(spark):
