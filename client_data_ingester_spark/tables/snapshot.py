@@ -1605,6 +1605,17 @@ class SnapshotTable:
         dir is re-checked under the lock) rather than publishing a
         dangling reference.
 
+        Clock assumption (tested by
+        ``test_skewed_vacuum_clock_degrades_to_loud_conflict``): the
+        grace compares THIS host's ``time.time()`` against the store's
+        LastModified, so it only shields live writers while the
+        sweeping host's clock is within ``orphan_grace_seconds`` of the
+        store clock. A sweeper running further ahead defeats the shield
+        — the failure mode is then the writer's loud
+        ``SnapshotConflictError`` re-stage at commit (never a dangling
+        reference), and the ingest service retries it. Keep maintenance
+        hosts NTP-synced; the default 1h grace tolerates any sane skew.
+
         Id-sequence retention note (r13 review): in steady state the
         next verified reservation winner sweeps dead ``_IDSEQ`` slots,
         so a table that KEEPS being written needs no vacuum for them —

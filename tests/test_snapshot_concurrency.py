@@ -988,3 +988,99 @@ def test_concurrent_ingests_survive_lossy_store(spark, tmp_path):
     for dirs in t.current_doc().all_partitions().values():
         for d in dirs:
             assert os.path.isdir(os.path.join(t.root, d)), d
+
+
+class _AheadClock:
+    """Stand-in for the time module on a maintenance host whose clock runs
+    AHEAD of the store's LastModified clock; everything but time() forwards."""
+
+    def __init__(self, real, skew):
+        self._real, self._skew = real, skew
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def time(self):
+        return self._real.time() + self._skew
+
+
+def test_skewed_vacuum_clock_degrades_to_loud_conflict(spark, tmp_path):
+    """Clock-skew adversary for the vacuum grace: the staging-intent shield
+    compares the SWEEPER's now against the STORE's LastModified, so a
+    vacuum host running >grace ahead defeats the shield no matter how
+    fresh the intent or how fast the keepalive beats. The protocol's
+    fallback invariant must hold: the racing writer's commit fails LOUDLY
+    (the intent re-check under the lock), never publishes a dangling
+    reference, and the committed table is untouched and writable after."""
+    from client_data_ingester_spark.tables import snapshot as sn
+
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    t.overwrite_partitions(_df(spark, 1, ["A"]), [1])  # v1
+
+    real_ka = type(t)._start_intent_keepalive
+    fired = {"n": 0}
+
+    def hostile_keepalive(self, dir_name):
+        stop = real_ka(self, dir_name)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a maintenance host 2h ahead vacuums (default 1h grace)
+            # while this writer is mid-stage
+            sn.time = _AheadClock(time, 7200.0)
+            try:
+                self.vacuum()
+            finally:
+                sn.time = time
+        return stop
+
+    try:
+        type(t)._start_intent_keepalive = hostile_keepalive
+        with pytest.raises(SnapshotConflictError, match="re.?clai|re-stage"):
+            t.overwrite_partitions(_df(spark, 1, ["B"]), [1])
+    finally:
+        type(t)._start_intent_keepalive = real_ka
+    assert t.current_manifest().version == 1
+    assert {r["sku"] for r in t.read(spark, 1).collect()} == {"A"}
+    # no committed version references a vanished dir
+    for dirs in t.current_doc().all_partitions().values():
+        for d in dirs:
+            assert os.path.isdir(os.path.join(t.root, d)), d
+    # the table is not wedged: a later untampered writer lands normally
+    m = t.overwrite_partitions(_df(spark, 1, ["A", "B"]), [1])
+    assert m.version == 2
+
+
+def test_ingest_retry_survives_one_skewed_vacuum(spark, tmp_path):
+    """Service-level consequence of the skew scenario above: the ingest
+    merge loop treats the reclaimed-stage conflict as retriable, so a
+    SINGLE skewed sweep mid-stage costs one re-merge, not the ingest."""
+    from client_data_ingester_spark.ingestion import ParserConfig, ingest_data
+    from client_data_ingester_spark.tables import snapshot as sn
+
+    t = SnapshotTable(str(tmp_path / "t"), CLIENT_PRODUCTS_SCHEMA)
+    cfg = ParserConfig("csv", {"sku": ("sku", "text"), "title": ("title", "text")})
+
+    real_ka = type(t)._start_intent_keepalive
+    fired = {"n": 0}
+
+    def hostile_keepalive(self, dir_name):
+        stop = real_ka(self, dir_name)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            sn.time = _AheadClock(time, 7200.0)
+            try:
+                self.vacuum()
+            finally:
+                sn.time = time
+        return stop
+
+    try:
+        type(t)._start_intent_keepalive = hostile_keepalive
+        report = ingest_data(
+            spark, t, b"sku,title\nS1,First\nS2,Second\n", cfg, client_id=1
+        )
+    finally:
+        type(t)._start_intent_keepalive = real_ka
+    assert fired["n"] == 1, "the skewed sweep never fired"
+    assert report.success, report.message
+    assert {r["sku"] for r in t.read(spark, 1).collect()} == {"S1", "S2"}

@@ -135,6 +135,15 @@ UF_ORACLE_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_UF_ORACLE_MIN", "5000"))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if os.environ.get("SPARK_GRAFT_FORCE_DIST_CLUSTERS"):
+        # pin the DISTRIBUTED large-star/small-star path under the scaled
+        # oracles: the size-gated driver-side fast path would otherwise
+        # absorb every locally-testable corpus (it engages below ~2M
+        # edges), leaving the 100 TB code path proven only at toy size
+        from client_data_ingester_spark.operators import dedup
+
+        dedup.LOCAL_SOLVE_MAX_EDGES = 0
+        print("[forced distributed contraction: LOCAL_SOLVE_MAX_EDGES=0]")
     con = duckdb.connect()
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
