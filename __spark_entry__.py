@@ -892,6 +892,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _url_synth(_t(s, d, "documents"))
     )
     q["docs_hash_split"] = lambda s, d: X.hash_split(_t(s, d, "documents"))
+    # leakage-safe variant: the bucket is keyed on the duplicate-CLUSTER
+    # label (persisted _cluster_index artifact), so a near-dup pair can
+    # never straddle train/eval — id-hash splits leak paraphrases into
+    # eval and the loss silently measures memorization
+    q["docs_leakage_safe_split"] = lambda s, d: X.leakage_safe_split(
+        _t(s, d, "documents"), clusters=_cluster_index(s, d)
+    )
     q["docs_quality_stratified"] = lambda s, d: X.quality_stratified_topk(
         _t(s, d, "documents")
     )
@@ -2879,6 +2886,26 @@ def oracle_sql() -> dict[str, str]:
                          % 100 < 80
                     THEN 'train' ELSE 'eval' END AS split
         FROM documents
+    """
+
+    # leakage-safe split: same digest-bucket recipe keyed on
+    # COALESCE(cluster label, own id); the cluster labels come from the
+    # dedup_clusters closure CTE (min-id connected components over the
+    # LSH candidate pairs) — singletons reproduce docs_hash_split exactly
+    o["docs_leakage_safe_split"] = f"""
+        WITH clusters AS ({o['dedup_clusters']}),
+        keyed AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS split_key
+            FROM documents d
+            LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+        SELECT doc_id, split_key,
+               CAST(('0x' || SUBSTR(MD5(CAST(split_key AS VARCHAR)), 1, 8))::BIGINT
+                    % 100 AS INTEGER) AS bucket,
+               CASE WHEN ('0x' || SUBSTR(MD5(CAST(split_key AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 80
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM keyed
     """
 
     # split-drift: the hash_split oracle reused as a CTE; integer

@@ -307,6 +307,47 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+) -> DataFrame:
+    """Train/eval split that can never put two NEAR-DUPLICATES on
+    opposite sides: the hash bucket is keyed on the document's duplicate
+    CLUSTER label (``duplicate_clusters``' min-id labeling; the doc's own
+    id for unclustered docs) instead of its id, so a whole near-dup
+    cluster moves as one unit. Plain id-hash splits leak: a paraphrase
+    of a training document lands in eval with probability 1-train_pct
+    and the eval loss silently measures memorization. Keyed on the
+    cluster, singleton docs get exactly the ``hash_split`` assignment
+    (same digest-bucket recipe), so adopting the leakage-safe split only
+    reassigns documents that HAVE near-duplicates.
+
+    Shape at 100 TB: one hash-partitioned equi-join of the corpus
+    against the persisted 2-column cluster labeling (the write-time
+    artifact every dedup endgame consumer probes), then map-only
+    expressions — no extra shuffle, no window.
+
+    Emits (doc_id, split_key, bucket, split)."""
+    from .dedup import md5_int
+
+    lab = clusters.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id")
+    )
+    j = docs.select(id_col).join(lab, id_col, "left")
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = md5_int(key.cast("string")) % 100
+    return j.select(
+        F.col(id_col),
+        key.alias("split_key"),
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
 def quality_stratified_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Top-k docs per detected language by quality score — the quality/
     curriculum filtering shape (keep the best k of every stratum, so

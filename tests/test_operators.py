@@ -248,6 +248,44 @@ def test_hash_split_deterministic_and_stable(spark):
     assert 0.7 < train_frac < 0.9
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """The leakage guard itself: every member of a near-dup cluster gets
+    the SAME split (an id-hash split would scatter them), singletons get
+    exactly the hash_split assignment (adopting the safe split only
+    reassigns docs that have duplicates), and the cluster key is the
+    labeling's min-id so the assignment is stable as the corpus grows."""
+    from client_data_ingester_spark.operators.dedup import duplicate_clusters
+    from client_data_ingester_spark.operators.text import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # chained clusters {0..4}, {50,51}, and a 2-cycle {60,61}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (50, 51), (60, 61), (61, 60)],
+        "doc_a long, doc_b long",
+    )
+    clusters = duplicate_clusters(pairs)
+    out = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in leakage_safe_split(docs, clusters).collect()
+    }
+    assert len(out) == 200
+    for members in ([0, 1, 2, 3, 4], [50, 51], [60, 61]):
+        keys = {out[m][0] for m in members}
+        splits = {out[m][1] for m in members}
+        assert keys == {min(members)}, members
+        assert len(splits) == 1, members
+    plain = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    clustered = {0, 1, 2, 3, 4, 50, 51, 60, 61}
+    for d in range(200):
+        if d not in clustered:
+            assert out[d] == (d, plain[d]), d
+    train_frac = sum(1 for v in out.values() if v[1] == "train") / len(out)
+    assert 0.6 < train_frac < 0.95
+
+
 def test_pack_sequences_budget_and_order(spark):
     """Packing is the running-token-count quotient: doc order by id,
     shard = floor(tokens_before / budget), pos = rank inside shard — and
