@@ -326,13 +326,20 @@ def _cluster_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup cost at 100 TB; it is a pure function of the corpus, so it runs
     at WRITE time and every retention-policy consumer probes the persisted
     2-column (doc_id, cluster_id) table instead of re-contracting."""
+    from client_data_ingester_spark.operators import dedup as _dedup
     from client_data_ingester_spark.operators.dedup import (
         build_cluster_index,
         load_cluster_index,
         lsh_spanning_edges,
     )
 
-    path = _index_cache_path(sf_dir, "clusters", src_table="documents")
+    # the contraction MODE is part of the cache key: a gate that forces
+    # the distributed rounds (tools/check_correctness.py
+    # SPARK_GRAFT_FORCE_DIST_CLUSTERS) must not be silently served an
+    # artifact the local fast path built — that would report the 100 TB
+    # path proven while never running it
+    kind = "clusters" if _dedup.LOCAL_SOLVE_MAX_EDGES > 0 else "clusters_dist"
+    path = _index_cache_path(sf_dir, kind, src_table="documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # spanning STAR edges, not the full in-bucket pair expansion:
         # connected components over exact-key buckets only needs the

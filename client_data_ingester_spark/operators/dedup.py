@@ -746,8 +746,11 @@ def duplicate_clusters(
     id_sql_type = edges.schema["hi"].dataType.simpleString()
     np_type = _LOCAL_SOLVE_NP_TYPES.get(id_sql_type)
     # the count doubles as the checkpoint-materializing action (the job
-    # round 1's checksum used to play), so the size probe is ~free
-    if np_type is not None and edges.count() <= max(0, cap):
+    # round 1's checksum used to play), so the size probe is ~free.
+    # cap <= 0 disables the fast path UNCONDITIONALLY (even for an empty
+    # edge relation — `0 <= 0` must not sneak an all-self-loop input
+    # onto the local path when a caller asked for the distributed one)
+    if np_type is not None and cap > 0 and edges.count() <= cap:
         import numpy as np
         import pandas as pd
 

@@ -272,18 +272,32 @@ def document_fingerprints(
     )
 
 
-def split_expr(id_col: str = "doc_id", train_pct: int = 80) -> Column:
+def _split_bucket(key: Column) -> Column:
+    """THE digest-bucket recipe every split variant shares (md5 first-8-hex
+    → int, mod 100) — one definition so the bucket can never drift between
+    the id-keyed and cluster-keyed splits (or their DuckDB oracles)."""
+    from .dedup import md5_int
+
+    return md5_int(key.cast("string")) % 100
+
+
+def _split_decision(bucket: Column, train_pct: int) -> Column:
+    return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval"))
+
+
+def split_expr(
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    key: Column | None = None,
+) -> Column:
     """The hash-split decision as a pure map-only EXPRESSION — use this
     inside an existing projection when a relation already carries the id
     (no self-join, no second scan); :func:`hash_split` is the relation
-    form of the same rule."""
-    from .dedup import md5_int
-
-    bucket = md5_int(F.col(id_col).cast("string")) % 100
-    return (
-        F.when(bucket < train_pct, F.lit("train"))
-        .otherwise(F.lit("eval"))
-    )
+    form of the same rule. ``key`` overrides the bucketed expression
+    (default: the id column) — :func:`leakage_safe_split` passes the
+    cluster label through here."""
+    k = F.col(id_col) if key is None else key
+    return _split_decision(_split_bucket(k), train_pct)
 
 
 def hash_split(
@@ -297,9 +311,7 @@ def hash_split(
     document keeps its split when the corpus grows (the property that keeps
     eval sets uncontaminated across dataset versions). Pure expressions,
     no shuffle."""
-    from .dedup import md5_int
-
-    bucket = md5_int(F.col(id_col).cast("string")) % 100
+    bucket = _split_bucket(F.col(id_col))
     return docs.select(
         F.col(id_col),
         bucket.cast("int").alias("bucket"),
@@ -324,27 +336,33 @@ def leakage_safe_split(
     (same digest-bucket recipe), so adopting the leakage-safe split only
     reassigns documents that HAVE near-duplicates.
 
+    Stability caveat (vs ``hash_split``'s absolute stability): a doc
+    keeps its split as the corpus grows EXCEPT when a new document
+    bridges two previously-separate clusters — the merged cluster
+    re-keys to the joint minimum and one side's members flip. That flip
+    is not an artifact, it IS the guarantee: once the sides are
+    near-duplicates of each other they must land on one side of the
+    split, and min-id re-keying is the deterministic way to pick it.
+    Pipelines that need eval-set freezing should pin the labeling
+    artifact version they split against.
+
     Shape at 100 TB: one hash-partitioned equi-join of the corpus
     against the persisted 2-column cluster labeling (the write-time
     artifact every dedup endgame consumer probes), then map-only
     expressions — no extra shuffle, no window.
 
     Emits (doc_id, split_key, bucket, split)."""
-    from .dedup import md5_int
-
     lab = clusters.select(
         F.col("doc_id").alias(id_col), F.col("cluster_id")
     )
     j = docs.select(id_col).join(lab, id_col, "left")
     key = F.coalesce(F.col("cluster_id"), F.col(id_col))
-    bucket = md5_int(key.cast("string")) % 100
+    bucket = _split_bucket(key)
     return j.select(
         F.col(id_col),
         key.alias("split_key"),
         bucket.cast("int").alias("bucket"),
-        F.when(bucket < train_pct, F.lit("train"))
-        .otherwise(F.lit("eval"))
-        .alias("split"),
+        split_expr(id_col, train_pct, key=key).alias("split"),
     )
 
 

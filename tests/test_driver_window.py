@@ -183,3 +183,33 @@ def test_rotation_constants_match_driver_contract():
             f"driver scored {len(latest)} entries in {rounds[-1]}, "
             f"_WINDOW says {entry._WINDOW} — rotation arithmetic is stale"
         )
+
+
+def test_cluster_index_cache_key_tracks_contraction_mode(monkeypatch):
+    """The forced-distributed gate (SPARK_GRAFT_FORCE_DIST_CLUSTERS) must
+    never be served an artifact the LOCAL fast path built: the persisted
+    cluster-index cache key folds the contraction mode in, so forcing
+    LOCAL_SOLVE_MAX_EDGES=0 resolves a different cache dir and really
+    re-runs the large-star/small-star rounds."""
+    from client_data_ingester_spark.operators import dedup
+
+    seen = []
+
+    def fake_cache_path(sf_dir, kind, src_table="embeddings"):
+        seen.append(kind)
+        return "/nonexistent/cdi_test_cache/" + kind
+
+    built = []
+    monkeypatch.setattr(entry, "_index_cache_path", fake_cache_path)
+    monkeypatch.setattr(dedup, "build_cluster_index", lambda *a, **k: built.append(a))
+    monkeypatch.setattr(dedup, "load_cluster_index", lambda s, p: ("loaded", p))
+    monkeypatch.setattr(
+        entry, "_t", lambda s, d, t: None, raising=False
+    )
+    monkeypatch.setattr(dedup, "lsh_spanning_edges", lambda *a, **k: None)
+
+    entry._cluster_index(None, "sfX")
+    monkeypatch.setattr(dedup, "LOCAL_SOLVE_MAX_EDGES", 0)
+    entry._cluster_index(None, "sfX")
+    assert seen == ["clusters", "clusters_dist"], seen
+    assert len(built) == 2  # neither mode reused the other's artifact

@@ -253,7 +253,8 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
     the SAME split (an id-hash split would scatter them), singletons get
     exactly the hash_split assignment (adopting the safe split only
     reassigns docs that have duplicates), and the cluster key is the
-    labeling's min-id so the assignment is stable as the corpus grows."""
+    labeling's deterministic min-id (see the operator docstring for the
+    cluster-merge re-keying caveat)."""
     from client_data_ingester_spark.operators.dedup import duplicate_clusters
     from client_data_ingester_spark.operators.text import (
         hash_split,
