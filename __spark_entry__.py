@@ -1365,6 +1365,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"), "user_id", ["event_type"]
     )
 
+    # cohort overlap by REGISTER-TABLE merge + inclusion-exclusion: the
+    # mergeable-state use-case (|A∩B| off persisted sketches, zero raw
+    # rows re-read). Deterministic modulo cohorts give partial overlap at
+    # every sf; p=10 because subtraction adds the absolute errors
+    def _cohort_overlap(s, d):
+        ev = _t(s, d, "events")
+        return K.hll_overlap(
+            ev.where(F.col("user_id") % 3 != 0),
+            ev.where(F.col("user_id") % 2 != 0),
+            "user_id",
+            p=10,
+        )
+
+    q["sketch_cohort_overlap"] = _cohort_overlap
+
     # Count-Min point estimates vs exact counts for a probe key set: the
     # register table is depth×width rows however large the corpus, so the
     # probe side is a broadcast join against sketch state
@@ -4587,6 +4602,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["sketch_distinct_users"] = K.hll_oracle_sql(
         "events", "user_id", ["event_type"]
+    )
+
+    o["sketch_cohort_overlap"] = K.hll_overlap_oracle_sql(
+        "SELECT user_id FROM events WHERE user_id % 3 <> 0",
+        "SELECT user_id FROM events WHERE user_id % 2 <> 0",
+        "user_id",
+        p=10,
     )
 
     o["sketch_heavy_hitters"] = f"""

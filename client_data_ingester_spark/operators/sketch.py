@@ -219,6 +219,115 @@ FROM finalized
 """
 
 
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Cohort-overlap estimate by HLL inclusion-exclusion over MERGED
+    register tables: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    union's registers are the per-bucket MAX of the two sides' registers
+    — never a join or a shuffle of the raw values. This is the mergeable
+    state earning its keep: at 100 TB the two cohorts' register tables
+    (m rows each) are typically PERSISTED per slice, and the overlap is
+    served off them alone, reading zero raw rows.
+
+    Register-level merge == value-level union (max of per-side maxes is
+    the max over the concatenated values), pinned by
+    ``tests/test_sketch.py``. Error: inclusion-exclusion SUBTRACTS two
+    estimates, so the absolute errors add — size ``p`` for the overlap
+    magnitude you care about, not for the cohort sizes (the scored entry
+    uses p=10, ~3% per estimate, vs the DEFAULT_P=6 display default).
+
+    One row: ``est_a, est_b, est_union, est_overlap, jaccard_est``
+    (overlap clamped at 0 — estimate noise can push a+b−u negative on
+    near-disjoint cohorts; jaccard floor-rounded to 4 decimals with the
+    cross-engine-stable floor(x·10⁴+0.5) rendering)."""
+    ra = hll_registers(df_a, value_col, p=p)
+    rb = hll_registers(df_b, value_col, p=p)
+    # each side's registers contribute to their own scope AND the union
+    # scope; the groupBy MAX below is exactly the register-table merge
+    scoped = (
+        ra.select(F.lit("a").alias("scope"), "bucket", "r")
+        .unionByName(rb.select(F.lit("b").alias("scope"), "bucket", "r"))
+        .select(
+            F.explode(
+                F.array(F.col("scope"), F.lit("union"))
+            ).alias("scope"),
+            "bucket",
+            "r",
+        )
+        .groupBy("scope", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    ests = hll_estimate(scoped, group_cols=["scope"], p=p)
+
+    def pick(s: str) -> Column:
+        return F.max(F.when(F.col("scope") == s, F.col("est_distinct")))
+
+    row = ests.groupBy().agg(
+        pick("a").alias("est_a"),
+        pick("b").alias("est_b"),
+        pick("union").alias("est_union"),
+    )
+    raw_overlap = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    # floor(x*10+0.5)/10, not round(): identical HALF-UP rendering in
+    # Spark and DuckDB (round() half-mode differs between engines)
+    overlap = (F.floor(raw_overlap * 10 + F.lit(0.5)) / F.lit(10.0)).cast(
+        "double"
+    )
+    jac = (
+        F.floor(overlap / F.col("est_union") * 10000 + F.lit(0.5))
+        / F.lit(10000.0)
+    ).cast("double")
+    return row.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        overlap.alias("est_overlap"),
+        jac.alias("jaccard_est"),
+    )
+
+
+def hll_overlap_oracle_sql(
+    select_a: str,
+    select_b: str,
+    value_col: str,
+    p: int = DEFAULT_P,
+) -> str:
+    """DuckDB twin of :func:`hll_overlap`. The oracle duplicates VALUES
+    into scopes (side + union) instead of merging register tables — the
+    two are register-identical (MAX over a union of values == MAX of
+    per-side MAXes), so this independently recomputes the same numbers
+    through :func:`hll_oracle_sql`'s grouped pipeline."""
+    table_expr = f"""(
+      SELECT 'a' AS scope, {value_col} FROM ({select_a})
+      UNION ALL SELECT 'union' AS scope, {value_col} FROM ({select_a})
+      UNION ALL SELECT 'b' AS scope, {value_col} FROM ({select_b})
+      UNION ALL SELECT 'union' AS scope, {value_col} FROM ({select_b})
+    ) scoped_vals"""
+    inner = hll_oracle_sql(table_expr, value_col, ["scope"], p)
+    return f"""
+WITH est AS ({inner}),
+pv AS (
+  SELECT MAX(CASE WHEN scope = 'a' THEN est_distinct END) AS est_a,
+         MAX(CASE WHEN scope = 'b' THEN est_distinct END) AS est_b,
+         MAX(CASE WHEN scope = 'union' THEN est_distinct END) AS est_union
+  FROM est),
+ov AS (
+  SELECT est_a, est_b, est_union,
+         FLOOR(GREATEST(0.0, est_a + est_b - est_union) * 10 + 0.5) / 10.0
+             AS est_overlap
+  FROM pv)
+SELECT est_a, est_b, est_union, est_overlap,
+       FLOOR(est_overlap / est_union * 10000 + 0.5) / 10000.0 AS jaccard_est
+FROM ov
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch: mergeable approximate frequencies / heavy hitters
 

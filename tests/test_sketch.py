@@ -284,3 +284,45 @@ def test_hll_ignores_nulls(spark):
         K.hll_distinct(dirty, "v").collect()
         == K.hll_distinct(clean, "v").collect()
     )
+
+
+def test_hll_overlap_union_equals_value_level_union(spark):
+    """The register-level merge inside hll_overlap must equal building one
+    sketch over the concatenated values (max of per-side maxes == max over
+    the union) — EXACT equality of est_union, the mergeability pin."""
+    a = spark.range(0, 800).select(F.col("id").alias("v"))
+    b = spark.range(500, 1300).select(F.col("id").alias("v"))
+    row = K.hll_overlap(a, b, "v", p=10).first()
+    direct = K.hll_distinct(a.union(b), "v", p=10).first()
+    assert row["est_union"] == direct["est_distinct"]
+    # and the per-side estimates are exactly the standalone sketches
+    assert row["est_a"] == K.hll_distinct(a, "v", p=10).first()["est_distinct"]
+    assert row["est_b"] == K.hll_distinct(b, "v", p=10).first()["est_distinct"]
+
+
+def test_hll_overlap_inclusion_exclusion_accuracy(spark):
+    """Exact |A∩B|=300 on |A|=|B|=800 at p=10 (~3.2% per estimate):
+    inclusion-exclusion adds the absolute errors, so the overlap must land
+    within a generous but meaningful band, and jaccard must be the
+    floor-rendered overlap/union quotient."""
+    a = spark.range(0, 800).select(F.col("id").alias("v"))
+    b = spark.range(500, 1300).select(F.col("id").alias("v"))
+    row = K.hll_overlap(a, b, "v", p=10).first()
+    assert 150 <= row["est_overlap"] <= 450  # exact 300
+    assert 1000 <= row["est_union"] <= 1600  # exact 1300
+    import math
+
+    assert row["jaccard_est"] == (
+        math.floor(row["est_overlap"] / row["est_union"] * 10000 + 0.5)
+        / 10000
+    )
+
+
+def test_hll_overlap_disjoint_clamps_at_zero(spark):
+    """Near-disjoint cohorts can push a+b-u negative from estimate noise;
+    the overlap (and so jaccard) must clamp at 0, never go negative."""
+    a = spark.range(0, 500).select(F.col("id").alias("v"))
+    b = spark.range(10_000, 10_500).select(F.col("id").alias("v"))
+    row = K.hll_overlap(a, b, "v", p=10).first()
+    assert row["est_overlap"] >= 0.0
+    assert 0.0 <= row["jaccard_est"] <= 0.1
