@@ -244,8 +244,24 @@ def hll_overlap(
     (overlap clamped at 0 — estimate noise can push a+b−u negative on
     near-disjoint cohorts; jaccard floor-rounded to 4 decimals with the
     cross-engine-stable floor(x·10⁴+0.5) rendering)."""
-    ra = hll_registers(df_a, value_col, p=p)
-    rb = hll_registers(df_b, value_col, p=p)
+    return hll_overlap_from_registers(
+        hll_registers(df_a, value_col, p=p),
+        hll_registers(df_b, value_col, p=p),
+        p=p,
+    )
+
+
+def hll_overlap_from_registers(
+    ra: DataFrame,
+    rb: DataFrame,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """:func:`hll_overlap` served off REGISTER TABLES — the form a 100 TB
+    deployment actually calls: both sides are persisted ``(bucket, r)``
+    state (written at ingest time, maintained by
+    ``streaming/sketch_stream.py``), so the overlap estimate reads zero
+    raw rows. ``p`` must match the geometry the registers were built
+    with (the estimate formula depends on m)."""
     # each side's registers contribute to their own scope AND the union
     # scope; the groupBy MAX below is exactly the register-table merge
     scoped = (

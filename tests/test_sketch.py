@@ -326,3 +326,19 @@ def test_hll_overlap_disjoint_clamps_at_zero(spark):
     row = K.hll_overlap(a, b, "v", p=10).first()
     assert row["est_overlap"] >= 0.0
     assert 0.0 <= row["jaccard_est"] <= 0.1
+
+
+def test_hll_overlap_served_off_persisted_registers(spark, tmp_path):
+    """The deployment shape: both cohorts' registers are PERSISTED state
+    (parquet here; the streaming maintainer in production) and the overlap
+    is computed from them alone — numbers identical to the raw-value form."""
+    a = spark.range(0, 700).select(F.col("id").alias("v"))
+    b = spark.range(400, 1100).select(F.col("id").alias("v"))
+    pa, pb = str(tmp_path / "regs_a"), str(tmp_path / "regs_b")
+    K.hll_registers(a, "v", p=10).write.parquet(pa)
+    K.hll_registers(b, "v", p=10).write.parquet(pb)
+    from_regs = K.hll_overlap_from_registers(
+        spark.read.parquet(pa), spark.read.parquet(pb), p=10
+    ).first()
+    from_raw = K.hll_overlap(a, b, "v", p=10).first()
+    assert from_regs.asDict() == from_raw.asDict()
