@@ -372,6 +372,39 @@ def _doc_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _split_pin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once PINNED SPLIT MANIFEST over the established
+    (doc_id % 5 != 0) corpus slice — the eval-freeze artifact
+    (text.build_split_index): leakage-safe assignments keyed on the
+    SLICE's duplicate clusters, persisted at eval-set-creation time.
+    ``docs_frozen_split`` then applies it to the FULL corpus (the
+    "corpus grew by the doc_id%5==0 increment" scenario), so the scored
+    query exercises all three frozen_split branches: pinned docs keep
+    their manifest split byte-identically, new docs clustered with
+    pinned members adopt the pinned side (eval-preferred), and new
+    singletons fall back to the digest-bucket split."""
+    from client_data_ingester_spark.operators import dedup as _dedup
+    from client_data_ingester_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_spanning_edges,
+    )
+    from client_data_ingester_spark.operators.text import build_split_index
+
+    # contraction MODE is part of the key (same reason as _cluster_index)
+    kind = "splitpin" if _dedup.LOCAL_SOLVE_MAX_EDGES > 0 else "splitpin_dist"
+    path = _index_cache_path(sf_dir, kind, src_table="documents")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        old = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 != 0)
+        build_split_index(
+            old,
+            duplicate_clusters(
+                lsh_spanning_edges(old, num_perm=4, bands=2)
+            ),
+            path,
+        )
+    return spark.read.parquet(path)
+
+
 def _pipeline_curated(
     spark: SparkSession, sf_dir: str, checkpoint: bool = False
 ) -> DataFrame:
@@ -905,6 +938,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # eval and the loss silently measures memorization
     q["docs_leakage_safe_split"] = lambda s, d: X.leakage_safe_split(
         _t(s, d, "documents"), clusters=_cluster_index(s, d)
+    )
+    # eval-freeze, deployment shape: the split manifest pinned over the
+    # established slice is a persisted build artifact; the scored query
+    # applies it to the grown (full) corpus under the CURRENT clustering
+    q["docs_frozen_split"] = lambda s, d: X.frozen_split(
+        _t(s, d, "documents"),
+        _split_pin_index(s, d),
+        clusters=_cluster_index(s, d),
     )
     q["docs_quality_stratified"] = lambda s, d: X.quality_stratified_topk(
         _t(s, d, "documents")
@@ -2928,6 +2969,71 @@ def oracle_sql() -> dict[str, str]:
                          % 100 < 80
                     THEN 'train' ELSE 'eval' END AS split
         FROM keyed
+    """
+
+    # frozen split: TWO independent closures (the pin-time slice's and
+    # the current full corpus's — slice pairs are exactly the full pairs
+    # with both endpoints in the slice, since band keys are per-document),
+    # then the manifest-coalesce / eval-preferred-cluster-vote / digest
+    # fallback cascade recomputed value-level
+    o["docs_frozen_split"] = f"""
+        WITH RECURSIVE pairs_all AS ({o['dedup_lsh_candidates']}),
+        sym_f AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs_all
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs_all),
+        reach_f AS (
+            SELECT a AS node, a AS r FROM sym_f
+            UNION
+            SELECT reach_f.node, sym_f.b AS r
+            FROM reach_f JOIN sym_f ON sym_f.a = reach_f.r),
+        clus_f AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach_f GROUP BY node),
+        sym_s AS (
+            SELECT a, b FROM sym_f WHERE a % 5 <> 0 AND b % 5 <> 0),
+        reach_s AS (
+            SELECT a AS node, a AS r FROM sym_s
+            UNION
+            SELECT reach_s.node, sym_s.b AS r
+            FROM reach_s JOIN sym_s ON sym_s.a = reach_s.r),
+        clus_s AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id
+            FROM reach_s GROUP BY node),
+        pinned AS (
+            SELECT d.doc_id,
+                   CASE WHEN ('0x' || SUBSTR(MD5(CAST(
+                            COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)),
+                            1, 8))::BIGINT % 100 < 80
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+            LEFT JOIN clus_s c ON c.doc_id = d.doc_id),
+        keyed AS (
+            SELECT d.doc_id, COALESCE(fc.cluster_id, d.doc_id) AS split_key
+            FROM documents d
+            LEFT JOIN clus_f fc ON fc.doc_id = d.doc_id),
+        kp AS (
+            SELECT k.split_key,
+                   MAX(CASE WHEN p.split = 'eval' THEN 1 ELSE 0 END)
+                       AS has_eval,
+                   MAX(CASE WHEN p.split = 'train' THEN 1 ELSE 0 END)
+                       AS has_train
+            FROM keyed k JOIN pinned p ON p.doc_id = k.doc_id
+            GROUP BY k.split_key)
+        SELECT k.doc_id, k.split_key,
+               CAST(('0x' || SUBSTR(MD5(CAST(k.split_key AS VARCHAR)),
+                    1, 8))::BIGINT % 100 AS INTEGER) AS bucket,
+               COALESCE(p.split,
+                        CASE WHEN kp.has_eval = 1 THEN 'eval'
+                             WHEN kp.has_train = 1 THEN 'train' END,
+                        CASE WHEN ('0x' || SUBSTR(MD5(CAST(
+                                 k.split_key AS VARCHAR)), 1, 8))::BIGINT
+                                 % 100 < 80
+                             THEN 'train' ELSE 'eval' END) AS split,
+               (p.doc_id IS NOT NULL) AS frozen
+        FROM keyed k
+        LEFT JOIN pinned p ON p.doc_id = k.doc_id
+        LEFT JOIN kp ON kp.split_key = k.split_key
     """
 
     # split-drift: the hash_split oracle reused as a CTE; integer

@@ -709,7 +709,11 @@ def duplicate_clusters(
     the executor-local blocks for SparkContext-checkpoint-dir blocks,
     which survive executor loss on a real cluster (set
     ``ckpt.ensure_checkpoint_dir`` first); the local default is free on
-    local[N] but non-recoverable at cluster scale.
+    local[N] but non-recoverable at cluster scale. On the LOCAL fast
+    path ``reliable=`` is a no-op: the driver-side collect IS the
+    materialization (there are no per-round lineage chains to truncate
+    and no checkpoint blocks are written), so callers must not assume
+    checkpoint-dir blocks exist unless the edge count exceeded the gate.
 
     - large-star(u): every neighbor v > u re-attaches to m = min(Γ(u) ∪ u)
     - small-star(u): u and its neighbors v < u collapse onto their minimum

@@ -280,7 +280,13 @@ def hll_overlap_from_registers(
     ests = hll_estimate(scoped, group_cols=["scope"], p=p)
 
     def pick(s: str) -> Column:
-        return F.max(F.when(F.col("scope") == s, F.col("est_distinct")))
+        # empty cohorts leave their scope row absent (no registers at
+        # all) — a missing estimate IS zero distinct values, so coalesce
+        # rather than propagate NULL into the arithmetic below
+        return F.coalesce(
+            F.max(F.when(F.col("scope") == s, F.col("est_distinct"))),
+            F.lit(0.0),
+        )
 
     row = ests.groupBy().agg(
         pick("a").alias("est_a"),
@@ -295,10 +301,16 @@ def hll_overlap_from_registers(
     overlap = (F.floor(raw_overlap * 10 + F.lit(0.5)) / F.lit(10.0)).cast(
         "double"
     )
-    jac = (
-        F.floor(overlap / F.col("est_union") * 10000 + F.lit(0.5))
-        / F.lit(10000.0)
-    ).cast("double")
+    # guard the quotient: est_union == 0 means both cohorts were empty
+    # (Jaccard of two empty sets is conventionally 0, never NULL — and
+    # NULL-division semantics are exactly where engines drift)
+    jac = F.when(
+        F.col("est_union") > 0,
+        (
+            F.floor(overlap / F.col("est_union") * 10000 + F.lit(0.5))
+            / F.lit(10000.0)
+        ).cast("double"),
+    ).otherwise(F.lit(0.0))
     return row.select(
         "est_a",
         "est_b",
@@ -329,9 +341,12 @@ def hll_overlap_oracle_sql(
     return f"""
 WITH est AS ({inner}),
 pv AS (
-  SELECT MAX(CASE WHEN scope = 'a' THEN est_distinct END) AS est_a,
-         MAX(CASE WHEN scope = 'b' THEN est_distinct END) AS est_b,
-         MAX(CASE WHEN scope = 'union' THEN est_distinct END) AS est_union
+  SELECT COALESCE(MAX(CASE WHEN scope = 'a' THEN est_distinct END), 0.0)
+             AS est_a,
+         COALESCE(MAX(CASE WHEN scope = 'b' THEN est_distinct END), 0.0)
+             AS est_b,
+         COALESCE(MAX(CASE WHEN scope = 'union' THEN est_distinct END), 0.0)
+             AS est_union
   FROM est),
 ov AS (
   SELECT est_a, est_b, est_union,
@@ -339,7 +354,9 @@ ov AS (
              AS est_overlap
   FROM pv)
 SELECT est_a, est_b, est_union, est_overlap,
-       FLOOR(est_overlap / est_union * 10000 + 0.5) / 10000.0 AS jaccard_est
+       CASE WHEN est_union > 0
+            THEN FLOOR(est_overlap / est_union * 10000 + 0.5) / 10000.0
+            ELSE 0.0 END AS jaccard_est
 FROM ov
 """
 

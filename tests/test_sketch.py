@@ -342,3 +342,41 @@ def test_hll_overlap_served_off_persisted_registers(spark, tmp_path):
     ).first()
     from_raw = K.hll_overlap(a, b, "v", p=10).first()
     assert from_regs.asDict() == from_raw.asDict()
+
+
+def test_hll_overlap_empty_cohorts_degenerate_guard(spark):
+    """Degenerate inputs must yield 0.0s, never NULLs: an empty cohort has
+    no registers at all (its scope row is ABSENT, not zero), and with both
+    sides empty est_union is 0 — the jaccard quotient must be guarded, and
+    the DuckDB oracle must render the identical row (NULL-division
+    semantics are exactly where engines drift)."""
+    import duckdb
+
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    some = spark.range(0, 300).select(F.col("id").alias("v"))
+
+    both = K.hll_overlap(empty, empty, "v", p=10).first().asDict()
+    assert both == {
+        "est_a": 0.0, "est_b": 0.0, "est_union": 0.0,
+        "est_overlap": 0.0, "jaccard_est": 0.0,
+    }
+
+    one = K.hll_overlap(empty, some, "v", p=10).first().asDict()
+    assert one["est_a"] == 0.0
+    assert one["est_b"] == one["est_union"] > 0
+    assert one["est_overlap"] == 0.0 and one["jaccard_est"] == 0.0
+
+    con = duckdb.connect()
+    sql_both = K.hll_overlap_oracle_sql(
+        "SELECT CAST(1 AS BIGINT) AS v WHERE FALSE",
+        "SELECT CAST(1 AS BIGINT) AS v WHERE FALSE",
+        "v", p=10,
+    )
+    cols = ["est_a", "est_b", "est_union", "est_overlap", "jaccard_est"]
+    assert dict(zip(cols, con.sql(sql_both).fetchone())) == both
+    sql_one = K.hll_overlap_oracle_sql(
+        "SELECT CAST(1 AS BIGINT) AS v WHERE FALSE",
+        "SELECT range AS v FROM range(0, 300)",
+        "v", p=10,
+    )
+    assert dict(zip(cols, con.sql(sql_one).fetchone())) == one
