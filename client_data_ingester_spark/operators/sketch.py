@@ -320,6 +320,56 @@ def hll_overlap_from_registers(
     )
 
 
+def overlap_p_for_error(
+    target_rel_err: float,
+    cohort_size_hint: float,
+    overlap_hint: float,
+    p_min: int = 4,
+    p_max: int = 18,
+) -> int:
+    """Pick the HLL precision ``p`` that keeps the inclusion-exclusion
+    overlap estimate's RELATIVE error at or under ``target_rel_err``.
+
+    The overlap is a DIFFERENCE of three estimates, so its absolute error
+    budget is the SUM of theirs (conservative linear add — the docstring
+    contract, measured in OVERLAP_ERROR.json): each estimate's standard
+    error is ≈1.04/√m of its own magnitude, and est_a + est_b + est_union
+    ≤ 4·cohort for same-sized cohorts, so
+
+        4 · cohort · 1.04/√m  ≤  target_rel_err · overlap
+        m  ≥  (4.16 · cohort / (target_rel_err · overlap))²
+
+    rounded up to the next power of two and clamped to [p_min, p_max]
+    (beyond 2^18 registers the "sketch" stops being small — at that point
+    size the SLICES instead, or use exact distinct).
+
+    BIAS-WINDOW SKIP (measured, not theoretical — see OVERLAP_ERROR.json):
+    the variance bound assumes the raw estimator is unbiased, which holds
+    dense (n ≫ m) and sparse (linear counting, n < 2.5m) but NOT in
+    between — raw HLL without HLL++ bias correction systematically
+    overestimates when n/m ∈ ~(2.5, 8), and inclusion-exclusion does not
+    cancel the bias (the union's differs from the sides'): the sweep
+    shows p=14 LOSING to p=10 at n=50k on small overlaps. So when the
+    variance-sized m lands inside that window relative to the union
+    (≈2·cohort), it is bumped up to union/2 — the linear-counting zone,
+    which is strictly more accurate than either window edge. The hints
+    are coarse by design: order-of-magnitude guesses move p by ±2ish,
+    and the measured grid shows the chosen p meeting its target across
+    overlap fractions 0.01–0.5."""
+    import math
+
+    if not (target_rel_err > 0 and cohort_size_hint > 0 and overlap_hint > 0):
+        raise ValueError("all three sizing inputs must be positive")
+    m_needed = (
+        4 * 1.04 * cohort_size_hint / (target_rel_err * overlap_hint)
+    ) ** 2
+    union = 2.0 * cohort_size_hint
+    if union / 8 < m_needed < union / 2:
+        m_needed = union / 2
+    p = max(p_min, math.ceil(math.log2(max(m_needed, 1.0))))
+    return min(p, p_max)
+
+
 def hll_overlap_oracle_sql(
     select_a: str,
     select_b: str,

@@ -466,3 +466,48 @@ def test_big_geometry_near_dups_match_duckdb_unroll(spark, tmp_path,
     scores = {s for _, _, s in got}
     assert 1_000_000 in scores and any(s < 1_000_000 for s in scores)
     assert len(got) >= 12, len(got)
+
+
+def test_overlap_error_artifact_pins_helper_and_bias_window():
+    """r14 verdict ask #3: the committed OVERLAP_ERROR.json (measured on
+    the real hll_overlap, md5-deterministic so re-runs reproduce it) must
+    show (a) every UNCLAMPED overlap_p_for_error pick meeting its target,
+    (b) the intermediate-zone bias bump the helper's window-skip exists
+    for (p=14 at n=50k loses to the linear-counting p=16 everywhere), and
+    (c) the helper never choosing a p inside the measured bias window."""
+    from client_data_ingester_spark.operators import sketch as K
+
+    path = os.path.join(REPO_ROOT, "OVERLAP_ERROR.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed OVERLAP_ERROR.json")
+    d = json.load(open(path))
+    n = d["n_per_cohort"]
+
+    # (a) helper picks meet their target unless the p_max clamp fired
+    assert d["helper_checks"], "empty helper grid"
+    for h in d["helper_checks"]:
+        assert h["met"] or h["clamped"], h
+
+    # (b) the bias bump is real and the LC-zone fix beats it
+    for f in d["fractions"]:
+        p14 = d["grid"][f"p14_f{f}"]
+        p16 = d["grid"][f"p16_f{f}"]
+        assert p16["rel_err_max"] < p14["rel_err_max"], (f, p14, p16)
+    # at small overlaps p=14 (n/m ~ 3, biased) must NOT beat p=10's
+    # mean — the counterintuitive fact that motivated the window-skip
+    assert (
+        d["grid"]["p14_f0.01"]["rel_err_mean"]
+        > 0.5 * d["grid"]["p10_f0.01"]["rel_err_mean"]
+    )
+
+    # (c) the helper's chosen m never lands in the bias window vs union
+    for h in d["helper_checks"]:
+        m = 2 ** h["p_chosen"]
+        union = 2 * n
+        assert not (union / 8 < m < union / 2), h
+
+    # and the variance-regime cells (dense, n/m >= 8) sit within the
+    # conservative theory bound the helper sizes against
+    for cell in d["grid"].values():
+        if n / cell["m"] >= 8:
+            assert cell["rel_err_max"] <= cell["theory_bound_mean"] * 1.5, cell

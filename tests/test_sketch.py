@@ -380,3 +380,26 @@ def test_hll_overlap_empty_cohorts_degenerate_guard(spark):
         "v", p=10,
     )
     assert dict(zip(cols, con.sql(sql_one).fetchone())) == one
+
+
+def test_overlap_p_for_error_sizing_rules():
+    """Variance sizing, bias-window skip, clamping, and input validation
+    — the artifact canary (test_scaling_canaries) checks these against
+    measurement; this pins the arithmetic itself."""
+    import pytest
+
+    # variance regime: tighter target -> more registers, monotonically
+    ps = [
+        K.overlap_p_for_error(t, 1e9, 1e7) for t in (0.5, 0.25, 0.1, 0.05)
+    ]
+    assert ps == sorted(ps) and ps[-1] == 18  # big-cohort picks clamp
+    # bias window: a variance-m inside (union/8, union/2) bumps to LC zone
+    #   cohort 50k, overlap 25k, target 0.5 -> m_needed ~ 277 (dense, keep)
+    assert K.overlap_p_for_error(0.5, 50_000, 25_000) == 9
+    #   cohort 50k, overlap 5k, target 0.25 -> m_needed ~ 27,700, inside
+    #   (12.5k, 50k) -> bumped to union/2 = 50k -> p=16
+    assert K.overlap_p_for_error(0.25, 50_000, 5_000) == 16
+    with pytest.raises(ValueError):
+        K.overlap_p_for_error(0.0, 10, 1)
+    with pytest.raises(ValueError):
+        K.overlap_p_for_error(0.1, 10, -1)
