@@ -751,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["transformer_projection"] = lambda s, d: _transformer_projection(s, d)
     q["upsert_snapshot"] = lambda s, d: _upsert_snapshot(s, d)
+    q["ingest_conflict_merge"] = lambda s, d: _ingest_conflict_merge(s, d)
     q["full_update_deactivation"] = lambda s, d: _full_update_deactivation(s, d)
 
     # -- dedup ([EXT]) ------------------------------------------------------
@@ -1854,6 +1855,109 @@ def _upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_conflict_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8's progress-based retry under the ORACLE GATE (r14 verdict ask
+    #8): two same-tenant merges conflict for real — through the full
+    parser → transformer → fold → merge → commit pipeline — and the
+    loser's rebase/re-merge must produce exactly the state the oracle
+    recomputes.
+
+    Orchestration: after a seed ingest, the second writer's head-read is
+    hooked so a COMPLETE competing ingest (title-only column subset)
+    lands inside its read→commit window; the second writer's first
+    commit then loses the CAS (SnapshotConflictError), the progress-based
+    retry observes the advanced head, re-reads, re-merges its qty-only
+    subset onto the racer's result, and wins round two. The report's
+    ``merge_conflict_rounds`` metric is hard-asserted ≥1, so a green
+    CORRECTNESS row PROVES execution passed through the conflict branch
+    — a scheduling fluke that serialized the writers would fail loudly,
+    not pass vacuously. Inputs are deterministic generators (sf_dir is
+    unused, like the hash_probe_* canaries), so the final table state is
+    exactly reproducible in DuckDB: title wins from the racer on k%3==0,
+    qty from the re-merged loser on k%3==1, both inserts' column subsets
+    null-padded."""
+    import tempfile
+
+    from client_data_ingester_spark.ingestion import (
+        ParserConfig,
+        ingest_data,
+    )
+    from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
+    from client_data_ingester_spark.tables import SnapshotTable
+
+    def csv(rows: list[tuple], header: str) -> bytes:
+        return (
+            "\n".join([header] + [",".join(map(str, r)) for r in rows])
+            + "\n"
+        ).encode()
+
+    seed = csv(
+        [(f"P{k}", f"t{k}", k) for k in range(1, 121)],
+        "sku,title,stock_quantity",
+    )
+    racer = csv(
+        [(f"P{k}", f"T{k}") for k in range(1, 121) if k % 3 == 0]
+        + [(f"Q{k}", f"q{k}") for k in range(121, 141)],
+        "sku,title",
+    )
+    loser = csv(
+        [(f"P{k}", k + 1000) for k in range(1, 121) if k % 3 == 1]
+        + [(f"R{k}", k) for k in range(141, 161)],
+        "sku,stock_quantity",
+    )
+    full_cfg = ParserConfig(
+        "csv",
+        {
+            "sku": ("sku", "text"),
+            "title": ("title", "text"),
+            "stock_quantity": ("stock_quantity", "integer"),
+        },
+    )
+    title_cfg = ParserConfig(
+        "csv", {"sku": ("sku", "text"), "title": ("title", "text")}
+    )
+    qty_cfg = ParserConfig(
+        "csv",
+        {"sku": ("sku", "text"), "stock_quantity": ("stock_quantity",
+                                                    "integer")},
+    )
+
+    t = SnapshotTable(
+        tempfile.mkdtemp(prefix="cdi_conflict_") + "/t",
+        CLIENT_PRODUCTS_SCHEMA,
+    )
+    assert ingest_data(spark, t, seed, full_cfg, client_id=31).success
+
+    # interloper: one-shot hook on the head-read — the racing ingest runs
+    # to COMPLETION between the loser's read and its first commit
+    orig_current_doc = t.current_doc
+    armed = {"on": True}
+
+    def hooked_current_doc(*a, **kw):
+        doc = orig_current_doc(*a, **kw)
+        if armed["on"]:
+            armed["on"] = False  # the racer's own reads pass through
+            assert ingest_data(
+                spark, t, racer, title_cfg, client_id=31
+            ).success
+        return doc
+
+    t.current_doc = hooked_current_doc
+    try:
+        rep = ingest_data(spark, t, loser, qty_cfg, client_id=31)
+    finally:
+        t.current_doc = orig_current_doc
+    assert rep.success, rep.message
+    # the proof obligation: the conflict branch RAN
+    assert rep.stats.get("merge_conflict_rounds", 0) >= 1, rep.stats
+    return t.read(spark, 31).select(
+        "sku",
+        "title",
+        F.col("stock_quantity").alias("qty"),
+        "active",
+    )
+
+
 def _full_update_deactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-update deactivation (S7/J2): suppliers-as-products; the "file"
     contains the suppliers that shipped anything in 1998+ — everyone else is
@@ -2489,6 +2593,28 @@ def oracle_sql() -> dict[str, str]:
                     WHEN LOWER(TRIM(active_raw)) IN ('no','false','0') THEN FALSE
                     END AS active
         FROM raw
+    """
+
+    # the conflict-merge scenario's final state, recomputed from the same
+    # deterministic generators: seed ⊕ racer (title subset) ⊕ re-merged
+    # loser (qty subset); the Spark side additionally PROVES the loser's
+    # first commit lost the CAS (merge_conflict_rounds >= 1 hard assert)
+    o["ingest_conflict_merge"] = """
+        SELECT 'P' || CAST(k AS VARCHAR) AS sku,
+               CASE WHEN k % 3 = 0 THEN 'T' ELSE 't' END
+                   || CAST(k AS VARCHAR) AS title,
+               CAST(CASE WHEN k % 3 = 1 THEN k + 1000 ELSE k END
+                    AS INTEGER) AS qty,
+               TRUE AS active
+        FROM range(1, 121) t(k)
+        UNION ALL
+        SELECT 'Q' || CAST(k AS VARCHAR), 'q' || CAST(k AS VARCHAR),
+               CAST(NULL AS INTEGER), TRUE
+        FROM range(121, 141) t(k)
+        UNION ALL
+        SELECT 'R' || CAST(k AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(k AS INTEGER), TRUE
+        FROM range(141, 161) t(k)
     """
 
     o["upsert_snapshot"] = """

@@ -437,6 +437,7 @@ def _ingest(
     # the rest of the session).
     losses = 0  # total lost rounds (absolute backstop)
     stalled = 0  # consecutive losses with NO head advance (stuck signal)
+    stall_peak = 0  # worst consecutive-stall run seen (telemetry)
     last_version = -1
     try:
         while True:
@@ -505,6 +506,7 @@ def _ingest(
                 stalled = (
                     stalled + 1 if manifest.version == last_version else 0
                 )
+                stall_peak = max(stall_peak, stalled)
                 last_version = manifest.version
                 if stalled >= _MERGE_STALL_LIMIT:
                     raise SnapshotConflictError(
@@ -523,6 +525,19 @@ def _ingest(
         staged.unpersist()
 
     stats: dict[str, Any] = {"processed_count": processed_count}
+    if losses:
+        # telemetry for the optimistic-concurrency path: how many rounds
+        # this merge lost before winning. Only present when a conflict
+        # actually happened (conflict-free ingests keep the legacy stats
+        # shape); the scored entry ingest_conflict_merge asserts on it so
+        # the retry/rebase branch is exercised under the oracle gate,
+        # not just unit tests
+        stats["merge_conflict_rounds"] = losses
+        # worst consecutive no-head-advance run survived (0 under pure
+        # contention — every loss had a winner; >0 means lock timeouts /
+        # swept staging were absorbed). The cross-process contention
+        # bench (tools/bench_xproc_tenant.py) records both numbers.
+        stats["merge_stall_peak"] = stall_peak
     if full_update:
         stats["deactivated_count"] = deactivated_count
         stats["total_ingested_skus"] = ingested_sku_count

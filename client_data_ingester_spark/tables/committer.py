@@ -58,7 +58,11 @@ tests/test_snapshot_committer.py):
   ``reserve_id_block``'s verify-LIST must see every slot already PUT —
   a LIST that misses a just-PUT higher slot would let a zombie
   reservation hand out a duplicate block. On an eventually-consistent
-  store this committer is NOT safe for id reservation.
+  store this committer is NOT safe for id reservation — and that is now
+  ASSERTED, not advised: every implementation declares
+  ``consistent_list``, and ``reserve_id_block`` refuses to run on a
+  committer that does not claim the guarantee (adversary-pinned in
+  tests/test_committer_conformance.py).
 - **Conditional PUT is atomic and exactly-once decided** — but its
   RESPONSE may be lost (5xx/timeout after a success). Callers absorb
   that: ``_commit_version`` re-GETs on collision and byte-compares to
@@ -135,9 +139,26 @@ class Committer:
 
     name = "abstract"
 
+    # Does this store's LIST see every object already PUT (read-after-
+    # write consistency)? The id-block reservation protocol is UNSAFE
+    # without it (the zombie-reservation verify LIST — see the module
+    # docstring's store requirements), so ``reserve_id_block`` REFUSES
+    # to run on a committer that does not declare it. False here is the
+    # safe default: a new store adapter must opt in after confirming
+    # the store's guarantee (S3 has it since Dec 2020, GCS always,
+    # POSIX readdir trivially), not inherit safety by accident.
+    consistent_list = False
+
     # -- small control blobs ------------------------------------------------
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         """Create-if-absent (the commit point). False = already exists."""
+        raise NotImplementedError
+
+    def list_prefix(self, directory: str, prefix: str) -> list[str]:
+        """Names in ``directory`` starting with ``prefix`` (a store LIST
+        with a key prefix). Head resolution and the id-sequence verify
+        both ride on this — implementations declare via
+        ``consistent_list`` whether it is read-after-write consistent."""
         raise NotImplementedError
 
     def put_atomic(self, path: str, payload: bytes) -> None:
@@ -190,6 +211,13 @@ class PosixCommitter(Committer):
     filesystem; the default everywhere."""
 
     name = "posix"
+    consistent_list = True  # readdir sees every completed create/link
+
+    def list_prefix(self, directory: str, prefix: str) -> list[str]:
+        try:
+            return [n for n in os.listdir(directory) if n.startswith(prefix)]
+        except FileNotFoundError:
+            return []
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         if not _link_commit(path, payload, durable=True):
@@ -273,9 +301,20 @@ class PointerFileCommitter(Committer):
     """
 
     name = "pointer"
+    # modeling S3 (strong read-after-write since Dec 2020) / GCS
+    # (always); an adapter for an eventually-consistent store must
+    # flip this to False, which makes reserve_id_block refuse loudly
+    consistent_list = True
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         return _link_commit(path, payload, durable=False)
+
+    def list_prefix(self, directory: str, prefix: str) -> list[str]:
+        # LIST with a key prefix
+        try:
+            return [n for n in os.listdir(directory) if n.startswith(prefix)]
+        except FileNotFoundError:
+            return []
 
     def put_atomic(self, path: str, payload: bytes) -> None:
         tmp = path + ".tmp"

@@ -347,10 +347,8 @@ class SnapshotTable:
         """Highest versioned-manifest number on disk (-1 = none): the
         true committed head, independent of the advisory pointer."""
         best = -1
-        for name in os.listdir(self.root):
-            suffix = name[len(_MANIFEST) :] if name.startswith(
-                _MANIFEST
-            ) else ""
+        for name in self.committer.list_prefix(self.root, _MANIFEST):
+            suffix = name[len(_MANIFEST) :]
             if suffix.startswith(".v") and suffix[2:].isdigit():
                 best = max(best, int(suffix[2:]))
         return best
@@ -361,13 +359,15 @@ class SnapshotTable:
         return os.path.join(self.root, f"{_IDSEQ}.v{k}")
 
     def _seq_slots(self) -> list[int]:
-        """Id-sequence slot numbers on disk (may be empty)."""
+        """Id-sequence slot numbers on disk (may be empty). Routed
+        through the committer's LIST so a real store adapter's
+        consistency behavior (declared via ``consistent_list``) is what
+        the reservation verify actually exercises."""
         out = []
-        for name in os.listdir(self.root):
-            if name.startswith(_IDSEQ + ".v"):
-                s = name[len(_IDSEQ) + 2 :]
-                if s.isdigit():
-                    out.append(int(s))
+        for name in self.committer.list_prefix(self.root, _IDSEQ + ".v"):
+            s = name[len(_IDSEQ) + 2 :]
+            if s.isdigit():
+                out.append(int(s))
         return out
 
     def _seq_head(self) -> tuple[int, int | None]:
@@ -437,6 +437,19 @@ class SnapshotTable:
         per reservation."""
         if n <= 0:
             raise ValueError(f"reserve_id_block needs n >= 1, got {n}")
+        if not self.committer.consistent_list:
+            # HARD precondition, not a docstring caveat: the zombie-
+            # reservation guard is a verify LIST that must see every
+            # slot already PUT — on an eventually-consistent store a
+            # stale LIST lets a recycled-slot win hand out a DUPLICATE
+            # id block with no loud failure, so refuse up front
+            raise RuntimeError(
+                f"committer {self.committer.name!r} declares "
+                "consistent_list=False: id-block reservation requires "
+                "read-after-write-consistent LIST (see the committer "
+                "module's store requirements); use expected_max_id "
+                "minting or a store with strong LIST consistency"
+            )
         for _ in range(200):
             k, val = self._seq_head()
             if val is None:

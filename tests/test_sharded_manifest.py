@@ -575,6 +575,8 @@ def _crashing_committer(inner, crash_after):
     from client_data_ingester_spark.tables.committer import Committer
 
     class Crashing(Committer):
+        consistent_list = True  # delegates to a consistent inner store
+
         def __init__(self):
             self.calls = 0
 
@@ -591,7 +593,7 @@ def _crashing_committer(inner, crash_after):
 
     for name in (
         "put_if_absent", "put_atomic", "get", "delete",
-        "publish_pointer", "read_current", "install_dir",
+        "list_prefix", "publish_pointer", "read_current", "install_dir",
         "cleanup_staged", "delete_dir",
     ):
         setattr(Crashing, name, _wrap(name))
