@@ -1422,6 +1422,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_cohort_overlap"] = _cohort_overlap
 
+    # bottom-k reservoir (fifth mergeable-sketch family): per-returnflag
+    # deterministic uniform sample of distinct order keys + the KMV
+    # distinct estimate served off the SAME registers — the two questions
+    # every profiling UI asks, one ≤k-rows-per-group persisted state
+    def _reservoir(s, d):
+        from client_data_ingester_spark.operators import sketch as KK
+
+        li = _t(s, d, "lineitem")
+        regs = KK.reservoir_registers(
+            li, "l_orderkey", k=64, group_cols=["l_returnflag"]
+        )
+        est = KK.kmv_distinct_from_registers(
+            regs, k=64, group_cols=["l_returnflag"]
+        )
+        return regs.join(F.broadcast(est), "l_returnflag").select(
+            "l_returnflag", "pos", "v", "hk", "n_kept", "est_distinct"
+        )
+
+    q["sketch_reservoir_sample"] = _reservoir
+
     # Count-Min point estimates vs exact counts for a probe key set: the
     # register table is depth×width rows however large the corpus, so the
     # probe side is a broadcast join against sketch state
@@ -4841,6 +4861,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id FROM events WHERE user_id % 2 <> 0",
         "user_id",
         p=10,
+    )
+
+    o["sketch_reservoir_sample"] = K.reservoir_oracle_sql(
+        "lineitem", "l_orderkey", k=64, group_cols=["l_returnflag"]
     )
 
     o["sketch_heavy_hitters"] = f"""

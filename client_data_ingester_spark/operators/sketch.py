@@ -801,3 +801,158 @@ def contaminated_spans(
         .select("doc_id", "start_pos", "end_pos", "n_shingles")
         .orderBy("doc_id", "start_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k reservoir: mergeable uniform sample (+ KMV distinct estimate)
+
+
+RESERVOIR_K = 64
+
+
+def reservoir_registers(
+    df: DataFrame,
+    value_col: str,
+    k: int = RESERVOIR_K,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fifth mergeable-sketch family: a per-group BOTTOM-K reservoir —
+    the ``k`` distinct values with the smallest deterministic 60-bit
+    hash keys (``group_cols..., pos, v, hk``).
+
+    Why bottom-k instead of random reservoir sampling: the hash makes it
+    a pure function of the value SET — deterministic across engines
+    (the DuckDB oracle recomputes it exactly), stable across
+    partitionings and reruns, and MERGEABLE with no RNG state: the
+    bottom-k of a union is the bottom-k of the per-slice bottom-k's
+    (:func:`reservoir_merge`), so per-day/per-shard registers persisted
+    at ingest time combine into any rollup window after the fact. A
+    uniform hash means the kept set is a uniform sample of the DISTINCT
+    values (duplicates collapse — the semantics corpus debugging wants
+    post-dedup; for row-weighted sampling salt the value with a row id).
+
+    The same registers double as a KMV ("k minimum values") distinct
+    estimator — :func:`kmv_distinct_from_registers` — so one persisted
+    state serves both "show me examples from this slice" and "how many
+    distinct are there", the two questions every profiling UI asks.
+
+    Shape at 100 TB: one (group, v) distinct (map-side combinable), one
+    per-group rank window that WindowGroupLimit prunes to k rows per
+    partition BEFORE the sort — never a global sort, never a collect.
+    State is ≤ k rows per group forever.
+    """
+    from pyspark.sql import Window
+
+    g = group_cols or []
+    vals = (
+        df.select(
+            *g,
+            F.col(value_col).alias("v"),
+            _hash60(F.col(value_col)).alias("hk"),
+        )
+        .where(F.col("hk").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*g).orderBy("hk", "v")
+    return (
+        vals.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*g, "pos", "v", "hk")
+    )
+
+
+def reservoir_merge(
+    ra: DataFrame,
+    rb: DataFrame,
+    k: int = RESERVOIR_K,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge two reservoir register tables: union, re-rank, keep k.
+    EXACTLY equals building one reservoir over the concatenated inputs
+    (hash keys are value-deterministic, so the union's bottom-k is a
+    subset of the per-side bottom-k's — pinned by tests)."""
+    from pyspark.sql import Window
+
+    g = group_cols or []
+    u = ra.select(*g, "v", "hk").unionByName(
+        rb.select(*g, "v", "hk")
+    ).distinct()
+    w = Window.partitionBy(*g).orderBy("hk", "v")
+    return (
+        u.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*g, "pos", "v", "hk")
+    )
+
+
+def kmv_distinct_from_registers(
+    regs: DataFrame,
+    k: int = RESERVOIR_K,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """KMV distinct-count estimate off persisted reservoir registers:
+    if the group filled its reservoir, ndv ≈ (k-1) / U(k) where U(k) is
+    the k-th smallest hash normalized to (0,1]; a reservoir that never
+    filled holds EVERY distinct value, so its count is exact. Rendered
+    with the engine-stable floor(x·10+0.5)/10 recipe (the hll pattern).
+    Standard error ≈ 1/√(k−2) of the estimate — k=64 ⇒ ~13%; size k for
+    the ndv precision you need, the sample rides along for free."""
+    g = group_cols or []
+    agg = regs.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("hk").alias("hk_max"),
+    )
+    u_k = F.col("hk_max").cast("double") / F.lit(float(2 ** 60))
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )
+    return agg.select(
+        *g,
+        "n_kept",
+        (F.floor(est * 10 + F.lit(0.5)) / F.lit(10.0))
+        .cast("double")
+        .alias("est_distinct"),
+    )
+
+
+def reservoir_oracle_sql(
+    table_expr: str,
+    value_col: str,
+    k: int = RESERVOIR_K,
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`reservoir_registers` (+ the KMV estimate
+    joined on, so one scored query pins both consumers)."""
+    g = group_cols or []
+    gsel = "".join(f"{c}, " for c in g)
+    gby = ", ".join(g)
+    part = f"PARTITION BY {gby} " if g else ""
+    grp = f" GROUP BY {gby}" if g else ""
+    join_on = (
+        " AND ".join(f"r.{c} = e.{c}" for c in g) if g else "TRUE"
+    )
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT {gsel}{value_col} AS v,
+         ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1,
+          {_HEX_DIGITS}))::BIGINT AS hk
+  FROM {table_expr}
+  WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel}v, hk,
+         CAST(ROW_NUMBER() OVER ({part}ORDER BY hk, v) AS INTEGER) AS pos
+  FROM vals
+),
+regs AS (SELECT * FROM ranked WHERE pos <= {k}),
+est AS (
+  SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE {k - 1} / (CAST(MAX(hk) AS DOUBLE) / {2 ** 60}.0)
+         END AS raw_est
+  FROM regs{grp}
+)
+SELECT {"".join(f"r.{c}, " for c in g)}r.pos, r.v, r.hk, e.n_kept,
+       FLOOR(e.raw_est * 10 + 0.5) / 10.0 AS est_distinct
+FROM regs r JOIN est e ON {join_on}
+"""

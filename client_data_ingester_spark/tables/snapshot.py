@@ -551,8 +551,9 @@ class SnapshotTable:
     def _intent_dirs(self) -> set[str]:
         return {
             name[len(_STAGING_PREFIX) :]
-            for name in os.listdir(self.root)
-            if name.startswith(_STAGING_PREFIX)
+            for name in self.committer.list_prefix(
+                self.root, _STAGING_PREFIX
+            )
         }
 
     def current_doc(self) -> _VersionDoc:
@@ -704,7 +705,7 @@ class SnapshotTable:
         # lands between the two listings — where a half-written dir got
         # swept mid-Spark-write, which can surface as a silently-torn
         # COMMITTED dir (rmtree races the parquet job commit).
-        listing = os.listdir(self.root)
+        listing = self.committer.list_prefix(self.root, "")  # full LIST
         staging = self._intent_dirs()
         # lock-BYPASSING racers (cross-host writers on shared storage):
         # one may have COMMITTED a version above ours and cleared its
@@ -1665,11 +1666,11 @@ class SnapshotTable:
             # argument as _gc_full_sweep: a stage landing between the
             # two listings is then either intent-shielded or absent
             # from the dir snapshot, never a sweepable half-written dir
-            listing = os.listdir(self.root)
+            listing = self.committer.list_prefix(self.root, "")
             fresh_intents: set[str] = set()  # dir names under live stage
-            for name in os.listdir(self.root):
-                if not name.startswith(_STAGING_PREFIX):
-                    continue
+            for name in self.committer.list_prefix(
+                self.root, _STAGING_PREFIX
+            ):
                 full = os.path.join(self.root, name)
                 try:
                     age = now - os.stat(full).st_mtime

@@ -403,3 +403,75 @@ def test_overlap_p_for_error_sizing_rules():
         K.overlap_p_for_error(0.0, 10, 1)
     with pytest.raises(ValueError):
         K.overlap_p_for_error(0.1, 10, -1)
+
+
+def test_reservoir_merge_equals_union_build(spark):
+    """Mergeability pin: bottom-k over (A ∪ B) == re-bottom-k of the two
+    sides' register tables — exact row equality, the property that lets
+    per-slice persisted reservoirs combine into any window."""
+    a = spark.range(0, 900).select(F.col("id").alias("v"))
+    b = spark.range(600, 1500).select(F.col("id").alias("v"))
+    direct = K.reservoir_registers(a.union(b), "v", k=32).collect()
+    merged = K.reservoir_merge(
+        K.reservoir_registers(a, "v", k=32),
+        K.reservoir_registers(b, "v", k=32),
+        k=32,
+    ).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
+    assert len(direct) == 32
+
+
+def test_reservoir_is_distinct_value_sample_and_deterministic(spark):
+    """Duplicates collapse (distinct-value semantics) and the kept set is
+    a pure function of the value set — rerun- and partitioning-stable."""
+    vals = spark.range(0, 500).select((F.col("id") % 100).alias("v"))
+    r1 = K.reservoir_registers(vals, "v", k=16).collect()
+    r2 = K.reservoir_registers(
+        vals.repartition(7), "v", k=16
+    ).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    kept = {r["v"] for r in r1}
+    assert len(kept) == 16 and all(0 <= v < 100 for v in kept)
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    """KMV off the registers: ~1/sqrt(k-2) relative error when filled
+    (k=64 -> assert within 3 sigma ~ 40%), EXACT count when the group
+    never filled its reservoir."""
+    big = spark.range(0, 5000).select(F.col("id").alias("v"))
+    row = K.kmv_distinct_from_registers(
+        K.reservoir_registers(big, "v", k=64), k=64
+    ).first()
+    assert row["n_kept"] == 64
+    assert 3000 <= row["est_distinct"] <= 7000  # exact 5000
+    small = spark.range(0, 40).select(F.col("id").alias("v"))
+    row2 = K.kmv_distinct_from_registers(
+        K.reservoir_registers(small, "v", k=64), k=64
+    ).first()
+    assert row2["n_kept"] == 40 and row2["est_distinct"] == 40.0
+
+
+def test_reservoir_oracle_sql_matches_spark(spark):
+    """Cross-engine pin: DuckDB recomputes the identical registers AND
+    estimate from the same md5 recipe."""
+    import duckdb
+
+    df = spark.range(0, 800).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").alias("v"),
+    )
+    regs = K.reservoir_registers(df, "v", k=16, group_cols=["g"])
+    est = K.kmv_distinct_from_registers(regs, k=16, group_cols=["g"])
+    got = sorted(
+        (r["g"], r["pos"], r["v"], r["hk"], r["n_kept"], r["est_distinct"])
+        for r in regs.join(est, "g").collect()
+    )
+    sql = K.reservoir_oracle_sql(
+        "(SELECT CAST(range % 2 AS VARCHAR) AS g, range AS v "
+        "FROM range(0, 800))",
+        "v",
+        k=16,
+        group_cols=["g"],
+    )
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == want
