@@ -53,6 +53,7 @@ ARTIFACT_BUILDERS = [
     entry._nb_index,
     entry._zone_mapped_events,
     entry._changes_table,
+    entry._split_pin_index,
 ]
 
 
