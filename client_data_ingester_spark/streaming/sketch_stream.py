@@ -208,3 +208,99 @@ def read_cms_estimate(
     else:
         merged = df.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
     return cms_estimate(merged, probes, key_col, depth, width)
+
+
+def start_reservoir_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    register_dir: str,
+    value_col: str = "user_id",
+    k: int = None,
+    group_cols: list[str] | None = None,
+    query_name: str = "reservoir_registers",
+    reader_options: dict | None = None,
+) -> StreamingQuery:
+    """Streaming maintainer for the bottom-k reservoir family: each
+    micro-batch lands ITS OWN bottom-k shard (≤ k rows per group), and
+    readers merge-on-read. The hash keys are value-deterministic, so the
+    merge (union → re-rank → keep k) is associative, order- and
+    replay-insensitive — the same contract as the MAX-merged HLL shards,
+    with rank-k instead of max as the fold."""
+    from ..operators.sketch import RESERVOIR_K, reservoir_registers
+
+    k = RESERVOIR_K if k is None else k
+    group_cols = list(group_cols or [])
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            reservoir_registers(batch_df, value_col, k, group_cols)
+            .write.mode("overwrite")
+            .parquet(f"{register_dir}/batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA).format("json")
+    for kk, v in (reader_options or {}).items():
+        reader = reader.option(kk, v)
+    stream = reader.load(source_dir)
+    return (
+        stream.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+
+
+def read_reservoir_sample(
+    spark: SparkSession,
+    register_dir: str,
+    k: int = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Current bottom-k sample over everything streamed so far — exactly
+    equal to a batch ``reservoir_registers`` over the union of all
+    micro-batch inputs (asserted in tests). Empty typed relation before
+    the first commit (the shared poller contract)."""
+    from pyspark.sql import Window
+
+    from ..operators.sketch import RESERVOIR_K
+
+    from .compaction import read_complete_shards
+
+    k = RESERVOIR_K if k is None else k
+    group_cols = list(group_cols or [])
+    df = read_complete_shards(spark, register_dir)
+    if df is None:
+        fields = [EVENT_STREAM_SCHEMA[c] for c in group_cols] + [
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("hk", T.LongType()),
+        ]
+        return spark.createDataFrame([], T.StructType(fields))
+    w = Window.partitionBy(*group_cols).orderBy("hk", "v")
+    return (
+        df.select(*group_cols, "v", "hk")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(*group_cols, "pos", "v", "hk")
+    )
+
+
+def read_kmv_estimate(
+    spark: SparkSession,
+    register_dir: str,
+    k: int = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """KMV distinct estimate over everything streamed so far, served off
+    the merged reservoir shards."""
+    from ..operators.sketch import RESERVOIR_K, kmv_distinct_from_registers
+
+    k = RESERVOIR_K if k is None else k
+    return kmv_distinct_from_registers(
+        read_reservoir_sample(spark, register_dir, k, group_cols),
+        k,
+        list(group_cols or []),
+    )

@@ -194,3 +194,64 @@ def test_readers_before_first_commit_return_empty_not_path_error(
     probes = spark.createDataFrame([(1,), (2,)], "user_id bigint")
     cms = read_cms_estimate(spark, regs, probes, "user_id").collect()
     assert all((r["est_count"] or 0) == 0 for r in cms)
+
+
+def test_streaming_reservoir_matches_batch_and_serves_kmv(spark, tmp_path):
+    """The streamed bottom-k sample over two micro-batches (+ a restart)
+    must equal the batch reservoir over the union of all streamed users,
+    row-for-row, and the KMV estimate must serve off the same shards;
+    before the first commit both readers return empty, not PATH errors."""
+    from client_data_ingester_spark.operators.sketch import (
+        kmv_distinct_from_registers,
+        reservoir_registers,
+    )
+    from client_data_ingester_spark.streaming.sketch_stream import (
+        read_kmv_estimate,
+        read_reservoir_sample,
+        start_reservoir_register_stream,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    regs = str(tmp_path / "regs")
+
+    # poller contract before any stream exists: empty sample; the
+    # ungrouped estimate is the one-row "0 distinct" global aggregate
+    assert read_reservoir_sample(spark, regs, k=8).count() == 0
+    empty_est = read_kmv_estimate(spark, regs, k=8).first()
+    assert (empty_est["n_kept"], empty_est["est_distinct"]) == (0, 0.0)
+
+    users1 = list(range(0, 40)) + [3, 7]  # dups collapse
+    users2 = list(range(30, 90))
+    _write_events(src / "b1.json", _events(0, users1))
+    q = start_reservoir_register_stream(spark, str(src), ckpt, regs, k=8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart the stream for the second batch (checkpoint resume)
+    _write_events(src / "b2.json", _events(1000, users2))
+    q = start_reservoir_register_stream(spark, str(src), ckpt, regs, k=8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(
+        (r["pos"], r["v"], r["hk"])
+        for r in read_reservoir_sample(spark, regs, k=8).collect()
+    )
+    union = spark.createDataFrame(
+        [(u,) for u in users1 + users2], "user_id long"
+    )
+    batch = sorted(
+        (r["pos"], r["v"], r["hk"])
+        for r in reservoir_registers(union, "user_id", k=8).collect()
+    )
+    assert streamed == batch and len(streamed) == 8
+    est_stream = read_kmv_estimate(spark, regs, k=8).first()
+    est_batch = kmv_distinct_from_registers(
+        reservoir_registers(union, "user_id", k=8), k=8
+    ).first()
+    assert est_stream.asDict() == est_batch.asDict()
