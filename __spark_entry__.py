@@ -898,6 +898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_gap_fill"] = lambda s, d: E.gap_fill(
         _t(s, d, "events").filter(F.hour("ts") % 5 != 2), unit="hour"
     )
+    # time-series shape search: top-20 per-user weekly windows best
+    # matching a weekend-spike pattern, mean-centered EXACT-int distance
+    q["events_shape_topk"] = lambda s, d: E.ts_shape_topk(
+        _t(s, d, "events"), pattern=[1, 1, 1, 1, 1, 5, 5], k=20
+    )
     # the BOUNDED-fill variant: hours with h%6<3 are punched out (3-hour
     # gaps), max_gap=2 fills only the 2 most recent missing buckets per
     # gap — the memory-bound path for dormant series (a years-dormant
@@ -3887,6 +3892,61 @@ def oracle_sql() -> dict[str, str]:
                bucket_value IS NULL AS was_gap
         FROM j
         ORDER BY event_type, bucket
+    """
+
+    # shape search: same exact-int mean-centered distance (L=7 pattern
+    # [1,1,1,1,1,5,5] -> p'_j = 7*q_j - 15), dense per-user calendar from
+    # the corpus min/max day, full windows only, unique total order
+    o["events_shape_topk"] = """
+        WITH span AS (
+            SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+            FROM events),
+        -- generate_series takes only constants in DuckDB; build the
+        -- dense day axis as span-start + integer offsets instead
+        -- (4096-day ceiling comfortably covers any testdata window)
+        days AS (
+            SELECT s.d0 + CAST(i.i AS INTEGER) AS day
+            FROM span s,
+                 (SELECT CAST(range AS INTEGER) AS i
+                  FROM range(0, 4096)) i
+            WHERE s.d0 + CAST(i.i AS INTEGER) <= s.d1),
+        grid AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM events) u, days d),
+        daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS x
+            FROM events GROUP BY 1, 2),
+        dense AS (
+            SELECT g.user_id, g.day, CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+            FROM grid g LEFT JOIN daily d
+              ON d.user_id = g.user_id AND d.day = g.day),
+        offs AS (
+            SELECT * FROM (VALUES
+                (0, -8), (1, -8), (2, -8), (3, -8), (4, -8),
+                (5, 20), (6, 20)) AS t(j, pq)),
+        win AS (
+            SELECT d.user_id, d.day AS start_day, o.j, o.pq, d2.x
+            FROM dense d
+            JOIN offs o ON TRUE
+            JOIN dense d2 ON d2.user_id = d.user_id
+                         AND d2.day = d.day + o.j),
+        sums AS (
+            SELECT user_id, start_day,
+                   SUM(x) AS s, COUNT(*) AS nterm
+            FROM win GROUP BY 1, 2),
+        scored AS (
+            SELECT w.user_id, w.start_day,
+                   SUM((7 * w.x - s.s - w.pq) * (7 * w.x - s.s - w.pq))
+                       AS dist
+            FROM win w
+            JOIN sums s ON s.user_id = w.user_id
+                       AND s.start_day = w.start_day
+            WHERE s.nterm = 7
+            GROUP BY 1, 2)
+        SELECT user_id, start_day, CAST(dist AS BIGINT) AS dist
+        FROM scored
+        ORDER BY dist, user_id, start_day
+        LIMIT 20
     """
 
     # capped variant: fill only gap buckets within max_gap=2 hours of the

@@ -492,3 +492,88 @@ def cumulative_from_first_seen(
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("bucket")
+
+
+def ts_shape_topk(
+    events: DataFrame,
+    pattern: list[int],
+    k: int = 20,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Distributed time-series SHAPE search ([EXT]; the streaming-data
+    similarity-search shape of EDBT'19): the k per-user daily-activity
+    windows whose shape best matches ``pattern``, mean-centered.
+
+    Distance is EXACT INTEGER arithmetic — for window length L, daily
+    counts x and window sum S, score = Σ_j (L·x_j − S − p'_j)² with
+    p'_j = L·q_j − Σq: multiplying the mean through by L keeps the
+    mean-centering rational-exact in int64, so the score is
+    bit-identical in any engine (no float summation order to disagree
+    on). Mean-centering makes the match baseline-invariant (a heavy
+    user and a light user with the same SPIKE SHAPE score alike);
+    full z-normalization would also be scale-invariant but costs a
+    sqrt — the wrong trade against cross-engine exactness here.
+
+    Plan shape at 100 TB: one (user, day) count groupBy (map-side
+    combined), a per-user dense calendar (explode over the corpus
+    min/max day — a 1-row scalar attach, the q15 pattern), one narrow
+    per-user ordered window building the L-length frames via
+    collect_list (days-per-user rows, never corpus-wide), unrolled
+    integer expressions for the score, and a global TakeOrdered for
+    the top-k. Emits (user, start_day, dist) in a unique total order
+    (dist, user, start_day)."""
+    L = len(pattern)
+    sq = sum(pattern)
+    pp = [L * q - sq for q in pattern]
+
+    daily = events.groupBy(
+        user_col, F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    span = events.agg(
+        F.min(F.to_date("ts")).alias("_d0"),
+        F.max(F.to_date("ts")).alias("_d1"),
+    )
+    grid = (
+        events.select(user_col)
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            user_col,
+            F.explode(
+                F.sequence("_d0", "_d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    dense = grid.join(daily, [user_col, "day"], "left").select(
+        user_col, "day", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, L - 1)
+    )
+    framed = dense.select(
+        user_col,
+        F.col("day").alias("start_day"),
+        F.collect_list("x").over(w).alias("xs"),
+    ).where(F.size("xs") == L)
+    s = F.aggregate(
+        "xs", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    framed = framed.withColumn("_s", s)
+    term = [
+        F.lit(L) * F.col("xs")[j] - F.col("_s") - F.lit(pp[j])
+        for j in range(L)
+    ]
+    dist = term[0] * term[0]
+    for t in term[1:]:
+        dist = dist + t * t
+    return (
+        framed.select(
+            user_col,
+            "start_day",
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy("dist", user_col, "start_day")
+        .limit(k)
+    )

@@ -121,3 +121,48 @@ def test_redact_pii_matches_python_stagewise_re(spark):
             counts.append(len(re.findall(pat, stage)))
             stage = re.sub(pat, lambda _m, r=repl: r, stage)
         assert got[i] == (stage, *counts), f"doc {i}: {text!r}"
+
+
+def test_ts_shape_topk_finds_planted_pattern(spark):
+    """A user whose daily counts ARE the query pattern (shifted by a
+    constant baseline) must rank first with distance 0 — mean-centering
+    makes the match baseline-invariant — and the output must follow the
+    unique (dist, user, start_day) total order."""
+    import datetime
+
+    from client_data_ingester_spark.operators.events import ts_shape_topk
+
+    pattern = [1, 1, 1, 1, 1, 5, 5]
+    rows = []
+    d0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def add(user, day_idx, n):
+        for i in range(n):
+            rows.append(
+                (len(rows), d0 + datetime.timedelta(days=day_idx,
+                                                    minutes=i), user)
+            )
+
+    # user 1: the pattern itself on days 3..9, +2 baseline (3,3,3,3,3,7,7)
+    for j, q in enumerate(pattern):
+        add(1, 3 + j, q + 2)
+    # user 1 noise elsewhere; user 2: flat activity; user 3: anti-pattern
+    add(1, 0, 4)
+    for j in range(14):
+        add(2, j, 2)
+    for j, q in enumerate(reversed(pattern)):
+        add(3, 3 + j, q)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = ts_shape_topk(df, pattern, k=5).collect()
+    assert out[0]["user_id"] == 1
+    assert out[0]["start_day"] == datetime.date(2024, 3, 4)
+    assert out[0]["dist"] == 0
+    # a perfectly flat window has zero centered energy of its own, so it
+    # scores exactly the pattern's centered energy Σ(7q−15)² = 1120
+    assert any(
+        r["user_id"] == 2 and r["dist"] == 1120 for r in out
+    ), out
+    key = [(r["dist"], r["user_id"], r["start_day"]) for r in out]
+    assert key == sorted(key)
