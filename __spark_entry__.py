@@ -1947,11 +1947,15 @@ def _ingest_conflict_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     "integer")},
     )
 
-    t = SnapshotTable(
-        tempfile.mkdtemp(prefix="cdi_conflict_") + "/t",
-        CLIENT_PRODUCTS_SCHEMA,
-    )
-    assert ingest_data(spark, t, seed, full_cfg, client_id=31).success
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="cdi_conflict_")
+    t = SnapshotTable(work + "/t", CLIENT_PRODUCTS_SCHEMA)
+    # side effects deliberately OUTSIDE assert statements: under
+    # python -O asserts vanish, and the ingests must still run
+    rep_seed = ingest_data(spark, t, seed, full_cfg, client_id=31)
+    if not rep_seed.success:
+        raise RuntimeError(f"seed ingest failed: {rep_seed.message}")
 
     # interloper: one-shot hook on the head-read — the racing ingest runs
     # to COMPLETION between the loser's read and its first commit
@@ -1962,9 +1966,13 @@ def _ingest_conflict_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc = orig_current_doc(*a, **kw)
         if armed["on"]:
             armed["on"] = False  # the racer's own reads pass through
-            assert ingest_data(
+            rep_racer = ingest_data(
                 spark, t, racer, title_cfg, client_id=31
-            ).success
+            )
+            if not rep_racer.success:
+                raise RuntimeError(
+                    f"racer ingest failed: {rep_racer.message}"
+                )
         return doc
 
     t.current_doc = hooked_current_doc
@@ -1972,14 +1980,26 @@ def _ingest_conflict_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = ingest_data(spark, t, loser, qty_cfg, client_id=31)
     finally:
         t.current_doc = orig_current_doc
-    assert rep.success, rep.message
-    # the proof obligation: the conflict branch RAN
-    assert rep.stats.get("merge_conflict_rounds", 0) >= 1, rep.stats
-    return t.read(spark, 31).select(
+    if not rep.success:
+        raise RuntimeError(f"loser ingest failed: {rep.message}")
+    # the proof obligation: the conflict branch RAN (raise, not assert —
+    # the guarantee must survive python -O)
+    if rep.stats.get("merge_conflict_rounds", 0) < 1:
+        raise RuntimeError(
+            f"conflict branch never ran (writers serialized): {rep.stats}"
+        )
+    # the result is 160 small rows: materialize them so the scratch
+    # table can be deleted NOW instead of leaking one tmpdir per call
+    # (bench repeats + both gate scales would otherwise accumulate them)
+    rows = t.read(spark, 31).select(
         "sku",
         "title",
         F.col("stock_quantity").alias("qty"),
         "active",
+    ).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "sku string, title string, qty int, active boolean"
     )
 
 

@@ -364,10 +364,22 @@ def overlap_p_for_error(
         4 * 1.04 * cohort_size_hint / (target_rel_err * overlap_hint)
     ) ** 2
     union = 2.0 * cohort_size_hint
-    if union / 8 < m_needed < union / 2:
-        m_needed = union / 2
     p = max(p_min, math.ceil(math.log2(max(m_needed, 1.0))))
-    return min(p, p_max)
+    p = min(p, p_max)
+    # the window check must run on the FINAL m = 2^p, not on m_needed:
+    # rounding up to a power of two (or the p_max clamp) can itself land
+    # m inside the bias zone even when m_needed was below it
+    if union / 8 < 2 ** p < union / 2:
+        p_lc = math.ceil(math.log2(union / 2))  # linear-counting side
+        if p_lc <= p_max:
+            p = max(p_min, p_lc)
+        else:
+            # can't reach the LC zone within p_max: step DOWN to the
+            # dense unbiased side — measured better than sitting in the
+            # window (the variance target is already unreachable here,
+            # so take the best-achievable UNBIASED geometry)
+            p = max(p_min, math.floor(math.log2(union / 8)))
+    return p
 
 
 def hll_overlap_oracle_sql(

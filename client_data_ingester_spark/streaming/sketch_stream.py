@@ -257,11 +257,16 @@ def read_reservoir_sample(
     register_dir: str,
     k: int = None,
     group_cols: list[str] | None = None,
+    value_col: str = "user_id",
 ) -> DataFrame:
     """Current bottom-k sample over everything streamed so far — exactly
     equal to a batch ``reservoir_registers`` over the union of all
     micro-batch inputs (asserted in tests). Empty typed relation before
-    the first commit (the shared poller contract)."""
+    the first commit (the shared poller contract); ``value_col`` names
+    the streamed column the registers sample so the pre-first-commit
+    ``v`` type matches what post-commit shards will carry (a LongType
+    default against event_type shards would flip the reader's schema at
+    the first commit boundary)."""
     from pyspark.sql import Window
 
     from ..operators.sketch import RESERVOIR_K
@@ -274,7 +279,7 @@ def read_reservoir_sample(
     if df is None:
         fields = [EVENT_STREAM_SCHEMA[c] for c in group_cols] + [
             T.StructField("pos", T.IntegerType()),
-            T.StructField("v", T.LongType()),
+            T.StructField("v", EVENT_STREAM_SCHEMA[value_col].dataType),
             T.StructField("hk", T.LongType()),
         ]
         return spark.createDataFrame([], T.StructType(fields))
@@ -293,6 +298,7 @@ def read_kmv_estimate(
     register_dir: str,
     k: int = None,
     group_cols: list[str] | None = None,
+    value_col: str = "user_id",
 ) -> DataFrame:
     """KMV distinct estimate over everything streamed so far, served off
     the merged reservoir shards."""
@@ -300,7 +306,7 @@ def read_kmv_estimate(
 
     k = RESERVOIR_K if k is None else k
     return kmv_distinct_from_registers(
-        read_reservoir_sample(spark, register_dir, k, group_cols),
+        read_reservoir_sample(spark, register_dir, k, group_cols, value_col),
         k,
         list(group_cols or []),
     )

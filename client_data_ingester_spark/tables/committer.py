@@ -87,6 +87,17 @@ import shutil
 import uuid
 
 
+def _fs_list_prefix(directory: str, prefix: str) -> "list[str]":
+    """Shared local-filesystem LIST-with-prefix (both shipped committers
+    model local-FS stores; one body so a fix can't drift between them).
+    A missing directory lists as empty — the store semantics of LISTing
+    a prefix with no keys, never an error."""
+    try:
+        return [n for n in os.listdir(directory) if n.startswith(prefix)]
+    except FileNotFoundError:
+        return []
+
+
 def _stage_payload(tmp: str, payload: bytes, durable: bool) -> None:
     with open(tmp, "wb") as f:
         f.write(payload)
@@ -214,10 +225,7 @@ class PosixCommitter(Committer):
     consistent_list = True  # readdir sees every completed create/link
 
     def list_prefix(self, directory: str, prefix: str) -> list[str]:
-        try:
-            return [n for n in os.listdir(directory) if n.startswith(prefix)]
-        except FileNotFoundError:
-            return []
+        return _fs_list_prefix(directory, prefix)
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         if not _link_commit(path, payload, durable=True):
@@ -311,10 +319,7 @@ class PointerFileCommitter(Committer):
 
     def list_prefix(self, directory: str, prefix: str) -> list[str]:
         # LIST with a key prefix
-        try:
-            return [n for n in os.listdir(directory) if n.startswith(prefix)]
-        except FileNotFoundError:
-            return []
+        return _fs_list_prefix(directory, prefix)
 
     def put_atomic(self, path: str, payload: bytes) -> None:
         tmp = path + ".tmp"

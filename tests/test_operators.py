@@ -2624,10 +2624,11 @@ def test_frozen_split_growth_yields_byte_identical_eval(spark, tmp_path):
         r["doc_id"]: r["split"]
         for r in leakage_safe_split(docs_v2, clus_v2).collect()
     }
-    # the merge re-keys {50,51} to min-id 0: live re-splitting flips them
-    # (bucket(50)=90->eval stands alone; bucket(0)=75->train)
-    assert {manifest[i] for i in (50, 51)} != {live[i] for i in (50, 51)} \
-        or manifest[50] == live[50]  # guard: recipe change would surface here
+    # the merge re-keys {50,51} to min-id 0: live re-splitting FLIPS them
+    # (md5 digest buckets: key 50 -> 89 -> eval at pin time; merged key 0
+    # -> 16 -> train), and the merged cluster must not straddle
+    assert manifest[50] == manifest[51] == "eval"
+    assert live[50] == live[51] == live[0] == "train"
 
     frozen = {
         r["doc_id"]: (r["split"], r["frozen"])

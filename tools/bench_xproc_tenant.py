@@ -130,9 +130,17 @@ def run_fleet(n_writers: int) -> dict:
     t0 = time.time()
     open(os.path.join(barrier, "GO"), "w").close()
     reports = []
-    for p in procs:
+    for i, p in enumerate(procs, 1):
         out, _ = p.communicate(timeout=900)
         line = [ln for ln in out.decode().splitlines() if ln.startswith("{")]
+        if not line:
+            # a writer that died after the barrier prints no report;
+            # surface the real failure instead of an IndexError
+            raise RuntimeError(
+                f"writer {i} exited rc={p.returncode} with no JSON "
+                "report (post-barrier crash — rerun with stderr "
+                "captured to diagnose)"
+            )
         reports.append(json.loads(line[-1]))
     fleet_wall = time.time() - t0
 
