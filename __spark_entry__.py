@@ -977,6 +977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_contamination"] = lambda s, d: C.contamination_check(
         _t(s, d, "documents")
     )
+    # per-doc novelty: fraction of a doc's shingles first seen in it —
+    # the curation signal between exact dedup and near-dup clustering
+    q["docs_shingle_novelty"] = lambda s, d: C.shingle_novelty(
+        _t(s, d, "documents")
+    )
     # bloom-screened decontamination, deployment shape: the eval-split
     # shingle bloom is a PERSISTED build artifact (64Ki-bit register table,
     # broadcast at probe time); the scored query pays only the probe — the
@@ -3355,6 +3360,24 @@ def oracle_sql() -> dict[str, str]:
                                AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
                     AS DOUBLE) AS boilerplate_ratio
         FROM sh s JOIN dfr d ON s.sh = d.s2
+        GROUP BY s.doc_id
+    """
+
+    # novelty: global first-occurrence (MIN doc_id) per distinct shingle,
+    # joined back and folded per doc; _dec4 quotient rendering
+    o["docs_shingle_novelty"] = f"""
+        WITH sh AS ({shingles}),
+        first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_first_here,
+               CAST(FLOOR(
+                   CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000
+                   AS DOUBLE) AS novelty
+        FROM sh s JOIN first f ON f.sh = s.sh
         GROUP BY s.doc_id
     """
 

@@ -864,3 +864,59 @@ def zipf_slope(
         guard(slope).alias("slope"),
         guard(intercept).alias("intercept_ln"),
     )
+
+
+def shingle_novelty(
+    docs: DataFrame, text_col: str = "text", shingle_k: int = 3
+) -> DataFrame:
+    """Per-document NOVELTY score: the fraction of a doc's distinct
+    k-shingles whose GLOBAL first occurrence (min doc id over the corpus)
+    is this document — the curation signal between exact dedup (whole-doc
+    identity) and near-dup clustering (high pairwise overlap): a document
+    can evade both while contributing almost nothing new (boilerplate
+    stitched from earlier docs scores ~0; genuinely fresh text scores
+    ~1). Training-mixture builders weight by it; memorization audits
+    read it in reverse (low-novelty docs are the ones a model has
+    effectively already seen).
+
+    Plan shape at 100 TB: one distinct (doc, shingle) explode (the exact
+    relation the minhash pipeline already stages), one groupBy(sh) MIN —
+    map-side combinable, ≤ one row per distinct shingle — and one
+    hash-partitioned equi-join back on the shingle followed by a per-doc
+    fold; both wide ops key on the shingle, and the min-reduced first
+    relation arrives at the join already partitioned on it (no extra
+    exchange). The exploded shingle subtree does execute twice (its two
+    consumers shuffle it identically but the aggregate is folded into
+    one side, so AQE has no identical exchange to reuse) — at 100 TB
+    you stage it once as the persisted tf/shingle artifact
+    (``build_tf_index`` pattern) and feed both inputs from that.
+    min(doc_id) as "first" is the corpus-order-free tiebreak (same rule
+    the dedup keeper uses), so the score is deterministic under any
+    partitioning.
+
+    Emits (doc_id, n_shingles, n_first_here, novelty). Docs shorter
+    than k words contribute their whole text as one short shingle (the
+    minhash pipeline's shingle semantics, shared via
+    ``exploded_shingles`` so the two can never disagree)."""
+    sh = exploded_shingles(docs, text_col, shingle_k)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("_first"), 1).otherwise(0)
+            ).alias("n_first_here"),
+        )
+    )
+    frac = (
+        F.col("n_first_here").cast("double")
+        / F.col("n_shingles").cast("double")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_first_here").cast("long").alias("n_first_here"),
+        _dec4(frac).alias("novelty"),
+    )

@@ -2704,3 +2704,36 @@ def test_frozen_split_eval_protective_on_straddling_merge(spark, tmp_path):
     assert frozen[t_id] == ("train", True)
     assert frozen[e_id] == ("eval", True)
     assert frozen[200] == ("eval", False)
+
+
+def test_shingle_novelty_copy_scores_zero_fresh_scores_one(spark):
+    """A verbatim copy of an earlier doc has novelty 0 (every shingle
+    first occurred in the original), fresh text scores 1.0, and a half
+    borrowed doc lands at the exact shingle fraction; min-doc-id is the
+    first-occurrence tiebreak, so the ORIGINAL keeps novelty 1."""
+    from client_data_ingester_spark.operators.corpus import shingle_novelty
+
+    orig = "alpha beta gamma delta epsilon zeta"
+    fresh = "one two three four five six"
+    rows = [
+        (1, orig),
+        (2, orig),                      # verbatim copy -> 0
+        (3, fresh),                     # all-new -> 1
+        (4, "alpha beta gamma kappa mu nu xi"),  # part borrowed
+        (5, "hi"),                      # < k words: whole text = 1 shingle
+    ]
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_first_here"], r["novelty"])
+        for r in shingle_novelty(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[5] == (1, 1, 1.0)  # its short shingle is unique here
+    assert out[1] == (4, 4, 1.0)
+    assert out[2] == (4, 0, 0.0)
+    assert out[3] == (4, 4, 1.0)
+    # doc 4: shingles of 7 words -> 5 shingles; only 'alpha beta gamma'
+    # was seen before (docs share no other 3-shingle)
+    n, first, nov = out[4]
+    assert n == 5 and first == 4
+    assert nov == 0.8
