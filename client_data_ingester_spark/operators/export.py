@@ -35,6 +35,30 @@ def shard_id_expr(id_col: str, n_shards: int) -> F.Column:
     ).cast("int")
 
 
+def _content_digest(id_col: str, content_col: str) -> F.Column:
+    """60-bit md5 of ``id || '|' || null-flagged content`` — the row term
+    the XOR checksum folds. Shared by :func:`shard_checksums` and the
+    checksum-carrying :func:`shard_manifest` so the digest rendering
+    cannot drift between the standalone and merged forms."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("|"),
+                    F.when(F.col(content_col).isNull(), F.lit("0")).otherwise(
+                        F.concat(F.lit("1"), F.col(content_col))
+                    ),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def shard_assignments(
     docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -49,6 +73,7 @@ def shard_manifest(
     n_shards: int = 16,
     id_col: str = "doc_id",
     size_col: str = "n_chars",
+    content_col: str | None = None,
 ) -> DataFrame:
     """Per-shard export manifest: doc count, payload size, id range, and
     the shard's deviation from the ideal even share in permille (the
@@ -57,29 +82,33 @@ def shard_manifest(
     (default ``n_chars``, a CHARACTER count — a size proxy, not encoded
     bytes: non-ASCII text occupies more UTF-8 bytes than characters;
     pass an actual byte-length column if the alert threshold is in
-    bytes). One partial-aggregated shuffle of n_shards groups; the
+    bytes). With ``content_col`` set, the manifest also carries each
+    shard's order-independent content ``checksum`` (the
+    :func:`shard_checksums` XOR digest) computed in the SAME aggregate —
+    one scan and one n_shards-group shuffle serve both the layout
+    numbers and the validation digests, instead of an orchestrator
+    running two corpus passes. One partial-aggregated shuffle; the
     corpus total rides a broadcast 1-row join."""
-    per_shard = (
-        docs.select(
-            shard_id_expr(id_col, n_shards).alias("shard_id"),
-            F.col(id_col).alias("_id"),
-            F.col(size_col).alias("_sz"),
-        )
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_sz").cast("long").alias("total_chars"),
-            F.min("_id").alias("min_id"),
-            F.max("_id").alias("max_id"),
-        )
-    )
+    cols = [
+        shard_id_expr(id_col, n_shards).alias("shard_id"),
+        F.col(id_col).alias("_id"),
+        F.col(size_col).alias("_sz"),
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_sz").cast("long").alias("total_chars"),
+        F.min("_id").alias("min_id"),
+        F.max("_id").alias("max_id"),
+    ]
+    out_cols = ["shard_id", "n_docs", "total_chars", "min_id", "max_id"]
+    if content_col is not None:
+        cols.append(_content_digest(id_col, content_col).alias("_d"))
+        aggs.append(F.expr("bit_xor(_d)").alias("checksum"))
+        out_cols.append("checksum")
+    per_shard = docs.select(*cols).groupBy("shard_id").agg(*aggs)
     total = docs.agg(F.count(F.lit(1)).alias("_n"))
     return per_shard.crossJoin(F.broadcast(total)).select(
-        "shard_id",
-        "n_docs",
-        "total_chars",
-        "min_id",
-        "max_id",
+        *out_cols,
         F.floor(
             F.abs(F.col("n_docs") * n_shards - F.col("_n")) * 1000
             / F.col("_n")
@@ -131,27 +160,10 @@ def shard_checksums(
     ('0' for NULL, '1' || text otherwise — prefix-free, so '' and NULL
     and a literal '0' all hash apart) to keep every counted row visible
     in the checksum."""
-    digest = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(id_col).cast("string"),
-                    F.lit("|"),
-                    F.when(F.col(content_col).isNull(), F.lit("0")).otherwise(
-                        F.concat(F.lit("1"), F.col(content_col))
-                    ),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
     return (
         docs.select(
             shard_id_expr(id_col, n_shards).alias("shard_id"),
-            digest.alias("_d"),
+            _content_digest(id_col, content_col).alias("_d"),
         )
         .groupBy("shard_id")
         .agg(

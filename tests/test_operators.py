@@ -1174,14 +1174,21 @@ def test_weighted_sample_prefers_heavy_docs_and_is_deterministic(spark):
 
 
 def test_similarity_recall_query_bounds(spark):
+    """The merged recall entry marks BOTH the IVF and PQ rankings on one
+    brute-force relation (r15 rotation-capacity merge) — each index gets
+    its own bounded (n_hits, recall) pair per query."""
     import __spark_entry__ as entry
 
     df = entry.queries()["similarity_recall_at_k"](spark, SF_DIR)
     rows = df.collect()
     assert len(rows) == 3
     for r in rows:
-        assert r.k == 5 and 0 <= r.n_hits <= r.k
-        assert 0.0 <= r.recall <= 1.0
+        assert r.k == 5
+        for name in ("ivf", "pq"):
+            n_hits = getattr(r, f"{name}_n_hits")
+            recall = getattr(r, f"{name}_recall")
+            assert 0 <= n_hits <= r.k
+            assert 0.0 <= recall <= 1.0
 
 
 def test_kmeans_model_centroids_drive_ivf(spark):

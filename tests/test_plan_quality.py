@@ -793,13 +793,15 @@ def test_weighted_sample_is_map_plus_takeordered(spark):
 
 
 def test_recall_consumes_brute_force_once(spark):
-    """The recall eval marks IVF hits on ONE brute-force relation (left
-    join + single aggregate): 5 scans total (bf corpus+queries, ivf
-    corpus+queries, centroid table) — the two-subtree formulation
-    recomputed the expensive brute-force scoring and showed 7."""
+    """The recall eval marks IVF *and* PQ hits on ONE brute-force
+    relation (two left joins + single aggregate): at most 9 scans total
+    (bf corpus+queries, ivf corpus+queries+centroids, pq side
+    queries+codes+codebooks) — a per-index bf subtree would recompute
+    the expensive brute-force corpus scoring (2 more scans of the big
+    relation) and push the count past this pin."""
     plan = plan_of(spark, "similarity_recall_at_k")
     tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
-    assert tree.count("Scan parquet") <= 5
+    assert tree.count("Scan parquet") <= 9
     assert "CartesianProduct" not in plan
 
 
