@@ -879,29 +879,32 @@ def shingle_novelty(
     read it in reverse (low-novelty docs are the ones a model has
     effectively already seen).
 
-    Plan shape at 100 TB: one distinct (doc, shingle) explode (the exact
-    relation the minhash pipeline already stages), one groupBy(sh) MIN —
-    map-side combinable, ≤ one row per distinct shingle — and one
-    hash-partitioned equi-join back on the shingle followed by a per-doc
-    fold; both wide ops key on the shingle, and the min-reduced first
-    relation arrives at the join already partitioned on it (no extra
-    exchange). The exploded shingle subtree does execute twice (its two
-    consumers shuffle it identically but the aggregate is folded into
-    one side, so AQE has no identical exchange to reuse) — at 100 TB
-    you stage it once as the persisted tf/shingle artifact
-    (``build_tf_index`` pattern) and feed both inputs from that.
-    min(doc_id) as "first" is the corpus-order-free tiebreak (same rule
-    the dedup keeper uses), so the score is deterministic under any
-    partitioning.
+    Plan shape at 100 TB: ONE distinct (doc, shingle) explode (the exact
+    relation the minhash pipeline already stages), consumed ONCE — the
+    global first-occurrence is a whole-partition ``min(doc_id)`` window
+    keyed on the shingle, so the big relation shuffles on ``sh`` exactly
+    once and flows straight into the per-doc fold (second shuffle, on
+    ``doc_id``). The r15 formulation (groupBy-min + join back) consumed
+    the exploded subtree twice — its two consumers shuffled it
+    identically but the aggregate was folded into one side, so AQE had
+    no identical exchange to reuse; at 100 TB that was 2× the biggest
+    scan+explode in the query (r15 verdict ask #3; plan-pinned in
+    tests/test_plan_quality.py: one Generate, no join). Window-group
+    size is docs-per-shingle — a boilerplate shingle shared by millions
+    of docs lands one task, the same key-skew a join on ``sh`` has, and
+    WindowExec spills; the trade buys back a full execution of the
+    dominant stage. min(doc_id) as "first" is the corpus-order-free
+    tiebreak (same rule the dedup keeper uses), so the score is
+    deterministic under any partitioning.
 
     Emits (doc_id, n_shingles, n_first_here, novelty). Docs shorter
     than k words contribute their whole text as one short shingle (the
     minhash pipeline's shingle semantics, shared via
     ``exploded_shingles`` so the two can never disagree)."""
     sh = exploded_shingles(docs, text_col, shingle_k)
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("_first"))
+    first = F.min("doc_id").over(Window.partitionBy("sh"))
     per_doc = (
-        sh.join(first, "sh")
+        sh.select("doc_id", first.alias("_first"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

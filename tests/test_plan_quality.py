@@ -218,6 +218,21 @@ def test_ivf_topk_with_persisted_centroids_skips_corpus_reaggregation(
     ).count() == 15
 
 
+def test_shingle_novelty_single_explode_no_join(spark):
+    """shingle_novelty's global first-occurrence rides a min-over-window
+    keyed on the shingle, so the exploded (doc, shingle) relation is
+    built ONCE and shuffles once on sh (r15 verdict ask #3). The old
+    groupBy-min + join-back shape executed the dominant explode subtree
+    twice — pin that it cannot come back: exactly one Generate, no join
+    operator, and exactly one scan of documents."""
+    plan = plan_of(spark, "docs_shingle_novelty")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Generate") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_plan_has_no_reinlined_shingle_filter(spark):
     """Perf guard for the shingle formulation: the explode must NOT carry an
     InferFiltersFromGenerate pre-filter that re-inlines the shingle
