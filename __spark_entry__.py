@@ -3945,21 +3945,25 @@ def oracle_sql() -> dict[str, str]:
         WITH span AS (
             SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
             FROM events),
-        -- generate_series takes only constants in DuckDB; build the
-        -- dense day axis as span-start + integer offsets instead
-        -- (4096-day ceiling comfortably covers any testdata window)
-        days AS (
-            SELECT s.d0 + CAST(i.i AS INTEGER) AS day
-            FROM span s,
-                 (SELECT CAST(range AS INTEGER) AS i
-                  FROM range(0, 4096)) i
-            WHERE s.d0 + CAST(i.i AS INTEGER) <= s.d1),
-        grid AS (
-            SELECT u.user_id, d.day
-            FROM (SELECT DISTINCT user_id FROM events) u, days d),
         daily AS (
             SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS x
             FROM events GROUP BY 1, 2),
+        uspan AS (
+            SELECT user_id, MIN(day) AS u0, MAX(day) AS u1
+            FROM daily GROUP BY 1),
+        -- per-user bounded calendar (the Spark operator's window
+        -- semantics): the user's activity span padded by L-1 days,
+        -- clipped to the corpus span. unnest(generate_series(...))
+        -- accepts column bounds, so the day axis is DERIVED from the
+        -- data — no fixed ceiling to silently truncate a long corpus
+        -- (r15 ADVICE on the old range(0, 4096) axis).
+        grid AS (
+            SELECT u.user_id,
+                   CAST(UNNEST(GENERATE_SERIES(
+                       CAST(GREATEST(s.d0, u.u0 - 6) AS TIMESTAMP),
+                       CAST(LEAST(s.d1, u.u1 + 6) AS TIMESTAMP),
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM uspan u CROSS JOIN span s),
         dense AS (
             SELECT g.user_id, g.day, CAST(COALESCE(d.x, 0) AS BIGINT) AS x
             FROM grid g LEFT JOIN daily d

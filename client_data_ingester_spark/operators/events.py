@@ -514,55 +514,77 @@ def ts_shape_topk(
     full z-normalization would also be scale-invariant but costs a
     sqrt — the wrong trade against cross-engine exactness here.
 
+    Window semantics: candidate windows are the L-day frames that lie
+    fully inside the corpus day span AND within reach of the user's own
+    activity (start in [user_min_day − (L−1), user_max_day]) — an
+    all-quiet window outside a user's active period scores a constant
+    Σp'² that says nothing about the user, and materializing it for
+    every dormant user makes the dense relation users × corpus_span. The
+    per-user bounded calendar keeps it Σ_u (span_u + 2(L−1)) instead: a
+    multi-year corpus with mostly-dormant users costs Σ activity spans,
+    not users × years (r15 ADVICE).
+
+    int64-exactness domain: terms are |L·x_j − S − p'_j| ≤ L·(L+1)·m + c
+    for max daily count m, so dist ≤ L·(L(L+1)m + c)²; with L ≤ 16 the
+    score stays inside int64 for m up to ~10⁸ events/user/day — beyond
+    that (pathological bot traffic) the squares wrap engine-dependently.
+    Pre-aggregate or clip daily counts before calling if the domain can
+    exceed that (r15 ADVICE: the contract's domain, stated).
+
     Plan shape at 100 TB: one (user, day) count groupBy (map-side
-    combined), a per-user dense calendar (explode over the corpus
-    min/max day — a 1-row scalar attach, the q15 pattern), one narrow
-    per-user ordered window building the L-length frames via
-    collect_list (days-per-user rows, never corpus-wide), unrolled
-    integer expressions for the score, and a global TakeOrdered for
-    the top-k. Emits (user, start_day, dist) in a unique total order
-    (dist, user, start_day)."""
+    combined; this also yields the per-user day bounds in the same
+    pass), a per-user dense calendar (explode of the user's clipped
+    span — corpus bounds ride a broadcast 1-row scalar attach, the q15
+    pattern), one narrow per-user ordered window building the L-length
+    frames as explicit ``lead(x, j)`` columns — order-guaranteed by
+    definition, unlike collect_list's undocumented frame-order behavior
+    (r15 ADVICE) — unrolled integer expressions for the score, and a
+    global TakeOrdered for the top-k. Emits (user, start_day, dist) in
+    a unique total order (dist, user, start_day)."""
     L = len(pattern)
     sq = sum(pattern)
     pp = [L * q - sq for q in pattern]
 
-    daily = events.groupBy(
-        user_col, F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
+    daily = (
+        events.groupBy(user_col, F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
     span = events.agg(
         F.min(F.to_date("ts")).alias("_d0"),
         F.max(F.to_date("ts")).alias("_d1"),
     )
+    user_span = daily.groupBy(user_col).agg(
+        F.min("day").alias("_u0"), F.max("day").alias("_u1")
+    )
     grid = (
-        events.select(user_col)
-        .distinct()
-        .crossJoin(F.broadcast(span))
+        user_span.crossJoin(F.broadcast(span))
         .select(
             user_col,
             F.explode(
-                F.sequence("_d0", "_d1", F.expr("interval 1 day"))
+                F.sequence(
+                    F.greatest(F.col("_d0"), F.date_sub("_u0", L - 1)),
+                    F.least(F.col("_d1"), F.date_add("_u1", L - 1)),
+                    F.expr("interval 1 day"),
+                )
             ).alias("day"),
         )
     )
     dense = grid.join(daily, [user_col, "day"], "left").select(
         user_col, "day", F.coalesce("x", F.lit(0)).cast("long").alias("x")
     )
-    w = (
-        Window.partitionBy(user_col)
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, L - 1)
-    )
+    w = Window.partitionBy(user_col).orderBy("day")
+    xs = [F.col("x")] + [F.lead("x", j).over(w) for j in range(1, L)]
     framed = dense.select(
         user_col,
         F.col("day").alias("start_day"),
-        F.collect_list("x").over(w).alias("xs"),
-    ).where(F.size("xs") == L)
-    s = F.aggregate(
-        "xs", F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+        *[c.alias(f"_x{j}") for j, c in enumerate(xs)],
+    ).where(F.col(f"_x{L - 1}").isNotNull())
+    s = F.col("_x0")
+    for j in range(1, L):
+        s = s + F.col(f"_x{j}")
     framed = framed.withColumn("_s", s)
     term = [
-        F.lit(L) * F.col("xs")[j] - F.col("_s") - F.lit(pp[j])
+        F.lit(L) * F.col(f"_x{j}") - F.col("_s") - F.lit(pp[j])
         for j in range(L)
     ]
     dist = term[0] * term[0]

@@ -361,6 +361,17 @@ def leakage_safe_split(
         F.col("doc_id").alias(id_col), F.col("cluster_id")
     )
     carry = list(carry_cols or [])
+    # carrying a reserved output name duplicates a column, and carrying
+    # cluster_id makes the post-join key reference ambiguous
+    # (AnalysisException deep in the plan) — fail at the API edge with
+    # the actual offenders instead (r15 ADVICE)
+    reserved = {id_col, "split_key", "bucket", "split", "cluster_id"}
+    clash = sorted(set(carry) & reserved)
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with the split output columns "
+            f"({sorted(reserved)}); rename or re-join on {id_col} instead"
+        )
     j = docs.select(id_col, *carry).join(lab, id_col, "left")
     key = F.coalesce(F.col("cluster_id"), F.col(id_col))
     bucket = _split_bucket(key)

@@ -2592,6 +2592,25 @@ def test_leakage_safe_split_carry_cols_passthrough(spark):
     }
 
 
+def test_leakage_safe_split_carry_cols_collision_raises(spark):
+    """Carrying a reserved output name (or the join's cluster_id) must
+    fail loudly at the API edge, not as an ambiguous-reference
+    AnalysisException deep in the plan (r15 ADVICE)."""
+    from client_data_ingester_spark.operators.text import leakage_safe_split
+
+    docs = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("cluster_id"),
+        F.lit("y").alias("split"),
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1)], "doc_id long, cluster_id long"
+    )
+    for bad in (["cluster_id"], ["split"], ["split", "cluster_id"]):
+        with pytest.raises(ValueError, match="collide"):
+            leakage_safe_split(docs, clusters, carry_cols=bad)
+
+
 def test_frozen_split_growth_yields_byte_identical_eval(spark, tmp_path):
     """The eval-freeze guarantee: after the corpus GROWS (new docs, and a
     bridge edge that merges two pinned clusters — the exact event that

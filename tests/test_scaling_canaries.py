@@ -340,6 +340,59 @@ def test_committed_scaling_artifact_has_no_unjustified_superlinear(artifact):
             assert bound >= (rec["rows_slope"] or float("-inf"))
 
 
+# Entries whose scaled row count MAY legitimately collapse to zero as the
+# corpus grows — each with the semantic reason, verified against driver
+# data too (not a generator artifact). Anything else dropping to 0 at a
+# larger sf is a VACUOUS measurement (r15 verdict defect #2:
+# events_shape_topk "passed" sf0.5/sf1 on a 4.6-day corpus with 0 rows)
+# and fails this canary.
+SCALED_ZERO_OK = {
+    # TPC-H Q11 semantics: a FIXED value-share threshold over a growing
+    # corpus — each part's share shrinks ~1/n, so past a corpus size no
+    # part qualifies (0 rows on the DRIVER's own sf0.1 data already;
+    # the oracle returns 0 identically).
+    "q11_important_parts",
+    # Closed 30-word vocabulary: the eval-split bloom saturates the
+    # shingle space as the corpus grows, the majority-overlap quarantine
+    # flags ~everything, and the curated slice empties (1 row on driver
+    # sf0.1 — corpus property, not a plan artifact; both engines agree).
+    "pipeline_curate_and_pack",
+    "pipeline_curate_checkpointed",
+}
+
+
+def test_scaled_rows_never_collapse_to_zero():
+    """Non-vacuity guard for the committed scaling artifact (r15 verdict
+    ask #2): a scored entry that returns rows at a small sf must not
+    return 0 rows at a LARGER sf — that means the generated corpus lost
+    the feature the query measures (day span, quantity tail, near-dup
+    pairs) and every 'green' scaled number for it proves nothing.
+    Allowlisted collapses carry a verified semantic reason above."""
+    path = os.path.join(REPO_ROOT, "SCALING.json")
+    if not os.path.exists(path):
+        pytest.skip("SCALING.json not generated in this checkout")
+    with open(path) as fh:
+        scaling = json.load(fh)
+    bad = {}
+    for name, rec in scaling["queries"].items():
+        if name in SCALED_ZERO_OK:
+            continue
+        rows = sorted(
+            ((float(sf), r) for sf, r in rec.get("rows", {}).items())
+        )
+        seen_nonzero = False
+        for sf, r in rows:
+            if r > 0:
+                seen_nonzero = True
+            elif seen_nonzero and r == 0:
+                bad[name] = rec["rows"]
+                break
+    assert not bad, (
+        "vacuous scaled measurements (rows collapse to 0 at larger sf): "
+        f"{bad}"
+    )
+
+
 def test_planted_pair_recall_floor_at_design_point(spark, tmp_path):
     """The ≥0.8-recall-at-cos≥0.95 contract (rp_bands_for_recall),
     MEASURED on planted pairs instead of extrapolated from the collision

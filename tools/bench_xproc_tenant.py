@@ -144,12 +144,18 @@ def run_fleet(n_writers: int) -> dict:
         reports.append(json.loads(line[-1]))
     fleet_wall = time.time() - t0
 
-    # liveness assertions BEFORE the artifact is written
-    assert all(r["success"] for r in reports), [
-        r for r in reports if not r["success"]
-    ]
+    # liveness checks BEFORE the artifact is written — explicit raises,
+    # not asserts: under python -O an assert vanishes and the tool would
+    # write XPROC_CONTENTION.json unverified (r15 ADVICE)
+    failed = [r for r in reports if not r["success"]]
+    if failed:
+        raise RuntimeError(f"writers failed: {failed}")
     attempts = sorted(r["attempts"] for r in reports)
-    assert attempts[-1] <= n_writers + 2, attempts
+    if attempts[-1] > n_writers + 2:
+        raise RuntimeError(
+            f"liveness bound violated: attempts_max {attempts[-1]} > "
+            f"{n_writers} + 2 ({attempts})"
+        )
     # verify the table end-state from the parent (fresh session)
     from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
     from client_data_ingester_spark.session import get_spark
@@ -161,7 +167,11 @@ def run_fleet(n_writers: int) -> dict:
         .read(spark, partition_value=1)
         .count()
     )
-    assert n == n_writers * ROWS_EACH, (n, n_writers * ROWS_EACH)
+    if n != n_writers * ROWS_EACH:
+        raise RuntimeError(
+            f"row-count mismatch: table holds {n}, expected "
+            f"{n_writers * ROWS_EACH}"
+        )
     return {
         "n_writers": n_writers,
         "rows_each": ROWS_EACH,

@@ -228,23 +228,59 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
         (day0 + F.make_interval(days=F.pmod(F.xxhash64(F.lit("od"), "id"), F.lit(2404)).cast("int"))).alias("o_orderdate"),
         _pick("opri", F.col("id"), PRIORITIES).alias("o_orderpriority"),
     )
-    lineitem = spark.range(n_ord * 4).select(
-        (F.col("id") / 4).cast("long").alias("l_orderkey"),
-        F.pmod(F.xxhash64(F.lit("lp"), "id"), F.lit(n_part)).cast("int").alias("l_partkey"),
-        F.pmod(F.xxhash64(F.lit("ls"), "id"), F.lit(n_supp)).cast("int").alias("l_suppkey"),
-        (F.pmod(F.col("id"), F.lit(4)) + 1 + F.pmod(F.xxhash64(F.lit("ln"), "id"), F.lit(3))).cast("int").alias("l_linenumber"),
-        (F.pmod(F.xxhash64(F.lit("lq"), "id"), F.lit(50)) + 1).cast("double").alias("l_quantity"),
-        _r2(_u("le", F.col("id")) * 90000 + 900).alias("l_extendedprice"),
-        (F.pmod(F.xxhash64(F.lit("ld"), "id"), F.lit(11)).cast("double") / 100.0).alias("l_discount"),
-        (F.pmod(F.xxhash64(F.lit("lt"), "id"), F.lit(9)).cast("double") / 100.0).alias("l_tax"),
-        _pick("lr", F.col("id"), ["A", "N", "R"]).alias("l_returnflag"),
-        _pick("ll", F.col("id"), ["O", "F"]).alias("l_linestatus"),
-        (day0 + F.make_interval(days=F.pmod(F.xxhash64(F.lit("lsd"), "id"), F.lit(2404)).cast("int"))).alias("l_shipdate"),
+    # lineitems per order: VARIABLE 1..12 with a small heavy tail (the
+    # driver data's shape: 1-13 items, mean ~3.7, qty sums reaching past
+    # the q18 sum(l_quantity) > 300 threshold for ~0.3% of orders). The
+    # r15 generator emitted exactly 4 items per order — max possible sum
+    # 4×50 = 200, so q18's scaled rows were 0 at EVERY generated sf and
+    # its sf0.5/sf1 measurements proved nothing (r15 verdict defect #2's
+    # sibling; tests/test_scaling_canaries.py asserts non-vacuity now).
+    def _ho(salt: str) -> F.Column:
+        return F.xxhash64(F.lit(salt), F.col("id"))
+
+    n_li = (
+        F.lit(1)
+        + F.pmod(_ho("ln1"), F.lit(3))
+        + F.pmod(_ho("ln2"), F.lit(3))
+        + F.when(
+            F.pmod(_ho("ln3"), F.lit(20)) == 0, F.pmod(_ho("ln4"), F.lit(8))
+        ).otherwise(F.lit(0))
+    ).cast("int")
+    li_base = spark.range(n_ord).select(
+        F.col("id").alias("l_orderkey"),
+        F.explode(F.sequence(F.lit(1), n_li)).alias("l_linenumber"),
     )
-    # events: FIXED ~4.6-day span at any sf (arrival DENSITY scales, the
-    # window/session landscape keeps its shape) — matches the driver data's
-    # ~40 s mean gap at sf0.01
-    span_us = 400_000 * 1_000_000
+
+    def _hl(salt: str) -> F.Column:
+        return F.xxhash64(
+            F.lit(salt), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+
+    lineitem = li_base.select(
+        "l_orderkey",
+        F.pmod(_hl("lp"), F.lit(n_part)).cast("int").alias("l_partkey"),
+        F.pmod(_hl("ls"), F.lit(n_supp)).cast("int").alias("l_suppkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        (F.pmod(_hl("lq"), F.lit(50)) + 1).cast("double").alias("l_quantity"),
+        _r2(
+            _u("le", F.col("l_orderkey"), F.col("l_linenumber")) * 90000
+            + 900
+        ).alias("l_extendedprice"),
+        (F.pmod(_hl("ld"), F.lit(11)).cast("double") / 100.0).alias("l_discount"),
+        (F.pmod(_hl("lt"), F.lit(9)).cast("double") / 100.0).alias("l_tax"),
+        _pick("lr", _hl("lrh"), ["A", "N", "R"]).alias("l_returnflag"),
+        _pick("ll", _hl("llh"), ["O", "F"]).alias("l_linestatus"),
+        (day0 + F.make_interval(days=F.pmod(_hl("lsd"), F.lit(2404)).cast("int"))).alias("l_shipdate"),
+    )
+    # events: FIXED 30-DAY span at any sf (arrival DENSITY scales, the
+    # calendar keeps its shape) — matching the driver testdata, whose
+    # events span 2024-01-01 → 2024-01-30 at EVERY sf. The r15 generator
+    # used a ~4.6-day span, which made every day-span-sensitive query
+    # (shape search with a 7-day pattern, weekly retention triangle,
+    # 7-day funnel windows) VACUOUSLY empty at sf0.5/sf1 — a scaled gate
+    # that proved nothing (r15 verdict defect #2). tests/
+    # test_scaling_canaries.py now asserts non-vacuity per scored entry.
+    span_us = 30 * 86_400 * 1_000_000
     ev0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
     events = spark.range(n_events).select(
         F.col("id").alias("event_id"),
@@ -263,14 +299,51 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
         F.format_string('{"k": %d}', F.pmod(F.xxhash64(F.lit("ek"), "id"), F.lit(100))).alias("props"),
     )
     vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
-    n_words = (F.pmod(F.xxhash64(F.lit("dw"), "id"), F.lit(90)) + 8).cast("int")
-    words = F.transform(
-        F.sequence(F.lit(1), n_words),
-        lambda i: F.element_at(
-            vocab_arr,
-            (F.pmod(F.xxhash64(F.lit("dt"), F.col("id"), i), F.lit(len(VOCAB))) + 1).cast("int"),
-        ),
+
+    def words_of(idc):
+        n_words = (
+            F.pmod(F.xxhash64(F.lit("dw"), idc), F.lit(90)) + 8
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.element_at(
+                vocab_arr,
+                (
+                    F.pmod(
+                        F.xxhash64(F.lit("dt"), idc, i), F.lit(len(VOCAB))
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        )
+
+    # planted TEXT near-duplicates (same cadence as the embedding plants):
+    # every PLANT_EVERY-th doc is its predecessor's text with ONE word
+    # substituted at a hash-chosen position — shingle Jaccard ≥ ~0.85 for
+    # the ≥30-word docs, which is what the near-dup family (minhash/LSH,
+    # ngram-jaccard, simhash, containment) detects. Without them the
+    # random-vocab corpus has NO high-overlap pairs above sf0.1, so the
+    # scaled rows for those entries collapsed to 0 — a measurement that
+    # proved nothing (r15 verdict defect #2's sibling). Ground truth is
+    # recoverable from ids alone: (b, b+1) for b % PLANT_EVERY == 0.
+    did = F.col("id")
+    is_text_clone = (F.pmod(did, F.lit(PLANT_EVERY)) == 1) & (did >= 1)
+    base_words = words_of(did - 1)
+    swap_pos = F.pmod(F.xxhash64(F.lit("dswp"), did), F.size(base_words))
+    clone_words = F.transform(
+        base_words,
+        lambda w, i: F.when(
+            i == swap_pos,
+            F.element_at(
+                vocab_arr,
+                (
+                    F.pmod(F.xxhash64(F.lit("dswv"), did), F.lit(len(VOCAB)))
+                    + 1
+                ).cast("int"),
+            ),
+        ).otherwise(w),
     )
+    words = F.when(is_text_clone, clone_words).otherwise(words_of(did))
     documents = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.array_join(words, " ").alias("text"),
