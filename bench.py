@@ -71,7 +71,7 @@ def compact_line(out: dict, top_n: int = 8) -> dict:
             key=lambda kv: (-kv[1], kv[0]),
         )[:top_n]
     )
-    return {
+    line = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
@@ -82,6 +82,46 @@ def compact_line(out: dict, top_n: int = 8) -> dict:
         "slowest": slowest,
         "detail": "BENCH_DETAIL.json",
     }
+    # ambient-load verdict travels on the driver-visible line too: a
+    # reader of BENCH_rN.json alone can tell "loaded box" from "real
+    # regression" without opening the detail file
+    if "canary" in out:
+        line["canary_x"] = out["canary"].get("inflation")
+        line["ambient"] = out.get("ambient_inflation", False)
+    return line
+
+
+#: Fixed canary query for ambient-load adjudication. Must be cheap,
+#: plan-stable, and independent of the operator families under test.
+CANARY_QUERY = "q1_pricing_summary"
+#: canary median above this multiple of the committed prior flags the
+#: whole run as ambient-inflated (r15 verdict ask #5: the driver's
+#: single run landed 1.5x the committed medians and cost an hour of
+#: archaeology to adjudicate — now the artifact carries the verdict).
+AMBIENT_FLAG_RATIO = 1.3
+
+
+def run_canary(qs, spark, sf_dir, repeats: int = 3) -> float:
+    """Median wall of the fixed canary query, forced like every bench
+    query."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        _force(qs[CANARY_QUERY](spark, sf_dir))
+        times.append(time.time() - t0)
+    return round(statistics.median(times), 3)
+
+
+def prior_canary_median(detail_path: str) -> float | None:
+    """The committed reference: the canary median recorded by the last
+    bench run at the same sf (BENCH_DETAIL.json is committed per
+    round)."""
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh)
+        return float(prior["canary"]["median"])
+    except (OSError, KeyError, TypeError, ValueError):
+        return None
 
 
 def variance_stats(all_runs: dict[str, list[float]]) -> tuple[dict, list[str]]:
@@ -278,6 +318,16 @@ def main() -> None:
     # median (plus all runs under "runs") — for settling noise vs regression.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
 
+    # ambient-load canary: bracket the sweep with a fixed, cheap query
+    # and record load averages, so a slow run is self-adjudicating from
+    # the artifact (uniform canary inflation = loaded box, not code)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_med = prior_canary_median(detail_path)
+    load_start = os.getloadavg()
+    canary_start = run_canary(qs, spark, sf_dir)
+
     per_query: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     total = 0.0
@@ -303,6 +353,12 @@ def main() -> None:
         per_query[name] = med
         all_runs[name] = times
         total += med
+    canary_end = run_canary(qs, spark, sf_dir)
+    canary_med = round(statistics.median([canary_start, canary_end]), 3)
+    inflation = (
+        round(canary_med / prior_med, 2) if prior_med and prior_med > 0
+        else None
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -310,6 +366,19 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build_costs": build_costs,
+        "canary": {
+            "query": CANARY_QUERY,
+            "start": canary_start,
+            "end": canary_end,
+            "median": canary_med,
+            "prior_median": prior_med,
+            "inflation": inflation,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        },
+        "ambient_inflation": bool(
+            inflation is not None and inflation > AMBIENT_FLAG_RATIO
+        ),
         # the driver's correctness gate scores only the first 50 entries;
         # record which entries rotated out this round. Every entry is
         # scored at least once per window_report's "coverage_rounds"

@@ -74,6 +74,31 @@ def test_variance_stats_flags_noisy_queries():
     assert stats["noisy"]["p95"] == 2.5 and stats["noisy"]["min"] == 1.2
 
 
+def test_compact_line_carries_ambient_verdict():
+    """The ambient-load canary (r15 verdict ask #5) must surface on the
+    driver-visible line — a BENCH_rN.json reader adjudicates 'loaded
+    box' vs 'real regression' without the detail file — and must not
+    push the line past the driver cap."""
+    out = _fake_out(150)
+    out["canary"] = {"query": "q1_pricing_summary", "median": 1.5,
+                     "prior_median": 1.0, "inflation": 1.5}
+    out["ambient_inflation"] = True
+    line = bench.compact_line(out)
+    assert line["canary_x"] == 1.5 and line["ambient"] is True
+    assert len(json.dumps(line)) < bench.MAX_LINE_BYTES
+    # absent canary (first run ever): fields simply not present
+    assert "ambient" not in bench.compact_line(_fake_out(10))
+
+
+def test_prior_canary_median_reads_committed_detail(tmp_path):
+    p = tmp_path / "BENCH_DETAIL.json"
+    assert bench.prior_canary_median(str(p)) is None  # no file yet
+    p.write_text(json.dumps({"canary": {"median": 2.25}}))
+    assert bench.prior_canary_median(str(p)) == 2.25
+    p.write_text(json.dumps({"queries": {}}))  # pre-canary artifact
+    assert bench.prior_canary_median(str(p)) is None
+
+
 def test_compact_line_empty_inventory():
     line = bench.compact_line(
         {"metric": "m", "value": 0.0, "unit": "sec", "sf": 0.001, "queries": {}}
