@@ -329,10 +329,28 @@ def ingest_data(
     parser_config: ParserConfig,
     client_id: int,
     full_update: bool = False,
+    group_commit: bool = False,
 ) -> IngestionReport:
+    """``group_commit=True`` routes a plain upsert through the table's
+    merge queue (tables/mergequeue.py): the validated, folded update set
+    is staged as a ticket and ONE writer applies a whole batch of
+    same-head tickets in a single commit — the fleet-contention path
+    (attempts grow ~linearly with writer count instead of
+    quadratically; measured in XPROC_CONTENTION.json "group" fleets).
+    ``full_update`` always takes the direct OCC path: its
+    deactivation/skus counts are defined against the exact snapshot the
+    merge applies to, which the direct loop re-reads per attempt."""
     error_type = "full update" if full_update else "data"
     try:
-        return _ingest(spark, table, source, parser_config, client_id, full_update)
+        return _ingest(
+            spark,
+            table,
+            source,
+            parser_config,
+            client_id,
+            full_update,
+            group_commit=group_commit and not full_update,
+        )
     except Exception as e:  # parity: catch-all → failure report, no write
         return IngestionReport(
             success=False,
@@ -348,6 +366,7 @@ def _ingest(
     parser_config: ParserConfig,
     client_id: int,
     full_update: bool,
+    group_commit: bool = False,
 ) -> IngestionReport:
     error_type = "full update" if full_update else "data"
     parser = get_parser(parser_config.parser_id)
@@ -459,6 +478,38 @@ def _ingest(
     else:
         id_base = table.reserve_id_block(id_span)
         reserved_top = id_base + id_span
+
+    if group_commit:
+        # fleet path: stage the validated fold as a queue ticket; one
+        # writer drains a whole batch in a single commit. Ids are from
+        # THIS writer's reserved block, so apply order never matters.
+        from ..tables import mergequeue
+
+        try:
+            ticket = mergequeue.enqueue(
+                table,
+                updates,
+                client_id=client_id,
+                mapped_cols=compiled.distinct_targets,
+                batch_ts=batch_ts.isoformat(),
+                id_base=id_base,
+                id_span=id_span,
+                processed_count=processed_count,
+            )
+            res = mergequeue.drain_or_wait(spark, table, ticket)
+        finally:
+            staged.unpersist()
+        return IngestionReport(
+            success=True,
+            message="Success",
+            processed_items=processed_count,
+            stats={
+                "processed_count": processed_count,
+                "group_commit_batch": res["group_commit_batch"],
+                "group_commit_drainer": res["group_commit_drainer"],
+            },
+        )
+
     # Optimistic-concurrency loop: the merge is computed against a snapshot
     # PINNED to the manifest version read here, and the publish passes that
     # version as the expected state. A concurrent writer that lands in

@@ -582,7 +582,9 @@ def test_xproc_contention_artifact_pins_liveness():
     )
 
     fleets = json.load(open(path))["fleets"]
-    assert {f["n_writers"] for f in fleets} >= {8, 16}
+    direct = [f for f in fleets if f.get("mode", "direct") == "direct"]
+    group = [f for f in fleets if f.get("mode") == "group"]
+    assert {f["n_writers"] for f in direct} >= {8, 16}
     for f in fleets:
         n = f["n_writers"]
         assert f["rows_committed"] == n * f["rows_each"]
@@ -592,3 +594,13 @@ def test_xproc_contention_artifact_pins_liveness():
         # attempts_total bounded by the N(N+1)/2 full-serialization
         # worst case (every round exactly one winner)
         assert f["attempts_total"] <= n * (n + 1) // 2 + 2 * n, f
+    # group-commit fleets (r15 verdict ask #4): attempts grow ~LINEARLY
+    # with fleet size (each writer enqueues once; one drainer batches),
+    # measured through N=32 — the sub-quadratic done-bar
+    if group:
+        assert {f["n_writers"] for f in group} >= {8, 16, 32}
+        for f in group:
+            n = f["n_writers"]
+            assert f["attempts_total"] <= 2 * n, f
+            assert f["n_drainers"] >= 1, f
+            assert sum(f["batches"]) >= n, f  # every ticket applied

@@ -308,6 +308,39 @@ def test_ingest_small_file(app):
     assert len(listed) == 3
 
 
+def test_ingest_response_exposes_stats_telemetry(app):
+    """The README report contract: the HTTP response carries the report
+    stats verbatim — processed_count always; the concurrency telemetry
+    keys (merge_conflict_rounds / merge_stall_peak / group_commit_*)
+    only when those paths ran, so a conflict-free ingest keeps the
+    legacy stats shape (r15 verdict ask #9)."""
+    c = signed_in_client(app, SIGNUP_1)
+    status, data = ingest(c, [
+        {"sku": f"SKU{i}", "title": f"P{i}", "active": "1"}
+        for i in range(4)
+    ])
+    assert status == 200
+    stats = data["stats"]
+    assert stats["processed_count"] == 4
+    # conflict-free single-writer ingest: no concurrency telemetry
+    for absent in (
+        "merge_conflict_rounds",
+        "merge_stall_peak",
+        "group_commit_batch",
+        "group_commit_drainer",
+    ):
+        assert absent not in stats, stats
+    # full update adds the reference-parity counters
+    status, data = ingest(
+        c,
+        [{"sku": "SKU0", "title": "P0", "active": "1"}],
+        full_update=True,
+    )
+    assert status == 200
+    assert data["stats"]["deactivated_count"] == 3
+    assert data["stats"]["total_ingested_skus"] == 1
+
+
 def test_ingest_invalid_parser_config_400(app):
     c = signed_in_client(app, SIGNUP_1)
     status, data = c.post_multipart(

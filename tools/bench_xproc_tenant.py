@@ -41,7 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROWS_EACH = 200
 
 
-def child(table_root: str, barrier_dir: str, writer: int, n_rows: int) -> int:
+def child(
+    table_root: str, barrier_dir: str, writer: int, n_rows: int,
+    group: bool,
+) -> int:
     """One writer process: own SparkSession, barrier, one ingest."""
     from client_data_ingester_spark.ingestion import (
         ParserConfig,
@@ -73,7 +76,9 @@ def child(table_root: str, barrier_dir: str, writer: int, n_rows: int) -> int:
         time.sleep(0.05)
 
     t0 = time.time()
-    rep = ingest_data(spark, table, payload, cfg, client_id=1)
+    rep = ingest_data(
+        spark, table, payload, cfg, client_id=1, group_commit=group
+    )
     wall = time.time() - t0
     print(
         json.dumps(
@@ -84,6 +89,10 @@ def child(table_root: str, barrier_dir: str, writer: int, n_rows: int) -> int:
                 "wall_s": round(wall, 2),
                 "attempts": rep.stats.get("merge_conflict_rounds", 0) + 1,
                 "stall_peak": rep.stats.get("merge_stall_peak", 0),
+                "batch": rep.stats.get("group_commit_batch", 0),
+                "drainer": bool(
+                    rep.stats.get("group_commit_drainer", False)
+                ),
             }
         ),
         flush=True,
@@ -91,7 +100,7 @@ def child(table_root: str, barrier_dir: str, writer: int, n_rows: int) -> int:
     return 0 if rep.success else 1
 
 
-def run_fleet(n_writers: int) -> dict:
+def run_fleet(n_writers: int, group: bool = False) -> dict:
     work = tempfile.mkdtemp(prefix=f"xproc_{n_writers}_")
     table_root = os.path.join(work, "table")
     barrier = os.path.join(work, "barrier")
@@ -108,6 +117,7 @@ def run_fleet(n_writers: int) -> dict:
                     barrier,
                     str(w),
                     str(ROWS_EACH),
+                    "1" if group else "0",
                 ],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL,
@@ -156,6 +166,17 @@ def run_fleet(n_writers: int) -> dict:
             f"liveness bound violated: attempts_max {attempts[-1]} > "
             f"{n_writers} + 2 ({attempts})"
         )
+    if group:
+        # group commit's whole point: per-writer attempts are O(1), so
+        # the fleet total is ~linear in N — never the direct path's
+        # quadratic re-merge cascade (r15 verdict ask #4's done-bar)
+        if sum(attempts) > 2 * n_writers:
+            raise RuntimeError(
+                f"group-commit attempts_total {sum(attempts)} exceeds "
+                f"the linear bound 2x{n_writers}"
+            )
+        if not any(r["drainer"] for r in reports):
+            raise RuntimeError("no writer reports having drained")
     # verify the table end-state from the parent (fresh session)
     from client_data_ingester_spark.schemas import CLIENT_PRODUCTS_SCHEMA
     from client_data_ingester_spark.session import get_spark
@@ -172,7 +193,8 @@ def run_fleet(n_writers: int) -> dict:
             f"row-count mismatch: table holds {n}, expected "
             f"{n_writers * ROWS_EACH}"
         )
-    return {
+    out = {
+        "mode": "group" if group else "direct",
         "n_writers": n_writers,
         "rows_each": ROWS_EACH,
         "fleet_wall_s": round(fleet_wall, 2),
@@ -183,16 +205,30 @@ def run_fleet(n_writers: int) -> dict:
         "stall_peak_max": max(r["stall_peak"] for r in reports),
         "writer_wall_max_s": max(r["wall_s"] for r in reports),
     }
+    if group:
+        out["batches"] = sorted(r["batch"] for r in reports)
+        out["n_drainers"] = sum(1 for r in reports if r["drainer"])
+    return out
 
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         return child(
-            sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
+            sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5]),
+            sys.argv[6] == "1",
         )
     ns = [
         int(x)
         for x in os.environ.get("SPARK_GRAFT_XPROC_NS", "8,16").split(",")
+    ]
+    # group-commit fleets scale further (linear attempts), so they run
+    # the larger sizes by default — the r15 ask's N=32 point included
+    group_ns = [
+        int(x)
+        for x in os.environ.get(
+            "SPARK_GRAFT_XPROC_GROUP_NS", "8,16,32"
+        ).split(",")
+        if x
     ]
     out_path = os.environ.get(
         "SPARK_GRAFT_XPROC_OUT",
@@ -204,6 +240,10 @@ def main() -> int:
     results = []
     for n in ns:
         r = run_fleet(n)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    for n in group_ns:
+        r = run_fleet(n, group=True)
         print(json.dumps(r), flush=True)
         results.append(r)
     with open(out_path, "w") as fh:
