@@ -1461,6 +1461,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_reservoir_sample"] = _reservoir
 
+    # the HIGH-GROUP-CARDINALITY stress of the same registers (r15
+    # verdict ask #8): per-USER reservoirs — groups scale with the
+    # corpus, the distinct (group, v) relation is corpus-sized, and the
+    # slope stays ≤1 only if WindowGroupLimit really prunes to k rows
+    # per group before any sort (plan-pinned for the family in
+    # test_plan_quality). The KMV estimate joins on user_id WITHOUT a
+    # broadcast: at scale the per-group estimate relation has one row
+    # per group — millions of rows at 100 TB — so it must shuffle-join
+    # (both sides already hash-partitioned on the group key).
+    def _reservoir_user(s, d):
+        from client_data_ingester_spark.operators import sketch as KK
+
+        ev = _t(s, d, "events")
+        regs = KK.reservoir_registers(
+            ev, "event_id", k=8, group_cols=["user_id"]
+        )
+        est = KK.kmv_distinct_from_registers(
+            regs, k=8, group_cols=["user_id"]
+        )
+        return regs.join(est, "user_id").select(
+            "user_id", "pos", "v", "hk", "n_kept", "est_distinct"
+        )
+
+    q["sketch_reservoir_user_topk"] = _reservoir_user
+
     # Count-Min point estimates vs exact counts for a probe key set: the
     # register table is depth×width rows however large the corpus, so the
     # probe side is a broadcast join against sketch state
@@ -4990,6 +5015,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["sketch_reservoir_sample"] = K.reservoir_oracle_sql(
         "lineitem", "l_orderkey", k=64, group_cols=["l_returnflag"]
+    )
+
+    o["sketch_reservoir_user_topk"] = K.reservoir_oracle_sql(
+        "events", "event_id", k=8, group_cols=["user_id"]
     )
 
     o["sketch_heavy_hitters"] = f"""
