@@ -316,7 +316,14 @@ def drain_or_wait(
 ) -> dict:
     """Block until this ticket's result exists — by becoming the drainer
     or by waiting on one. Returns the result payload, annotated with
-    whether THIS writer drove the drain."""
+    whether THIS writer drove the drain.
+
+    Outcome-unknown caveat (the same contract a DB client has after a
+    lost connection mid-COMMIT): if this raises — drain error or
+    timeout — the ticket REMAINS pending, and a later drain may still
+    apply it. The caller's failure report therefore means "not known to
+    have landed", not "provably not landed"; an operator reconciles via
+    the queue dirs (pending = not applied, done marker = applied)."""
     deadline = time.monotonic() + timeout
     drained_by_me = False
     while time.monotonic() < deadline:
