@@ -446,8 +446,14 @@ def _pipeline_curated(
     # rule: this synthetic corpus is templated, so nearly every doc
     # shares SOME shingle with the eval split — any-hit would empty
     # the pipeline. Integer comparison: no float ratio to disagree on.
+    # fan=False through BOTH staged kernels: this lazy plan re-executes
+    # the bloom/quality subtrees once per downstream family, so the
+    # scan-parallelism exchange (par.fan_out) would be paid per
+    # re-execution — measured 4.3-5.4 s vs ~2.9 s without at sf0.1. The
+    # checkpointed variant materializes the curated slice instead, which
+    # is the 100 TB shape.
     flagged = (
-        K.bloom_probe(train, _bloom_index(spark, sf_dir))
+        K.bloom_probe(train, _bloom_index(spark, sf_dir), fan=False)
         .filter(F.col("n_bloom_hits") * 2 > F.col("n_shingles"))
         .select("doc_id")
     )
@@ -456,7 +462,9 @@ def _pipeline_curated(
         clean = clean.localCheckpoint(eager=True)
     good = (
         clean.join(
-            X.quality_scores(clean).select("doc_id", "quality_score"),
+            X.quality_scores(clean, fan=False).select(
+                "doc_id", "quality_score"
+            ),
             "doc_id",
         )
         .filter(F.col("quality_score") >= 0.95)
@@ -1509,7 +1517,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whether depth x width is sized right for this corpus (underestimates
     # are impossible by construction; a unit test pins that)
     def _cms_word_error(s, d):
-        w = C.word_rows(_t(s, d, "documents"))
+        from client_data_ingester_spark.operators.par import fan_out
+
+        # the register fold's depth x md5-per-word kernel dominates; fan
+        # the single-split local scan out once — both word_rows consumers
+        # (exact counts + CMS registers) share the same exchange (no-op
+        # at scale; measured 1.6 s -> 0.7 s on the register half alone)
+        w = C.word_rows(fan_out(_t(s, d, "documents")))
         wc = w.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
         # bounded global window: ranks the vocabulary-sized count table
         top = (

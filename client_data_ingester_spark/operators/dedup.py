@@ -72,15 +72,29 @@ def word_shingles(c: Column, k: int) -> Column:
 
 
 def shingle_arrays(
-    docs: DataFrame, text_col: str = "text", k: int = 3
+    docs: DataFrame, text_col: str = "text", k: int = 3, fan: bool = True
 ) -> DataFrame:
     """(doc_id, sh): distinct k-word shingle array per document.
 
     Two projections ON PURPOSE: the words array is materialized in its own
     project so the shingle lambda references a bound attribute. CollapseProject
     keeps them separate (the alias is referenced more than once); collapsed
-    into a single expression the split re-runs per shingle position."""
-    staged = docs.select("doc_id", words_expr(F.col(text_col)).alias("_ws"))
+    into a single expression the split re-runs per shingle position.
+
+    The tokenize + per-position slice/join kernel is the dominant per-row
+    cost of every shingle consumer (minhash, LSH, boilerplate,
+    contamination, containment, bloom probes), so the source is fanned
+    out here once for all of them (par.fan_out — no-op at scale and on
+    already-fanned inputs). ``fan=False`` is for consumers whose lazy
+    plan re-executes this subtree several times (the pipeline entry):
+    there the added exchange multiplies per re-execution."""
+    from .par import fan_out
+
+    if fan:
+        docs = fan_out(docs)
+    staged = docs.select(
+        "doc_id", words_expr(F.col(text_col)).alias("_ws")
+    )
     ws = F.col("_ws")
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(0)))
     # array_remove: same empty-doc guard as word_shingles
@@ -96,7 +110,7 @@ def shingle_arrays(
 
 
 def exploded_shingles(
-    docs: DataFrame, text_col: str = "text", k: int = 3
+    docs: DataFrame, text_col: str = "text", k: int = 3, fan: bool = True
 ) -> DataFrame:
     """(doc_id, sh): one row per distinct shingle.
 
@@ -107,7 +121,7 @@ def exploded_shingles(
     minhash pipeline before this formulation (measured 4× on sf0.1). Result
     set is identical (empty arrays yield a null that the filter drops)."""
     return (
-        shingle_arrays(docs, text_col, k)
+        shingle_arrays(docs, text_col, k, fan=fan)
         .select("doc_id", F.explode_outer("sh").alias("sh"))
         .filter(F.col("sh").isNotNull())
     )
@@ -1105,7 +1119,11 @@ def chunk_dedup_stats(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    from .par import fan_out
+
+    # tokenize + per-token md5 rolling hash is the per-row kernel; fan the
+    # single-split local scan out first (no-op at scale — see par.fan_out)
+    toks = fan_out(docs).select(
         "doc_id",
         F.posexplode(words_expr(F.col(text_col))).alias("pos", "w"),
     )

@@ -481,7 +481,13 @@ def _synth_media(docs: DataFrame, id_col: str, make_payload) -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    from .par import fan_out
+
+    # per-row Python synthesis (and the decode that consumes it) is the
+    # kernel; the input here is ONE long column, so the fan-out exchange
+    # is near-free while the Python worker pool gains full width (no-op
+    # at scale — see par.fan_out)
+    return fan_out(docs.select(id_col)).mapInPandas(
         run, schema="media_id long, payload binary"
     )
 

@@ -1123,20 +1123,36 @@ def kmeans_model(
     )
 
     def assign(rel: DataFrame, cents: DataFrame) -> DataFrame:
-        scored = rel.crossJoin(F.broadcast(cents)).select(
-            F.col(id_col),
-            "_q",
-            F.struct(
-                _sq_dist(F.col("_q"), F.col("_cvec")).alias("d"),
-                F.col("_c").alias("c"),
-            ).alias("_dc"),
+        # MAP-SIDE argmin: the k centroids fold into ONE array-of-structs
+        # row, broadcast-attached, and the best cluster is a pure
+        # expression reduce over that array — no row expansion, no
+        # shuffle. The previous shape (crossJoin ×k then
+        # groupBy(id, _q).agg(min(struct(d, c)))) re-shuffled the whole
+        # quantized-vector relation ONCE PER LLOYD ROUND with the 64-long
+        # array inside the grouping key (hashed per row on both sides of
+        # the exchange). The reduce keeps the exact same argmin and
+        # tie-break (strictly smaller distance, then lower cluster id —
+        # identical to lexicographic min over struct(d, c)), and all
+        # arithmetic stays int64-exact, so assignments are bit-identical.
+        cents_arr = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_c"), F.col("_cvec")))
+            ).alias("_cs")
         )
-        best = scored.groupBy(id_col, "_q").agg(F.min("_dc").alias("_best"))
-        return best.select(
+        best = F.array_min(
+            F.transform(
+                F.col("_cs"),
+                lambda x: F.struct(
+                    _sq_dist(F.col("_q"), x["_cvec"]).alias("d"),
+                    x["_c"].alias("c"),
+                ),
+            )
+        )
+        return rel.crossJoin(F.broadcast(cents_arr)).select(
             F.col(id_col),
             "_q",
-            F.col("_best.c").alias("cluster"),
-            F.col("_best.d").alias("dist_sq"),
+            best["c"].alias("cluster"),
+            best["d"].alias("dist_sq"),
         )
 
     for _ in range(n_iter - 1):

@@ -684,6 +684,7 @@ def bloom_probe(
     shingle_k: int = 3,
     m_bits: int = 1 << 16,
     k: int = BLOOM_K,
+    fan: bool = True,
 ) -> DataFrame:
     """The deployment-shape decontamination screen: probe the (pre-built,
     typically persisted) bloom register table of the EVAL set's shingles
@@ -706,9 +707,9 @@ def bloom_probe(
     """
     from .dedup import exploded_shingles
 
-    probed = exploded_shingles(train_docs, text_col, shingle_k).select(
-        "doc_id", F.md5(F.col("sh")).alias("d")
-    )
+    probed = exploded_shingles(
+        train_docs, text_col, shingle_k, fan=fan
+    ).select("doc_id", F.md5(F.col("sh")).alias("d"))
     return (
         _probe_bloom_membership(probed, eval_bits, m_bits, k)
         .groupBy("doc_id")
@@ -776,8 +777,12 @@ def contaminated_spans(
     from pyspark.sql import Window
 
     from .dedup import words_expr
+    from .par import fan_out
 
-    staged = train_docs.select(
+    # positioned-shingle assembly + k md5 digest probes per shingle are
+    # the kernel; fan the single-split local scan out first (no-op at
+    # scale — see par.fan_out)
+    staged = fan_out(train_docs).select(
         "doc_id", words_expr(F.col(text_col)).alias("_ws")
     )
     ws = F.col("_ws")

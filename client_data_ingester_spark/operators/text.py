@@ -47,6 +47,7 @@ def _staged_text_features(
     text_col: str,
     langs: "list[str] | None" = None,
     with_alpha: bool = False,
+    fan: bool = True,
 ) -> DataFrame:
     """Tokenize ONCE, then compute every heavy per-doc text feature exactly
     once, each landing as a named attribute behind a projection boundary.
@@ -66,7 +67,17 @@ def _staged_text_features(
     staged projection serves every text operator so the feature
     expressions (tokenizer, punct/digit regexes, word-length fold) have
     exactly ONE definition to keep oracle-portable."""
+    from .par import fan_out
+
     t = F.col(text_col)
+    # the tokenizer + per-token regex battery below is the heaviest
+    # per-row kernel in the text family; fan the single-split local scan
+    # out first (no-op at scale — see par.fan_out). ``fan=False`` is for
+    # consumers whose LAZY plan re-executes this subtree several times
+    # (the pipeline entry): there the added exchange multiplies per
+    # re-execution and costs more than the kernel width buys.
+    if fan:
+        docs = fan_out(docs)
     s1 = docs.select("doc_id", t.alias("_t"), tokens(t).alias("_toks"))
     tt, toks = F.col("_t"), F.col("_toks")
     extra = (
@@ -217,13 +228,21 @@ def _quality_cols() -> dict[str, Column]:
 
 
 def quality_scores(
-    docs: DataFrame, text_col: str = "text", features: DataFrame | None = None
+    docs: DataFrame,
+    text_col: str = "text",
+    features: DataFrame | None = None,
+    fan: bool = True,
 ) -> DataFrame:
     """Heuristic doc-quality features + composite score (see
     ``_quality_cols`` for the feature list; tokenization is staged once —
     see ``_staged_text_features``; pass the persisted artifact as
-    ``features`` to skip the tokenize scan entirely)."""
-    f = features if features is not None else _staged_text_features(docs, text_col)
+    ``features`` to skip the tokenize scan entirely; ``fan=False`` for
+    multi-execution lazy consumers — see ``_staged_text_features``)."""
+    f = (
+        features
+        if features is not None
+        else _staged_text_features(docs, text_col, fan=fan)
+    )
     cols = _quality_cols()
     return f.select(
         "doc_id", *[cols[name].alias(name) for name in cols]
