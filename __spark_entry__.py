@@ -1460,11 +1460,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = KK.reservoir_registers(
             li, "l_orderkey", k=64, group_cols=["l_returnflag"]
         )
-        est = KK.kmv_distinct_from_registers(
+        # window-annotated KMV: the estimate rides the registers' own
+        # partitioning — the previous regs.join(broadcast(est)) form
+        # re-executed the whole distinct+WindowGroupLimit lineage on
+        # the estimate side (ReuseExchange defeated by its narrower
+        # projection), i.e. two full source folds per run
+        return KK.kmv_annotate_registers(
             regs, k=64, group_cols=["l_returnflag"]
-        )
-        return regs.join(F.broadcast(est), "l_returnflag").select(
-            "l_returnflag", "pos", "v", "hk", "n_kept", "est_distinct"
         )
 
     q["sketch_reservoir_sample"] = _reservoir
@@ -1485,11 +1487,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = KK.reservoir_registers(
             ev, "event_id", k=8, group_cols=["user_id"]
         )
-        est = KK.kmv_distinct_from_registers(
+        # same window-annotated KMV as the per-returnflag entry; at high
+        # group cardinality this is strictly better than the shuffle
+        # join it replaces — the estimate stays on the registers' hash
+        # partitioning (one window over ≤k rows/group), and the second
+        # execution of the corpus-sized distinct fold disappears
+        return KK.kmv_annotate_registers(
             regs, k=8, group_cols=["user_id"]
-        )
-        return regs.join(est, "user_id").select(
-            "user_id", "pos", "v", "hk", "n_kept", "est_distinct"
         )
 
     q["sketch_reservoir_user_topk"] = _reservoir_user

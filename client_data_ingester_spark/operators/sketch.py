@@ -861,6 +861,10 @@ def reservoir_registers(
     from pyspark.sql import Window
 
     g = group_cols or []
+    # NOT fanned out (cf. par.fan_out elsewhere): one md5 over a scalar
+    # column is far cheaper than the shingle/profile kernels, and the
+    # A/B at sf0.1 measured the extra exchange as a net loss here
+    # (events 0.68 s -> 1.17 s fanned, lineitem a wash)
     vals = (
         df.select(
             *g,
@@ -926,6 +930,45 @@ def kmv_distinct_from_registers(
     return agg.select(
         *g,
         "n_kept",
+        (F.floor(est * 10 + F.lit(0.5)) / F.lit(10.0))
+        .cast("double")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_annotate_registers(
+    regs: DataFrame,
+    k: int = RESERVOIR_K,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The KMV estimate attached to the register rows via a same-key
+    window instead of ``regs.join(kmv_distinct_from_registers(regs))``.
+
+    Value-identical to the join form (same n_kept/est_distinct formula,
+    same rendering), but the estimate rides the registers' OWN hash
+    partitioning: no join, and — the real win — no second execution of
+    the registers' lineage. The join form re-planned the whole
+    distinct + WindowGroupLimit subtree once per side because the
+    estimate side's narrower projection defeats ReuseExchange (observed
+    in the sketch_reservoir_sample plan: two full source folds). Use
+    :func:`kmv_distinct_from_registers` when the registers are already
+    persisted state (there the input is a tiny parquet scan and the
+    per-group AGG relation is the right shape to store)."""
+    from pyspark.sql import Window
+
+    g = group_cols or []
+    w = Window.partitionBy(*g)
+    n_kept = F.count(F.lit(1)).over(w)
+    u_k = F.max("hk").over(w).cast("double") / F.lit(float(2 ** 60))
+    est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )
+    return regs.select(
+        *g,
+        "pos",
+        "v",
+        "hk",
+        n_kept.alias("n_kept"),
         (F.floor(est * 10 + F.lit(0.5)) / F.lit(10.0))
         .cast("double")
         .alias("est_distinct"),

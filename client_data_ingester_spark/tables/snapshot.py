@@ -1139,31 +1139,31 @@ class SnapshotTable:
         committed = False
         reached_commit = False
         try:
-            (
-                df.select(
-                    *[
-                        F.col(f.name).cast(f.dataType)
-                        for f in self.schema.fields
-                    ]
-                )
-                .write.mode("overwrite")
-                .parquet(out)
+            staged_df = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
             )
-            data_max_id = None
+            # max_id must come from the DATA, not the caller's row count:
+            # insert ids are id_base + row-index + 1 and the row index is
+            # sparse (monotonically_increasing_id puts partition p's rows
+            # at p·2^33+n), so assigned ids can exceed any count-derived
+            # bound — trusting the caller here let a later ingest
+            # re-assign live ids. Observed ON the write job itself
+            # (pyspark Observation): the metric folds over exactly the
+            # rows written, so it equals the previous read-back
+            # agg(max(id)) while deleting one Spark action per commit —
+            # pure fixed overhead on every ingest (max() is idempotent
+            # under task retry, so the accumulator-backed metric is
+            # retry-safe).
+            obs = None
             if any(f.name == "id" for f in self.schema.fields):
-                # max_id must come from the DATA, not the caller's row
-                # count: insert ids are id_base + row-index + 1 and the
-                # row index is sparse (monotonically_increasing_id puts
-                # partition p's rows at p·2^33+n), so assigned ids can
-                # exceed any count-derived bound — trusting the caller
-                # here let a later ingest re-assign live ids. One
-                # column, one partition's parquet: a cheap stats read.
-                data_max_id = (
-                    df.sparkSession.read.schema(self.schema)
-                    .parquet(out)
-                    .agg(F.max("id"))
-                    .first()[0]
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                staged_df = staged_df.observe(
+                    obs, F.max(F.col("id")).alias("_max_id")
                 )
+            staged_df.write.mode("overwrite").parquet(out)
+            data_max_id = obs.get["_max_id"] if obs is not None else None
             # ---- commit loop: manifest-only work per attempt ---------------
             # A losing writer REBASES instead of recomputing: on a version
             # collision (a racer that bypassed the in-process lock won the
