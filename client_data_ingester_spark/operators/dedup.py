@@ -1110,54 +1110,84 @@ def chunk_dedup_stats(
     different documents, which is exactly what lets the corpus-wide
     chunk-hash count find it. Expected chunk length ≈ ``divisor`` tokens.
 
-    Shape: the rolling window is two ``lag``s (narrow per-doc window state,
-    never a whole-doc buffer), chunk membership is a running sum over the
-    same doc-keyed sort, chunk hashes aggregate per (doc, chunk), and the
-    global occurrence count is one hash-keyed aggregation of the CHUNK
-    relation (corpus tokens never shuffle twice). All keys are doc_id or
+    Shape: chunking is MAP-SIDE per document — boundary positions, chunk
+    slices, and chunk hashes are array expressions over the staged words
+    column, so the token relation NEVER shuffles (the previous form
+    posexploded every token through a doc-keyed window sort plus a
+    (doc, chunk) aggregate: two full token-relation shuffles that existed
+    only to rebuild per-doc adjacency the words array already has). The
+    only shuffled relations are chunk-level (~tokens/divisor rows): the
+    global occurrence count and the per-doc fold. All keys are doc_id or
     chunk_hash — uniform, unskewed at any corpus size.
     """
-    from pyspark.sql import Window
-
     from .par import fan_out
 
-    # tokenize + per-token md5 rolling hash is the per-row kernel; fan the
-    # single-split local scan out first (no-op at scale — see par.fan_out)
-    toks = fan_out(docs).select(
-        "doc_id",
-        F.posexplode(words_expr(F.col(text_col))).alias("pos", "w"),
+    # tokenize + per-trigram md5 rolling hash is the per-row kernel; fan
+    # the single-split local scan out first (no-op at scale — par.fan_out)
+    staged = fan_out(docs).select(
+        "doc_id", words_expr(F.col(text_col)).alias("_ws")
     )
-    dw = Window.partitionBy("doc_id").orderBy("pos")
-    h = F.md5(
-        F.concat_ws(
-            " ", F.lag("w", 2).over(dw), F.lag("w", 1).over(dw), F.col("w")
-        )
-    )
-    hash32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    boundary = F.when(F.col("pos") == 0, 1).otherwise(
-        F.when(
-            (F.col("pos") >= 2) & (F.pmod(hash32, F.lit(divisor)) == 0), 1
-        ).otherwise(0)
-    )
-    marked = toks.select(
-        "doc_id",
-        "pos",
-        "w",
-        F.sum(boundary)
-        .over(dw.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("chunk_idx"),
-    )
-    chunks = marked.groupBy("doc_id", "chunk_idx").agg(
-        F.md5(
+    ws = F.col("_ws")
+    n = F.size(ws)
+
+    def rolling32(i):
+        # identical hash text to the previous lag-based form: the
+        # trailing 3-token window joined with single spaces (defined for
+        # 0-based positions i >= 2 only, the sole place it is evaluated)
+        h = F.md5(
             F.concat_ws(
                 " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
+                F.element_at(ws, i - 1),
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
             )
-        ).alias("chunk_hash"),
-        F.count(F.lit(1)).alias("chunk_len"),
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+    # boundary positions (0-based): pos 0 always opens a chunk; pos >= 2
+    # opens one where the rolling hash ≡ 0 (mod divisor) — bit-for-bit
+    # the predicate the windowed running-sum form evaluated per token.
+    # sequence() counts DOWN for n = 0 (the bigram_rows footgun), so
+    # empty docs get an explicitly empty index array — they emitted no
+    # token rows before and must emit no chunk rows now.
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # the rolling hash is evaluated ONLY under the i >= 2 branch (CASE
+    # WHEN is lazily evaluated per row): ANSI mode is on, so an unguarded
+    # element_at(ws, i - 1) at i = 1 would throw on the invalid index 0
+    bpos = F.filter(
+        idx,
+        lambda i: (i == 0)
+        | F.when(
+            i >= 2, F.pmod(rolling32(i), F.lit(divisor)) == 0
+        ).otherwise(F.lit(False)),
+    )
+    staged = staged.select("doc_id", "_ws", bpos.alias("_bp"))
+    bp = F.col("_bp")
+    # F.get is 0-based and yields NULL (never an ANSI error) past the
+    # end: chunk j spans [bp[j], bp[j+1]) — the last chunk runs to n-1
+    chunk_hashes = F.transform(
+        bp,
+        lambda start, j: F.md5(
+            F.array_join(
+                F.slice(
+                    ws,
+                    start + 1,
+                    F.coalesce(F.get(bp, j + 1), F.size(ws)) - start,
+                ),
+                " ",
+            )
+        ),
+    )
+    # explode_outer + IS NOT NULL for the InferFiltersFromGenerate reason
+    # documented on exploded_shingles (a synthesized size()>0 pushdown
+    # would re-inline the whole chunk construction against the raw text)
+    chunks = (
+        staged.select(
+            "doc_id", F.explode_outer(chunk_hashes).alias("chunk_hash")
+        )
+        .filter(F.col("chunk_hash").isNotNull())
     )
     global_counts = chunks.groupBy("chunk_hash").agg(
         F.count(F.lit(1)).alias("_n_occ")
