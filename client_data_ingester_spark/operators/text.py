@@ -935,10 +935,17 @@ def gopher_rule_filter(
     verdict projection; no shuffle, no UDF, no window — embarrassingly
     parallel at any scale. All ratios are double quotients of exact
     integers, so the threshold comparisons are engine-identical."""
+    # fan=False: the map-only/no-shuffle contract above is load-bearing
+    # (pinned by tests/test_operators.py::test_gopher_rules_is_map_only)
+    # and the verdict projection is cheap relative to the exchange an
+    # opt-in fan_out would insert on sub-core-split local scans — the
+    # heavy-kernel opt-in stays with the quality/repetition consumers.
     staged = (
         features
         if features is not None
-        else _staged_text_features(docs, text_col, langs=["en"], with_alpha=True)
+        else _staged_text_features(
+            docs, text_col, langs=["en"], with_alpha=True, fan=False
+        )
     )
     n_chars, n_words = F.col("n_chars"), F.col("n_words")
     mean_wlen = F.when(
