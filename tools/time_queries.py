@@ -66,6 +66,9 @@ def main() -> None:
                 fn(spark, sf_dir).explain("formatted")
             with open(os.path.join(plans_dir, f"{name}.txt"), "w") as fh:
                 fh.write(buf.getvalue())
+        if repeats <= 0:  # plans-only mode
+            print(f"{name}: plan dumped")
+            continue
         spark.sparkContext.setJobDescription(name)
         times = []
         for _ in range(repeats + 1):  # +1 warmup run, excluded
