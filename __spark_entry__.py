@@ -860,14 +860,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (F.col("l_orderkey") <= 997_000)
         ).select("l_orderkey")
         joined = salted_join(li, o_dim, "l_orderkey", salt=8, hot=hot)
-        vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
-            F.lit(1).cast("decimal(18,2)")
-            - F.col("l_discount").cast("decimal(18,2)")
+        # int64 cents fast path (operators/relational._units): identical
+        # exact sum, ~3x cheaper per row than the decimal(18,2) product
+        vol_e4 = R._units("l_extendedprice") * (
+            F.lit(100) - R._units("l_discount")
         )
         return (
             joined.groupBy("o_orderpriority")
             .agg(
-                F.sum(vol).cast("double").alias("revenue"),
+                R._udouble(R._usum(vol_e4), 4).alias("revenue"),
                 F.count(F.lit(1)).alias("n_lines"),
             )
         )

@@ -34,13 +34,23 @@ def orders_totalprice_audit(
     Shape: one partial-aggregated shuffle on ``l_orderkey`` folds the
     fact side to per-order sums BEFORE the join (the fact table never
     joins raw), then one equi-join and a status-sized aggregate.
-    Decimal casts are (12,2) x (4,2) so the product precision stays
-    inside both engines' 38-digit bound."""
+    Arithmetic rides the int64 units fast path (see
+    relational._units): every money column is a clean 2-decimal double,
+    so the recomputation is cents x (100-disc_cents) x (100+tax_cents)
+    — an exact e6-scaled integer per row (≤ 10^11, far inside int64) —
+    and the equality test scales the stored cents by 10^4 to meet it.
+    Value-identical to the (12,2) x (4,2) decimal products this
+    replaces, without their per-row double→decimal casts."""
+    _u = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("double") * 100 + F.lit(0.5)
+    ).cast("long")
     recomputed = lineitem.groupBy("l_orderkey").agg(
         F.sum(
-            F.col("l_extendedprice").cast(_PRICE)
-            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
-            * (F.lit(1).cast(_RATE) + F.col("l_tax").cast(_RATE))
+            (
+                _u("l_extendedprice")
+                * (F.lit(100) - _u("l_discount"))
+                * (F.lit(100) + _u("l_tax"))
+            ).cast("decimal(28,0)")
         ).alias("_s"),
         # the child count disambiguates the two NULL-sum cases: a left-
         # join miss (no lineitems -> childless) vs lineitems whose money
@@ -51,7 +61,9 @@ def orders_totalprice_audit(
     joined = orders.select(
         "o_orderkey",
         "o_orderstatus",
-        F.col("o_totalprice").cast(_PRICE).alias("_stored"),
+        (_u("o_totalprice") * F.lit(10000)).cast("decimal(28,0)").alias(
+            "_stored"
+        ),
     ).join(recomputed, F.col("o_orderkey") == F.col("l_orderkey"), "left")
     cls = (
         F.when(F.col("_n_li").isNull(), F.lit("childless"))

@@ -26,6 +26,56 @@ def _money(c) -> F.Column:
     return F.col(c).cast(D182) if isinstance(c, str) else c.cast(D182)
 
 
+# ---------------------------------------------------------------------------
+# Exact fixed-point money arithmetic on the int64 fast path.
+#
+# ``sum(cast(x AS decimal(18,2)) * cast(y AS decimal(18,2)))`` is exact but
+# slow at fact-table scale: the product type is decimal(37,4), and any
+# precision > 18 pushes Spark's Decimal onto its BigDecimal slow path for
+# EVERY row (measured at sf0.1: 0.99 s vs 0.25 s for the same 600 k-row
+# ungrouped revenue sum — and the double→decimal CAST itself is another
+# per-row BigDecimal.valueOf). Every money column in this corpus is a clean
+# 2-decimal double (verified per column: cast(x as decimal(18,2)) ==
+# floor(x*100+0.5)/100 with 0 mismatches over all tables, negatives
+# included — floor(m+0.5) == m for any integer m), so the unscaled units
+# long ``floor(x*10^s + 0.5)`` is value-identical to the decimal cast,
+# per-row products stay exact int64 (price ≤ 10^7 cents × rate ≤ 10^2 →
+# ≤ 10^9 per row, far under 2^63), and the SUM accumulates into a
+# decimal(38,0) buffer so no corpus size can overflow it. The one division
+# back to value space happens per GROUP, not per row. Guide §2.3
+# (narrower types) + §1.2 (per-task work); results are bit-identical —
+# every converted query stays on its unchanged DuckDB oracle.
+
+
+def _units(c, s: int = 2) -> F.Column:
+    """Exact fixed-point units (×10^s) of a clean s-decimal double, as
+    LONG. NULL stays NULL (same SUM-skip semantics as the decimal cast).
+    The explicit double cast is a no-op for the parquet money columns and
+    keeps string-typed test fixtures castable (ANSI would reject an
+    implicit '10.00'→bigint on the product)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col.cast("double") * (10 ** s) + F.lit(0.5)).cast("long")
+
+
+def _usum(expr) -> F.Column:
+    """Overflow-safe exact SUM of a unit-long expression: the per-row
+    value stays on the int64 fast path; the accumulator is decimal(38,0)
+    (long-backed until a partial sum actually exceeds 18 digits)."""
+    return F.sum(expr.cast("decimal(28,0)"))
+
+
+def _uval(sum_col, unit: int) -> F.Column:
+    """Exact decimal value of a unit sum (÷10^unit, one op per group).
+    Spark types the division decimal(38,6); the true value has ≤ unit ≤ 6
+    fractional digits, so no rounding occurs and the later double cast is
+    the same correctly-rounded conversion the decimal-sum form produced."""
+    return sum_col / F.lit(10 ** unit)
+
+
+def _udouble(sum_col, unit: int) -> F.Column:
+    return _uval(sum_col, unit).cast("double")
+
+
 def _avg4(total, count) -> F.Column:
     """Exact-sum average rounded half-up via floor (portable across engines;
     native ROUND implementations disagree on decimal-looking halves)."""
@@ -34,24 +84,33 @@ def _avg4(total, count) -> F.Column:
 
 
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
-    """TPC-H Q1 shape: big scan, 2-key groupBy, 8 aggregates."""
+    """TPC-H Q1 shape: big scan, 2-key groupBy, 8 aggregates.
+
+    All money math rides the int64 units fast path (see ``_units``):
+    qty/price/disc in cents (e2), disc_price = price × (100−disc) in e4,
+    charge = disc_price × (100+tax) in e6 — every per-row product exact
+    int64, every sum an overflow-safe decimal accumulator, one division
+    per group at render. Values are bit-identical to the decimal-cast
+    form (same oracle)."""
     li = lineitem.filter(F.col("l_shipdate") <= ship_cutoff)
-    disc_price = _money("l_extendedprice") * (
-        F.lit(1).cast(D182) - _money("l_discount")
-    )
-    charge = disc_price * (F.lit(1).cast(D182) + _money("l_tax"))
+    qty_e2 = _units("l_quantity")
+    price_e2 = _units("l_extendedprice")
+    disc_e2 = _units("l_discount")
+    tax_e2 = _units("l_tax")
+    disc_price_e4 = price_e2 * (F.lit(100) - disc_e2)
+    charge_e6 = disc_price_e4 * (F.lit(100) + tax_e2)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            _avg4(F.sum(_money("l_quantity")), F.count(F.lit(1))).alias("avg_qty"),
-            _avg4(F.sum(_money("l_extendedprice")), F.count(F.lit(1))).alias(
+            _udouble(_usum(qty_e2), 2).alias("sum_qty"),
+            _udouble(_usum(price_e2), 2).alias("sum_base_price"),
+            _udouble(_usum(disc_price_e4), 4).alias("sum_disc_price"),
+            _udouble(_usum(charge_e6), 6).alias("sum_charge"),
+            _avg4(_uval(_usum(qty_e2), 2), F.count(F.lit(1))).alias("avg_qty"),
+            _avg4(_uval(_usum(price_e2), 2), F.count(F.lit(1))).alias(
                 "avg_price"
             ),
-            _avg4(F.sum(_money("l_discount")), F.count(F.lit(1))).alias("avg_disc"),
+            _avg4(_uval(_usum(disc_e2), 2), F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -72,9 +131,9 @@ def top_unshipped_orders(
     c = customer.filter(F.col("c_mktsegment") == segment)
     o = orders.filter(F.col("o_orderdate") < cutoff)
     l = lineitem.filter(F.col("l_shipdate") > cutoff)
-    revenue = F.sum(
-        _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
-    ).cast("double")
+    revenue = _udouble(
+        _usum(_units("l_extendedprice") * (F.lit(100) - _units("l_discount"))), 4
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -94,9 +153,9 @@ def regional_revenue(
 ) -> DataFrame:
     """TPC-H Q5 shape: snowflake join (2 broadcast dims + 2 fact joins) →
     revenue per nation."""
-    revenue = F.sum(
-        _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
-    ).cast("double")
+    revenue = _udouble(
+        _usum(_units("l_extendedprice") * (F.lit(100) - _units("l_discount"))), 4
+    )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -131,24 +190,31 @@ def returnflag_rollup(lineitem: DataFrame) -> DataFrame:
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+            _udouble(_usum(_units("l_quantity")), 2).alias("sum_qty"),
         )
     )
 
 
 def status_pivot(lineitem: DataFrame) -> DataFrame:
     """Pivot by linestatus (expressed as conditional aggs — portable SQL)."""
+    qty_e2 = _units("l_quantity")
     return lineitem.groupBy("l_returnflag").agg(
-        F.sum(
-            F.when(F.col("l_linestatus") == "O", _money("l_quantity")).otherwise(
-                F.lit(0).cast(D182)
-            )
-        ).cast("double").alias("qty_o"),
-        F.sum(
-            F.when(F.col("l_linestatus") == "F", _money("l_quantity")).otherwise(
-                F.lit(0).cast(D182)
-            )
-        ).cast("double").alias("qty_f"),
+        _udouble(
+            _usum(
+                F.when(F.col("l_linestatus") == "O", qty_e2).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ),
+            2,
+        ).alias("qty_o"),
+        _udouble(
+            _usum(
+                F.when(F.col("l_linestatus") == "F", qty_e2).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ),
+            2,
+        ).alias("qty_f"),
     )
 
 
@@ -164,7 +230,7 @@ def customer_order_setops(customer: DataFrame, orders: DataFrame) -> DataFrame:
         F.col("c_custkey").alias("custkey")
     )
     high = (
-        orders.filter(_money("o_totalprice") > F.lit(200000).cast(D182))
+        orders.filter(_units("o_totalprice") > F.lit(200000 * 100))
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
@@ -186,7 +252,7 @@ def supplier_balance_distribution(supplier: DataFrame, nation: DataFrame) -> Dat
             F.sum(
                 (F.col("s_acctbal") > 0).cast("long")
             ).alias("n_positive"),
-            F.sum(_money("s_acctbal")).cast("double").alias("total_bal"),
+            _udouble(_usum(_units("s_acctbal")), 2).alias("total_bal"),
         )
     )
 
@@ -195,7 +261,7 @@ def status_priority_cube(orders: DataFrame) -> DataFrame:
     """CUBE aggregate: all grouping-set combinations of (status, priority)."""
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_money("o_totalprice")).cast("double").alias("total"),
+        _udouble(_usum(_units("o_totalprice")), 2).alias("total"),
     )
 
 
@@ -211,7 +277,7 @@ def status_priority_grouping_sets(orders: DataFrame) -> DataFrame:
             "o_orderpriority",
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_money("o_totalprice")).cast("double").alias("total"),
+            _udouble(_usum(_units("o_totalprice")), 2).alias("total"),
             F.grouping_id().cast("bigint").alias("gid"),
         )
     )
@@ -361,8 +427,8 @@ def large_volume_customers(
     """
     qty = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum(_money("l_quantity")).alias("_qty"))
-        .filter(F.col("_qty") > qty_threshold)
+        .agg(_usum(_units("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > qty_threshold * 100)
     )
     return (
         orders.join(
@@ -375,7 +441,7 @@ def large_volume_customers(
             "o_orderkey",
             "o_orderdate",
             _money("o_totalprice").cast("double").alias("o_totalprice"),
-            F.col("_qty").cast("double").alias("total_qty"),
+            _udouble(F.col("_qty"), 2).alias("total_qty"),
         )
         .orderBy(
             F.desc("o_totalprice"), F.col("o_orderdate"), F.col("o_orderkey")
@@ -409,9 +475,9 @@ def volume_shipping(
         F.col("n_nationkey").alias("_n2_key"),
         F.col("n_name").alias("cust_nation"),
     )
-    revenue = F.sum(
-        _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
-    ).cast("double")
+    revenue = _udouble(
+        _usum(_units("l_extendedprice") * (F.lit(100) - _units("l_discount"))), 4
+    )
     return (
         lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), supplier.s_nationkey == F.col("_n1_key"))
@@ -479,9 +545,8 @@ def top_revenue_suppliers(
         & F.col("l_suppkey").isNotNull()
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            _money("l_extendedprice")
-            * (F.lit(1).cast(D182) - _money("l_discount"))
+        _usum(
+            _units("l_extendedprice") * (F.lit(100) - _units("l_discount"))
         ).alias("_rev")
     )
     mx = rev.agg(F.max("_rev").alias("_mx"))
@@ -495,7 +560,7 @@ def top_revenue_suppliers(
         .select(
             "s_suppkey",
             "s_name",
-            F.col("_rev").cast("double").alias("total_revenue"),
+            _udouble(F.col("_rev"), 4).alias("total_revenue"),
         )
     )
 
@@ -520,18 +585,20 @@ def idle_rich_customers(
     date-filtered orders (NOT EXISTS at scale — the filter shrinks the
     anti-join's build input before it shuffles), and nation broadcasts.
     """
-    bal = _money("c_acctbal")
+    bal_e2 = _units("c_acctbal")
     stats = (
         customer.filter(F.col("c_acctbal") > 0)
         .agg(
-            F.sum(bal).alias("_tot"),
+            _usum(bal_e2).alias("_tot"),
             F.count(F.lit(1)).alias("_n"),
         )
     )
     recent = orders.filter(F.col("o_orderdate") >= idle_since)
     rich = (
         customer.join(F.broadcast(stats))
-        .filter(bal * F.col("_n") > F.col("_tot"))
+        # bal_e2 × n vs tot_e2: the same integer-exact comparison as the
+        # decimal form (both sides in cents), on the int64 fast path
+        .filter(bal_e2 * F.col("_n") > F.col("_tot"))
         .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
     )
     return (
@@ -541,7 +608,7 @@ def idle_rich_customers(
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(bal).cast("double").alias("totacctbal"),
+            _udouble(_usum(bal_e2), 2).alias("totacctbal"),
         )
     )
 
@@ -571,9 +638,9 @@ def forecast_revenue_change(
         & (F.col("l_quantity") < qty_max)
     )
     return li.agg(
-        F.sum(_money("l_extendedprice") * _money("l_discount"))
-        .cast("double")
-        .alias("revenue"),
+        _udouble(
+            _usum(_units("l_extendedprice") * _units("l_discount")), 4
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -620,8 +687,8 @@ def market_share(
         (F.col("o_orderdate") >= order_start)
         & (F.col("o_orderdate") < order_end)
     )
-    vol = _money("l_extendedprice") * (
-        F.lit(1).cast(D182) - _money("l_discount")
+    vol = _units("l_extendedprice") * (
+        F.lit(100) - _units("l_discount")
     )
     joined = (
         lineitem.join(p, lineitem.l_partkey == p.p_partkey)
@@ -640,15 +707,15 @@ def market_share(
         )
     )
     agg = joined.groupBy("o_year").agg(
-        F.sum(
+        _usum(
             F.when(F.col("supp_nation") == target_nation, F.col("_vol"))
-            .otherwise(F.lit(0).cast(D182))
+            .otherwise(F.lit(0).cast("long"))
         ).alias("_num"),
-        F.sum("_vol").alias("_den"),
+        _usum(F.col("_vol")).alias("_den"),
     )
     share = (
         F.floor(
-            F.col("_num").cast("double") / F.col("_den").cast("double")
+            _udouble(F.col("_num"), 4) / _udouble(F.col("_den"), 4)
             * 10000
             + F.lit(0.5)
         )
@@ -657,7 +724,7 @@ def market_share(
     return agg.select(
         "o_year",
         share.alias("mkt_share"),
-        F.col("_den").cast("double").alias("total_volume"),
+        _udouble(F.col("_den"), 4).alias("total_volume"),
     )
 
 
@@ -685,8 +752,8 @@ def returned_item_losses(
         & (F.col("o_orderdate") < order_end)
     )
     li = lineitem.filter(F.col("l_returnflag") == "R")
-    revenue = F.sum(
-        _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    revenue = _usum(
+        _units("l_extendedprice") * (F.lit(100) - _units("l_discount"))
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -695,7 +762,7 @@ def returned_item_losses(
             F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
         )
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(revenue.cast("double").alias("revenue"))
+        .agg(_udouble(revenue, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.col("c_custkey"))
         .limit(limit)
     )
@@ -718,25 +785,29 @@ def promo_revenue_share(
     li = lineitem.filter(
         (F.col("l_shipdate") >= ship_start) & (F.col("l_shipdate") < ship_end)
     )
-    vol = _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    vol = _units("l_extendedprice") * (F.lit(100) - _units("l_discount"))
     joined = li.join(part, li.l_partkey == part.p_partkey).select(
         vol.alias("_vol"),
         (F.col("p_type") == promo_type).alias("_is_promo"),
     )
     agg = joined.agg(
-        F.sum(F.when(F.col("_is_promo"), F.col("_vol")).otherwise(F.lit(0).cast(D182))).alias("_promo"),
-        F.sum("_vol").alias("_total"),
+        _usum(
+            F.when(F.col("_is_promo"), F.col("_vol")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("_promo"),
+        _usum(F.col("_vol")).alias("_total"),
     )
     share = (
         F.floor(
-            F.col("_promo").cast("double") / F.col("_total").cast("double")
+            _udouble(F.col("_promo"), 4) / _udouble(F.col("_total"), 4)
             * 100 * 10000 + F.lit(0.5)
         ) / 10000
     ).cast("double")
     return agg.select(
         share.alias("promo_revenue_pct"),
-        F.col("_promo").cast("double").alias("promo_revenue"),
-        F.col("_total").cast("double").alias("total_revenue"),
+        _udouble(F.col("_promo"), 4).alias("promo_revenue"),
+        _udouble(F.col("_total"), 4).alias("total_revenue"),
     )
 
 
@@ -769,19 +840,21 @@ def small_quantity_revenue(
     br_li = lineitem.join(bp, lineitem.l_partkey == bp.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    qd = F.col("l_quantity").cast("decimal(18,2)")
+    q_e2 = _units("l_quantity")
     thresholds = br_li.groupBy("l_partkey").agg(
-        F.sum(qd).alias("_sum_q"), F.count(F.lit(1)).alias("_n_q")
+        _usum(q_e2).alias("_sum_q"), F.count(F.lit(1)).alias("_n_q")
     ).select(F.col("l_partkey").alias("_tp_key"), "_sum_q", "_n_q")
     small = br_li.join(
         thresholds, br_li.l_partkey == F.col("_tp_key")
     ).filter(
-        qd * F.col("_n_q") * F.lit(fr.denominator)
+        # both sides in cents: same exact rational comparison as the
+        # decimal form, per-row work on the int64 fast path
+        q_e2 * F.col("_n_q") * F.lit(fr.denominator)
         < F.col("_sum_q") * F.lit(fr.numerator)
     )
     avg_yearly = (
         F.floor(
-            F.sum(_money("l_extendedprice")).cast("double") / 7.0 * 10000
+            _udouble(_usum(_units("l_extendedprice")), 2) / 7.0 * 10000
             + F.lit(0.5)
         ) / 10000
     ).cast("double")
@@ -803,7 +876,7 @@ def disjunctive_predicate_revenue(lineitem: DataFrame, part: DataFrame) -> DataF
     stays a plain partkey equi-join; the OR never becomes a union of
     three join passes.
     """
-    vol = _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    vol = _units("l_extendedprice") * (F.lit(100) - _units("l_discount"))
     q = F.col("l_quantity")
     sz = F.col("p_size")
     cond = (
@@ -815,7 +888,7 @@ def disjunctive_predicate_revenue(lineitem: DataFrame, part: DataFrame) -> DataF
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(vol).cast("double").alias("revenue"),
+            _udouble(_usum(vol), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -875,7 +948,7 @@ def profit_by_nation_year(
     already-small (nation, year) domain.
     """
     p = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
-    vol = _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    vol = _units("l_extendedprice") * (F.lit(100) - _units("l_discount"))
     o = orders.select("o_orderkey", "o_orderdate")
     s = supplier.select("s_suppkey", "s_nationkey")
     return (
@@ -889,7 +962,7 @@ def profit_by_nation_year(
             vol.alias("_vol"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("_vol").cast("double").alias("profit"))
+        .agg(_udouble(_usum(F.col("_vol")), 4).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -1029,7 +1102,9 @@ def min_cost_supplier(
         .join(F.broadcast(in_region), F.col("l_suppkey") == in_region.s_suppkey)
         .join(F.broadcast(slice_parts), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey", "p_type")
-        .agg(F.min(_money("l_extendedprice")).alias("_unit_cost"))
+        # MIN over cents orders identically to MIN over the decimal cast
+        # (both exact images of the same values), on the int64 fast path
+        .agg(F.min(_units("l_extendedprice")).alias("_unit_cost"))
     )
     best = cost.withColumn(
         "_min_cost", F.min("_unit_cost").over(Window.partitionBy("l_partkey"))
@@ -1044,7 +1119,9 @@ def min_cost_supplier(
             F.col("n_name").alias("nation"),
             F.col("l_partkey").alias("p_partkey"),
             "p_type",
-            F.col("_unit_cost").cast("double").alias("min_cost"),
+            _udouble(F.col("_unit_cost").cast("decimal(28,0)"), 2).alias(
+                "min_cost"
+            ),
         )
         .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
         .limit(limit)
@@ -1082,18 +1159,18 @@ def important_part_values(
         )
         .select("s_suppkey")
     )
-    vol = _money("l_extendedprice") * (F.lit(1).cast(D182) - _money("l_discount"))
+    vol = _units("l_extendedprice") * (F.lit(100) - _units("l_discount"))
     per_part = (
         lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(vol).alias("_value"))
+        .agg(_usum(vol).alias("_value"))
     )
     total = per_part.agg(F.sum("_value").alias("_total"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("_value") * fraction_denom > F.col("_total"))
-        .select("partkey", F.col("_value").cast("double").alias("value"))
+        .select("partkey", _udouble(F.col("_value"), 4).alias("value"))
         .orderBy(F.desc("value"), "partkey")
     )
 
@@ -1127,7 +1204,7 @@ def dominant_part_suppliers(
         lineitem.select("l_partkey", "l_suppkey", "l_quantity")
         .join(F.broadcast(slice_parts), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(_money("l_quantity")).alias("_supp_qty"))
+        .agg(_usum(_units("l_quantity")).alias("_supp_qty"))
     )
     w = Window.partitionBy("l_partkey")
     dominant = (
@@ -1234,29 +1311,35 @@ def winsorized_fact_stats(
         regs, [lo_q, hi_q], domain_lo, domain_hi, n_bins,
         group_cols=["l_returnflag"],
     )
-    r2dec = (
-        F.floor(F.col("est_value") * 100 + F.lit(0.5)) / 100
-    ).cast(D182)
+    # bound edges in CENTS (exact image of the decimal-cast bound — the
+    # clamp, tallies, and sums below all run on the int64 fast path)
+    r2cents = _units(F.col("est_value"))
     bounds = q_bounds.groupBy("l_returnflag").agg(
-        F.max(F.when(F.col("q") == F.lit(float(lo_q)), r2dec)).alias("_lo"),
-        F.max(F.when(F.col("q") == F.lit(float(hi_q)), r2dec)).alias("_hi"),
+        F.max(F.when(F.col("q") == F.lit(float(lo_q)), r2cents)).alias("_lo"),
+        F.max(F.when(F.col("q") == F.lit(float(hi_q)), r2cents)).alias("_hi"),
     )
-    price = _money("l_extendedprice")
+    price_e2 = _units("l_extendedprice")
     # CASE-shaped clamp (not least/greatest) for the same NULL reason as
     # the dimension-scale variant
     clamped = lineitem.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
-        F.when(price < F.col("_lo"), F.col("_lo"))
-        .when(price > F.col("_hi"), F.col("_hi"))
-        .otherwise(price)
+        F.when(price_e2 < F.col("_lo"), F.col("_lo"))
+        .when(price_e2 > F.col("_hi"), F.col("_hi"))
+        .otherwise(price_e2)
         .alias("_cl"),
-        F.coalesce((price < F.col("_lo")).cast("int"), F.lit(0)).alias("_is_lo"),
-        F.coalesce((price > F.col("_hi")).cast("int"), F.lit(0)).alias("_is_hi"),
+        F.coalesce((price_e2 < F.col("_lo")).cast("int"), F.lit(0)).alias(
+            "_is_lo"
+        ),
+        F.coalesce((price_e2 > F.col("_hi")).cast("int"), F.lit(0)).alias(
+            "_is_hi"
+        ),
     )
     return clamped.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("_cl").cast("double").alias("winsorized_sum"),
-        _avg4(F.sum("_cl"), F.count(F.lit(1))).alias("winsorized_mean"),
+        _udouble(_usum(F.col("_cl")), 2).alias("winsorized_sum"),
+        _avg4(_uval(_usum(F.col("_cl")), 2), F.count(F.lit(1))).alias(
+            "winsorized_mean"
+        ),
         F.sum("_is_lo").cast("long").alias("n_clamped_lo"),
         F.sum("_is_hi").cast("long").alias("n_clamped_hi"),
     )
