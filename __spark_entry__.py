@@ -416,58 +416,79 @@ def _pipeline_curated(
     quality/pack family):
 
     - ``False`` (the shape the scored query pins): fully lazy — Catalyst
-      sees the whole graph, but pruning-asymmetric consumers re-scan
-      ``documents`` per family (cheap at bench scale, measured ~3 s).
+      sees the whole graph. Since r17 the chain is LINEAR (bloom and
+      quality flags ride the row as carried columns; no stage self-joins
+      a derivative of its own input), so laziness no longer re-executes
+      any subtree: documents is scanned once per genuinely independent
+      side (main chain + dedup-keeper aggregate).
     - ``True``: eagerly materialize the curated slice via
-      ``localCheckpoint`` — downstream families read the (much smaller)
-      curated rows from memory/disk instead of re-scanning the source.
-      At 100 TB this is the right shape: the curated slice is a fraction
-      of the corpus and every later family re-uses it; in production
-      you'd snapshot it to a table (the tables/ layer) rather than a
-      session-lifetime checkpoint. Trade recorded in PLANS.md;
+      ``localCheckpoint`` — the quality/pack family reads the (much
+      smaller) curated rows from memory/disk instead of a source
+      lineage. At 100 TB materializing the boundary is still the right
+      shape (fault isolation + the slice is re-used by later jobs); in
+      production you'd snapshot it to a table (the tables/ layer) rather
+      than a session-lifetime checkpoint. Trade recorded in PLANS.md;
       tests/test_plan_quality.py distinguishes the two plans.
 
     Values are IDENTICAL either way (checkpointing changes the physical
     plan only), so both variants hash-match the same DuckDB oracle.
     """
-    from client_data_ingester_spark.operators.corpus import hash_split
+    from client_data_ingester_spark.operators.text import split_expr
 
     docs = _t(spark, sf_dir, "documents")
     keep = D.exact_duplicates(docs).select(
         F.col("keeper_id").alias("doc_id")
     )
-    train_ids = (
-        hash_split(docs, train_pct=80)
-        .filter(F.col("split") == "train")
-        .select("doc_id")
-    )
-    train = docs.join(keep, "doc_id").join(train_ids, "doc_id")
+    # hash_split is a 1:1 projection of docs, so joining its filtered id
+    # list back is identical to filtering on the split expression — one
+    # docs subtree instead of two.
+    split_train = split_expr("doc_id", 80) == "train"
+    train = docs.join(keep, "doc_id").filter(split_train)
     # majority-overlap quarantine (2*hits > shingles), not the any-hit
     # rule: this synthetic corpus is templated, so nearly every doc
     # shares SOME shingle with the eval split — any-hit would empty
     # the pipeline. Integer comparison: no float ratio to disagree on.
-    # fan=False through BOTH staged kernels: this lazy plan re-executes
-    # the bloom/quality subtrees once per downstream family, so the
-    # scan-parallelism exchange (par.fan_out) would be paid per
-    # re-execution — measured 4.3-5.4 s vs ~2.9 s without at sf0.1. The
-    # checkpointed variant materializes the curated slice instead, which
-    # is the 100 TB shape.
+    #
+    # r17 restructure: every screen's heavy kernel now hangs off the RAW
+    # pruned docs scan, never off the joined ``train``/``clean`` slice.
+    # The r16 shape anti-joined bloom_probe(train) back onto train and
+    # then self-joined quality_scores(clean) onto clean: each such join
+    # of a relation against an aggregate OF ITSELF doubles the subtree,
+    # and the doublings compound down the chain (the committed before-
+    # plan re-executes the documents scan 72x; pack_sequences' offset
+    # fold doubles everything above it once more). Per-doc screens are
+    # pure functions of the doc row, so computing them over the
+    # slightly-larger train filter (and letting the id-join intersect)
+    # is value-identical and keeps every kernel subtree executing at
+    # most twice (the pack fold). 72 scans -> 8, all kernels codegen.
     flagged = (
-        K.bloom_probe(train, _bloom_index(spark, sf_dir), fan=False)
+        K.bloom_probe(
+            docs.filter(split_train), _bloom_index(spark, sf_dir)
+        )
         .filter(F.col("n_bloom_hits") * 2 > F.col("n_shingles"))
         .select("doc_id")
     )
     clean = train.join(flagged, "doc_id", "left_anti")
     if checkpoint:
         clean = clean.localCheckpoint(eager=True)
+        # downstream of the boundary NOTHING may re-read the source
+        # corpus (the 100 TB contract, pinned in test_plan_quality):
+        # score the checkpointed slice itself — re-executing its
+        # lineage is a memory read, not a scan.
+        q_src = clean
+    else:
+        # lazy variant: score the raw train filter instead of ``clean``
+        # — an independent subtree (one kernel execution), intersected
+        # by the id-join below; scoring ``clean`` here would re-execute
+        # the keep-join + anti-join lineage per reference.
+        q_src = docs.filter(split_train)
     good = (
         clean.join(
-            X.quality_scores(clean, fan=False).select(
-                "doc_id", "quality_score"
-            ),
+            X.quality_scores(q_src, fan=False)
+            .filter(F.col("quality_score") >= 0.95)
+            .select("doc_id"),
             "doc_id",
         )
-        .filter(F.col("quality_score") >= 0.95)
         .select(*docs.columns)
     )
     return X.pack_sequences(good, budget_tokens=512)
@@ -998,15 +1019,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shingles. Zero-hit docs are PROVEN clean (one-sided), flagged docs
     # are a small verifiable superset.
     def _bloom_probe_scored(s, d):
-        from client_data_ingester_spark.operators.corpus import hash_split
+        from client_data_ingester_spark.operators.text import split_expr
 
+        # hash_split is 1:1 with docs: the id-list self-join of the old
+        # shape is identical to filtering on the split expression (one
+        # scan, map-only all the way through the bitmap probe)
         docs = _t(s, d, "documents")
-        train = docs.join(
-            hash_split(docs, train_pct=80)
-            .filter(F.col("split") == "train")
-            .select("doc_id"),
-            "doc_id",
-        )
+        train = docs.filter(split_expr("doc_id", 80) == "train")
         return K.bloom_probe(train, _bloom_index(s, d))
 
     q["corpus_bloom_decontaminate"] = _bloom_probe_scored
@@ -1015,15 +1034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # POSITIONS — where the eval overlap sits inside each flagged doc,
     # so a surgical pipeline can cut spans instead of dropping docs
     def _bloom_spans_scored(s, d):
-        from client_data_ingester_spark.operators.corpus import hash_split
+        from client_data_ingester_spark.operators.text import split_expr
 
         docs = _t(s, d, "documents")
-        train = docs.join(
-            hash_split(docs, train_pct=80)
-            .filter(F.col("split") == "train")
-            .select("doc_id"),
-            "doc_id",
-        )
+        train = docs.filter(split_expr("doc_id", 80) == "train")
         return K.contaminated_spans(train, _bloom_index(s, d))
 
     q["corpus_contaminated_spans"] = _bloom_spans_scored
