@@ -82,6 +82,20 @@ def compact_line(out: dict, top_n: int = 8) -> dict:
         "slowest": slowest,
         "detail": "BENCH_DETAIL.json",
     }
+    # Cross-round per-query trend, compactly (r16 verdict ask #7): the
+    # full {name: median} map is ~4 KB for 137 queries — it cannot ride
+    # a line the driver truncates to its last ~2000 chars — so the LINE
+    # carries the geometric-mean single-run seconds (robust to one
+    # outlier, comparable round-over-round) and the committed
+    # BENCH_DETAIL.json `stats` block is the canonical per-query
+    # {median,min,p95} record.
+    ok = [s for s in per_query.values() if s > 0]
+    if ok:
+        import math
+
+        line["geomean_s"] = round(
+            math.exp(sum(math.log(s) for s in ok) / len(ok)), 4
+        )
     # ambient-load verdict travels on the driver-visible line too: a
     # reader of BENCH_rN.json alone can tell "loaded box" from "real
     # regression" without opening the detail file
