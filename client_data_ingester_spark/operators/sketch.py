@@ -677,59 +677,6 @@ def bloom_registers(
     )
 
 
-def bloom_bitmap_words(
-    eval_bits: DataFrame, m_bits: int = 1 << 16
-) -> "list[int]":
-    """Fold the register table into ``m_bits/64`` packed signed longs
-    (little-endian bit order) for map-side membership tests.
-
-    The one driver-side collect in the bloom family — bounded by the
-    SKETCH GEOMETRY (≤ m_bits/64 rows ≈ 8 KiB packed), never by the
-    keyed data, the same boundedness argument as the k-means centroid
-    fold. Packing happens SERVER-SIDE (sum of shifted-bit masks per
-    64-bit word) so at most 1024 small rows ever cross to Python — a
-    raw collect of the 64Ki register rows costs ~0.5 s of Row-object
-    overhead per plan build, measured. Bits are distinct, so each mask
-    contributes once and the signed sum can never overflow (any subset
-    of {2^0..2^62, -2^63} stays inside int64). The packed words ship as
-    a plain array literal inside the plan, so membership costs zero
-    joins and zero per-row payload copies."""
-    packed = (
-        eval_bits.select(
-            (F.col("bit") / 64).cast("int").alias("w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 64) AS INT))"
-            ).alias("m"),
-        )
-        .groupBy("w")
-        .agg(F.sum("m").alias("v"))
-        .collect()
-    )
-    words = [0] * ((m_bits + 63) >> 6)
-    for r in packed:
-        words[int(r["w"])] = int(r["v"])
-    return words
-
-
-def _bitmap_member(d, words_lit, m_bits: int, k: int):
-    """Membership of one staged md5 digest column against the packed
-    bitmap literal — pure row-local expressions (element_at + bit_get),
-    the map-side replacement for ``_probe_bloom_membership``'s k
-    broadcast joins. Same digest-slice scheme (``_digest_bits``), so the
-    two forms can never disagree on positions."""
-    hit = F.lit(True)
-    for j in range(k):
-        p = F.pmod(
-            F.conv(F.substring(d, 1 + 10 * j, 10), 16, 10).cast("long"),
-            F.lit(m_bits),
-        )
-        w = F.element_at(
-            words_lit, F.floor(p / F.lit(64)).cast("int") + F.lit(1)
-        )
-        hit = hit & (F.bit_get(w, F.pmod(p, F.lit(64))) == F.lit(1))
-    return hit
-
-
 def bloom_probe(
     train_docs: DataFrame,
     eval_bits: DataFrame,
@@ -757,12 +704,6 @@ def bloom_probe(
     input is now the flagged sliver, not the corpus). The bloom itself is
     a build-once artifact per eval-set version — like the IVF/RP-LSH
     indexes, it must never be rebuilt per probe batch.
-
-    (r17 note: a packed-bitmap-literal membership (``_bitmap_member``)
-    was measured here — steady-state execution ties the joins, but its
-    per-plan-build register collect costs ~0.4 s/invocation, so the
-    join form stays. ``contaminated_spans`` DOES use the bitmap: there
-    it deletes a Window+groupBy pair, which pays for the collect.)
     """
     from .dedup import exploded_shingles
 
@@ -823,22 +764,21 @@ def contaminated_spans(
 
     Doc-level screens (``bloom_probe``) answer drop-or-keep; a surgical
     pipeline instead removes just the overlapping spans and keeps the
-    rest of the document. MAP-ONLY up to the output sort: positioned
-    (non-distinct) shingles are tested per element against the packed
-    bitmap literal (``_bitmap_member``), and gaps-and-islands runs as
-    array expressions over the per-doc hit-position array — a position
-    starts a run iff it is first or not predecessor+1, ends one iff it
-    is last or not successor-1, and zipping the two boundary lists
-    yields the spans. The Window(doc)+groupBy exchange of the previous
-    shape disappears; the only exchange left is the ORDER BY range
-    partition over the emitted spans (the flagged sliver, not the
-    corpus). One-sidedness still holds (a span is a SUPERSET hint:
-    every shingle in it bloom-hit, so unflagged text is proven clean).
+    rest of the document. Positioned (non-distinct) shingles probe the
+    same broadcast bloom (k digest-slice joins, map-side), then the
+    classic gaps-and-islands fold groups consecutive hit positions:
+    ``pos - row_number() over (doc, pos)`` is constant within a
+    contiguous run, so one doc-keyed aggregate emits the spans. The only
+    shuffle is the hit relation keyed by doc — bounded by the flagged
+    sliver, not the corpus; one-sidedness still holds (a span is a
+    SUPERSET hint: every shingle in it bloom-hit, so unflagged text is
+    proven clean).
     """
+    from pyspark.sql import Window
+
     from .dedup import words_expr
     from .par import fan_out
 
-    words = F.lit(bloom_bitmap_words(eval_bits, m_bits)).cast("array<long>")
     # positioned-shingle assembly + k md5 digest probes per shingle are
     # the kernel; fan the single-split local scan out first (no-op at
     # scale — see par.fan_out)
@@ -852,54 +792,30 @@ def contaminated_spans(
     sh_arr = F.transform(
         idx, lambda i: F.array_join(F.slice(ws, i + 1, shingle_k), " ")
     )
-    # hit positions, ascending. != '': an empty words array (empty doc)
-    # regenerates a '' shingle via join(slice([])); legit ones never are.
-    # when() stages the null for non-hits; filter drops them.
-    hitpos = F.filter(
-        F.transform(
-            sh_arr,
-            lambda s, i: F.when(
-                (s != "") & _bitmap_member(F.md5(s), words, m_bits, k), i
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    s2 = staged.select("doc_id", hitpos.alias("_hp"))
-    hp = F.col("_hp")
-    n = F.size(hp)
-    starts = F.filter(
-        hp,
-        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
-            x != F.element_at(hp, i) + 1
-        ),
-    )
-    ends = F.filter(
-        hp,
-        lambda x, i: F.when(i == n - 1, F.lit(True)).otherwise(
-            F.element_at(hp, i + 2) != x + 1
-        ),
-    )
-    islands = F.zip_with(
-        starts,
-        ends,
-        lambda s, e: F.struct(
-            s.alias("start_pos"),
-            e.alias("end_pos"),
-            (e - s + 1).cast("long").alias("n_shingles"),
-        ),
-    )
-    # explode_outer + IS NOT NULL: same InferFiltersFromGenerate dodge as
-    # exploded_shingles (a plain explode's size>0 pre-filter would
-    # re-inline the whole probe chain against the raw text)
-    return (
-        s2.select("doc_id", F.explode_outer(islands).alias("_isl"))
-        .filter(F.col("_isl").isNotNull())
-        .select(
-            "doc_id",
-            F.col("_isl.start_pos").alias("start_pos"),
-            F.col("_isl.end_pos").alias("end_pos"),
-            F.col("_isl.n_shingles").alias("n_shingles"),
+    pos_sh = (
+        staged.select(
+            "doc_id", F.posexplode_outer(sh_arr).alias("pos", "sh")
         )
+        # != '': an empty words array (empty doc) regenerates a '' shingle
+        # via join(slice([])); legit shingles are never ''
+        .filter(F.col("sh").isNotNull() & (F.col("sh") != ""))
+        .select("doc_id", "pos", F.md5(F.col("sh")).alias("d"))
+    )
+    hits = (
+        _probe_bloom_membership(pos_sh, eval_bits, m_bits, k)
+        .filter(F.col("maybe_eval"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("_g", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select("doc_id", "start_pos", "end_pos", "n_shingles")
         .orderBy("doc_id", "start_pos")
     )
 

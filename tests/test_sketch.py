@@ -475,72 +475,3 @@ def test_reservoir_oracle_sql_matches_spark(spark):
     )
     want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert got == want
-
-
-def _plan_str(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
-def test_bitmap_words_pack_matches_register_bits(spark):
-    """bloom_bitmap_words' server-side packing must set exactly the
-    register bits (the foundation contaminated_spans' map-side
-    membership stands on)."""
-    bits = [0, 1, 63, 64, 65, 4095, 65535]
-    df = spark.createDataFrame([(b,) for b in bits], "bit long")
-    words = K.bloom_bitmap_words(df)
-    assert len(words) == 1024
-    got = {
-        w * 64 + i
-        for w, word in enumerate(words)
-        for i in range(64)
-        if (word >> i) & 1
-    }
-    assert got == set(bits)
-
-
-def test_contaminated_spans_has_no_window_or_groupby(spark):
-    """r17 contract: gaps-and-islands runs as array expressions per doc;
-    the only exchange is the output ORDER BY range partition."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    bits = K.bloom_registers(
-        spark.createDataFrame([("alpha beta gamma",)], ["sh"]), "sh"
-    )
-    plan = _plan_str(K.contaminated_spans(docs, bits))
-    assert "Window" not in plan
-    assert "hashpartitioning" not in plan
-    assert "rangepartitioning" in plan  # the declared output order
-
-
-def test_bitmap_member_matches_join_membership(spark):
-    """The packed-bitmap membership (bloom_annotate) must agree with the
-    k-broadcast-join reference (_probe_bloom_membership) shingle for
-    shingle — same digest-slice scheme, same bits."""
-    from client_data_ingester_spark.operators.dedup import (
-        exploded_shingles,
-    )
-
-    docs = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet"
-    ).limit(40)
-    eval_docs = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet"
-    ).filter(F.col("doc_id") % 7 == 0)
-    bits = K.bloom_registers(exploded_shingles(eval_docs), "sh")
-    probed = exploded_shingles(docs).select(
-        "doc_id", F.md5(F.col("sh")).alias("d")
-    )
-    want = {
-        r["doc_id"]: r["n"]
-        for r in K._probe_bloom_membership(probed, bits, 1 << 16, K.BLOOM_K)
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("maybe_eval").cast("long")).alias("n"))
-        .collect()
-    }
-    got = {
-        r["doc_id"]: r["n_bloom_hits"]
-        for r in K.bloom_probe(docs, bits).collect()
-    }
-    assert got == want
