@@ -55,7 +55,19 @@ def _df_from_rows(
     header = [h.strip() for h in header]
     schema = _all_string_schema(header).add(ROW_IDX_COL, T.LongType(), False)
     data = [(*r, i) for i, r in enumerate(rows)]
-    return spark.createDataFrame(data, schema=schema)
+    # Right-size parallelism to the payload instead of defaultParallelism:
+    # a bare createDataFrame slices even a 100-row upload into one
+    # partition per core, and EVERY downstream stage of the ingest
+    # (validation fold, merge join, staging write) then schedules ~cores
+    # tasks for a handful of rows — measured ~0.5-1.0 s per commit of
+    # pure task overhead at local[32]. Driver-side byte payloads are
+    # request-sized by definition (the path branch stays distributed),
+    # so ~50k rows per slice keeps small uploads single-partition while
+    # genuinely large bodies still spread.
+    slices = max(1, min(len(data) // 50_000 + 1, 64))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, slices), schema=schema
+    )
 
 
 def read_csv(spark: SparkSession, source: Source) -> DataFrame:
