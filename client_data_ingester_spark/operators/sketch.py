@@ -860,23 +860,42 @@ def reservoir_registers(
     """
     from pyspark.sql import Window
 
+    from .par import fan_out
+
     g = group_cols or []
-    # NOT fanned out (cf. par.fan_out elsewhere): one md5 over a scalar
-    # column is far cheaper than the shingle/profile kernels, and the
-    # A/B at sf0.1 measured the extra exchange as a net loss here
-    # (events 0.68 s -> 1.17 s fanned, lineitem a wash)
-    vals = (
-        df.select(
+    # fan the NARROW projection first: the partial WindowGroupLimit
+    # below needs a per-partition sort, and on a single-split local scan
+    # that sort (plus the md5) would run in ONE task. The r17 hash-key
+    # fan_out no longer pays round-robin's hidden local sort, which is
+    # what made the old A/B here a net loss (events 0.68 s -> 1.17 s
+    # under round-robin fan).
+    src = fan_out(df.select(*g, value_col))
+    w = Window.partitionBy(*g).orderBy("hk", "v")
+    # dense_rank FIRST, distinct after (r17): ranking the raw rows lets
+    # InferWindowGroupLimit insert a PARTIAL WindowGroupLimit below the
+    # group exchange — each map task ships only its own bottom-k
+    # DISTINCT values (dense_rank ties duplicates together, so a value's
+    # duplicate rows can never evict a distinct value from the k), and
+    # the old shape's full (group, v) distinct shuffle of the raw
+    # relation disappears; the distinct that remains sees ≤ k values per
+    # group per task. Ordering is (hk, v) with hk = f(v), so rows tie in
+    # the dense_rank iff they carry the same value — the surviving value
+    # set is EXACTLY the old distinct-then-row_number bottom-k, and the
+    # final row_number over the deduped ≤k rows reproduces pos.
+    pruned = (
+        src.select(
             *g,
             F.col(value_col).alias("v"),
             _hash60(F.col(value_col)).alias("hk"),
         )
         .where(F.col("hk").isNotNull())
+        .withColumn("_dr", F.dense_rank().over(w))
+        .where(F.col("_dr") <= k)
+        .select(*g, "v", "hk")
         .distinct()
     )
-    w = Window.partitionBy(*g).orderBy("hk", "v")
     return (
-        vals.withColumn("pos", F.row_number().over(w))
+        pruned.withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= k)
         .select(*g, "pos", "v", "hk")
     )
