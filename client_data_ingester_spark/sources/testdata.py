@@ -45,6 +45,19 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir, name) -> lazy DataFrame HANDLE. This caches
+#: the unresolved plan + inferred schema only — the catalog-metadata
+#: read (`spark.read.parquet` re-reads the file footer over py4j on
+#: every call, ~0.1-0.2 s; a 7-table audit paid ~1.5 s of plan-BUILD
+#: per invocation, more than its execution). No rows, partial results,
+#: or computed values are ever stored: every action on the returned
+#: DataFrame plans and scans the parquet files from scratch. Same
+#: immutable-inputs-per-session assumption as Spark's own
+#: filesourcePartitionFileCacheSize. Keyed by applicationId so a new
+#: session never sees a stale handle.
+_HANDLE_CACHE: "dict[tuple[str, str, str], DataFrame]" = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing the events timestamp column.
 
@@ -52,9 +65,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     encoding degrades to a readable BIGINT instead of an unreadable-type
     error; :func:`normalize_event_ts` then branches on what actually loaded.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _HANDLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
+    _HANDLE_CACHE[key] = df
     return df
